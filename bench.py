@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full plan executes,
+nothing collected to the driver). A warmup query amortizes JVM/codegen
+startup so the numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spec_search_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "join_broadcast_agg",
+    "agg_cube",
+    # windows / events
+    "window_topk_per_customer",
+    "sessionize",
+    "hourly_event_rollup",
+    "asof_join_purchase",
+    # reference pipeline + text/dedup/vector
+    "cell_grid_unpivot",
+    "chunk_fixed",
+    "doc_fingerprints",
+    "minhash_lsh_candidates",
+    "knn_multi_probe",
+    "ann_lsh_bucketed",
+    "vector_index_build",
+    "semantic_search",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spec_search_spark.operators import all_queries
+
+    qs, _ = all_queries()
+    spark = get_spark("bench")
+
+    # warmup: exercise scan + shuffle + codegen paths once
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

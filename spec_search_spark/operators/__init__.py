@@ -1,0 +1,24 @@
+"""Operator packs. Each module exports QUERIES (name → fn(spark, sf_dir)
+→ DataFrame) and ORACLES (name → DuckDB SQL). The driver contract
+(`/root/repo/__spark_entry__.py`) aggregates them.
+"""
+
+from __future__ import annotations
+
+
+def all_queries():
+    from spec_search_spark.operators import (
+        dedup,
+        relational,
+        sheets_pipeline,
+        similarity,
+        text_analysis,
+        windows,
+    )
+
+    q: dict = {}
+    o: dict = {}
+    for mod in (relational, windows, sheets_pipeline, text_analysis, dedup, similarity):
+        q.update(mod.QUERIES)
+        o.update(mod.ORACLES)
+    return q, o

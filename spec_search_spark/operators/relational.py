@@ -1,0 +1,569 @@
+"""Relational operator pack: scans, filters, aggregations (hash/cube/
+rollup/distinct), joins (broadcast/shuffle/semi/anti/range), sorts,
+limits, set ops — all pure DataFrame declarations so Catalyst picks the
+physical strategy (SURVEY.md §2.2-§2.7; the reference has none of
+these, they are the "free Spark" parity pack the target engine needs).
+
+Scale notes (100 TB design point), per query, in docstrings. General
+rules applied throughout:
+
+- dimension tables (region/nation/customer/supplier/part) are
+  broadcast — `F.broadcast` hints where Catalyst's 10 MB threshold
+  might miss at real scale; fact-fact joins shuffle on their keys and
+  rely on AQE skew splitting.
+- aggregates are expressed as one groupBy.agg → Catalyst plans
+  partial (map-side) + final aggregation, so the shuffle carries
+  pre-combined rows, not raw fact rows.
+- all filters sit directly on scan columns → pushed to parquet
+  row-group level (verify: PushedFilters in .explain("formatted")).
+
+Determinism notes for the DuckDB oracle hash-compare: aggregated
+DOUBLE columns are rounded (sum order differs between engines);
+LIMIT queries order by a unique tiebreaker; timestamps are formatted
+to strings (engine-naive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape) ----------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan groupBy with 8 aggregates.
+
+    Scale: maps to partial+final hash aggregate over 6 groups — the
+    shuffle moves O(groups × partitions) pre-aggregated rows, so this
+    is scan-bound at 100 TB; filter + 7-column projection push to
+    parquet.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (join + agg + top-k) ----------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top 10.
+
+    Scale: customer is a broadcast dim; orders⋈lineitem shuffles on
+    o_orderkey (both sides pre-filtered at the scan). Top-10 runs as
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5: local supplier volume (5-way join) --------------------------------
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region⋈nation⋈customer⋈orders⋈lineitem⋈supplier, revenue by nation.
+
+    Scale: the dim chain region→nation collapses to a broadcast of a
+    few-hundred-row table; customer and supplier broadcast; only
+    orders⋈lineitem shuffles. The c_nationkey = s_nationkey condition
+    is applied post-join as a codegen'd filter.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- Q6: forecast revenue (scan + filter + scalar agg) ---------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-aggregate; every predicate pushes to parquet.
+
+    Scale: zero shuffle beyond the single-row final agg; the canonical
+    "is pushdown working" probe (check PushedFilters in explain).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q10: returned items (join + agg + top-k) ------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer, top 20.
+
+    Scale: lineitem filtered on returnflag at scan; orders⋈lineitem
+    shuffles; customer/nation broadcast; top-20 via TakeOrdered.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- grouping sets: cube / rollup ------------------------------------------
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping indicators.
+
+    Scale: Catalyst expands to grouping sets in ONE aggregation pass
+    (Expand node) — not 4 scans.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) on orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_total,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one pass (Catalyst expand+2-phase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- join variants ----------------------------------------------------------
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 high-value order — LEFT SEMI (EXISTS).
+
+    Scale: semi-join never duplicates the left side and the right side
+    reduces to its join keys; broadcast when the filtered key set is
+    small.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all — LEFT ANTI (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ broadcast(part) → per-brand quantities.
+
+    Scale: the explicit broadcast hint keeps the 100 TB fact table
+    shuffle-free; per-brand agg is partial+final.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-band join: lineitems priced within ±10% of the
+    part's retail price.
+
+    Scale: the equi conjunct keeps this a hash join (broadcast here);
+    the band predicate evaluates post-match as a codegen'd filter —
+    never a nested-loop.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_extendedprice >= part.p_retailprice * 0.9)
+        & (li.l_extendedprice <= part.p_retailprice * 1.1)
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_band"),
+            F.round(F.avg(F.col("l_extendedprice") / F.col("p_retailprice")), 4).alias(
+                "avg_ratio"
+            ),
+        )
+    )
+
+
+JOIN_RANGE_BAND_SQL = """
+SELECT p_brand, count(*) AS n_in_band,
+       round(avg(l_extendedprice / p_retailprice), 4) AS avg_ratio
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey
+ AND l_extendedprice >= p_retailprice * 0.9
+ AND l_extendedprice <= p_retailprice * 1.1
+GROUP BY p_brand
+"""
+
+
+# --- set operations ---------------------------------------------------------
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both open ('O') and finished ('F') orders."""
+    orders = _t(spark, sf_dir, "orders")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o_keys.intersect(f_keys)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer keys minus keys of customers who ever ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+
+
+SETOP_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS custkey FROM orders
+"""
+
+
+def setop_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two labeled scans, aggregated — the unpivot-ish
+    union shape used for multi-source ingestion."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    u = orders.select(
+        F.lit("orders").alias("src"), F.col("o_totalprice").alias("amount")
+    ).unionAll(li.select(F.lit("lineitem").alias("src"), F.col("l_extendedprice").alias("amount")))
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("amount"), 2).alias("total_amount"),
+    )
+
+
+SETOP_UNION_SQL = """
+SELECT src, count(*) AS n, round(sum(amount), 2) AS total_amount
+FROM (
+  SELECT 'orders' AS src, o_totalprice AS amount FROM orders
+  UNION ALL
+  SELECT 'lineitem' AS src, l_extendedprice AS amount FROM lineitem
+) u
+GROUP BY src
+"""
+
+
+# --- sorts / limits / pivot -------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by totalprice — TakeOrderedAndProject, no full sort.
+
+    Scale: each partition computes its local top-20; only 20×P rows hit
+    the driver-side merge.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list → single pass,
+    no distinct-values pre-query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+PIVOT_STATUS_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "agg_cube": agg_cube,
+    "agg_rollup": agg_rollup,
+    "agg_distinct": agg_distinct,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_broadcast_agg": join_broadcast_agg,
+    "join_range_band": join_range_band,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "setop_union_counts": setop_union_counts,
+    "topk_orders": topk_orders,
+    "pivot_status": pivot_status,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_distinct": AGG_DISTINCT_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_broadcast_agg": JOIN_BROADCAST_SQL,
+    "join_range_band": JOIN_RANGE_BAND_SQL,
+    "setop_intersect": SETOP_INTERSECT_SQL,
+    "setop_except": SETOP_EXCEPT_SQL,
+    "setop_union_counts": SETOP_UNION_SQL,
+    "topk_orders": TOPK_ORDERS_SQL,
+    "pivot_status": PIVOT_STATUS_SQL,
+}

@@ -1,0 +1,348 @@
+"""Vector similarity operator pack (SURVEY.md §2.9 — the reference's
+core capability, re-expressed Spark-first):
+
+- V1 index build: documents → filter → chunk → embed (pandas_udf) →
+  composite id (`/root/reference/indexer.py:14-57` as ONE DataFrame
+  lineage instead of per-chunk collection.add round trips).
+- V2 semantic top-k: probe vector(s) broadcast against the embedding
+  table; distance via codegen'd higher-order functions; per-probe
+  top-k via window (`/root/reference/app.py:48-61`, k=10 default).
+- ANN scale path: random-hyperplane LSH bucketing → equi-join on
+  bucket → exact re-rank of the candidate set only.
+- embedding-cosine near-dup with label blocking (north-star dedup op).
+
+Scale design:
+- probes are always the broadcast side; the 100 TB embedding table
+  never shuffles for a search.
+- top-k per probe = partial top-k per partition (window after a
+  repartition on probe_id) — never a global sort.
+- LSH bucket join: bucket ids are small ints; candidate sets shrink
+  the exact-distance work by ~2^planes; at 100 TB you'd add multi-probe
+  (flip lowest-margin bits) for recall — parameters here.
+- brute-force pairwise ops are blocked by `label` so the join is an
+  equi-join (shuffle ∝ block sizes), not a cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import DEFAULT_OVERLAP  # noqa: F401 (re-export)
+from spec_search_spark.functions.vector import (
+    DEFAULT_DIM,
+    cosine_similarity,
+    cosine_similarity_sql,
+    dot,
+    dot_sql,
+    embed_text_local,
+    l2_squared,
+    l2_squared_sql,
+    make_embed_udf,
+)
+from spec_search_spark.operators.text_analysis import CHUNK_OVERLAP, CHUNK_SIZE
+from spec_search_spark.functions.text import chunk_at, chunk_indices
+from spec_search_spark.functions.sheets import composite_id
+from spec_search_spark.session import tune
+
+TOP_K = 10          # reference default n_results (app.py:50-52)
+N_PROBES = 5
+N_PLANES = 4
+COSINE_NEARDUP_THRESHOLD = 0.3
+
+# deterministic hyperplanes, shared with the SQL oracle as literals
+PLANES = [
+    [((p * DEFAULT_DIM + j) * 2654435761 % 1000) / 499.5 - 1.0 for j in range(DEFAULT_DIM)]
+    for p in range(N_PLANES)
+]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    )
+
+
+# --- exact kNN --------------------------------------------------------------
+
+def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 L2 neighbors of probe vec_id=0 (self excluded).
+
+    Scale: single broadcast probe; distance is a codegen'd fold over
+    the vector column; TakeOrderedAndProject for the limit.
+    """
+    emb = _emb(spark, sf_dir)
+    probe = _probes(spark, sf_dir).filter(F.col("probe_id") == 0)
+    return (
+        emb.join(F.broadcast(probe), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+        .orderBy(F.asc("dist2"), F.asc("vec_id"))
+        .select("vec_id", "label", "dist2")
+        .limit(TOP_K)
+    )
+
+
+KNN_EXACT_SQL = f"""
+WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({l2_squared_sql('embedding', 'probe_vec')}, 4) AS dist2
+FROM embeddings, probe
+WHERE vec_id <> 0
+ORDER BY dist2 ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def knn_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 L2 neighbors for each of 5 probes — per-probe window top-k
+    (`row_number over (partition by probe order by dist)`), the
+    many-query batch shape of reference E1."""
+    emb = _emb(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    scored = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
+        "dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4)
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", "dist2", "rn")
+    )
+
+
+KNN_MULTI_SQL = f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec
+                FROM embeddings WHERE vec_id < {N_PROBES}),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, dist2, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist2 ASC, vec_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of probe vec_id=0."""
+    emb = _emb(spark, sf_dir)
+    probe = _probes(spark, sf_dir).filter(F.col("probe_id") == 0)
+    return (
+        emb.join(F.broadcast(probe), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine_similarity(F.col("embedding"), F.col("probe_vec")), 4)
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .select("vec_id", "label", "cos_sim")
+        .limit(TOP_K)
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({cosine_similarity_sql('embedding', 'probe_vec')}, 4) AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN -------------------------------------------------------
+
+def _bucket_expr(vec_col: F.Column) -> F.Column:
+    """Random-hyperplane signature: bit p = (vec · plane_p) >= 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        plane_col = F.array(*[F.lit(c) for c in plane])
+        bucket = bucket + F.when(dot(vec_col, plane_col) >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket.cast("int")
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(f"{c!r}" for c in plane) + "]"
+        terms.append(
+            f"CASE WHEN ({dot_sql(vec, lit)}) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: candidates = same hyperplane-LSH bucket as the probe; exact
+    L2 re-rank of candidates only, top-10 per probe.
+
+    Scale: bucket assignment is a narrow map; the probe⋈candidate join
+    is an equi-join on a small int key — the embedding table shuffles
+    once on bucket (or is written bucketed by this key, making repeat
+    queries shuffle-free).
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("embedding")))
+    probes = _probes(spark, sf_dir).withColumn("p_bucket", _bucket_expr(F.col("probe_vec")))
+    cand = emb.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("probe_id")),
+    ).withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", "bucket", "dist2", "rn")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+             FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS p_bucket
+           FROM emb WHERE vec_id < {N_PROBES}),
+cand AS (
+  SELECT p.probe_id, e.vec_id, e.bucket,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM emb e JOIN probes p
+    ON e.bucket = p.p_bucket AND e.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, bucket, dist2, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist2 ASC, vec_id ASC) AS rn
+      FROM cand) t
+WHERE rn <= {TOP_K}
+"""
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with cosine ≥ threshold, blocked by label (equi-join
+    blocking keeps this off the cross-join path)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            "cos_sim",
+        )
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.label AS label, a.vec_id AS vec1, b.vec_id AS vec2,
+       round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 4)
+      >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+# --- V1 index build + V2 semantic search (the reference pipeline) ----------
+
+def build_index_df(docs: DataFrame) -> DataFrame:
+    """V1 core on any documents-shaped DataFrame (used by both the
+    batch entry point and the streaming foreachBatch upsert)."""
+    embed = make_embed_udf(DEFAULT_DIM)
+    chunked = (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))  # P1
+        .select(
+            "doc_id",
+            "source",
+            F.explode(chunk_indices(F.col("text"), CHUNK_SIZE, CHUNK_OVERLAP)).alias(
+                "chunk_idx"
+            ),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            chunk_at(F.col("text"), F.col("chunk_idx"), CHUNK_SIZE, CHUNK_OVERLAP).alias(
+                "chunk"
+            ),
+        )
+    )
+    return chunked.select(
+        composite_id(
+            F.col("source"), F.col("doc_id"), F.lit(0), F.col("doc_id"), F.col("chunk_idx")
+        ).alias("id"),
+        "doc_id",
+        "source",
+        "chunk_idx",
+        "chunk",
+        embed(F.col("chunk")).alias("embedding"),
+    ).dropDuplicates(["id"])
+
+
+def build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: documents → empty-filter → chunk → embed → composite id.
+
+    One DataFrame lineage replacing the reference's per-chunk
+    `collection.add` loop (`indexer.py:46-57`) — the embedder runs as
+    an Arrow-batched pandas_udf over whole partitions.
+    Rows-only check (the hash-projection embedder is not SQL).
+    """
+    tune(spark)
+    return build_index_df(load_table(spark, sf_dir, "documents"))
+
+
+def semantic_search(
+    spark: SparkSession, sf_dir: str, query: str = "fast merge join order", k: int = TOP_K
+) -> DataFrame:
+    """V2 end-to-end: embed the query text driver-side, broadcast it,
+    exact top-k over the V1 index (reference E1, `app.py:48-61`)."""
+    index = build_index(spark, sf_dir)
+    probe = F.array(*[F.lit(x) for x in embed_text_local(query, DEFAULT_DIM)])
+    return (
+        index.withColumn("dist2", F.round(l2_squared(F.col("embedding"), probe), 6))
+        .orderBy(F.asc("dist2"), F.asc("id"))
+        .select("id", "doc_id", "source", "chunk_idx", "chunk", "dist2")
+        .limit(k)
+    )
+
+
+def semantic_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_search(spark, sf_dir)
+
+
+QUERIES = {
+    "knn_exact": knn_exact,
+    "knn_multi_probe": knn_multi_probe,
+    "cosine_topk": cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embedding_near_dup": embedding_near_dup,
+    "vector_index_build": build_index,   # rows-only
+    "semantic_search": semantic_search_query,  # rows-only
+}
+
+ORACLES = {
+    "knn_exact": KNN_EXACT_SQL,
+    "knn_multi_probe": KNN_MULTI_SQL,
+    "cosine_topk": COSINE_TOPK_SQL,
+    "ann_lsh_bucketed": ANN_LSH_SQL,
+    "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+}

@@ -1,0 +1,184 @@
+"""Text-analysis operator pack over `documents` (SURVEY.md §2.8 F4 +
+north-star text ops): chunking, token stats, language guess, quality
+scoring, rolling-hash fingerprinting.
+
+All hot-path expressions are built-in functions (regexp, split,
+higher-order folds) — JVM-side, codegen'd, no Python per row. The only
+UDF is the recursive chunker (reference parity, `indexer.py:62-66`),
+which is property-tested and exposed rows-only (no SQL oracle — the
+recursive separator fallback is not SQL-expressible).
+
+Scale: every op here is embarrassingly parallel (narrow, per-row);
+chunk-explode grows row count ~n_chars/stride ×, which is why the
+chunker runs AFTER filters and BEFORE the embedder in the V1 pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import (
+    chunk_at,
+    chunk_fixed_sql,
+    chunk_indices,
+    fingerprint,
+    fingerprint_sql,
+    lang_guess,
+    lang_guess_sql,
+    make_chunk_udf,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    tokens,
+)
+from spec_search_spark.session import tune
+
+CHUNK_SIZE = 120  # scaled-down from the reference's 1000 so the ~300-char
+CHUNK_OVERLAP = 30  # test docs actually produce multi-chunk output
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (expression form): fixed-stride overlapping chunks via
+    sequence+explode+substring — pure codegen, SQL-oracle-able."""
+    docs = _docs(spark, sf_dir)
+    idx = F.explode(chunk_indices(F.col("text"), CHUNK_SIZE, CHUNK_OVERLAP)).alias("chunk_idx")
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", idx, "text")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            chunk_at(F.col("text"), F.col("chunk_idx"), CHUNK_SIZE, CHUNK_OVERLAP).alias(
+                "chunk"
+            ),
+        )
+    )
+
+
+_CF = chunk_fixed_sql(CHUNK_SIZE, CHUNK_OVERLAP)
+CHUNK_FIXED_SQL = f"""
+SELECT doc_id, CAST(i AS INT) AS chunk_idx, {_CF['chunk']} AS chunk
+FROM (
+  SELECT doc_id, text, unnest(range(0, {_CF['n_chunks']})) AS i
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+) t
+"""
+
+
+def chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (reference-parity form): recursive separator-fallback chunker
+    UDF + posexplode. Rows-only check (not SQL-expressible); the
+    property suite in tests/ is its correctness gate."""
+    docs = _docs(spark, sf_dir)
+    chunker = make_chunk_udf(CHUNK_SIZE, CHUNK_OVERLAP)
+    return docs.select(
+        "doc_id", F.posexplode(chunker(F.col("text"))).alias("chunk_idx", "chunk")
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, char stats, mean token length."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(
+            F.when(
+                token_count(F.col("text")) > 0,
+                total_tok_chars.cast("double") / token_count(F.col("text")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE list_reduce(
+                         list_prepend(0::BIGINT,
+                           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          t -> length(t)::BIGINT)),
+                         (a, x) -> a + x)::DOUBLE
+                       / len(regexp_split_to_array(trim(text), '\\s+'))
+             END, 4) AS avg_token_len
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic vs. the labeled `lang` column."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang, {lang_guess_sql("text")} AS lang_guess
+FROM documents
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality score + per-source aggregate view."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id, source, {quality_score_sql("text")} AS quality
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints (8-byte dedup keys; see
+    functions.text.fingerprint for the scale rationale)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, {fingerprint_sql("text")} AS fp
+FROM documents
+"""
+
+
+QUERIES = {
+    "chunk_fixed": chunk_fixed,
+    "chunk_recursive": chunk_recursive,  # rows-only (no oracle)
+    "token_stats": token_stats,
+    "lang_id": lang_id,
+    "quality_scores": quality_scores,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "chunk_fixed": CHUNK_FIXED_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "quality_scores": QUALITY_SQL,
+    "doc_fingerprints": FINGERPRINT_SQL,
+}

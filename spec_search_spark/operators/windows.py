@@ -1,0 +1,301 @@
+"""Window/analytic + event-time operator pack over `events` and
+`orders` (SURVEY.md §2.5 — absent in the reference, required by the
+target engine; §2.3's as-of join composition lives here too).
+
+Scale notes: every window partitions by a key (user_id / custkey) —
+one shuffle per distinct partitioning, reused by consecutive window
+functions over the same (partitionBy, orderBy). Global (unpartitioned)
+windows are avoided entirely — they serialize onto one task at 100 TB.
+
+Determinism: window order keys always end in a unique column
+(event_id / orderkey); running DOUBLE sums fold in the identical
+order in both engines → bit-equal, but we still round defensively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number ≤ k).
+
+    Scale: AQE-coalesced single shuffle on custkey; rank filter is
+    applied before any further join, cutting data 25×.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total of event value (rows-frame cumulative)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+WINDOW_RUNNING_SQL = f"""
+SELECT user_id, event_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous event per user: value change + gap in ms."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) / F.lit(1000)
+        ).cast("bigint").alias("gap_ms"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER w, 2) AS value_delta,
+       CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000 AS BIGINT) AS gap_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap starts a new session;
+    per-user session stats.
+
+    Scale: the lag + cumulative-sum-of-boundaries idiom is one shuffle
+    on user_id and streams within each partition — the standard
+    scalable sessionizer (vs. a quadratic self-join).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.max("session_value"), 2).alias("max_session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         round(sum(value), 2) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(max(session_value), 2) AS max_session_value
+FROM per_session GROUP BY user_id
+"""
+
+
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract JSON prop and aggregate per event type
+    (`events.props` is a JSON string → get_json_object, codegen'd)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time buckets (batch form of the streaming window;
+    the Structured-Streaming twin is streaming/incremental.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every 'click', the same user's most recent
+    'purchase' at or before the click (SURVEY.md §2.3 — Spark has no
+    native as-of; composed as union + last_value window).
+
+    Scale: ONE shuffle on user_id and a streaming window — no range
+    join, no per-user collect. Equivalent to DuckDB's native ASOF JOIN
+    (the oracle). Purchases are first deduped to one per (user, ts)
+    (max event_id) so tie-breaks are engine-independent.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"), F.round(F.max("value"), 2).alias("p_value"))
+    )
+    tagged = clicks.select(
+        "user_id", "ts", F.col("event_id"), F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"), F.lit(1).alias("kind"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(None).cast("bigint").alias("event_id"),
+            "p_event_id", "p_value", F.lit(0).alias("kind"),
+        )
+    )
+    # order purchases before clicks at equal ts → "at or before" semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        tagged.withColumn("last_p_id", F.last("p_event_id", ignorenulls=True).over(w))
+        .withColumn("last_p_ts", F.last(F.when(F.col("kind") == 0, F.col("ts")), True).over(w))
+        .withColumn("last_p_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    return matched.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.col("last_p_id").alias("purchase_id"),
+        F.date_format("last_p_ts", _TS_FMT).alias("purchase_ts"),
+        F.col("last_p_value").alias("purchase_value"),
+    )
+
+
+ASOF_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts, max(event_id) AS p_event_id, round(max(value), 2) AS p_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id AS click_id, c.user_id,
+       strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+       p.p_event_id AS purchase_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+       p.p_value AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+QUERIES = {
+    "window_topk_per_customer": window_topk_per_customer,
+    "window_running_sum": window_running_sum,
+    "window_lag_delta": window_lag_delta,
+    "sessionize": sessionize,
+    "json_props_agg": json_props_agg,
+    "hourly_event_rollup": hourly_event_rollup,
+    "asof_join_purchase": asof_join_purchase,
+}
+
+ORACLES = {
+    "window_topk_per_customer": WINDOW_TOPK_SQL,
+    "window_running_sum": WINDOW_RUNNING_SQL,
+    "window_lag_delta": WINDOW_LAG_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "json_props_agg": JSON_PROPS_SQL,
+    "hourly_event_rollup": HOURLY_SQL,
+    "asof_join_purchase": ASOF_SQL,
+}

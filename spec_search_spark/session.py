@@ -1,0 +1,67 @@
+"""SparkSession construction and runtime tuning.
+
+Tuning targets the 100 TB design point: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), shuffle partitions sized to
+cores for local runs (a cluster deployment would size to ~2-3× total
+cores and rely on AQE coalescing), Arrow for every Python<->JVM batch
+transfer, UTC session timezone so results are comparable across
+engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied even to an externally provided session
+# (the correctness driver passes its own SparkSession to entry()).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs that matter for plan quality.
+
+    Safe to call on any session (all confs here are runtime-settable);
+    every operator entry point calls this so behavior is identical
+    whether the session came from :func:`get_spark` or from the driver.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+    if shuffle_partitions is None:
+        # local mode: shuffle partitions ≈ cores; a real cluster would
+        # leave the default high and let AQE coalesce.
+        shuffle_partitions = max(os.cpu_count() or 8, 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(
+    app_name: str = "spec_search_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark, shuffle_partitions)

