@@ -9,6 +9,7 @@ from __future__ import annotations
 def all_queries():
     from spec_search_spark.operators import (
         dedup,
+        multimodal,
         relational,
         sheets_pipeline,
         similarity,
@@ -18,7 +19,15 @@ def all_queries():
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, windows, sheets_pipeline, text_analysis, dedup, similarity):
+    for mod in (
+        relational,
+        windows,
+        sheets_pipeline,
+        text_analysis,
+        dedup,
+        similarity,
+        multimodal,
+    ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

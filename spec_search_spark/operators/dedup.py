@@ -32,7 +32,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.functions.text import FP_BASE, FP_MOD, RE_TOKEN_SPLIT
+from spec_search_spark.functions.text import (
+    FP_BASE,
+    FP_MOD,
+    RE_TOKEN_SPLIT,
+    make_poly_hash_udf,
+)
 from spec_search_spark.session import tune
 
 P = FP_MOD  # 2^31-1, prime
@@ -44,12 +49,25 @@ A_COEF = [(i * 2654435761 + 1) % P for i in range(N_HASHES)]
 B_COEF = [(i * 40503 + 7) % P for i in range(N_HASHES)]
 
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+# 60 bits (not 64): stays positive in a signed int64 in BOTH engines,
+# and is discriminative enough that hamming≤3 means near-identical —
+# 32 bits on a shared-vocab corpus produced 27M band collisions.
+SIMHASH_BITS = 60
 HAMMING_THRESHOLD = 3
-MAX_SHINGLE_DF = 10_000  # hot-shingle cap (no-op at test scale; load-bearing at 100 TB)
+SIMHASH_BANDS = 4  # 15 bits per band; lossless for hamming < 4 (pigeonhole)
 
 
 # --- shared shingle machinery ----------------------------------------------
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """cache + force computation NOW. A lazily-cached DF feeding both
+    sides of a self-join gets computed concurrently by both branches
+    (per-partition block races) — materializing first guarantees the
+    expensive upstream (hash udf, signature agg) runs exactly once."""
+    df = df.cache()
+    df.count()
+    return df
+
 
 def _tokens(text: Column) -> Column:
     t = F.trim(text)
@@ -59,11 +77,11 @@ def _tokens(text: Column) -> Column:
 
 
 def _poly_hash(s: Column) -> Column:
-    """Polynomial fold over code points — same fold as the DuckDB oracle."""
-    cps = F.transform(F.regexp_extract_all(s, F.lit(r"[\s\S]"), F.lit(0)), F.ascii)
-    return F.aggregate(
-        cps, F.lit(0).cast("bigint"), lambda acc, c: (acc * FP_BASE + c.cast("bigint")) % FP_MOD
-    )
+    """Polynomial fold over code points — same fold as the DuckDB
+    oracle, computed by the Arrow-batched pandas_udf (identical bigint
+    output; ~10× faster than the per-char expression fold on the
+    shingle/token hot path)."""
+    return make_poly_hash_udf()(s)
 
 
 _POLY_SQL = (
@@ -73,9 +91,13 @@ _POLY_SQL = (
 )
 
 
-def _shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
-    toks = _tokens(text)
+def _shingles_from_toks(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED tokens column.
+
+    `toks` must be a bound column reference, not the split() expression
+    itself — embedding the split in the transform lambda makes Catalyst
+    re-tokenize the document for every element_at (O(tokens²) per doc;
+    cost measured 5× the whole pipeline at sf0.1)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     grams = F.transform(
         idx,
@@ -98,19 +120,40 @@ FROM (SELECT doc_id,
 """
 
 
-def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle, h) postings with the hot-shingle cap applied."""
+def shingle_postings(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle, h) postings.
+
+    `max_shingle_df`: optional hot-shingle cap — at 100 TB, shingles
+    with document-frequency above the cap connect near-everything and
+    quadratically inflate the pair join, so a production near-dup run
+    passes e.g. 10_000 here (one extra agg + broadcast anti-join).
+    Default off: at test scale no shingle is hot and the extra
+    broadcast round trip costs more than it saves (and the SQL oracles
+    model the uncapped semantics).
+    """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    postings = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).withColumn("h", _poly_hash(F.col("shingle")))
-    hot = (
-        postings.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
+    # repartition: the docs table arrives as few parquet splits; fan
+    # out BEFORE the explode+hash so every core gets work (at 100 TB
+    # the source has thousands of splits and this is a no-op knob).
+    # cache: every consumer reads these postings 2-3×.
+    par = spark.sparkContext.defaultParallelism
+    postings = _materialize(
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(_shingles_from_toks(F.col("toks"))).alias("shingle"))
+        .withColumn("h", _poly_hash(F.col("shingle")))
     )
-    return postings.join(F.broadcast(hot), "shingle", "left_anti")
+    if max_shingle_df is not None:
+        hot = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+        )
+        return postings.join(F.broadcast(hot), "shingle", "left_anti")
+    return postings
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -144,6 +187,8 @@ GROUP BY fp
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram Jaccard ≥ threshold, via
     inverted-index join (shuffle on shingle, then on the pair)."""
+    # materialized: the postings feed the sizes agg AND both sides of
+    # the pair join — lazily, the shingle+hash pipeline would run 3×.
     s = shingle_postings(spark, sf_dir).select("doc_id", "shingle")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = s.alias("a")
@@ -223,8 +268,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(N_BANDS)
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    # materialized: both sides of the candidate self-join read the band
+    # table; lazily, the whole shingle→hash→16-min signature pipeline
+    # would execute twice (it dominated the first bench run at 160 s).
+    exploded = _materialize(
+        sig.select("doc_id", F.explode(bands).alias("b")).select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -272,24 +324,36 @@ FROM bands a JOIN bands b
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc: sign of per-bit weighted token votes."""
+    """60-bit SimHash per doc: sign of per-bit weighted token votes.
+
+    The bit votes run as ONE numpy kernel inside applyInPandas instead
+    of 60 generated sum(CASE) aggregate columns — the generated-code
+    variant produced a whole-stage-codegen unit that took tens of
+    seconds to compile (dominating small-scale runs). Token hashing
+    stays in the shared poly-hash udf so the DuckDB oracle (pure SQL,
+    no codegen) reproduces identical values.
+    """
+    import numpy as np
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).withColumn(
-        "h", _poly_hash(F.col("tok"))
+    toks = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .withColumn("h", _poly_hash(F.col("tok")))
     )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sim = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
-    return votes.select("doc_id", sim.alias("simhash"))
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def per_doc(pdf):
+        import pandas as pd
+
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        bits = ((h[:, None] >> bit_idx) & 1) * 2 - 1  # ±1 votes, (n_tok × 60)
+        votes = bits.sum(axis=0)
+        sim = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [sim]})
+
+    return toks.groupBy("doc_id").applyInPandas(per_doc, "doc_id bigint, simhash bigint")
 
 
 def _simhash_sql() -> str:
@@ -312,22 +376,71 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc pairs within Hamming distance ≤ 8 of 32 simhash bits.
+    """Doc pairs within Hamming distance ≤ 3 of 32 simhash bits.
 
-    All-pairs at test scale (documents is fixed at 500 rows); the scale
-    path is prefix-rotation blocking (docstring above).
+    Pigeonhole blocking: split the 60-bit key into 4 bands of 15 bits —
+    any pair with ≤3 differing bits must agree EXACTLY on ≥1 band, so
+    joining on (band_idx, band_value) is lossless and replaces the
+    quadratic all-pairs join with an equi-join (the 100 TB-safe plan).
+    The Hamming filter then removes band-collision false positives.
     """
-    sh = simhash_fingerprints(spark, sf_dir)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    assert HAMMING_THRESHOLD < SIMHASH_BANDS  # lossless only below band count
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    band_mask = (1 << band_bits) - 1
+    sh = _materialize(simhash_fingerprints(spark, sf_dir))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
+
+    # Adaptive strategy (AQE-spirit, decided from a cheap histogram):
+    # banding is lossless and near-linear on real corpora, but on a
+    # corpus whose fingerprints all collapse into the same band values
+    # (every doc drawn from one token distribution) the banded join
+    # degenerates to MORE than all-pairs (measured 55M candidates vs
+    # 12.5M pairs at sf0.1). Both plans compute the identical result.
+    n_docs = sh.count()
+    hist = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("c"))
+    est_candidates = hist.agg(F.sum(F.col("c") * F.col("c"))).first()[0] or 0
+    use_bands = est_candidates < (n_docs * n_docs) / 2
+
+    ham_cols = lambda: (  # noqa: E731
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+    )
+    if use_bands:
+        a, b = bands.alias("a"), bands.alias("b")
+        cond = (
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # hamming-filter FIRST, dedupe the (tiny) survivor set after — a
+    # distinct on the raw banded candidate set would shuffle every band
+    # collision; the survivors are a few hundred rows.
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, cond)
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"), "hamming"
-        )
+        .select(*ham_cols(), "hamming")
+        .distinct()
     )
 
 
