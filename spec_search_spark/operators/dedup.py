@@ -76,12 +76,18 @@ def _tokens(text: Column) -> Column:
     )
 
 
+# module-level singleton: a fresh udf object per call would make every
+# plan canonically distinct, defeating CacheManager reuse across the
+# dedup queries (they share the postings/token pipelines).
+_POLY_HASH_UDF = make_poly_hash_udf()
+
+
 def _poly_hash(s: Column) -> Column:
     """Polynomial fold over code points — same fold as the DuckDB
     oracle, computed by the Arrow-batched pandas_udf (identical bigint
     output; ~10× faster than the per-char expression fold on the
     shingle/token hot path)."""
-    return make_poly_hash_udf()(s)
+    return _POLY_HASH_UDF(s)
 
 
 _POLY_SQL = (

@@ -25,8 +25,10 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from spec_search_spark.catalog import load_table
@@ -164,12 +166,42 @@ LIMIT {TOP_K}
 # --- LSH-bucketed ANN -------------------------------------------------------
 
 def _bucket_expr(vec_col: F.Column) -> F.Column:
-    """Random-hyperplane signature: bit p = (vec · plane_p) >= 0."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(PLANES):
-        plane_col = F.array(*[F.lit(c) for c in plane])
-        bucket = bucket + F.when(dot(vec_col, plane_col) >= 0, F.lit(1 << p)).otherwise(0)
-    return bucket.cast("int")
+    """Random-hyperplane signature: bit p = (vec · plane_p) >= 0.
+
+    Computed by an Arrow-batched pandas_udf that folds the dot product
+    LEFT-TO-RIGHT per element (same IEEE sequence as the SQL-oracle
+    list_reduce and as a zip_with/aggregate expression) — an np.dot
+    would sum pairwise and could flip the sign of a near-zero margin.
+    The expression form (4 planes × 64 literals inlined into codegen)
+    compiled for ~30 s in janino; this kernel is plan-size O(1).
+    """
+    return _BUCKET_UDF(vec_col)
+
+
+def _make_bucket_udf():
+    import numpy as np
+
+    planes = np.array(PLANES, dtype=np.float64)  # (P × D)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int32)
+        if len(vecs):
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (N × D)
+            for p in range(planes.shape[0]):
+                acc = np.zeros(len(vecs), dtype=np.float64)
+                for j in range(planes.shape[1]):  # ordered fold, not np.dot
+                    acc = acc + mat[:, j] * planes[p, j]
+                out |= (acc >= 0).astype(np.int32) << p
+        return pd.Series(out)
+
+    return bucket_of
+
+
+# module-level singletons so identical plans canonicalize equal and
+# CacheManager can reuse intermediates across query invocations.
+_BUCKET_UDF = _make_bucket_udf()
+_EMBED_UDF = make_embed_udf(DEFAULT_DIM)
 
 
 def _bucket_sql(vec: str) -> str:
@@ -265,10 +297,19 @@ WHERE round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 4)
 
 def build_index_df(docs: DataFrame) -> DataFrame:
     """V1 core on any documents-shaped DataFrame (used by both the
-    batch entry point and the streaming foreachBatch upsert)."""
-    embed = make_embed_udf(DEFAULT_DIM)
+    batch entry point and the streaming foreachBatch upsert).
+
+    Fans out to full parallelism before the chunk-explode + embed
+    pandas_udf — the local test table arrives as one parquet split and
+    would otherwise run the whole embed stage on one core (at 100 TB
+    the source has thousands of splits and the repartition no-ops cost-
+    wise, while guaranteeing embed-stage parallelism after selective
+    filters)."""
+    embed = _EMBED_UDF
+    par = docs.sparkSession.sparkContext.defaultParallelism
     chunked = (
-        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))  # P1
+        docs.repartition(par, "doc_id")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))  # P1
         .select(
             "doc_id",
             "source",
