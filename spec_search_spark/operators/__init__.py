@@ -11,6 +11,7 @@ def all_queries():
         dedup,
         multimodal,
         relational,
+        scalar_sql,
         sheets_pipeline,
         similarity,
         text_analysis,
@@ -27,6 +28,7 @@ def all_queries():
         dedup,
         similarity,
         multimodal,
+        scalar_sql,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -1,0 +1,213 @@
+"""Scalar-function pack (SURVEY.md §2.8 F8) + SQL-API surface
+(correlated subqueries, grouping sets) + exact percentiles.
+
+The reference's only scalar machinery is string casting, id/link
+concat, and the type sniffer (`/root/reference/indexer.py:36-56`,
+`sheet_creator_tool.py:98-128`); the date/math/string/json surface
+below is what the target engine adds on top, all built-in Catalyst
+expressions (whole-stage codegen, no UDFs).
+
+The SQL-API entries run through ``spark.sql`` over registered temp
+views — same Catalyst plans as the DataFrame API, demonstrating the
+second query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table, register_views
+from spec_search_spark.session import tune
+
+
+def scalar_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date + math + string scalar functions over orders (per-row,
+    no aggregation → bit-identical across engines, no rounding
+    needed except for transcendentals)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_98"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_dev"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_k_floor"),
+        F.round(F.ln(F.col("o_totalprice")), 6).alias("ln_price"),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("sqrt_price"),
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status_c"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.length(F.col("o_orderpriority")).cast("int").alias("prio_len"),
+    )
+
+
+SCALAR_DATE_MATH_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS INT) AS days_to_98,
+       round(abs(o_totalprice - 100000.0), 2) AS abs_dev,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+       round(ln(o_totalprice), 6) AS ln_price,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       upper(o_orderpriority) AS prio_upper,
+       substring(o_orderstatus, 1, 1) AS status_c,
+       lpad(o_orderkey::VARCHAR, 10, '0') AS key_padded,
+       CAST(length(o_orderpriority) AS INT) AS prio_len
+FROM orders
+"""
+
+
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per returnflag (Spark
+    `percentile`, DuckDB `quantile_cont` — same linear-interpolation
+    definition). The approx variant (`approx_percentile`, t-digest/KLL)
+    is the 100 TB path but is not oracle-comparable across engines."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+"""
+
+
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: correlated scalar subquery (orders > 2× the customer's
+    own average) — Catalyst decorrelates this into an aggregate+join,
+    shuffling on custkey once; no per-row subquery execution."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: explicit GROUPING SETS (status, priority, grand total)
+    — one Expand pass, not three scans."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def ranged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: A1-style ranged read — cells B2:D3 of every grid file
+    (`/root/reference/sheet_creator_tool.py:70-81` reads an A1 range;
+    here it is a predicate on the unpivoted grid, which Catalyst pushes
+    into the scan instead of fetching the whole sheet)."""
+    from spec_search_spark.operators.sheets_pipeline import cell_grid_unpivot
+
+    cells = cell_grid_unpivot(spark, sf_dir)
+    return cells.filter(
+        F.col("col_letter").isin("B", "C", "D") & F.col("sheet_row").between(2, 3)
+    ).select("file_id", "col_letter", "sheet_row", "cell_text")
+
+
+_RANGED_A1 = "CASE WHEN (doc_id % 30) < 26 THEN chr((65 + (doc_id % 30) % 26)::INT) ELSE chr((64 + (doc_id % 30) // 26)::INT) || chr((65 + (doc_id % 30) % 26)::INT) END"
+RANGED_SCAN_SQL = f"""
+SELECT doc_id // 60 AS file_id,
+       {_RANGED_A1} AS col_letter,
+       CAST((doc_id % 60) // 30 + 2 AS INT) AS sheet_row,
+       text AS cell_text
+FROM documents
+WHERE {_RANGED_A1} IN ('B','C','D')
+  AND (doc_id % 60) // 30 + 2 BETWEEN 2 AND 3
+  AND text IS NOT NULL AND text <> ''
+"""
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: words, subword pieces (4-char greedy
+    cuts), and punctuation tokens via one regex — the cheap
+    pre-tokenizer count a training-data pipeline budgets with."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    # subword pieces: each word contributes ceil(len/4) greedy pieces
+    pieces = F.aggregate(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), F.lit(0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        punct.cast("bigint").alias("n_punct"),
+        pieces.alias("n_bpe_pieces"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
+         (a, x) -> a + x) AS n_bpe_pieces
+FROM documents
+"""
+
+
+QUERIES = {
+    "scalar_date_math": scalar_date_math,
+    "percentiles_exact": percentiles_exact,
+    "sql_correlated_subquery": sql_correlated_subquery,
+    "sql_grouping_sets": sql_grouping_sets,
+    "ranged_scan": ranged_scan,
+    "token_count_bpe": token_count_bpe,
+}
+
+ORACLES = {
+    "scalar_date_math": SCALAR_DATE_MATH_SQL,
+    "percentiles_exact": PERCENTILES_SQL,
+    "sql_correlated_subquery": _CORRELATED_SQL,
+    "sql_grouping_sets": SQL_GROUPING_SETS_SQL,
+    "ranged_scan": RANGED_SCAN_SQL,
+    "token_count_bpe": TOKEN_COUNT_BPE_SQL,
+}

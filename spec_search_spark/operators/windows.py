@@ -280,8 +280,72 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def window_range_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time RANGE frame: per-user sum/count of events in
+    the trailing 10 minutes — a numeric range frame over epoch-micros
+    (identical semantics in both engines; Spark's native interval
+    range frames apply here too, epoch keeps the oracle exact)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+        F.round(F.sum("value").over(w), 2).alias("sum_10min"),
+    )
+
+
+WINDOW_RANGE_SQL = f"""
+SELECT user_id, event_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+       count(*) OVER w AS n_10min,
+       round(sum(value) OVER w, 2) AS sum_10min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value analytics per user ordered by time."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.round(F.col("value") - F.first("value").over(w), 2).alias("delta_vs_first"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type,
+       round(value - first_value(value) OVER w, 2) AS delta_vs_first
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
+    "window_range_10min": window_range_10min,
+    "window_first_last": window_first_last,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "sessionize": sessionize,
@@ -292,6 +356,8 @@ QUERIES = {
 
 ORACLES = {
     "window_topk_per_customer": WINDOW_TOPK_SQL,
+    "window_range_10min": WINDOW_RANGE_SQL,
+    "window_first_last": WINDOW_FIRST_LAST_SQL,
     "window_running_sum": WINDOW_RUNNING_SQL,
     "window_lag_delta": WINDOW_LAG_SQL,
     "sessionize": SESSIONIZE_SQL,
