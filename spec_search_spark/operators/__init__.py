@@ -9,11 +9,13 @@ from __future__ import annotations
 def all_queries():
     from spec_search_spark.operators import (
         dedup,
+        ivf,
         multimodal,
         relational,
         scalar_sql,
         sheets_pipeline,
         similarity,
+        sketches,
         text_analysis,
         windows,
     )
@@ -29,6 +31,8 @@ def all_queries():
         similarity,
         multimodal,
         scalar_sql,
+        ivf,
+        sketches,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -1,0 +1,159 @@
+"""IVF-style ANN: k-means-bucketed partition pruning over the
+embedding table (SURVEY.md §4 "index structure", option (c)).
+
+The reference delegates ANN to hnswlib via Chroma
+(`/root/reference/app.py:50`); HNSW is a pointer-chasing in-memory
+graph — the wrong shape for a distributed engine. The Spark-native
+equivalent is IVF: cluster the corpus, store each vector with its
+cluster id (ideally parquet partitioned/bucketed by it), search only
+the probe's nearest `n_probe` clusters.
+
+Scale design:
+- training is mini-batch-free Lloyd iterations as plain DataFrame
+  aggregations: assignment = broadcast(centroids) ⋈ vectors (narrow,
+  no shuffle of the big table), update = groupBy(cluster) mean
+  (partial+final agg). K centroids ≪ memory.
+- the search never scans the full table: cluster ids prune to
+  n_probe/K of the data (with parquet partitioning this is partition
+  pruning, not a filter).
+- everything is deterministic: seeds are the first K vectors by id,
+  ties in assignment break toward the lower cluster id.
+
+Rows-only correctness (iterative float algorithm; no SQL oracle) —
+tests/test_ivf.py checks determinism, assignment optimality, and
+recall vs exact kNN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+K_CLUSTERS = 8
+N_ITER = 2
+N_PROBE_CLUSTERS = 2
+TOP_K = 10
+N_PROBES = 5
+
+
+def _assign_udf(centroids: list[list[float]]):
+    """pandas_udf: vector → (nearest centroid id, distance²). Ordered
+    fold per dim for cross-run determinism; ties → lower cluster id."""
+    cents = np.array(centroids, dtype=np.float64)  # (K × D)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist2", T.DoubleType()),
+    ]))
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        out_c = np.zeros(n, dtype=np.int32)
+        out_d = np.zeros(n, dtype=np.float64)
+        if n:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (N × D)
+            # (N × K) squared distances; argmin breaks ties at lowest id
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out_c = d2.argmin(axis=1).astype(np.int32)
+            out_d = d2[np.arange(n), out_c]
+        return pd.DataFrame({"cluster": out_c, "dist2": out_d})
+
+    return assign
+
+
+def train_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Lloyd iterations as DataFrame aggs. Returns driver-side centroid
+    list (K × D floats — always tiny, safe to collect)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < K_CLUSTERS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(N_ITER):
+        assign = _assign_udf(centroids)
+        assigned = emb.select(
+            "vec_id", "embedding", assign(F.col("embedding")).alias("a")
+        ).select("vec_id", "embedding", F.col("a.cluster").alias("cluster"))
+        # element-wise mean per cluster: aggregate arrays JVM-side
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.aggregate(
+                F.collect_list("embedding"),
+                F.array(*[F.lit(0.0) for _ in range(dim)]),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+            ).alias("vec_sum"),
+        )
+        rows = sums.collect()
+        new_cents = list(centroids)
+        for r in rows:
+            new_cents[r["cluster"]] = [s / r["n"] for s in r["vec_sum"]]
+        centroids = new_cents
+    return centroids
+
+
+def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, cluster) — the IVF-bucketed table a
+    deployment would write parquet-partitioned by `cluster`."""
+    centroids = train_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _assign_udf(centroids)
+    return emb.select(
+        "vec_id", "label", "embedding", assign(F.col("embedding")).alias("a")
+    ).select("vec_id", "label", "embedding", F.col("a.cluster").alias("cluster"))
+
+
+def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per probe, scanning only the probe's nearest 2 clusters
+    (cluster-pruned exact re-rank)."""
+    centroids = train_centroids(spark, sf_dir)
+    cents = np.array(centroids, dtype=np.float64)
+    index = ivf_index(spark, sf_dir).cache()
+
+    probes = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    probe_rows = []
+    for pid, vec in probes:
+        d2 = (((np.asarray(vec, dtype=np.float64))[None, :] - cents) ** 2).sum(axis=1)
+        nearest = np.argsort(d2, kind="stable")[:N_PROBE_CLUSTERS]
+        for c in nearest:
+            probe_rows.append((pid, [float(x) for x in vec], int(c)))
+    probe_df = spark.createDataFrame(
+        probe_rows, "probe_id int, probe_vec array<double>, cluster int"
+    )
+
+    from spec_search_spark.functions.vector import l2_squared
+
+    cand = index.join(
+        F.broadcast(probe_df),
+        (index.cluster == probe_df.cluster) & (F.col("vec_id") != F.col("probe_id")),
+    ).withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", index.cluster, "dist2", "rn")
+    )
+
+
+QUERIES = {
+    "ivf_index_build": ivf_index,   # rows-only
+    "ivf_ann_search": ivf_ann_search,  # rows-only
+}
+
+ORACLES: dict[str, str] = {}

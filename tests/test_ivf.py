@@ -1,0 +1,92 @@
+"""IVF ANN invariants (rows-only op → property tests are the gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, sf_dir):
+    from spec_search_spark.operators.ivf import ivf_ann_search, ivf_index
+
+    return {
+        "index": ivf_index(spark, sf_dir).collect(),
+        "search": ivf_ann_search(spark, sf_dir).collect(),
+    }
+
+
+def test_ivf_index_covers_all_vectors(spark, sf_dir, ivf):
+    from spec_search_spark.operators.ivf import K_CLUSTERS
+
+    rows = ivf["index"]
+    assert len(rows) == 500
+    assert all(0 <= r["cluster"] < K_CLUSTERS for r in rows)
+    assert len({r["cluster"] for r in rows}) > 1  # not degenerate
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from spec_search_spark.operators.ivf import train_centroids
+
+    a = train_centroids(spark, sf_dir)
+    b = train_centroids(spark, sf_dir)
+    assert a == b
+
+
+def test_ivf_search_shape_and_order(ivf):
+    rows = ivf["search"]
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3, 4}
+    for probe, rs in by_probe.items():
+        rs = sorted(rs, key=lambda r: r["rn"])
+        dists = [r["dist2"] for r in rs]
+        assert dists == sorted(dists), probe
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir, ivf):
+    """Cluster-pruned search must find most of the true top-10 for at
+    least the easy probes (2 of 8 clusters scanned → recall won't be
+    perfect; require ≥ 0.5 average — a real corpus with locality does
+    far better; random uniform vectors are ANN's worst case)."""
+    from spec_search_spark.functions.vector import l2_squared
+    from spec_search_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    exact_top = (
+        exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).collect()
+    )
+    truth = {}
+    for r in exact_top:
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ivf["search"]:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    from spec_search_spark.operators.sketches import approx_distinct_counts
+
+    apx = {r["l_returnflag"]: r["apx_parts"] for r in approx_distinct_counts(spark, sf_dir).collect()}
+    from spec_search_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    for k, v in exact.items():
+        assert abs(apx[k] - v) / v <= 0.05, (k, apx[k], v)

@@ -16,7 +16,15 @@ def test_all_queries_well_formed():
     assert set(os_) <= set(qs)
     # every non-oracle query is a documented rows-only op
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"chunk_recursive", "vector_index_build", "semantic_search"}
+    assert rows_only == {
+        "chunk_recursive",        # recursive separator fallback not SQL
+        "vector_index_build",     # hash-projection embedder not SQL
+        "semantic_search",        # ditto
+        "ivf_index_build",        # iterative float algorithm
+        "ivf_ann_search",         # ditto
+        "approx_distinct_counts",  # HLL sketch engine-specific
+        "approx_quantiles",       # KLL/t-digest engine-specific
+    }
 
 
 def test_semantic_search_topk_sorted(spark, sf_dir):
