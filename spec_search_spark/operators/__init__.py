@@ -16,6 +16,7 @@ def all_queries():
         sheets_pipeline,
         similarity,
         sketches,
+        skew,
         text_analysis,
         windows,
     )
@@ -33,6 +34,7 @@ def all_queries():
         scalar_sql,
         ivf,
         sketches,
+        skew,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -253,6 +253,136 @@ LIMIT 20
 """
 
 
+# --- Q7: bi-nation volume (join + disjunctive cross-filter) ----------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nation pairs, per year — the
+    disjunctive two-sided filter shape (supp_nation, cust_nation).
+
+    Scale: nation names join via two broadcast copies of the 25-row
+    dim; the disjunction is a codegen'd post-join filter, never a
+    plan-splitting union of two join trees.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+    )
+    return (
+        joined.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "volume"
+            )
+        )
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, yr,
+       round(sum(volume), 2) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) t
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+# --- Q12: priority counts in a date window (IN + conditional agg) ----------
+
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts over a shipdate year, split urgent vs not
+    — IN-list filter + conditional aggregation in one pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "R")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag IN ('A','R')
+GROUP BY l_returnflag
+"""
+
+
+# --- Q14: promo revenue ratio (conditional ratio agg) ----------------------
+
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from a part-type class in one month — the
+    conditional-numerator / total-denominator single-row shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(F.when(is_promo, rev).otherwise(0.0)) / F.sum(rev), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 # --- grouping sets: cube / rollup ------------------------------------------
 
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,6 +664,9 @@ QUERIES = {
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q7_nation_volume": q7_nation_volume,
+    "q12_priority_counts": q12_priority_counts,
+    "q14_promo_ratio": q14_promo_ratio,
     "agg_cube": agg_cube,
     "agg_rollup": agg_rollup,
     "agg_distinct": agg_distinct,
@@ -554,6 +687,9 @@ ORACLES = {
     "q5_local_supplier": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q10_returned_items": Q10_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q12_priority_counts": Q12_SQL,
+    "q14_promo_ratio": Q14_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_distinct": AGG_DISTINCT_SQL,
