@@ -24,21 +24,29 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_nation_volume",
     "q10_returned_items",
     "join_broadcast_agg",
+    "salted_join_revenue",
     "agg_cube",
     # windows / events
     "window_topk_per_customer",
+    "window_range_10min",
     "sessionize",
     "hourly_event_rollup",
     "asof_join_purchase",
     # reference pipeline + text/dedup/vector
     "cell_grid_unpivot",
     "chunk_fixed",
+    "token_stats",
     "doc_fingerprints",
+    "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
+    "simhash_near_pairs",
     "knn_multi_probe",
     "ann_lsh_bucketed",
+    "ivf_ann_search",
+    "multimodal_decode",
     "vector_index_build",
     "semantic_search",
 ]

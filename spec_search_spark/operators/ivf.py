@@ -79,33 +79,41 @@ def train_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         .collect()
     )
     centroids = [[float(x) for x in r["embedding"]] for r in seeds]
-    dim = len(centroids[0])
+
+    def cluster_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "centroid": [mat.mean(axis=0).tolist()],
+            }
+        )
+
     for _ in range(N_ITER):
         assign = _assign_udf(centroids)
         assigned = emb.select(
-            "vec_id", "embedding", assign(F.col("embedding")).alias("a")
-        ).select("vec_id", "embedding", F.col("a.cluster").alias("cluster"))
-        # element-wise mean per cluster: aggregate arrays JVM-side
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.aggregate(
-                F.collect_list("embedding"),
-                F.array(*[F.lit(0.0) for _ in range(dim)]),
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
-            ).alias("vec_sum"),
+            "embedding", assign(F.col("embedding")).alias("a")
+        ).select("embedding", F.col("a.cluster").alias("cluster"))
+        # element-wise mean per cluster as a numpy kernel — the
+        # collect_list + zip_with fold variant runs interpreted per
+        # element and dominated training time.
+        means = assigned.groupBy("cluster").applyInPandas(
+            cluster_mean, "cluster int, centroid array<double>"
         )
-        rows = sums.collect()
         new_cents = list(centroids)
-        for r in rows:
-            new_cents[r["cluster"]] = [s / r["n"] for s in r["vec_sum"]]
+        for r in means.collect():
+            new_cents[r["cluster"]] = [float(x) for x in r["centroid"]]
         centroids = new_cents
     return centroids
 
 
-def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_index(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]] | None = None
+) -> DataFrame:
     """(vec_id, label, embedding, cluster) — the IVF-bucketed table a
     deployment would write parquet-partitioned by `cluster`."""
-    centroids = train_centroids(spark, sf_dir)
+    if centroids is None:
+        centroids = train_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     assign = _assign_udf(centroids)
     return emb.select(
@@ -118,7 +126,7 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster-pruned exact re-rank)."""
     centroids = train_centroids(spark, sf_dir)
     cents = np.array(centroids, dtype=np.float64)
-    index = ivf_index(spark, sf_dir).cache()
+    index = ivf_index(spark, sf_dir, centroids).cache()
 
     probes = [
         (int(r["vec_id"]), list(r["embedding"]))

@@ -32,12 +32,10 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.functions.text import DEFAULT_OVERLAP  # noqa: F401 (re-export)
 from spec_search_spark.functions.vector import (
     DEFAULT_DIM,
     cosine_similarity,
     cosine_similarity_sql,
-    dot,
     dot_sql,
     embed_text_local,
     l2_squared,

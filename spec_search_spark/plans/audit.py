@@ -42,6 +42,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("window_topk_per_customer", ["Window", "hashpartitioning(o_custkey"], []),
     # knn: probe side broadcast — embedding table never shuffles
     ("knn_exact", ["BroadcastNestedLoopJoin"], ["Exchange hashpartitioning(vec_id"]),
+    # as-of: union + window composition, never a range/cross join
+    ("asof_join_purchase", ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # sessionize: single partitioning chain on user_id
+    ("sessionize", ["hashpartitioning(user_id"], ["CartesianProduct"]),
+    # events hourly rollup aggregates partially before the shuffle
+    ("hourly_event_rollup", ["partial_count"], []),
+    # correlated subquery is decorrelated to an aggregate+join
+    ("sql_correlated_subquery", ["HashAggregate"], ["CartesianProduct"]),
+    # range-band join keeps the equi conjunct as the hash key
+    ("join_range_band", ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
