@@ -10,6 +10,7 @@ def all_queries():
     from spec_search_spark.operators import (
         dedup,
         ivf,
+        mllib_lsh,
         multimodal,
         relational,
         scalar_sql,
@@ -35,6 +36,7 @@ def all_queries():
         ivf,
         sketches,
         skew,
+        mllib_lsh,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

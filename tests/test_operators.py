@@ -24,6 +24,8 @@ def test_all_queries_well_formed():
         "ivf_ann_search",         # ditto
         "approx_distinct_counts",  # HLL sketch engine-specific
         "approx_quantiles",       # KLL/t-digest engine-specific
+        "mllib_brp_ann",          # MLlib seeded hash family
+        "mllib_minhash_near_dup",  # ditto
     }
 
 
