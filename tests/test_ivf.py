@@ -77,6 +77,28 @@ def test_ivf_recall_vs_exact(spark, sf_dir, ivf):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_partitioned_write_prunes(spark, sf_dir):
+    """The deployment layout: index written partitionBy(cluster) →
+    a cluster-filtered scan reads ONLY that partition (PartitionFilters
+    in the plan, not a post-scan filter) — at 100 TB this is the
+    difference between scanning 1/K of the data and all of it."""
+    import tempfile
+
+    from spec_search_spark.operators.ivf import ivf_index
+    from spec_search_spark.plans.audit import plan_of
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    ivf_index(spark, sf_dir).write.partitionBy("cluster").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("cluster") == 3)
+    plan = plan_of(pruned)
+    assert "PartitionFilters: [isnotnull(cluster" in plan, plan
+    total = back.count()
+    one = pruned.count()
+    assert 0 < one < total
+
+
 def test_approx_sketches_error_bounds(spark, sf_dir):
     from spec_search_spark.operators.sketches import approx_distinct_counts
 
