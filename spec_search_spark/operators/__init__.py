@@ -19,6 +19,7 @@ def all_queries():
         sketches,
         skew,
         text_analysis,
+        tpch_extra,
         windows,
     )
 
@@ -37,6 +38,7 @@ def all_queries():
         sketches,
         skew,
         mllib_lsh,
+        tpch_extra,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
