@@ -52,6 +52,37 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("sql_correlated_subquery", ["HashAggregate"], ["CartesianProduct"]),
     # range-band join keeps the equi conjunct as the hash key
     ("join_range_band", ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # --- TPC-H completion pack (size-independent invariants only:
+    # join TYPE, parquet pushdown, partial aggregation — broadcast
+    # vs SMJ on fact joins is AQE's size-based call, not pinned) ---
+    # q2: min-per-part aggregates partially; the hinted build sides broadcast
+    ("q2_min_price_supplier", ["partial_min", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # q4: EXISTS stays a semi join; the year filter reaches the orders scan
+    ("q4_priority_exists",
+     ["LeftSemi", "GreaterThanOrEqual(o_orderdate,1996-01-01"], ["CartesianProduct"]),
+    # q8: 6-dim join tree is all broadcast hash joins, single fact shuffle
+    ("q8_market_share", ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # q9: the LIKE '%widget%' prunes the part dim AT THE SCAN
+    ("q9_profit_by_nation", ["StringContains(p_name,widget)"], ["CartesianProduct"]),
+    # q11: global total is a one-row broadcast nested loop, not a window
+    ("q11_important_value", ["BroadcastNestedLoopJoin", "partial_sum"], ["Window"]),
+    # q13: outer join preserved (zero-count customers survive)
+    ("q13_custdist", ["LeftOuter", "partial_count"], ["CartesianProduct"]),
+    # q15: argmax via broadcast scalar — never a global sort
+    ("q15_top_supplier", ["partial_sum"], ["Exchange rangepartitioning"]),
+    # q17: correlated avg decorrelates to partial+final avg on partkey
+    ("q17_small_qty_revenue", ["partial_avg"], ["CartesianProduct"]),
+    # q18: HAVING join-back ends in TakeOrdered, no global sort
+    ("q18_large_orders",
+     ["TakeOrderedAndProject", "partial_sum"], ["Exchange rangepartitioning"]),
+    # q19: shared p_size bound + per-side disjunction both push to parquet
+    ("q19_disjunctive_bands",
+     ["LessThanOrEqual(p_size,30)", "BroadcastHashJoin"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # q21: one fact shuffle — semi join + Expand for the two distincts
+    ("q21_sole_returner", ["LeftSemi", "Expand"], ["CartesianProduct"]),
+    # q22: NOT EXISTS stays anti; scalar threshold is a one-row broadcast
+    ("q22_idle_customers", ["LeftAnti", "BroadcastNestedLoopJoin"], ["CartesianProduct"]),
 ]
 
 
