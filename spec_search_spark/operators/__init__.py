@@ -9,6 +9,7 @@ from __future__ import annotations
 def all_queries():
     from spec_search_spark.operators import (
         dedup,
+        extensibility,
         ivf,
         mllib_lsh,
         multimodal,
@@ -39,6 +40,7 @@ def all_queries():
         skew,
         mllib_lsh,
         tpch_extra,
+        extensibility,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

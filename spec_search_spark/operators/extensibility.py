@@ -1,0 +1,118 @@
+"""UDTF / UDAF extensibility surface (SURVEY.md §2.11).
+
+The reference's only extensibility hook is LLM tool-function
+registration (`/root/reference/sheet_creator_tool.py:130-144`, consumed
+by the ReAct agent at `/root/reference/app.py:208-226`) — not an engine
+concern. The engine-side analogs Spark offers are Python UDTFs (table
+functions usable in LATERAL joins) and grouped-aggregate pandas UDFs
+(the UDAF surface). Both demonstrated here on reference-shaped work:
+
+- `udtf_chunk_explode` — the reference's text chunker
+  (`/root/reference/indexer.py:62-66`) expressed as a Python UDTF in a
+  SQL LATERAL join, semantics identical to `chunk_fixed`'s pure
+  expression form so the same DuckDB oracle applies. A UDTF runs one
+  Python process per task — embarrassingly parallel across partitions,
+  no shuffle; at 100 TB this scales like any map stage (though the
+  expression form in text_analysis.chunk_fixed stays JVM-side and is
+  the one bench exercises — this entry exists to cover the API surface,
+  not to replace codegen with Python).
+- `udaf_label_centroid` — per-label embedding centroid as a grouped-agg
+  pandas_udf (Arrow-batched partial aggregation per group). The same
+  mean-of-vectors kernel IVF training uses (operators/ivf.py), here as
+  a reusable UDAF with a zipped unnest/generate_subscripts DuckDB
+  oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.operators.text_analysis import CHUNK_FIXED_SQL
+from spec_search_spark.session import tune
+
+CHUNK_SIZE = 120  # mirror text_analysis so CHUNK_FIXED_SQL is the oracle
+CHUNK_OVERLAP = 30
+
+
+class ChunkDocs:
+    """Fixed-stride overlapping chunker as a table function: one input
+    text row → n_chunks output rows. Same arithmetic as
+    functions/text.chunk_indices + chunk_at."""
+
+    def eval(self, text):  # noqa: D102 — UDTF contract method
+        if text is None or text == "":
+            return
+        stride = CHUNK_SIZE - CHUNK_OVERLAP
+        n = max(1, math.ceil((len(text) - CHUNK_OVERLAP) / stride))
+        for i in range(n):
+            yield i, text[i * stride : i * stride + CHUNK_SIZE]
+
+
+def udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 via the UDTF surface: LATERAL chunk_docs(text)."""
+    tune(spark)
+    from pyspark.sql.functions import udtf
+
+    chunk_docs = udtf(ChunkDocs, returnType="chunk_idx int, chunk string")
+    spark.udtf.register("chunk_docs", chunk_docs)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM documents_udtf_v d, LATERAL chunk_docs(d.text) c
+        WHERE d.text IS NOT NULL AND d.text <> ''
+        """
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))  # DataType obj: no session needed at import
+def _label_centroid(embs: pd.Series) -> list:  # grouped-agg: Series → scalar
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+    return [float(x) for x in mat.mean(axis=0)]
+
+
+def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via the UDAF (grouped-agg pandas_udf) surface.
+    Rounding happens in SQL (`round` = half-away-from-zero in both
+    engines; np.round would banker's-round)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(_label_centroid(F.col("embedding")).alias("c"))
+        .select(
+            "label",
+            # + 0.0 collapses IEEE -0.0 → +0.0 (mirrored in the oracle)
+            F.transform(F.col("c"), lambda x: F.round(x, 4) + F.lit(0.0)).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "udtf_chunk_explode": udtf_chunk_explode,
+    "udaf_label_centroid": udaf_label_centroid,
+}
+
+ORACLES = {
+    "udtf_chunk_explode": CHUNK_FIXED_SQL,
+    "udaf_label_centroid": """
+SELECT label, list(v ORDER BY ord) AS centroid FROM (
+  SELECT label, ord, round(avg(val), 4) + 0.0 AS v
+  FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS ord,
+           unnest(embedding) AS val
+    FROM embeddings
+  ) u
+  GROUP BY label, ord
+) GROUP BY label
+""",
+}
