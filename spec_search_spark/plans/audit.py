@@ -83,6 +83,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("q21_sole_returner", ["LeftSemi", "Expand"], ["CartesianProduct"]),
     # q22: NOT EXISTS stays anti; scalar threshold is a one-row broadcast
     ("q22_idle_customers", ["LeftAnti", "BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # UDTF lateral join is a pure map stage: no shuffle anywhere
+    ("udtf_chunk_explode", ["BatchEvalPythonUDTF"], ["Exchange", "CartesianProduct"]),
+    # grouped-agg UDAF: one shuffle on the group key, Arrow-batched agg,
+    # scan pruned to the two referenced columns (vec_id never read)
+    ("udaf_label_centroid",
+     ["ArrowAggregatePython", "hashpartitioning(label",
+      "ReadSchema: struct<embedding:array<float>,label:int>"],
+     ["CartesianProduct"]),
 ]
 
 
