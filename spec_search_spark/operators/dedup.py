@@ -103,15 +103,23 @@ def _shingles_from_toks(toks: Column, n: int = 3) -> Column:
     `toks` must be a bound column reference, not the split() expression
     itself — embedding the split in the transform lambda makes Catalyst
     re-tokenize the document for every element_at (O(tokens²) per doc;
-    cost measured 5× the whole pipeline at sf0.1)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    cost measured 5× the whole pipeline at sf0.1).
+
+    Docs with fewer than `n` tokens produce ZERO shingles (guarded by
+    the CASE below — an unguarded sequence(0, size-n) steps DOWNWARD to
+    [0, -1] for short docs and element_at then throws; the DuckDB
+    oracle's end-exclusive range(0, greatest(len-2, 0)) already yields
+    zero shingles for them)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)  # only evaluated when size >= n
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 _SHINGLES_SQL = """

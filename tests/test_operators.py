@@ -76,6 +76,26 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert len(missed) <= max(1, len(jac) // 5), f"LSH missed too many: {missed}"
 
 
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs with <3 tokens (incl. empty/whitespace-only) must produce
+    zero shingles, matching the oracle's end-exclusive range — the
+    unguarded sequence(0, size-3) stepped DOWN to [0,-1] and crashed."""
+    from spec_search_spark.operators.dedup import _shingles_from_toks, _tokens
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three four"), (5, "   ")],
+        "doc_id int, text string",
+    )
+    out = (
+        df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select("doc_id", _shingles_from_toks(F.col("toks")).alias("sh"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[1] == [] and by_id[2] == [] and by_id[3] == [] and by_id[5] == []
+    assert by_id[4] == ["one two three", "two three four"]
+
+
 def test_asof_never_matches_future_purchase(spark, sf_dir):
     from spec_search_spark.operators.windows import asof_join_purchase
 
