@@ -11,13 +11,19 @@ MiniLM embedding — `/root/reference/app.py:50-52`, `:35-36`). Here:
 - the embedder is a seeded hash-projection (SURVEY.md §7 "embedding
   determinism"): dependency-free, stable across runs/processes, unit
   norm, fixed dim. It is the documented swap point for a real model
-  (sentence-transformers via the same pandas_udf signature). Runs as an
-  Arrow-batched pandas_udf — the scalable path for any real model too.
+  (sentence-transformers via the same pandas_udf signature — see
+  :func:`make_model_embed_udf`). Runs as an Arrow-batched pandas_udf —
+  the scalable path for any real model too.
+- the token hash inside the embedder is the SAME polynomial fold as
+  ``functions.text.fingerprint`` (FP_BASE/FP_MOD), which makes the whole
+  embedding pipeline SQL-expressible: integer bucket votes, an exact
+  integer sum-of-squares norm, and ONE float32 rounding per component —
+  DuckDB reproduces every component bit-for-bit via
+  :func:`embedding_sql_ctes`, so the V1/V2 queries get full value
+  oracles instead of rows-only checks.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -25,7 +31,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spec_search_spark.functions.text import FP_BASE, FP_MOD
+
 DEFAULT_DIM = 64  # matches the test `embeddings` table; reference uses 384
+EMBED_SIGN_BIT = 20  # vote sign = this bit of the token hash (h < 2^31)
 
 
 def _as_double(vec: Column) -> Column:
@@ -95,22 +104,29 @@ def cosine_similarity_sql(a: str, b: str) -> str:
 def _embed_text(text: str, dim: int) -> np.ndarray:
     """Feature-hash unigrams into `dim` buckets with ±1 signs, L2-normalize.
 
-    blake2b keyed digests → no PYTHONHASHSEED dependence; same text →
-    same vector on every worker, every run.
+    Token hash = the shared polynomial fold over code points
+    (acc*FP_BASE + cp mod FP_MOD) — no PYTHONHASHSEED dependence; same
+    text → same vector on every worker, every run, AND the identical
+    value is computable in ANSI SQL (see embedding_sql_ctes), giving the
+    V1/V2 pipeline full DuckDB value oracles.
+
+    Exactness contract with the SQL mirror: votes are int64 (exact),
+    the squared norm is an exact integer sum, and the only rounding is
+    the final float64-division → float32 cast per component — a single
+    IEEE rounding both engines perform identically.
     """
-    vec = np.zeros(dim, dtype=np.float64)
+    votes = np.zeros(dim, dtype=np.int64)
     if text:
         for tok in text.lower().split():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            idx = h % dim
-            sign = 1.0 if (h >> 32) & 1 else -1.0
-            vec[idx] += sign
-    n = np.linalg.norm(vec)
-    if n > 0:
-        vec /= n
-    return vec.astype(np.float32)
+            h = 0
+            for ch in tok:
+                h = (h * FP_BASE + ord(ch)) % FP_MOD
+            votes[h % dim] += 1 if (h >> EMBED_SIGN_BIT) & 1 else -1
+    n2 = int((votes * votes).sum())
+    if n2 == 0:
+        return np.zeros(dim, dtype=np.float32)
+    n = np.sqrt(np.float64(n2))
+    return (votes.astype(np.float64) / n).astype(np.float32)
 
 
 def make_embed_udf(dim: int = DEFAULT_DIM):
@@ -126,3 +142,99 @@ def make_embed_udf(dim: int = DEFAULT_DIM):
 def embed_text_local(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     """Driver-side helper for probe vectors (same function as the UDF)."""
     return [float(x) for x in _embed_text(text, dim)]
+
+
+def make_model_embed_udf(load_model, batch_size: int = 256):
+    """The real-model swap point (reference: MiniLM-384 via Chroma,
+    `/root/reference/app.py:35-36`, `indexer.py:11`): wrap any encoder
+    exposing ``.encode(list[str]) -> ndarray`` in the SAME pandas_udf
+    surface as :func:`make_embed_udf`.
+
+    Iterator-of-series form so `load_model()` runs ONCE per python
+    worker (not per batch) — the standard Spark pattern for shipping a
+    heavyweight model to executors. `load_model` must be picklable
+    (e.g. a module-level function that imports sentence_transformers).
+    """
+    from collections.abc import Iterator
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = load_model()
+        for texts in batches:
+            cleaned = [t if isinstance(t, str) else "" for t in texts]
+            out = []
+            for i in range(0, len(cleaned), batch_size):
+                vecs = model.encode(cleaned[i : i + batch_size])
+                out.extend(np.asarray(v, dtype=np.float32) for v in vecs)
+            yield pd.Series(out, index=texts.index)
+
+    return embed
+
+
+# ---------------------------------------------------------------------------
+# Canon-safe projection + full SQL mirror of the embedding pipeline.
+# ---------------------------------------------------------------------------
+
+def emb_sig(col: Column) -> Column:
+    """Canon-safe projection of an embedding column: comma-joined
+    per-component scaled ints round(c·10⁶). Integers render identically
+    in every engine (float→string formatting does not), and the driver
+    harness's pandas canonicalizer can sort/factorize strings but
+    crashes on ndarray cells — so registered queries expose THIS, never
+    the raw array<float>."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            col,
+            lambda x: F.round(x.cast("double") * 1e6, 0).cast("bigint").cast("string"),
+        ),
+    )
+
+
+def emb_sig_sql_agg(comp_cte: str = "__comp") -> str:
+    """DuckDB aggregate mirroring :func:`emb_sig` over the (id, d, c)
+    component rows produced by :func:`embedding_sql_ctes`."""
+    return (
+        f"SELECT id, string_agg(CAST(round(c::DOUBLE * 1000000) AS BIGINT)::VARCHAR, "
+        f"',' ORDER BY d) AS emb_sig FROM {comp_cte} GROUP BY id"
+    )
+
+
+def embedding_sql_ctes(
+    chunks_cte: str, id_col: str, text_col: str, dim: int = DEFAULT_DIM
+) -> str:
+    """DuckDB CTE chain recomputing :func:`_embed_text` for every
+    ({id_col}, {text_col}) row of `chunks_cte` — bit-for-bit.
+
+    Emits CTEs __toks/__hashed/__votes/__norms/__grid/__comp; consumers
+    read __comp(id, d, c) where c is the REAL (float32) component for
+    dimension d (0..dim-1, zero-vote buckets included). All arithmetic
+    before the final REAL cast is exact integer in both engines.
+    """
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(regexp_extract_all(tok, '[\\s\\S]'), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+    return f"""
+__toks AS (
+  SELECT {id_col} AS id,
+         unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+  FROM {chunks_cte} WHERE trim(coalesce({text_col}, '')) <> ''
+),
+__hashed AS (SELECT id, {poly} AS h FROM __toks),
+__votes AS (
+  SELECT id, h % {dim} AS d,
+         sum(CASE WHEN (h >> {EMBED_SIGN_BIT}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS v
+  FROM __hashed GROUP BY id, d
+),
+__norms AS (SELECT id, sqrt((sum(v * v))::DOUBLE) AS nrm FROM __votes GROUP BY id),
+__grid AS (SELECT {id_col} AS id, d FROM {chunks_cte}, range({dim}) t(d)),
+__comp AS (
+  SELECT g.id, g.d,
+         CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN CAST(0 AS REAL)
+              ELSE CAST(coalesce(v.v, 0)::DOUBLE / n.nrm AS REAL) END AS c
+  FROM __grid g
+  LEFT JOIN __votes v ON v.id = g.id AND v.d = g.d
+  LEFT JOIN __norms n ON n.id = g.id
+)"""

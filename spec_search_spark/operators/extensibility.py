@@ -80,8 +80,13 @@ def _label_centroid(embs: pd.Series) -> list:  # grouped-agg: Series → scalar
 
 def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid via the UDAF (grouped-agg pandas_udf) surface.
-    Rounding happens in SQL (`round` = half-away-from-zero in both
-    engines; np.round would banker's-round)."""
+
+    Output is the canon-safe scaled-int string projection (the driver's
+    pandas canonicalizer crashes factorizing ndarray cells, so no raw
+    array<double> leaves a registered query). Rounding happens in SQL
+    (`round` = half-away-from-zero in both engines; np.round would
+    banker's-round); integers render identically in both engines
+    (double→string formatting does not)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -89,10 +94,13 @@ def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_label_centroid(F.col("embedding")).alias("c"))
         .select(
             "label",
-            # + 0.0 collapses IEEE -0.0 → +0.0 (mirrored in the oracle)
-            F.transform(F.col("c"), lambda x: F.round(x, 4) + F.lit(0.0)).alias(
-                "centroid"
-            ),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("c"),
+                    lambda x: F.round(x * 1e4, 0).cast("bigint").cast("string"),
+                ),
+            ).alias("centroid_sig"),
         )
     )
 
@@ -105,8 +113,8 @@ QUERIES = {
 ORACLES = {
     "udtf_chunk_explode": CHUNK_FIXED_SQL,
     "udaf_label_centroid": """
-SELECT label, list(v ORDER BY ord) AS centroid FROM (
-  SELECT label, ord, round(avg(val), 4) + 0.0 AS v
+SELECT label, string_agg(q::VARCHAR, ',' ORDER BY ord) AS centroid_sig FROM (
+  SELECT label, ord, CAST(round(avg(val) * 10000) AS BIGINT) AS q
   FROM (
     SELECT label, generate_subscripts(embedding, 1) AS ord,
            unnest(embedding) AS val

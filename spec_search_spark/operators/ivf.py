@@ -47,8 +47,10 @@ N_PROBES = 5
 # (session, corpus) — repeated searches in one session hit the trained
 # index, exactly like readers of the partitionBy("cluster") parquet
 # layout would. Also sidesteps the per-call pandas_udf objects that
-# defeat Spark's canonicalized-plan cache reuse.
-_TRAINED: dict[tuple[int, str], tuple[list[list[float]], DataFrame]] = {}
+# defeat Spark's canonicalized-plan cache reuse. Keyed on the
+# applicationId (stable, never reused within a process) rather than
+# id(spark), which can be recycled after a stopped session is GC'd.
+_TRAINED: dict[tuple[str, str], tuple[list[list[float]], DataFrame]] = {}
 
 
 def _assign_udf(centroids: list[list[float]]):
@@ -131,7 +133,7 @@ def trained_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[list[float]], DataFrame]:
     """Train-once accessor: (centroids, cached assigned-index DF)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRAINED:
         centroids = train_centroids(spark, sf_dir)
         index = ivf_index(spark, sf_dir, centroids).cache()
@@ -177,9 +179,99 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness-facing, self-verifying V1-index entry: one row per
+    vector with assignment invariants CROSS-VALIDATED by an independent
+    path — the pandas_udf argmin assignment is re-checked against the
+    expression-fold (zip_with+aggregate) distance to every centroid.
+
+    `in_range`: cluster ∈ [0, K). `optimal`: d²(vec, assigned) ≤
+    min_k d²(vec, centroid_k) + 1e-9 (ulp slack: numpy sums pairwise,
+    the expression folds left-to-right). The trivially-expressible
+    oracle pins per-vector coverage (every vec_id exactly once) and
+    both flags. Raw (vec_id, embedding, cluster) stays available via
+    :func:`ivf_index` — the driver's canonicalizer cannot hash raw
+    array cells, so the registered query exposes no array column.
+    """
+    centroids, index = trained_index(spark, sf_dir)
+    from spec_search_spark.functions.vector import l2_squared
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>",
+    )
+    dists = index.crossJoin(F.broadcast(cent_df)).withColumn(
+        "cd2", l2_squared(F.col("embedding"), F.col("cvec"))
+    )
+    best = dists.groupBy("vec_id", "label", "cluster").agg(
+        F.min("cd2").alias("min_d2"),
+        F.min(F.when(F.col("cid") == F.col("cluster"), F.col("cd2"))).alias("own_d2"),
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        ((F.col("cluster") >= 0) & (F.col("cluster") < K_CLUSTERS)).alias("in_range"),
+        (F.col("own_d2") <= F.col("min_d2") + F.lit(1e-9)).alias("optimal"),
+    )
+
+
+IVF_INDEX_SQL = """
+SELECT vec_id, label, true AS in_range, true AS optimal
+FROM embeddings
+"""
+
+
+def ivf_ann_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying IVF search: per (probe, rank) the result list is
+    distance-monotone and bounded below by the EXACT rank-rn distance
+    over the full table (candidates ⊆ corpus ⇒ the pruned search can
+    never beat exact kNN at the same rank) — the exact side is an
+    independent expression-only full-scan path.
+    """
+    res = ivf_ann_search(spark, sf_dir)
+    from spec_search_spark.functions.vector import l2_squared
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = emb.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).withColumn("ex_d2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+    w = W.partitionBy("probe_id").orderBy(F.asc("ex_d2"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "rn", "ex_d2")
+    )
+    wm = W.partitionBy("probe_id").orderBy("rn")
+    mono = res.withColumn("prev_d2", F.lag("dist2").over(wm))
+    return (
+        mono.join(exact, ["probe_id", "rn"])
+        .select(
+            "probe_id",
+            "rn",
+            (F.col("prev_d2").isNull() | (F.col("dist2") >= F.col("prev_d2"))).alias(
+                "monotone_ok"
+            ),
+            (F.col("dist2") >= F.col("ex_d2") - F.lit(1e-6)).alias("bound_ok"),
+        )
+    )
+
+
+IVF_SEARCH_SQL = f"""
+SELECT CAST(p AS INT) AS probe_id, CAST(rn AS INT) AS rn,
+       true AS monotone_ok, true AS bound_ok
+FROM range({N_PROBES}) t(p), range(1, {TOP_K + 1}) r(rn)
+"""
+
+
 QUERIES = {
-    "ivf_index_build": ivf_index,   # rows-only
-    "ivf_ann_search": ivf_ann_search,  # rows-only
+    "ivf_index_build": ivf_index_build_query,
+    "ivf_ann_search": ivf_ann_search_check,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES = {
+    "ivf_index_build": IVF_INDEX_SQL,
+    "ivf_ann_search": IVF_SEARCH_SQL,
+}

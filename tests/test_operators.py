@@ -14,19 +14,10 @@ def test_all_queries_well_formed():
     qs, os_ = e.queries(), e.oracle_sql()
     assert len(qs) >= 40
     assert set(os_) <= set(qs)
-    # every non-oracle query is a documented rows-only op
-    rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "chunk_recursive",        # recursive separator fallback not SQL
-        "vector_index_build",     # hash-projection embedder not SQL
-        "semantic_search",        # ditto
-        "ivf_index_build",        # iterative float algorithm
-        "ivf_ann_search",         # ditto
-        "approx_distinct_counts",  # HLL sketch engine-specific
-        "approx_quantiles",       # KLL/t-digest engine-specific
-        "mllib_brp_ann",          # MLlib seeded hash family
-        "mllib_minhash_near_dup",  # ditto
-    }
+    # every registered query carries a DuckDB value oracle: former
+    # rows-only ops were converted to SQL-expressible (poly-hash
+    # embedder) or self-verifying invariant outputs in round 2
+    assert set(qs) == set(os_)
 
 
 def test_semantic_search_topk_sorted(spark, sf_dir):
