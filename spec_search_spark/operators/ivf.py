@@ -166,16 +166,26 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from spec_search_spark.functions.vector import l2_squared
+    from spec_search_spark.operators.similarity import partial_topk
 
     cand = index.join(
         F.broadcast(probe_df),
         (index.cluster == probe_df.cluster) & (F.col("vec_id") != F.col("probe_id")),
-    ).withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+    ).select(
+        "probe_id",
+        "vec_id",
+        index.cluster.alias("cluster"),
+        F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4).alias("dist2"),
+    )
+    # partial per-partition top-k before the per-probe window: the
+    # cluster-pruned candidate set never shuffles in full onto the
+    # handful of probe_id reducer tasks (see similarity.partial_topk).
+    local = partial_topk(cand, "probe_id", ["dist2", "vec_id"], TOP_K)
     w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", "vec_id", index.cluster, "dist2", "rn")
+        .select("probe_id", "vec_id", "cluster", "dist2", "rn")
     )
 
 

@@ -105,18 +105,55 @@ LIMIT {TOP_K}
 """
 
 
+def partial_topk(df: DataFrame, key: str, order: list[str], k: int) -> DataFrame:
+    """Per-input-partition top-k per `key` WITHOUT a shuffle.
+
+    The naive per-probe window (`partition by probe_id order by dist`)
+    shuffles the ENTIRE scored table onto n_probes reducer tasks — at
+    100 TB with a handful of probes that serializes the scan. This
+    Arrow-batched mapInPandas pass keeps only the k best rows per key
+    per input partition (same (dist, id) total order as the final
+    window, so ties resolve identically and the result is exact), so
+    the global window afterwards sees ≤ k × n_partitions × n_keys
+    survivor rows instead of the corpus. Map-side combine for top-k,
+    the same shape Spark gives aggregates for free.
+
+    Call on a NARROW projection (key + order + carried scalars) — the
+    wide columns (embeddings) must be dropped before the Arrow hop.
+    """
+    schema = df.schema
+    names = [f.name for f in schema.fields]
+
+    def fold(batches):
+        acc = None
+        for pdf in batches:
+            cur = pd.concat([acc, pdf]) if acc is not None else pdf
+            acc = (
+                cur.sort_values(order, kind="mergesort")
+                .groupby(key, sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc[names]
+
+    return df.mapInPandas(fold, schema)
+
+
 def knn_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 L2 neighbors for each of 5 probes — per-probe window top-k
-    (`row_number over (partition by probe order by dist)`), the
-    many-query batch shape of reference E1."""
+    """Top-5 L2 neighbors for each of 5 probes — partial per-partition
+    top-k (no shuffle) then the tiny per-probe window over survivors,
+    the many-query batch shape of reference E1."""
     emb = _emb(spark, sf_dir)
     probes = _probes(spark, sf_dir)
-    scored = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
-        "dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4)
+    scored = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4).alias("dist2"),
     )
+    local = partial_topk(scored, "probe_id", ["dist2", "vec_id"], 5)
     w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("probe_id", "vec_id", "dist2", "rn")
     )
@@ -229,10 +266,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("probe_id")),
-    ).withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+    ).select(
+        "probe_id",
+        "vec_id",
+        "bucket",
+        F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4).alias("dist2"),
+    )
+    local = partial_topk(cand, "probe_id", ["dist2", "vec_id"], TOP_K)
     w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "vec_id", "bucket", "dist2", "rn")
     )

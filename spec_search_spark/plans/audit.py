@@ -91,6 +91,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["ArrowAggregatePython", "hashpartitioning(label",
       "ReadSchema: struct<embedding:array<float>,label:int>"],
      ["CartesianProduct"]),
+    # multi-probe top-k: partial per-partition top-k (MapInPandas)
+    # BEFORE the per-probe exchange — the scored table never shuffles
+    # in full onto the handful of probe_id reducers; see
+    # test_plans.test_two_phase_topk_single_shuffle for the structural
+    # (ordering + shuffle-count) assertion
+    ("knn_multi_probe",
+     ["MapInPandas", "hashpartitioning(probe_id"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("ann_lsh_bucketed",
+     ["MapInPandas", "hashpartitioning(probe_id"],
+     ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 
