@@ -122,43 +122,50 @@ def _shingles_from_toks(toks: Column, n: int = 3) -> Column:
     )
 
 
-_SHINGLES_SQL = """
-SELECT doc_id, unnest(list_distinct(
-         list_transform(range(0, greatest(len(toks) - 2, 0)),
-                        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-       )) AS shingle
-FROM (SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-      FROM documents) t
+MAX_SHINGLE_DF = 10_000  # hot-shingle cap, mirrored in the SQL oracles
+
+_SHINGLES_SQL = f"""
+SELECT doc_id, shingle FROM (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(0, greatest(len(toks) - 2, 0)),
+                          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         )) AS shingle
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents) t
+) p
+QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
 """
 
 
 def shingle_postings(
-    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = MAX_SHINGLE_DF
 ) -> DataFrame:
-    """(doc_id, shingle, h) postings.
+    """(doc_id, shingle) postings, hot shingles capped.
 
-    `max_shingle_df`: optional hot-shingle cap — at 100 TB, shingles
-    with document-frequency above the cap connect near-everything and
-    quadratically inflate the pair join, so a production near-dup run
-    passes e.g. 10_000 here (one extra agg + broadcast anti-join).
-    Default off: at test scale no shingle is hot and the extra
-    broadcast round trip costs more than it saves (and the SQL oracles
-    model the uncapped semantics).
+    `max_shingle_df`: shingles with document-frequency above the cap
+    connect near-everything and quadratically inflate the pair join —
+    a single stop-phrase shingle at 100 TB would dominate the shuffle.
+    ON by default (one tiny agg + broadcast anti-join; the hot set is
+    by construction small); the SQL oracles model the same cap via a
+    QUALIFY df filter, so capped semantics are oracle-checked even
+    though no test-scale shingle is actually hot.
+
+    Hashing happens per DISTINCT shingle in hashed_shingle_postings,
+    never per posting.
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     # repartition: the docs table arrives as few parquet splits; fan
-    # out BEFORE the explode+hash so every core gets work (at 100 TB
-    # the source has thousands of splits and this is a no-op knob).
+    # out BEFORE the explode so every core gets work (at 100 TB the
+    # source has thousands of splits and this is a no-op knob).
     # cache: every consumer reads these postings 2-3×.
     par = spark.sparkContext.defaultParallelism
     postings = _materialize(
         docs.repartition(par, "doc_id")
         .select("doc_id", _tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(_shingles_from_toks(F.col("toks"))).alias("shingle"))
-        .withColumn("h", _poly_hash(F.col("shingle")))
     )
     if max_shingle_df is not None:
         hot = (
@@ -166,8 +173,22 @@ def shingle_postings(
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
         )
-        return postings.join(F.broadcast(hot), "shingle", "left_anti")
+        postings = _materialize(
+            postings.join(F.broadcast(hot), "shingle", "left_anti")
+        )
     return postings
+
+
+def hashed_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle, h): the poly-hash runs once per DISTINCT
+    shingle (vocabulary-sized Python work) and joins back via a
+    broadcast — not once per posting (corpus-sized Python work; the
+    near-dup corpus repeats each shingle across many docs). The
+    postings side never shuffles: the hashed vocabulary is the small,
+    broadcastable build side."""
+    p = shingle_postings(spark, sf_dir)
+    vocab = p.select("shingle").distinct().withColumn("h", _poly_hash(F.col("shingle")))
+    return p.join(F.broadcast(vocab), "shingle")
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -252,7 +273,7 @@ WHERE round(n_common::DOUBLE / (s1.n + s2.n - n_common), 4) >= {JACCARD_THRESHOL
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-hash MinHash signature per doc in one aggregation pass."""
-    postings = shingle_postings(spark, sf_dir)
+    postings = hashed_shingle_postings(spark, sf_dir)
     aggs = [
         F.min((F.lit(A_COEF[i]) * F.col("h") + F.lit(B_COEF[i])) % F.lit(P)).alias(f"s{i}")
         for i in range(N_HASHES)
@@ -390,20 +411,34 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc pairs within Hamming distance ≤ 3 of 32 simhash bits.
+    """Doc pairs within Hamming distance ≤ 3 of the 60-bit simhash.
 
-    Pigeonhole blocking: split the 60-bit key into 4 bands of 15 bits —
-    any pair with ≤3 differing bits must agree EXACTLY on ≥1 band, so
-    joining on (band_idx, band_value) is lossless and replaces the
-    quadratic all-pairs join with an equi-join (the 100 TB-safe plan).
-    The Hamming filter then removes band-collision false positives.
+    Two-level blocking, no quadratic code path:
+
+    1. Collapse docs onto DISTINCT fingerprints first. A degenerate
+       corpus (every doc drawn from one template) lands thousands of
+       docs on a handful of identical fingerprints — banding over the
+       distinct-fp table keeps the candidate join compact no matter how
+       skewed the corpus is (the earlier adaptive fallback joined
+       a.doc_id < b.doc_id all-pairs in exactly that case — measured
+       55M banded candidates vs 12.5M all-pairs at sf0.1; over distinct
+       fps the same corpus yields a few hundred candidates).
+    2. Pigeonhole banding over distinct fps: split 60 bits into 4 bands
+       of 15 — a pair with ≤3 differing bits agrees exactly on ≥1 band
+       (lossless for threshold < band count), so candidates come from
+       an equi-join on (band_idx, band_val).
+
+    Doc pairs = (same-fp pairs, hamming 0, an equi-join on fp whose
+    size is the OUTPUT size — those genuinely are all near-dup pairs)
+    ∪ (cross-fp pairs expanded from the banded fp pairs).
     """
     assert HAMMING_THRESHOLD < SIMHASH_BANDS  # lossless only below band count
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     band_mask = (1 << band_bits) - 1
     sh = _materialize(simhash_fingerprints(spark, sf_dir))
-    bands = sh.select(
-        "doc_id",
+
+    fps = sh.select("simhash").distinct()
+    bands = fps.select(
         "simhash",
         F.explode(
             F.array(
@@ -418,44 +453,48 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
-
-    # Adaptive strategy (AQE-spirit, decided from a cheap histogram):
-    # banding is lossless and near-linear on real corpora, but on a
-    # corpus whose fingerprints all collapse into the same band values
-    # (every doc drawn from one token distribution) the banded join
-    # degenerates to MORE than all-pairs (measured 55M candidates vs
-    # 12.5M pairs at sf0.1). Both plans compute the identical result.
-    n_docs = sh.count()
-    hist = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("c"))
-    est_candidates = hist.agg(F.sum(F.col("c") * F.col("c"))).first()[0] or 0
-    use_bands = est_candidates < (n_docs * n_docs) / 2
-
-    ham_cols = lambda: (  # noqa: E731
-        F.col("a.doc_id").alias("doc1"),
-        F.col("b.doc_id").alias("doc2"),
-    )
-    if use_bands:
-        a, b = bands.alias("a"), bands.alias("b")
-        cond = (
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-    else:
-        a, b = sh.alias("a"), sh.alias("b")
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
+    ).select("simhash", F.col("b.band_idx"), F.col("b.band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # hamming-filter FIRST, dedupe the (tiny) survivor set after — a
     # distinct on the raw banded candidate set would shuffle every band
-    # collision; the survivors are a few hundred rows.
-    return (
-        a.join(b, cond)
+    # collision; the survivors are a few hundred fp pairs.
+    fp_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select(*ham_cols(), "hamming")
+        .select(
+            F.col("a.simhash").alias("fp1"),
+            F.col("b.simhash").alias("fp2"),
+            "hamming",
+        )
         .distinct()
     )
+
+    s1 = sh.select(F.col("simhash").alias("fp"), F.col("doc_id").alias("doc1"))
+    s2 = sh.select(F.col("simhash").alias("fp"), F.col("doc_id").alias("doc2"))
+    same_fp = (
+        s1.join(s2, "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", F.lit(0).cast("int").alias("hamming"))
+    )
+    d1 = sh.select(F.col("simhash").alias("fp1"), F.col("doc_id").alias("da"))
+    d2 = sh.select(F.col("simhash").alias("fp2"), F.col("doc_id").alias("db"))
+    cross_fp = (
+        fp_pairs.join(d1, "fp1")
+        .join(d2, "fp2")
+        .select(
+            F.least("da", "db").alias("doc1"),
+            F.greatest("da", "db").alias("doc2"),
+            "hamming",
+        )
+    )
+    return same_fp.unionByName(cross_fp)
 
 
 def _simhash_pairs_sql() -> str:
