@@ -124,11 +124,19 @@ def split_text_recursive(
 
 
 def make_chunk_udf(size: int = DEFAULT_CHUNK_SIZE, overlap: int = DEFAULT_OVERLAP):
-    """UDF: text → array<string> of chunks (use with F.posexplode)."""
-    return F.udf(
-        lambda t: split_text_recursive(t or "", size, overlap),
-        T.ArrayType(T.StringType()),
-    )
+    """Arrow-batched pandas_udf: text → array<string> of chunks (use
+    with F.posexplode). The splitter itself is per-string Python (its
+    recursion doesn't vectorize), but Arrow batching removes the
+    per-row pickle round-trip a plain F.udf pays — this was the last
+    row-at-a-time UDF in the package."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def chunk(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: split_text_recursive(t if isinstance(t, str) else "", size, overlap)
+        )
+
+    return chunk
 
 
 # ---------------------------------------------------------------------------

@@ -28,8 +28,10 @@ same Python constants below.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import (
@@ -179,16 +181,29 @@ def shingle_postings(
     return postings
 
 
+BROADCAST_VOCAB_MAX = 2_000_000  # distinct shingles; ~50 MB of strings+hashes
+
+
 def hashed_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle, h): the poly-hash runs once per DISTINCT
-    shingle (vocabulary-sized Python work) and joins back via a
-    broadcast — not once per posting (corpus-sized Python work; the
-    near-dup corpus repeats each shingle across many docs). The
-    postings side never shuffles: the hashed vocabulary is the small,
-    broadcastable build side."""
+    shingle (vocabulary-sized Python work) and joins back — not once
+    per posting (corpus-sized Python work; the near-dup corpus repeats
+    each shingle across many docs).
+
+    Join strategy: the hashed vocabulary is broadcast only while it
+    fits (≤ BROADCAST_VOCAB_MAX distinct shingles — the vocabulary
+    GROWS with corpus size, so "broadcast the vocab" is NOT
+    unconditionally 100 TB-safe). Above the cap it falls back to a
+    plain shuffle hash join on `shingle`; the one-extra-shuffle cost is
+    the correct trade once the build side would blow the broadcast
+    limit. The vocabulary size check reads the already-materialized
+    postings cache (one cheap agg job, no recompute)."""
     p = shingle_postings(spark, sf_dir)
     vocab = p.select("shingle").distinct().withColumn("h", _poly_hash(F.col("shingle")))
-    return p.join(F.broadcast(vocab), "shingle")
+    n_vocab = p.select("shingle").distinct().count()
+    if n_vocab <= BROADCAST_VOCAB_MAX:
+        return p.join(F.broadcast(vocab), "shingle")
+    return p.join(vocab, "shingle")
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -221,15 +236,25 @@ GROUP BY fp
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram Jaccard ≥ threshold, via
-    inverted-index join (shuffle on shingle, then on the pair)."""
-    # materialized: the postings feed the sizes agg AND both sides of
-    # the pair join — lazily, the shingle+hash pipeline would run 3×.
-    s = shingle_postings(spark, sf_dir).select("doc_id", "shingle")
+    inverted-index join (shuffle on the 8-byte shingle HASH, then on
+    the pair).
+
+    The pair join keys on `h`, not the shingle text — at 100 TB the
+    inverted-index shuffle carries 8 bytes per posting instead of
+    ~24-byte shingle strings (the hash exists for exactly this; MinHash
+    already joined on it). The oracle hashes shingles with the same
+    polynomial fold and joins on the hash, so a (cosmically unlikely)
+    vocabulary hash collision would change both engines identically.
+    """
+    # materialized (inside hashed_shingle_postings): the postings feed
+    # the sizes agg AND both sides of the pair join — lazily, the
+    # shingle+hash pipeline would run 3×.
+    s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = s.alias("a")
     b = s.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -253,11 +278,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH postings AS ({_SHINGLES_SQL}),
-sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+hashed AS (SELECT doc_id, {_POLY_SQL.format(s='shingle')} AS h FROM postings),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-  FROM postings a JOIN postings b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM hashed a JOIN hashed b
+    ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc1, doc2, n_common,
@@ -358,18 +384,54 @@ FROM bands a JOIN bands b
 
 # --- SimHash ----------------------------------------------------------------
 
+def _make_simhash_udf():
+    """Batched pandas_udf: array<bigint> of token hashes → 60-bit
+    simhash. Many docs per Arrow batch — the earlier per-doc
+    applyInPandas groups paid Python/pandas group overhead per DOCUMENT
+    (single-doc DataFrames), which dominates at billions of docs. Here
+    one kernel call covers a whole batch: hashes of all docs are
+    flattened, the ±1 bit votes computed as one (total_tokens × 60)
+    numpy op, and per-doc vote sums taken with np.add.reduceat at the
+    doc offsets. Identical integers to the per-doc form and to the
+    DuckDB sum(CASE) oracle."""
+    import numpy as np
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())  # DataType obj: no session needed at import
+    def simhash_of(hash_lists: pd.Series) -> pd.Series:
+        n = len(hash_lists)
+        out = np.zeros(n, dtype=np.int64)
+        if n:
+            lens = np.array([len(hl) for hl in hash_lists], dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(hl, dtype=np.int64) for hl in hash_lists if len(hl)]
+            ) if lens.sum() else np.zeros(0, dtype=np.int64)
+            bits = ((flat[:, None] >> bit_idx) & 1) * 2 - 1  # (total_tok × 60)
+            nonempty = lens > 0
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            if offsets.size:
+                np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+                votes = np.add.reduceat(bits, offsets, axis=0)  # (n_docs × 60)
+                out[nonempty] = ((votes > 0).astype(np.int64) << bit_idx).sum(axis=1)
+        return pd.Series(out, index=hash_lists.index)
+
+    return simhash_of
+
+
+_SIMHASH_UDF = _make_simhash_udf()
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc: sign of per-bit weighted token votes.
 
-    The bit votes run as ONE numpy kernel inside applyInPandas instead
-    of 60 generated sum(CASE) aggregate columns — the generated-code
-    variant produced a whole-stage-codegen unit that took tens of
-    seconds to compile (dominating small-scale runs). Token hashing
-    stays in the shared poly-hash udf so the DuckDB oracle (pure SQL,
-    no codegen) reproduces identical values.
+    One shuffle (groupBy doc_id collect_list of token hashes), then the
+    batched vote kernel (see _make_simhash_udf) — not 60 generated
+    sum(CASE) aggregate columns (whole-stage codegen took tens of
+    seconds to compile that) and not one pandas group per doc. Token
+    hashing stays in the shared poly-hash udf so the DuckDB oracle
+    (pure SQL, no codegen) reproduces identical values.
     """
-    import numpy as np
-
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     toks = (
@@ -377,18 +439,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
         .withColumn("h", _poly_hash(F.col("tok")))
     )
-    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
-
-    def per_doc(pdf):
-        import pandas as pd
-
-        h = pdf["h"].to_numpy(dtype=np.int64)
-        bits = ((h[:, None] >> bit_idx) & 1) * 2 - 1  # ±1 votes, (n_tok × 60)
-        votes = bits.sum(axis=0)
-        sim = int(((votes > 0).astype(np.int64) << bit_idx).sum())
-        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [sim]})
-
-    return toks.groupBy("doc_id").applyInPandas(per_doc, "doc_id bigint, simhash bigint")
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
+        .select("doc_id", _SIMHASH_UDF(F.col("hs")).alias("simhash"))
+    )
 
 
 def _simhash_sql() -> str:
