@@ -36,3 +36,52 @@ def test_two_phase_topk_single_shuffle(spark, sf_dir):
             fn.__name__,
             tree,
         )
+
+
+def test_neardup_banding(spark, sf_dir):
+    """embedding_near_dup's candidate generation must (a) prune — the
+    banded candidate set is strictly smaller than the raw within-label
+    pair count, (b) produce no false positives — every output pair
+    passes the exact cosine check (is a subset of the exact all-pairs
+    result), and (c) keep recall ≥ 0.8 even on random vectors at the
+    loose test threshold (the LSH worst case; production thresholds
+    near 1.0 give recall > 0.999)."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.functions.vector import cosine_similarity
+    from spec_search_spark.operators.similarity import (
+        COSINE_NEARDUP_THRESHOLD,
+        embedding_near_dup,
+        neardup_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    block_pairs = sum(
+        r["c"] * (r["c"] - 1) // 2
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n_cand = neardup_candidates(spark, sf_dir).count()
+    assert 0 < n_cand < block_pairs, (n_cand, block_pairs)
+
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = {
+        (r["vec1"], r["vec2"])
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
+        .collect()
+    }
+    got = {
+        (r["vec1"], r["vec2"]) for r in embedding_near_dup(spark, sf_dir).collect()
+    }
+    assert got <= exact, got - exact          # exact re-check: no false positives
+    assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
