@@ -261,48 +261,52 @@ def fingerprint(text: Column) -> Column:
     )
 
 
-def make_poly_hash_udf():
-    """Arrow-batched pandas_udf computing the SAME polynomial fold as
-    :func:`fingerprint` (identical bigint for identical input), ~50×
-    faster than the per-char expression fold on hot paths (measured:
-    dedup pack at sf0.1). The expression form stays available where a
-    pure-Catalyst plan is preferred; both hash identically so the
-    DuckDB oracles don't care which side produced the value."""
+def poly_hash_batch(strs: list):
+    """Batched polynomial fold: list of strings → int64 ndarray of the
+    SAME hash as :func:`fingerprint`. Vectorized across the batch —
+    iterate positions (≤ max_len), not strings; each step is a numpy
+    op over the whole batch. ASCII inputs take the fast path (utf-8
+    bytes == code points); any non-ASCII string drops the whole batch
+    to the per-codepoint ord loop (identical values either way)."""
     import numpy as np
 
-    def _batch(strs: list) -> np.ndarray:
-        # vectorized across the batch: iterate positions (≤ max_len),
-        # not strings — each step is a numpy op over the whole batch.
-        n = len(strs)
-        enc = [s.encode("utf-8") if isinstance(s, str) else b"" for s in strs]
-        # ASCII inputs: utf-8 bytes == code points (documents corpus is
-        # ASCII; non-ASCII would need per-codepoint ord, the slow path)
-        if any(len(b) != len(s) for b, s in zip(enc, strs) if isinstance(s, str)):
-            out = np.zeros(n, dtype=np.int64)
-            for i, s in enumerate(strs):
-                acc = 0
-                for ch in s if isinstance(s, str) else "":
-                    acc = (acc * FP_BASE + ord(ch)) % FP_MOD
-                out[i] = acc
-            return out
-        maxlen = max((len(b) for b in enc), default=0)
-        acc = np.zeros(n, dtype=np.int64)
-        if maxlen:
-            mat = np.zeros((n, maxlen), dtype=np.int64)
-            mask = np.zeros((n, maxlen), dtype=bool)
-            for i, b in enumerate(enc):
-                if b:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    mat[i, : len(b)] = arr
-                    mask[i, : len(b)] = True
-            for j in range(maxlen):
-                live = mask[:, j]
-                acc[live] = (acc[live] * FP_BASE + mat[live, j]) % FP_MOD
-        return acc
+    n = len(strs)
+    enc = [s.encode("utf-8") if isinstance(s, str) else b"" for s in strs]
+    if any(len(b) != len(s) for b, s in zip(enc, strs) if isinstance(s, str)):
+        out = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(strs):
+            acc = 0
+            for ch in s if isinstance(s, str) else "":
+                acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+            out[i] = acc
+        return out
+    maxlen = max((len(b) for b in enc), default=0)
+    acc = np.zeros(n, dtype=np.int64)
+    if maxlen:
+        mat = np.zeros((n, maxlen), dtype=np.int64)
+        mask = np.zeros((n, maxlen), dtype=bool)
+        for i, b in enumerate(enc):
+            if b:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                mat[i, : len(b)] = arr
+                mask[i, : len(b)] = True
+        for j in range(maxlen):
+            live = mask[:, j]
+            acc[live] = (acc[live] * FP_BASE + mat[live, j]) % FP_MOD
+    return acc
+
+
+def make_poly_hash_udf():
+    """Arrow-batched pandas_udf over :func:`poly_hash_batch` (identical
+    bigint for identical input), ~50× faster than the per-char
+    expression fold on hot paths (measured: dedup pack at sf0.1). The
+    expression form stays available where a pure-Catalyst plan is
+    preferred; both hash identically so the DuckDB oracles don't care
+    which side produced the value."""
 
     @F.pandas_udf(T.LongType())
     def poly_hash(s: pd.Series) -> pd.Series:
-        return pd.Series(_batch(s.tolist()), index=s.index)
+        return pd.Series(poly_hash_batch(s.tolist()), index=s.index)
 
     return poly_hash
 

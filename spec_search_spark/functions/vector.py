@@ -25,6 +25,8 @@ MiniLM embedding — `/root/reference/app.py:50-52`, `:35-36`). Here:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -115,13 +117,7 @@ def _embed_text(text: str, dim: int) -> np.ndarray:
     the final float64-division → float32 cast per component — a single
     IEEE rounding both engines perform identically.
     """
-    votes = np.zeros(dim, dtype=np.int64)
-    if text:
-        for tok in text.lower().split():
-            h = 0
-            for ch in tok:
-                h = (h * FP_BASE + ord(ch)) % FP_MOD
-            votes[h % dim] += 1 if (h >> EMBED_SIGN_BIT) & 1 else -1
+    votes = _embed_votes(text, dim)
     n2 = int((votes * votes).sum())
     if n2 == 0:
         return np.zeros(dim, dtype=np.float32)
@@ -129,12 +125,56 @@ def _embed_text(text: str, dim: int) -> np.ndarray:
     return (votes.astype(np.float64) / n).astype(np.float32)
 
 
+def _embed_votes(text: str, dim: int) -> np.ndarray:
+    """Integer vote vector (the exact intermediate both the float
+    embedding and the emb_sig projection derive from).
+
+    Tokenization is ASCII-whitespace splitting (explicit class, not
+    Python str.split()'s Unicode whitespace) to match the RE2 '\\s+'
+    the DuckDB mirror uses; case folding is str.lower(), which equals
+    SQL lower() on ASCII — the corpus contract for the bit-for-bit
+    claim is ASCII text (non-ASCII would additionally diverge on ord()
+    vs utf-8 handling in regexp_extract_all)."""
+    votes = np.zeros(dim, dtype=np.int64)
+    if text:
+        for tok in _ASCII_WS.split(text.lower()):
+            if not tok:
+                continue
+            h = 0
+            for ch in tok:
+                h = (h * FP_BASE + ord(ch)) % FP_MOD
+            votes[h % dim] += 1 if (h >> EMBED_SIGN_BIT) & 1 else -1
+    return votes
+
+
+_ASCII_WS = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def _votes_batch(texts: list, dim: int) -> np.ndarray:
+    """(N × dim) int64 vote matrix for a batch of texts. Measured: the
+    per-row fold beats routing tokens through poly_hash_batch here —
+    embedding tokens are ~5 chars, so the batch kernel's per-token
+    Python setup (encode + frombuffer) costs more than the ~5-step ord
+    fold it vectorizes (2.3× slower on a 550-text batch). The batch
+    kernel stays the right call for the dedup shingle path (longer
+    strings, one hash per DISTINCT shingle)."""
+    if not texts:
+        return np.zeros((0, dim), dtype=np.int64)
+    return np.stack([_embed_votes(t if isinstance(t, str) else "", dim) for t in texts])
+
+
 def make_embed_udf(dim: int = DEFAULT_DIM):
-    """Arrow-batched pandas_udf: text column → array<float> embedding."""
+    """Arrow-batched pandas_udf: text column → array<float> embedding
+    (whole batch through the vectorized votes kernel)."""
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _embed_text(t if isinstance(t, str) else "", dim))
+        votes = _votes_batch(texts.tolist(), dim)
+        n2 = (votes * votes).sum(axis=1)
+        nrm = np.sqrt(n2.astype(np.float64))
+        nrm[nrm == 0] = 1.0  # zero-vote rows stay all-zero
+        out = (votes.astype(np.float64) / nrm[:, None]).astype(np.float32)
+        return pd.Series(list(out), index=texts.index)
 
     return embed
 
@@ -142,6 +182,33 @@ def make_embed_udf(dim: int = DEFAULT_DIM):
 def embed_text_local(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     """Driver-side helper for probe vectors (same function as the UDF)."""
     return [float(x) for x in _embed_text(text, dim)]
+
+
+def make_embed_sig_udf(dim: int = DEFAULT_DIM):
+    """text → emb_sig string DIRECTLY from the integer votes — the
+    index-build fast path. Bit-identical to emb_sig(make_embed_udf()(t))
+    but skips materializing the float32 array column and the 64-element
+    transform+concat JVM expression per row: the only float work is the
+    one normalize+scale inside the kernel.
+
+    Rounding contract: the scaled components round half-away-from-zero
+    (copysign(floor(|v|+0.5))), matching Spark round() (BigDecimal
+    HALF_UP = away from zero on ties) and DuckDB round() on these
+    values — |v| ≤ 1e6 is exact in float64, so no double-rounding."""
+
+    @F.pandas_udf(T.StringType())
+    def embed_sig(texts: pd.Series) -> pd.Series:
+        votes = _votes_batch(texts.tolist(), dim)
+        n2 = (votes * votes).sum(axis=1)
+        nrm = np.sqrt(n2.astype(np.float64))
+        nrm[nrm == 0] = 1.0  # zero-vote rows stay all-zero
+        c32 = (votes.astype(np.float64) / nrm[:, None]).astype(np.float32)
+        vals = c32.astype(np.float64) * 1e6
+        ints = np.copysign(np.floor(np.abs(vals) + 0.5), vals).astype(np.int64)
+        sigs = [",".join(map(str, row)) for row in ints.tolist()]
+        return pd.Series(sigs, index=texts.index)
+
+    return embed_sig
 
 
 def make_model_embed_udf(load_model, batch_size: int = 256):

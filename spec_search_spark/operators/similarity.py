@@ -37,12 +37,12 @@ from spec_search_spark.functions.vector import (
     cosine_similarity,
     cosine_similarity_sql,
     dot_sql,
-    emb_sig,
     emb_sig_sql_agg,
     embed_text_local,
     embedding_sql_ctes,
     l2_squared,
     l2_squared_sql,
+    make_embed_sig_udf,
     make_embed_udf,
 )
 from spec_search_spark.operators.text_analysis import CHUNK_OVERLAP, CHUNK_SIZE
@@ -240,6 +240,7 @@ def _make_bucket_udf():
 # CacheManager can reuse intermediates across query invocations.
 _BUCKET_UDF = _make_bucket_udf()
 _EMBED_UDF = make_embed_udf(DEFAULT_DIM)
+_EMBED_SIG_UDF = make_embed_sig_udf(DEFAULT_DIM)
 
 
 def _bucket_sql(vec: str) -> str:
@@ -441,19 +442,18 @@ WHERE round({cosine_similarity_sql('e1.embedding', 'e2.embedding')}, 4)
 
 # --- V1 index build + V2 semantic search (the reference pipeline) ----------
 
-def build_index_df(docs: DataFrame) -> DataFrame:
-    """V1 core on any documents-shaped DataFrame (used by both the
-    batch entry point and the streaming foreachBatch upsert).
+def chunked_docs_df(docs: DataFrame) -> DataFrame:
+    """The shared pre-embed V1 intermediate: filter → chunk-explode →
+    composite id, on any documents-shaped DataFrame.
 
-    Fans out to full parallelism before the chunk-explode + embed
-    pandas_udf — the local test table arrives as one parquet split and
-    would otherwise run the whole embed stage on one core (at 100 TB
-    the source has thousands of splits and the repartition no-ops cost-
-    wise, while guaranteeing embed-stage parallelism after selective
-    filters)."""
-    embed = _EMBED_UDF
+    Fans out to full parallelism before the chunk-explode (and the
+    embed pandas_udf downstream) — the local test table arrives as one
+    parquet split and would otherwise run the whole stage on one core
+    (at 100 TB the source has thousands of splits and the repartition
+    no-ops cost-wise, while guaranteeing embed-stage parallelism after
+    selective filters)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    chunked = (
+    return (
         docs.repartition(par, "doc_id")
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))  # P1
         .select(
@@ -465,6 +465,9 @@ def build_index_df(docs: DataFrame) -> DataFrame:
             "text",
         )
         .select(
+            composite_id(
+                F.col("source"), F.col("doc_id"), F.lit(0), F.col("doc_id"), F.col("chunk_idx")
+            ).alias("id"),
             "doc_id",
             "source",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
@@ -473,16 +476,24 @@ def build_index_df(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    return chunked.select(
-        composite_id(
-            F.col("source"), F.col("doc_id"), F.lit(0), F.col("doc_id"), F.col("chunk_idx")
-        ).alias("id"),
-        "doc_id",
-        "source",
-        "chunk_idx",
-        "chunk",
-        embed(F.col("chunk")).alias("embedding"),
-    ).dropDuplicates(["id"])
+
+
+def build_index_df(docs: DataFrame) -> DataFrame:
+    """V1 core on any documents-shaped DataFrame (used by both the
+    batch entry point and the streaming foreachBatch upsert).
+
+    The embed kernel runs BEFORE the id-dedup shuffle: ids are unique
+    by construction (dedup exists for upsert-replay parity), so
+    embedding first costs no extra kernel work, keeps the kernel at
+    the chunk stage's full parallelism (after the tiny dedup exchange
+    AQE coalesces to a handful of partitions — embedding there would
+    serialize the Python work at test scale), and map-side combines
+    the dedup like any partial agg."""
+    return (
+        chunked_docs_df(docs)
+        .withColumn("embedding", _EMBED_UDF(F.col("chunk")))
+        .dropDuplicates(["id"])
+    )
 
 
 def build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,17 +508,18 @@ def build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vector_index_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The harness-facing V1 entry: build_index with the embedding
-    projected through emb_sig (scaled-int string) — the driver's pandas
-    canonicalizer crashes on raw ndarray cells, and the poly-hash
-    embedder makes the full value oracle expressible in DuckDB."""
-    return build_index(spark, sf_dir).select(
-        "id",
-        "doc_id",
-        "source",
-        "chunk_idx",
-        "chunk",
-        emb_sig(F.col("embedding")).alias("emb_sig"),
+    """The harness-facing V1 entry: the chunked intermediate with the
+    embedding projected to emb_sig (scaled-int string — the driver's
+    pandas canonicalizer crashes on raw ndarray cells, and the
+    poly-hash embedder makes the full value oracle expressible in
+    DuckDB). Computed by the direct votes→sig kernel
+    (make_embed_sig_udf): bit-identical to emb_sig(embedding) but skips
+    the float array column and the 64-wide transform+concat per row."""
+    tune(spark)
+    return (
+        chunked_docs_df(load_table(spark, sf_dir, "documents"))
+        .withColumn("emb_sig", _EMBED_SIG_UDF(F.col("chunk")))
+        .dropDuplicates(["id"])
     )
 
 
