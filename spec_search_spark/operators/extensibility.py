@@ -73,9 +73,19 @@ def udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @F.pandas_udf(T.ArrayType(T.DoubleType()))  # DataType obj: no session needed at import
-def _label_centroid(embs: pd.Series) -> list:  # grouped-agg: Series → scalar
-    mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-    return [float(x) for x in mat.mean(axis=0)]
+def _label_centroid(vec_ids: pd.Series, embs: pd.Series) -> list:  # grouped-agg
+    """Mean of vectors with a DEFINED summation order: rows sorted by
+    vec_id, then a sequential float64 left fold per component — the
+    identical IEEE sequence as the oracle's list_reduce over
+    list(val ORDER BY vec_id), so the mean is bit-for-bit equal across
+    engines (numpy's pairwise-summation mean could differ by an ulp
+    and flip the scaled-integer sig on a .5 boundary)."""
+    order = np.argsort(vec_ids.to_numpy(), kind="stable")
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])[order]
+    acc = np.zeros(mat.shape[1], dtype=np.float64)
+    for row in mat:  # ordered fold, not np.sum (pairwise)
+        acc = acc + row
+    return [float(x) for x in acc / mat.shape[0]]
 
 
 def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +101,7 @@ def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.groupBy("label")
-        .agg(_label_centroid(F.col("embedding")).alias("c"))
+        .agg(_label_centroid(F.col("vec_id"), F.col("embedding")).alias("c"))
         .select(
             "label",
             F.concat_ws(
@@ -114,9 +124,15 @@ ORACLES = {
     "udtf_chunk_explode": CHUNK_FIXED_SQL,
     "udaf_label_centroid": """
 SELECT label, string_agg(q::VARCHAR, ',' ORDER BY ord) AS centroid_sig FROM (
-  SELECT label, ord, CAST(round(avg(val) * 10000) AS BIGINT) AS q
+  -- ordered left fold / count, NOT avg(): matches the UDAF's
+  -- vec_id-ordered sequential sum bit-for-bit (see _label_centroid)
+  SELECT label, ord,
+         CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list(val::DOUBLE ORDER BY vec_id)),
+                                (a, x) -> a + x)
+                    / count(*) * 10000) AS BIGINT) AS q
   FROM (
-    SELECT label, generate_subscripts(embedding, 1) AS ord,
+    SELECT label, vec_id, generate_subscripts(embedding, 1) AS ord,
            unnest(embedding) AS val
     FROM embeddings
   ) u

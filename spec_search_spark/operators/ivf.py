@@ -142,12 +142,14 @@ def trained_index(
     return _TRAINED[key]
 
 
-def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 per probe, scanning only the probe's nearest 2 clusters
-    (cluster-pruned exact re-rank)."""
-    centroids, index = trained_index(spark, sf_dir)
+def _probe_assignments(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(probe_id, probe_vec, cluster) — one row per (probe, probed
+    cluster): each probe's N_PROBE_CLUSTERS nearest centroids. The
+    probe set is tiny and bounded (the documented FAISS-style driver-
+    side collect)."""
     cents = np.array(centroids, dtype=np.float64)
-
     probes = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in load_table(spark, sf_dir, "embeddings")
@@ -161,9 +163,16 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest = np.argsort(d2, kind="stable")[:N_PROBE_CLUSTERS]
         for c in nearest:
             probe_rows.append((pid, [float(x) for x in vec], int(c)))
-    probe_df = spark.createDataFrame(
+    return spark.createDataFrame(
         probe_rows, "probe_id int, probe_vec array<double>, cluster int"
     )
+
+
+def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per probe, scanning only the probe's nearest 2 clusters
+    (cluster-pruned exact re-rank)."""
+    centroids, index = trained_index(spark, sf_dir)
+    probe_df = _probe_assignments(spark, sf_dir, centroids)
 
     from spec_search_spark.functions.vector import l2_squared
     from spec_search_spark.operators.similarity import partial_topk
@@ -232,14 +241,37 @@ FROM embeddings
 
 
 def ivf_ann_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-verifying IVF search: per (probe, rank) the result list is
-    distance-monotone and bounded below by the EXACT rank-rn distance
-    over the full table (candidates ⊆ corpus ⇒ the pruned search can
-    never beat exact kNN at the same rank) — the exact side is an
-    independent expression-only full-scan path.
+    """Self-verifying IVF search over a FIXED (probe × rank) grid: per
+    (probe, rank 1..TOP_K) the result list is distance-monotone,
+    bounded below by the EXACT rank-rn distance over the full table
+    (candidates ⊆ corpus ⇒ the pruned search can never beat exact kNN
+    at the same rank; independent expression-only path), and PRESENT
+    exactly when the probed clusters hold ≥ rn candidates — so the
+    output is always N_PROBES × TOP_K rows and the constant oracle
+    stays valid on tiny/skewed corpora where a probe's clusters hold
+    fewer than TOP_K non-probe vectors (rows there flip present_ok
+    rather than vanishing and breaking the row-count compare).
     """
+    centroids, index = trained_index(spark, sf_dir)
     res = ivf_ann_search(spark, sf_dir)
     from spec_search_spark.functions.vector import l2_squared
+
+    probe_df = _probe_assignments(spark, sf_dir, centroids)
+    n_cand = (
+        index.join(
+            F.broadcast(probe_df.select("probe_id", "cluster")),
+            (index.cluster == probe_df.cluster) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    grid = (
+        probe_df.select("probe_id")
+        .distinct()
+        .crossJoin(
+            spark.range(1, TOP_K + 1).select(F.col("id").cast("int").alias("rn"))
+        )
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
@@ -255,23 +287,34 @@ def ivf_ann_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rn", "ex_d2")
     )
     wm = W.partitionBy("probe_id").orderBy("rn")
-    mono = res.withColumn("prev_d2", F.lag("dist2").over(wm))
+    mono = res.withColumn("prev_d2", F.lag("dist2").over(wm)).select(
+        "probe_id",
+        "rn",
+        "dist2",
+        (F.col("prev_d2").isNull() | (F.col("dist2") >= F.col("prev_d2"))).alias("mono"),
+    )
     return (
-        mono.join(exact, ["probe_id", "rn"])
+        grid.join(F.broadcast(n_cand), "probe_id", "left")
+        .join(mono, ["probe_id", "rn"], "left")
+        .join(exact, ["probe_id", "rn"], "left")
         .select(
             "probe_id",
             "rn",
-            (F.col("prev_d2").isNull() | (F.col("dist2") >= F.col("prev_d2"))).alias(
-                "monotone_ok"
-            ),
-            (F.col("dist2") >= F.col("ex_d2") - F.lit(1e-6)).alias("bound_ok"),
+            (
+                F.col("dist2").isNotNull()
+                == (F.col("rn") <= F.least(F.lit(TOP_K), F.coalesce("n_cand", F.lit(0))))
+            ).alias("present_ok"),
+            F.coalesce("mono", F.lit(True)).alias("monotone_ok"),
+            F.when(
+                F.col("dist2").isNull() | F.col("ex_d2").isNull(), F.lit(True)
+            ).otherwise(F.col("dist2") >= F.col("ex_d2") - F.lit(1e-6)).alias("bound_ok"),
         )
     )
 
 
 IVF_SEARCH_SQL = f"""
 SELECT CAST(p AS INT) AS probe_id, CAST(rn AS INT) AS rn,
-       true AS monotone_ok, true AS bound_ok
+       true AS present_ok, true AS monotone_ok, true AS bound_ok
 FROM range({N_PROBES}) t(p), range(1, {TOP_K + 1}) r(rn)
 """
 

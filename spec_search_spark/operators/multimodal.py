@@ -61,8 +61,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, media_type, payload) → metadata."""
+    """mapInPandas kernel: (doc_id, media_type, payload) → metadata.
+
+    Asserts the ASCII contract the DuckDB oracle depends on (oracle
+    recomputes the checksum from the TEXT column via ord(); a
+    non-ASCII doc would make utf-8 byte length ≠ char length and byte
+    values ≠ code points, silently diverging) — better a loud error at
+    the boundary than a hash mismatch downstream."""
     for pdf in batches:
+        for p in pdf["payload"]:
+            if any(b > 127 for b in p[:256]) or len(p) != len(p.decode("utf-8")):
+                raise ValueError(
+                    "multimodal oracle requires ASCII payloads (non-ASCII byte found)"
+                )
         meta = pdf["payload"].map(_fake_decode)
         yield pd.DataFrame(
             {

@@ -245,9 +245,16 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("supp_value"))
     total = per_supp.agg(F.sum("supp_value").alias("total_value"))
+    # both comparison sides rounded to 2 dp (as q15 does): unrounded
+    # double sums against a strict threshold are summation-order-
+    # fragile across engines — a supplier landing within an ulp of the
+    # cut would flip between Spark and DuckDB.
     return (
         per_supp.join(F.broadcast(total))
-        .filter(F.col("supp_value") > F.lit(0.0105) * F.col("total_value"))
+        .filter(
+            F.round(F.col("supp_value"), 2)
+            > F.round(F.lit(0.0105) * F.col("total_value"), 2)
+        )
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.round("supp_value", 2).alias("supp_value")
@@ -262,8 +269,8 @@ FROM (
   FROM lineitem GROUP BY l_suppkey
 ) pv
 JOIN supplier ON l_suppkey = s_suppkey
-WHERE supp_value > 0.0105 * (SELECT sum(l_extendedprice * (1 - l_discount))
-                             FROM lineitem)
+WHERE round(supp_value, 2) > round(0.0105 * (SELECT sum(l_extendedprice * (1 - l_discount))
+                                             FROM lineitem), 2)
 """
 
 
