@@ -81,17 +81,47 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_steady_state",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total_steady_state",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    prev_name, prev = _previous_round()
+    if prev is not None and prev.get("sf") == sf_val:
+        prev_q = prev.get("queries", {})
+        out["prev"] = prev_name
+        out["prev_value"] = prev.get("value")
+        out["deltas"] = {
+            name: round(t - prev_q[name], 3)
+            for name, t in timings.items()
+            if name in prev_q
+        }
+    print(json.dumps(out))
+
+
+def _previous_round():
+    """Latest driver-recorded BENCH_r{N}.json next to this script — the
+    regression ledger baseline. Returns (name, parsed) or (None, None)."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    if not rounds:
+        return None, None
+    _, name = max(rounds)
+    try:
+        with open(os.path.join(here, name)) as fh:
+            data = json.load(fh)
+        # the driver records {"parsed": <our line>, ...wrapper fields}
+        return name, data.get("parsed", data)
+    except (OSError, json.JSONDecodeError):
+        return None, None
 
 
 if __name__ == "__main__":

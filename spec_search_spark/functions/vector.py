@@ -26,6 +26,7 @@ MiniLM embedding — `/root/reference/app.py:50-52`, `:35-36`). Here:
 from __future__ import annotations
 
 import re
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -221,8 +222,12 @@ def make_model_embed_udf(load_model, batch_size: int = 256):
     worker (not per batch) — the standard Spark pattern for shipping a
     heavyweight model to executors. `load_model` must be picklable
     (e.g. a module-level function that imports sentence_transformers).
+
+    (`Iterator` must be importable from THIS module's globals for
+    PySpark to recognize the iterator-of-batches signature — a
+    function-local import made typehint resolution fail with
+    UNSUPPORTED_SIGNATURE; caught by tests/test_model_swap.py.)
     """
-    from collections.abc import Iterator
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -196,14 +196,26 @@ def hashed_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally 100 TB-safe). Above the cap it falls back to a
     plain shuffle hash join on `shingle`; the one-extra-shuffle cost is
     the correct trade once the build side would blow the broadcast
-    limit. The vocabulary size check reads the already-materialized
-    postings cache (one cheap agg job, no recompute)."""
-    p = shingle_postings(spark, sf_dir)
-    vocab = p.select("shingle").distinct().withColumn("h", _poly_hash(F.col("shingle")))
-    n_vocab = p.select("shingle").distinct().count()
-    if n_vocab <= BROADCAST_VOCAB_MAX:
-        return p.join(F.broadcast(vocab), "shingle")
-    return p.join(vocab, "shingle")
+    limit. The vocabulary is materialized (its count doubles as the
+    size check), and so is the hashed-postings result — Jaccard's pair
+    self-join and MinHash's signature agg all read it, and lazily the
+    vocab hash + join would recompute once per reader. Memoized per
+    (session, corpus) like ivf._TRAINED: an index-shaped intermediate
+    is built once, not re-validated (two count jobs) per query call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HASHED_POSTINGS:
+        p = shingle_postings(spark, sf_dir)
+        vocab = _materialize(
+            p.select("shingle").distinct().withColumn("h", _poly_hash(F.col("shingle")))
+        )
+        join_vocab = (
+            F.broadcast(vocab) if vocab.count() <= BROADCAST_VOCAB_MAX else vocab
+        )
+        _HASHED_POSTINGS[key] = _materialize(p.join(join_vocab, "shingle"))
+    return _HASHED_POSTINGS[key]
+
+
+_HASHED_POSTINGS: dict[tuple[str, str], DataFrame] = {}
 
 
 # --- exact dedup ------------------------------------------------------------
