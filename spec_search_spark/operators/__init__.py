@@ -15,6 +15,7 @@ def all_queries():
         multimodal,
         relational,
         scalar_sql,
+        sheets_connector,
         sheets_pipeline,
         similarity,
         sketches,
@@ -30,6 +31,7 @@ def all_queries():
         relational,
         windows,
         sheets_pipeline,
+        sheets_connector,
         text_analysis,
         dedup,
         similarity,

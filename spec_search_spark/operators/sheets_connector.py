@@ -1,0 +1,150 @@
+"""The sheets CONNECTOR pipeline: the reference ingestion (Drive
+folder → per-sheet cell grids → unpivot, `/root/reference/
+indexer.py:20-57`) running through the custom ``sheets`` DataSource
+(sources/sheets_source.py) instead of a pre-built grid DataFrame —
+S1/S2/S3/S4/S6 as engine surface.
+
+The fixture directory is derived DETERMINISTICALLY from the
+``documents`` table (same placement arithmetic as
+sheets_pipeline.build_grid: CELLS_PER_FILE / COLS_PER_ROW), so the
+DuckDB oracle recomputes the expected unpivot straight from
+``documents`` — the connector read path gets a full value oracle.
+
+Scale: the fixture builder is a test harness (driver-side, bounded by
+the local corpus); the READ path is the engine part — one partition
+per sheet file, listing-level pruning via pushFilters, posexplode
+unpivot identical to cell_grid_unpivot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.functions.sheets import (
+    a1_letter,
+    a1_letter_sql,
+    cell_row_number,
+    composite_id,
+    deep_link,
+)
+from spec_search_spark.operators.sheets_pipeline import CELLS_PER_FILE, COLS_PER_ROW
+from spec_search_spark.session import tune
+from spec_search_spark.sources.sheets_source import SHEET_SUFFIX, register
+
+TAB_NAME = "data"
+
+
+def build_sheets_fixture(sf_dir: str, out_dir: str) -> str:
+    """Materialize documents.parquet as a directory of sheet JSON files
+    (one per CELLS_PER_FILE docs, grid layout identical to
+    sheets_pipeline.build_grid). Deterministic: same input → same
+    bytes, so rebuilding is idempotent."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    files: dict[int, dict[int, dict[int, str]]] = {}
+    for doc_id, text in docs:
+        fid = int(doc_id) // CELLS_PER_FILE
+        row = (int(doc_id) % CELLS_PER_FILE) // COLS_PER_ROW
+        col = int(doc_id) % COLS_PER_ROW
+        files.setdefault(fid, {}).setdefault(row, {})[col] = text
+    os.makedirs(out_dir, exist_ok=True)
+    for fid, rows in sorted(files.items()):
+        name = f"sheet_{fid:03d}"
+        values = [
+            [rows[r].get(c) for c in range(max(rows[r]) + 1)]
+            for r in range(max(rows) + 1)
+        ]
+        doc = {
+            "file_id": fid,
+            "file_name": name,
+            "tabs": [
+                {"sheet_id": 100 + fid, "tab_name": TAB_NAME, "values": values}
+            ],
+        }
+        with open(os.path.join(out_dir, f"{name}{SHEET_SUFFIX}"), "w") as fh:
+            json.dump(doc, fh)
+    return out_dir
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_sheets_{base}")
+
+
+def read_sheets(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    register(spark)
+    # required for SheetsReader.pushFilters (off by default in 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark.read.format("sheets").load(fixture_dir)
+
+
+def sheets_source_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+V3 through the connector: list sheet files → grid rows →
+    posexplode unpivot with full provenance (same output contract as
+    cell_grid_unpivot, plus file_name/tab_name source metadata)."""
+    tune(spark)
+    fixture = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
+    grid_rows = read_sheets(spark, fixture)
+    cells = grid_rows.select(
+        "file_id",
+        "file_name",
+        "sheet_id",
+        "tab_name",
+        "row_idx",
+        F.posexplode("cells").alias("col_idx", "cell_text"),
+    ).filter(F.col("cell_text").isNotNull() & (F.col("cell_text") != ""))
+    return cells.select(
+        "file_id",
+        "file_name",
+        "sheet_id",
+        "tab_name",
+        a1_letter(F.col("col_idx")).alias("col_letter"),
+        cell_row_number(F.col("row_idx")).alias("sheet_row"),
+        composite_id(
+            F.col("file_id"), F.col("sheet_id"), F.col("col_idx"), F.col("row_idx"), F.lit(0)
+        ).alias("cell_id"),
+        deep_link(
+            F.col("file_id"), F.col("sheet_id"), F.col("col_idx"), F.col("row_idx")
+        ).alias("link"),
+        F.col("cell_text"),
+    )
+
+
+_A1 = a1_letter_sql(f"(doc_id % {COLS_PER_ROW})")
+SHEETS_SOURCE_SQL = f"""
+SELECT doc_id // {CELLS_PER_FILE} AS file_id,
+       'sheet_' || lpad((doc_id // {CELLS_PER_FILE})::VARCHAR, 3, '0') AS file_name,
+       100 + doc_id // {CELLS_PER_FILE} AS sheet_id,
+       '{TAB_NAME}' AS tab_name,
+       {_A1} AS col_letter,
+       CAST((doc_id % {CELLS_PER_FILE}) // {COLS_PER_ROW} + 2 AS INT) AS sheet_row,
+       (doc_id // {CELLS_PER_FILE})::VARCHAR || '_' ||
+       (100 + doc_id // {CELLS_PER_FILE})::VARCHAR || '_' ||
+       {_A1} || ((doc_id % {CELLS_PER_FILE}) // {COLS_PER_ROW} + 2)::VARCHAR || '_0'
+         AS cell_id,
+       'https://docs.google.com/spreadsheets/d/' || (doc_id // {CELLS_PER_FILE})::VARCHAR ||
+       '/edit#gid=' || (100 + doc_id // {CELLS_PER_FILE})::VARCHAR ||
+       '&range=' || {_A1} || ((doc_id % {CELLS_PER_FILE}) // {COLS_PER_ROW} + 2)::VARCHAR
+         AS link,
+       text AS cell_text
+FROM documents
+WHERE text IS NOT NULL AND text <> ''
+"""
+
+
+QUERIES = {
+    "sheets_source_unpivot": sheets_source_unpivot,
+}
+
+ORACLES = {
+    "sheets_source_unpivot": SHEETS_SOURCE_SQL,
+}

@@ -1,0 +1,275 @@
+"""Custom PySpark DataSource ``sheets`` — the engine-surface form of
+the reference's Drive/Sheets ingestion (S1 folder listing
+`/root/reference/indexer.py:80-90`, S2/S3 full-sheet scans
+`indexer.py:20-32` / `project_search.py:45`, S4 ranged scan
+`sheet_creator_tool.py:55-68`, S6 write-back sink
+`sheet_creator_tool.py:83-96`), over local fixtures instead of the
+network API (auth is an I/O-adapter concern, not engine surface).
+
+Fixture layout (the local stand-in for a Drive folder): a directory of
+``{file_name}.sheet.json`` files, one per spreadsheet::
+
+    {"file_id": 0, "file_name": "sheet_000", "tabs": [
+        {"sheet_id": 100, "tab_name": "data", "values": [[...], ...]}]}
+
+Read (grid mode, default) — one output row per grid row::
+
+    file_id bigint, file_name string, sheet_id bigint, tab_name string,
+    row_idx int, cells array<string>
+
+- one InputPartition per FILE: sheets scan cluster-parallel, the same
+  unit the reference iterates sequentially. partitions() only LISTS
+  the directory — no file is opened until read() runs on an executor.
+- ``option("range", "B2:D5")``: A1 ranged scan (S4) — only the
+  requested row window is emitted and cells are sliced to the column
+  window, like the reference's ``get_range`` (raw values, no
+  addresses).
+- pushFilters: EqualTo on ``file_name`` prunes whole partitions from
+  the directory listing BEFORE any file is opened (partition pruning
+  at the listing level); everything else stays with Spark.
+
+Read (``option("mode", "records")``) — S3 header-schema scan: the
+first row of the first tab defines the column names
+(``get_all_records`` semantics); each later row becomes one record of
+string columns (padded with ''). schema() opens one file at planning
+time to learn the header — the price of dynamic schemas.
+
+Write — ``df.write.format("sheets").mode("overwrite").save(dir)``
+accepts the grid-mode row shape and writes the fixture layout back:
+executors write temp JSON parts (parallel, cell-count work), commit()
+merges parts into per-file documents on the driver (serial work ∝
+file count, not cell count) and is atomic-ish: parts land in a temp
+dir and final files replace targets only in commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SHEET_SUFFIX = ".sheet.json"
+
+GRID_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType()),
+        StructField("file_name", StringType()),
+        StructField("sheet_id", LongType()),
+        StructField("tab_name", StringType()),
+        StructField("row_idx", IntegerType()),
+        StructField("cells", ArrayType(StringType())),
+    ]
+)
+
+_RANGE_RE = re.compile(r"^([A-Z]+)(\d+):([A-Z]+)(\d+)$")
+
+
+def _col_to_idx(letters: str) -> int:
+    """A1 letters → 0-based column index (inverse of functions.sheets
+    a1_letter; 'A'→0, 'Z'→25, 'AA'→26)."""
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def _parse_range(spec: str) -> tuple[int, int, int, int]:
+    """'B2:D5' → (row_lo, row_hi, col_lo, col_hi) all 0-based inclusive."""
+    m = _RANGE_RE.fullmatch(spec.strip())
+    if not m:
+        raise ValueError(f"bad A1 range {spec!r} (expected e.g. 'B2:D5')")
+    c1, r1, c2, r2 = m.groups()
+    return int(r1) - 1, int(r2) - 1, _col_to_idx(c1), _col_to_idx(c2)
+
+
+def _list_sheet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(SHEET_SUFFIX)
+    )
+
+
+class SheetsReader(DataSourceReader):
+    def __init__(self, options, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sheets source requires a path")
+        self.mode = (options.get("mode") or "grid").lower()
+        self.range = _parse_range(options["range"]) if options.get("range") else None
+        self.header: list[str] | None = None
+        if self.mode == "records":
+            self.header = [f.name for f in schema.fields]
+        self.file_name_filters: list[str] = []
+
+    def pushFilters(self, filters):
+        # AND-list: EqualTo(file_name) prunes the listing; everything
+        # else is returned for Spark to evaluate post-scan.
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("file_name",):
+                self.file_name_filters.append(f.value)
+            else:
+                yield f
+
+    def partitions(self):
+        files = _list_sheet_files(self.path)
+        if self.file_name_filters:
+            keep = {f"{name}{SHEET_SUFFIX}" for name in self.file_name_filters}
+            files = [p for p in files if os.path.basename(p) in keep]
+        return [InputPartition(p) for p in files]
+
+    def read(self, partition: InputPartition):
+        with open(partition.value) as fh:
+            doc = json.load(fh)
+        for tab in doc["tabs"]:
+            values = tab["values"]
+            if self.mode == "records":
+                yield from self._read_records(values)
+                continue
+            rows = enumerate(values)
+            if self.range is not None:
+                r_lo, r_hi, c_lo, c_hi = self.range
+                rows = (
+                    (i, row[c_lo : c_hi + 1])
+                    for i, row in enumerate(values)
+                    if r_lo <= i <= r_hi
+                )
+            for row_idx, cells in rows:
+                yield (
+                    int(doc["file_id"]),
+                    doc["file_name"],
+                    int(tab["sheet_id"]),
+                    tab["tab_name"],
+                    int(row_idx),
+                    [None if c is None else str(c) for c in cells],
+                )
+
+    def _read_records(self, values):
+        if not values:
+            return
+        width = len(self.header or values[0])
+        for row in values[1:]:  # first row is the header
+            padded = [str(c) if c is not None else "" for c in row[:width]]
+            padded += [""] * (width - len(padded))
+            yield tuple(padded)
+
+
+@dataclass
+class SheetsCommitMessage(WriterCommitMessage):
+    part_path: str
+
+
+class SheetsWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sheets sink requires a path")
+        self.overwrite = overwrite
+        self.tmp_dir = os.path.join(self.path, f"_sheets_tmp_{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        part = os.path.join(self.tmp_dir, f"part_{uuid.uuid4().hex}.json")
+        rows = [
+            {
+                "file_id": r["file_id"],
+                "file_name": r["file_name"],
+                "sheet_id": r["sheet_id"],
+                "tab_name": r["tab_name"],
+                "row_idx": r["row_idx"],
+                "cells": list(r["cells"]) if r["cells"] is not None else [],
+            }
+            for r in iterator
+        ]
+        with open(part, "w") as fh:
+            json.dump(rows, fh)
+        return SheetsCommitMessage(part_path=part)
+
+    def commit(self, messages):
+        import shutil
+
+        files: dict[tuple[int, str], dict] = {}
+        for m in messages:
+            if m is None:
+                continue
+            with open(m.part_path) as fh:
+                for r in json.load(fh):
+                    key = (r["file_id"], r["file_name"])
+                    f = files.setdefault(key, {})
+                    tab = f.setdefault(
+                        (r["sheet_id"], r["tab_name"]), {}
+                    )
+                    tab[r["row_idx"]] = r["cells"]
+        if self.overwrite:
+            for old in _list_sheet_files(self.path):
+                os.remove(old)
+        for (file_id, file_name), tabs in sorted(files.items()):
+            doc = {
+                "file_id": file_id,
+                "file_name": file_name,
+                "tabs": [
+                    {
+                        "sheet_id": sheet_id,
+                        "tab_name": tab_name,
+                        # dense row list in row_idx order (missing rows
+                        # between written ones become empty rows)
+                        "values": [
+                            rows.get(i, [])
+                            for i in range(max(rows.keys(), default=-1) + 1)
+                        ],
+                    }
+                    for (sheet_id, tab_name), rows in sorted(tabs.items())
+                ],
+            }
+            with open(os.path.join(self.path, f"{file_name}{SHEET_SUFFIX}"), "w") as fh:
+                json.dump(doc, fh)
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+
+class SheetsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sheets"
+
+    def schema(self):
+        if (self.options.get("mode") or "grid").lower() == "records":
+            files = _list_sheet_files(self.options["path"])
+            if not files:
+                raise ValueError("records mode needs at least one sheet file")
+            with open(files[0]) as fh:
+                doc = json.load(fh)
+            header = doc["tabs"][0]["values"][0]
+            return StructType([StructField(str(h), StringType()) for h in header])
+        return GRID_SCHEMA
+
+    def reader(self, schema):
+        return SheetsReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        return SheetsWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SheetsDataSource)

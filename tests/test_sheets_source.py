@@ -1,0 +1,114 @@
+"""Custom `sheets` DataSource: S1 listing-pruned scan, S3 header
+records mode, S4 ranged scan, S6 write-back round trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spec_search_spark.operators.sheets_connector import (
+    build_sheets_fixture,
+    read_sheets,
+)
+from spec_search_spark.sources.sheets_source import SHEET_SUFFIX, register
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sheets_fixture"))
+    return build_sheets_fixture(sf_dir, out)
+
+
+def test_grid_scan_matches_documents(spark, sf_dir, fixture_dir):
+    from spec_search_spark.catalog import load_table
+
+    cells = (
+        read_sheets(spark, fixture_dir)
+        .select(F.posexplode("cells").alias("col_idx", "cell_text"))
+        .filter(F.col("cell_text").isNotNull())
+        .count()
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    assert cells == docs.count()
+
+
+def test_listing_pruning_via_pushdown(spark, fixture_dir):
+    df = read_sheets(spark, fixture_dir).filter(F.col("file_name") == "sheet_001")
+    rows = df.collect()
+    assert rows and all(r["file_name"] == "sheet_001" for r in rows)
+    # the filter must reach the reader: with pushdown the scan opens
+    # exactly one file, observable as a single input partition
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_ranged_scan(spark, fixture_dir):
+    full = {
+        (r["file_name"], r["row_idx"]): r["cells"]
+        for r in read_sheets(spark, fixture_dir).collect()
+    }
+    ranged = (
+        spark.read.format("sheets")
+        .option("range", "B1:C2")
+        .load(fixture_dir)
+        .collect()
+    )
+    assert ranged
+    for r in ranged:
+        assert 0 <= r["row_idx"] <= 1  # rows 1..2 → idx 0..1
+        expected = full[(r["file_name"], r["row_idx"])][1:3]  # cols B..C
+        assert list(r["cells"]) == list(expected)
+
+
+def test_records_mode_header_schema(spark, tmp_path):
+    doc = {
+        "file_id": 7,
+        "file_name": "people",
+        "tabs": [
+            {
+                "sheet_id": 107,
+                "tab_name": "t",
+                "values": [
+                    ["name", "age", "city"],
+                    ["ada", "36", "london"],
+                    ["grace", "85"],  # short row → padded with ''
+                ],
+            }
+        ],
+    }
+    with open(os.path.join(tmp_path, f"people{SHEET_SUFFIX}"), "w") as fh:
+        json.dump(doc, fh)
+    register(spark)
+    df = spark.read.format("sheets").option("mode", "records").load(str(tmp_path))
+    assert df.columns == ["name", "age", "city"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["ada"]["city"] == "london"
+    assert rows["grace"]["city"] == ""
+
+
+def test_write_back_round_trip(spark, fixture_dir, tmp_path):
+    register(spark)
+    src = read_sheets(spark, fixture_dir)
+    out = str(tmp_path / "written")
+    os.makedirs(out)
+    src.write.format("sheets").mode("overwrite").save(out)
+
+    # the sink wrote the fixture layout: same file set, same content
+    assert sorted(os.listdir(out)) == sorted(
+        f for f in os.listdir(fixture_dir) if f.endswith(SHEET_SUFFIX)
+    )
+    back = read_sheets(spark, out)
+    orig = {(r["file_id"], r["sheet_id"], r["tab_name"], r["row_idx"]): list(r["cells"])
+            for r in src.collect()}
+    got = {(r["file_id"], r["sheet_id"], r["tab_name"], r["row_idx"]): list(r["cells"])
+           for r in back.collect()}
+    assert got == orig
+
+    # overwrite replaces: writing a 1-row subset leaves only that sheet
+    sub = src.filter(F.col("file_name") == "sheet_000").limit(1)
+    sub.write.format("sheets").mode("overwrite").save(out)
+    assert os.listdir(out) == [f"sheet_000{SHEET_SUFFIX}"]
