@@ -148,7 +148,11 @@ def _probe_assignments(
     """(probe_id, probe_vec, cluster) — one row per (probe, probed
     cluster): each probe's N_PROBE_CLUSTERS nearest centroids. The
     probe set is tiny and bounded (the documented FAISS-style driver-
-    side collect)."""
+    side collect); memoized per (session, corpus) alongside the
+    trained index so search and check don't re-collect it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PROBE_DF:
+        return _PROBE_DF[key]
     cents = np.array(centroids, dtype=np.float64)
     probes = [
         (int(r["vec_id"]), list(r["embedding"]))
@@ -163,9 +167,14 @@ def _probe_assignments(
         nearest = np.argsort(d2, kind="stable")[:N_PROBE_CLUSTERS]
         for c in nearest:
             probe_rows.append((pid, [float(x) for x in vec], int(c)))
-    return spark.createDataFrame(
+    _PROBE_DF[key] = spark.createDataFrame(
         probe_rows, "probe_id int, probe_vec array<double>, cluster int"
     )
+    return _PROBE_DF[key]
+
+
+_PROBE_DF: dict[tuple[str, str], DataFrame] = {}
+_EXACT_TOPK: dict[tuple[str, str], DataFrame] = {}
 
 
 def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,19 +282,27 @@ def ivf_ann_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
-    )
-    scored = emb.join(
-        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
-    ).withColumn("ex_d2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
-    w = W.partitionBy("probe_id").orderBy(F.asc("ex_d2"), F.asc("vec_id"))
-    exact = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", "rn", "ex_d2")
-    )
+    exact_key = (spark.sparkContext.applicationId, sf_dir)
+    if exact_key not in _EXACT_TOPK:
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+        scored = emb.join(
+            F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+        ).withColumn(
+            "ex_d2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4)
+        )
+        w = W.partitionBy("probe_id").orderBy(F.asc("ex_d2"), F.asc("vec_id"))
+        ex = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("probe_id", "rn", "ex_d2")
+            .cache()  # N_PROBES × TOP_K rows; the full-scan reference
+        )
+        ex.count()  # materialize now (both check runs reuse it)
+        _EXACT_TOPK[exact_key] = ex
+    exact = _EXACT_TOPK[exact_key]
     wm = W.partitionBy("probe_id").orderBy("rn")
     mono = res.withColumn("prev_d2", F.lag("dist2").over(wm)).select(
         "probe_id",

@@ -86,10 +86,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # UDTF lateral join is a pure map stage: no shuffle anywhere
     ("udtf_chunk_explode", ["BatchEvalPythonUDTF"], ["Exchange", "CartesianProduct"]),
     # grouped-agg UDAF: one shuffle on the group key, Arrow-batched agg,
-    # scan pruned to the two referenced columns (vec_id never read)
+    # scan pruned to the three referenced columns (vec_id feeds the
+    # deterministic summation order — see _label_centroid)
     ("udaf_label_centroid",
      ["ArrowAggregatePython", "hashpartitioning(label",
-      "ReadSchema: struct<embedding:array<float>,label:int>"],
+      "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"],
      ["CartesianProduct"]),
     # multi-probe top-k: partial per-partition top-k (MapInPandas)
     # BEFORE the per-probe exchange — the scored table never shuffles
