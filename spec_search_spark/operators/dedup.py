@@ -446,13 +446,20 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .withColumn("h", _poly_hash(F.col("tok")))
+    toks = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     )
+    # hash once per DISTINCT token, broadcast back (the shingle-vocab
+    # trick): the shared-vocab corpus repeats each token across many
+    # docs, so per-occurrence hashing did vocabulary-sized work times
+    # corpus-sized repetition. SimHash votes count every OCCURRENCE
+    # (unchanged — the join fans the hash back out per posting).
+    vocab = _materialize(
+        toks.select("tok").distinct().withColumn("h", _poly_hash(F.col("tok")))
+    )
+    hashed = toks.join(F.broadcast(vocab), "tok")
     return (
-        toks.groupBy("doc_id")
+        hashed.groupBy("doc_id")
         .agg(F.collect_list("h").alias("hs"))
         .select("doc_id", _SIMHASH_UDF(F.col("hs")).alias("simhash"))
     )
