@@ -119,6 +119,71 @@ def sheets_source_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_records_fixture(sf_dir: str, out_dir: str) -> str:
+    """Records-mode fixture (S3): same grid placement, but every tab
+    carries a HEADER row of fixed column names c00..c29 ahead of the
+    data rows — the ``get_all_records`` shape
+    (`/root/reference/project_search.py:45-49`)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    header = [f"c{c:02d}" for c in range(COLS_PER_ROW)]
+    files: dict[int, dict[int, dict[int, str]]] = {}
+    for doc_id, text in docs:
+        fid = int(doc_id) // CELLS_PER_FILE
+        row = (int(doc_id) % CELLS_PER_FILE) // COLS_PER_ROW
+        col = int(doc_id) % COLS_PER_ROW
+        files.setdefault(fid, {}).setdefault(row, {})[col] = text
+    os.makedirs(out_dir, exist_ok=True)
+    for fid, rows in sorted(files.items()):
+        name = f"records_{fid:03d}"
+        values = [header] + [
+            [rows[r].get(c) for c in range(max(rows[r]) + 1)]
+            for r in range(max(rows) + 1)
+        ]
+        doc = {
+            "file_id": fid,
+            "file_name": name,
+            "tabs": [
+                {"sheet_id": 100 + fid, "tab_name": TAB_NAME, "values": values}
+            ],
+        }
+        with open(os.path.join(out_dir, f"{name}{SHEET_SUFFIX}"), "w") as fh:
+            json.dump(doc, fh)
+    return out_dir
+
+
+def sheets_records_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 through the connector: header-schema records scan — the
+    first grid row names the columns, each later row becomes a record
+    of strings (short rows padded with '')."""
+    tune(spark)
+    base = fixture_dir_for(sf_dir) + "_records"
+    build_records_fixture(sf_dir, base)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark.read.format("sheets").option("mode", "records").load(base)
+
+
+def _records_sql() -> str:
+    # one record per 30 consecutive docs (one grid row); column c_j =
+    # the doc at offset j, '' where the tail file runs short — matching
+    # the reader's padding.
+    cols = ",\n       ".join(
+        f"coalesce(max(CASE WHEN doc_id % {COLS_PER_ROW} = {c} THEN text END), '') "
+        f"AS c{c:02d}"
+        for c in range(COLS_PER_ROW)
+    )
+    return f"""
+SELECT {cols}
+FROM documents
+GROUP BY doc_id // {COLS_PER_ROW}
+"""
+
+
 _A1 = a1_letter_sql(f"(doc_id % {COLS_PER_ROW})")
 SHEETS_SOURCE_SQL = f"""
 SELECT doc_id // {CELLS_PER_FILE} AS file_id,
@@ -143,8 +208,10 @@ WHERE text IS NOT NULL AND text <> ''
 
 QUERIES = {
     "sheets_source_unpivot": sheets_source_unpivot,
+    "sheets_records_scan": sheets_records_scan,
 }
 
 ORACLES = {
     "sheets_source_unpivot": SHEETS_SOURCE_SQL,
+    "sheets_records_scan": _records_sql(),
 }

@@ -8,10 +8,10 @@ and decoded on read, so a round trip preserves values. `inferSchema`
 is never used on the read path (full-file pre-scan at 100 TB); callers
 pass the schema or read parquet.
 
-A Google-Sheets connector proper is an I/O adapter out of this
-phase's scope (network auth); its engine-side shape — list files →
-per-sheet cell grid → unpivot — is covered by
-operators.sheets_pipeline over the grid DataFrame.
+The sheet-shaped source/sink proper lives in sources/sheets_source.py
+(custom PySpark DataSource: listing-pruned reader, ranged scan,
+header-records mode, write-back sink over local fixtures); only the
+network/auth half of a real Sheets connector stays out of scope.
 """
 
 from __future__ import annotations
