@@ -109,6 +109,9 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("embedding_near_dup",
      ["band_idx"],
      ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # custom-source unpivot is a pure map pipeline: custom BatchScan →
+    # posexplode → filter/project, zero shuffles
+    ("sheets_source_unpivot", ["BatchScan sheets", "Generate"], ["Exchange"]),
 ]
 
 

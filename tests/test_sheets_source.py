@@ -112,3 +112,22 @@ def test_write_back_round_trip(spark, fixture_dir, tmp_path):
     sub = src.filter(F.col("file_name") == "sheet_000").limit(1)
     sub.write.format("sheets").mode("overwrite").save(out)
     assert os.listdir(out) == [f"sheet_000{SHEET_SUFFIX}"]
+
+
+def test_vocab_shuffle_fallback_identical(spark, sf_dir, monkeypatch):
+    """hashed_shingle_postings above BROADCAST_VOCAB_MAX must fall back
+    to a shuffle join with identical rows (the 100 TB path where the
+    vocabulary outgrows the broadcast limit)."""
+    from spec_search_spark.operators import dedup
+
+    def rows(df):
+        return sorted((r["doc_id"], r["h"]) for r in df.collect())
+
+    broadcast_rows = rows(dedup.hashed_shingle_postings(spark, sf_dir))
+    monkeypatch.setattr(dedup, "BROADCAST_VOCAB_MAX", 0)
+    dedup._HASHED_POSTINGS.clear()  # bust the session memo
+    try:
+        shuffle_rows = rows(dedup.hashed_shingle_postings(spark, sf_dir))
+    finally:
+        dedup._HASHED_POSTINGS.clear()
+    assert shuffle_rows == broadcast_rows
