@@ -175,9 +175,10 @@ def shingle_postings(
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
         )
-        postings = _materialize(
-            postings.join(F.broadcast(hot), "shingle", "left_anti")
-        )
+        # lazy: the anti-join reads the cached raw postings; the only
+        # consumer (hashed_shingle_postings) materializes its own final
+        # result, so a second full cache pass here bought nothing.
+        postings = postings.join(F.broadcast(hot), "shingle", "left_anti")
     return postings
 
 
