@@ -146,12 +146,55 @@ GROUP BY src, sniffed
 """
 
 
+def index_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (outcome counters / error isolation): per-source ingestion
+    tallies — docs seen, docs indexed, empties skipped, chunks
+    produced — the batch analog of the reference's per-file indexing
+    counters (`/root/reference/indexer.py:58-60,117-129`). Bad rows
+    are counted and quarantined by predicate, never by exception: one
+    partial+final aggregation, no Python."""
+    from spec_search_spark.functions.text import chunk_indices
+    from spec_search_spark.operators.text_analysis import CHUNK_OVERLAP, CHUNK_SIZE
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ok = F.col("text").isNotNull() & (F.col("text") != "")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(ok, 1)).alias("n_indexed"),
+        F.count(F.when(~ok, 1)).alias("n_skipped_empty"),
+        F.sum(
+            F.when(ok, F.size(chunk_indices(F.col("text"), CHUNK_SIZE, CHUNK_OVERLAP)))
+            .otherwise(F.lit(0))
+        ).alias("n_chunks"),
+    )
+
+
+def _index_outcomes_sql() -> str:
+    from spec_search_spark.functions.text import chunk_fixed_sql
+    from spec_search_spark.operators.text_analysis import CHUNK_OVERLAP, CHUNK_SIZE
+
+    n_chunks = chunk_fixed_sql(CHUNK_SIZE, CHUNK_OVERLAP)["n_chunks"]
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 END) AS n_indexed,
+       count(CASE WHEN text IS NULL OR text = '' THEN 1 END) AS n_skipped_empty,
+       CAST(sum(CASE WHEN text IS NOT NULL AND text <> ''
+                     THEN {n_chunks} ELSE 0 END) AS BIGINT) AS n_chunks
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "cell_grid_unpivot": cell_grid_unpivot,
     "type_sniff_summary": type_sniff_summary,
+    "index_outcomes": index_outcomes,
 }
 
 ORACLES = {
     "cell_grid_unpivot": CELL_GRID_SQL,
     "type_sniff_summary": TYPE_SNIFF_SQL,
+    "index_outcomes": _index_outcomes_sql(),
 }
