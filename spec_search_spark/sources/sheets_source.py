@@ -40,6 +40,12 @@ executors write temp JSON parts (parallel, cell-count work), commit()
 merges parts into per-file documents on the driver (serial work ∝
 file count, not cell count) and is atomic-ish: parts land in a temp
 dir and final files replace targets only in commit.
+
+Streaming write — ``df.writeStream.format("sheets")`` upserts each
+micro-batch into the sheet files at row granularity (overlay), with
+per-epoch commit markers so a replayed batchId after restart is a
+no-op (the vestigial `/index-file` webhook of `app.py:252-259` as a
+real incremental sink).
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -176,6 +183,76 @@ class SheetsCommitMessage(WriterCommitMessage):
     part_path: str
 
 
+def _write_part(tmp_dir: str, iterator) -> SheetsCommitMessage:
+    os.makedirs(tmp_dir, exist_ok=True)
+    part = os.path.join(tmp_dir, f"part_{uuid.uuid4().hex}.json")
+    rows = [
+        {
+            "file_id": r["file_id"],
+            "file_name": r["file_name"],
+            "sheet_id": r["sheet_id"],
+            "tab_name": r["tab_name"],
+            "row_idx": r["row_idx"],
+            "cells": list(r["cells"]) if r["cells"] is not None else [],
+        }
+        for r in iterator
+    ]
+    with open(part, "w") as fh:
+        json.dump(rows, fh)
+    return SheetsCommitMessage(part_path=part)
+
+
+def _collect_parts(messages) -> dict:
+    """part files → {(file_id, file_name): {(sheet_id, tab): {row_idx: cells}}}"""
+    files: dict[tuple[int, str], dict] = {}
+    for m in messages:
+        if m is None:
+            continue
+        with open(m.part_path) as fh:
+            for r in json.load(fh):
+                tab = files.setdefault((r["file_id"], r["file_name"]), {}).setdefault(
+                    (r["sheet_id"], r["tab_name"]), {}
+                )
+                tab[r["row_idx"]] = r["cells"]
+    return files
+
+
+def _merge_into_dir(path: str, files: dict, overlay: bool) -> None:
+    """Write per-file sheet documents. With overlay=True, new rows are
+    merged over the rows of an existing same-named file (row-level
+    upsert — the incremental-indexing shape); otherwise the file is
+    replaced wholesale."""
+    for (file_id, file_name), tabs in sorted(files.items()):
+        target = os.path.join(path, f"{file_name}{SHEET_SUFFIX}")
+        merged: dict[tuple[int, str], dict] = {}
+        if overlay and os.path.exists(target):
+            with open(target) as fh:
+                old = json.load(fh)
+            for t in old["tabs"]:
+                merged[(t["sheet_id"], t["tab_name"])] = dict(enumerate(t["values"]))
+        for key, rows in tabs.items():
+            merged.setdefault(key, {}).update(rows)
+        doc = {
+            "file_id": file_id,
+            "file_name": file_name,
+            "tabs": [
+                {
+                    "sheet_id": sheet_id,
+                    "tab_name": tab_name,
+                    # dense row list in row_idx order (missing rows
+                    # between written ones become empty rows)
+                    "values": [
+                        rows.get(i, [])
+                        for i in range(max(rows.keys(), default=-1) + 1)
+                    ],
+                }
+                for (sheet_id, tab_name), rows in sorted(merged.items())
+            ],
+        }
+        with open(target, "w") as fh:
+            json.dump(doc, fh)
+
+
 class SheetsWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool) -> None:
         self.path = options.get("path")
@@ -185,64 +262,53 @@ class SheetsWriter(DataSourceWriter):
         self.tmp_dir = os.path.join(self.path, f"_sheets_tmp_{uuid.uuid4().hex}")
 
     def write(self, iterator):
-        os.makedirs(self.tmp_dir, exist_ok=True)
-        part = os.path.join(self.tmp_dir, f"part_{uuid.uuid4().hex}.json")
-        rows = [
-            {
-                "file_id": r["file_id"],
-                "file_name": r["file_name"],
-                "sheet_id": r["sheet_id"],
-                "tab_name": r["tab_name"],
-                "row_idx": r["row_idx"],
-                "cells": list(r["cells"]) if r["cells"] is not None else [],
-            }
-            for r in iterator
-        ]
-        with open(part, "w") as fh:
-            json.dump(rows, fh)
-        return SheetsCommitMessage(part_path=part)
+        return _write_part(self.tmp_dir, iterator)
 
     def commit(self, messages):
         import shutil
 
-        files: dict[tuple[int, str], dict] = {}
-        for m in messages:
-            if m is None:
-                continue
-            with open(m.part_path) as fh:
-                for r in json.load(fh):
-                    key = (r["file_id"], r["file_name"])
-                    f = files.setdefault(key, {})
-                    tab = f.setdefault(
-                        (r["sheet_id"], r["tab_name"]), {}
-                    )
-                    tab[r["row_idx"]] = r["cells"]
+        files = _collect_parts(messages)
         if self.overwrite:
             for old in _list_sheet_files(self.path):
                 os.remove(old)
-        for (file_id, file_name), tabs in sorted(files.items()):
-            doc = {
-                "file_id": file_id,
-                "file_name": file_name,
-                "tabs": [
-                    {
-                        "sheet_id": sheet_id,
-                        "tab_name": tab_name,
-                        # dense row list in row_idx order (missing rows
-                        # between written ones become empty rows)
-                        "values": [
-                            rows.get(i, [])
-                            for i in range(max(rows.keys(), default=-1) + 1)
-                        ],
-                    }
-                    for (sheet_id, tab_name), rows in sorted(tabs.items())
-                ],
-            }
-            with open(os.path.join(self.path, f"{file_name}{SHEET_SUFFIX}"), "w") as fh:
-                json.dump(doc, fh)
+        _merge_into_dir(self.path, files, overlay=False)
         shutil.rmtree(self.tmp_dir, ignore_errors=True)
 
     def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+
+class SheetsStreamWriter(DataSourceStreamWriter):
+    """Streaming sheet sink: each micro-batch upserts its rows into the
+    sheet files (row-level overlay, like repeated write_values calls in
+    the reference's agent loop). Epoch markers make re-commits after a
+    restart idempotent: a batchId whose marker exists is dropped, so
+    replayed epochs don't double-apply."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sheets sink requires a path")
+        self.tmp_dir = os.path.join(self.path, f"_sheets_stream_tmp_{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        return _write_part(self.tmp_dir, iterator)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_sheets_epoch_{batch_id}")
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        if not os.path.exists(self._marker(batchId)):
+            _merge_into_dir(self.path, _collect_parts(messages), overlay=True)
+            with open(self._marker(batchId), "w"):
+                pass
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self.tmp_dir, ignore_errors=True)
@@ -269,6 +335,9 @@ class SheetsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return SheetsWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return SheetsStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -114,3 +114,23 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     # and its exact counts must match an independent exact aggregation
     assert {r["l_returnflag"]: r["ex_parts"] for r in rows} == exact
     assert all(r["parts_ok"] and r["orders_ok"] for r in rows)
+
+
+def test_persistent_index_partition_pruning(spark, sf_dir, tmp_path):
+    """S7 persistent store: the IVF index written partitionBy(cluster)
+    must give readers PARTITION pruning (the scan's PartitionFilters,
+    not a post-scan filter) — at 100 TB a cluster-probed search reads
+    n_probe/K of the files, nothing else."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.ivf import trained_index
+    from spec_search_spark.plans.audit import plan_of
+
+    _, index = trained_index(spark, sf_dir)
+    out = str(tmp_path / "ivf_index")
+    index.write.partitionBy("cluster").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("cluster") == 0)
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert back.count() == index.filter(F.col("cluster") == 0).count()

@@ -131,3 +131,44 @@ def test_vocab_shuffle_fallback_identical(spark, sf_dir, monkeypatch):
     finally:
         dedup._HASHED_POSTINGS.clear()
     assert shuffle_rows == broadcast_rows
+
+
+def test_stream_sink_upserts_rows(spark, tmp_path):
+    """Streaming sheet sink: micro-batches upsert at row granularity;
+    a second run over new input overlays changed rows and keeps
+    untouched ones."""
+    import json as _json
+    import time
+
+    from spec_search_spark.sources.sheets_source import GRID_SCHEMA
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(out)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, GRID_SCHEMA).write.mode("append").parquet(inp)
+        q = (
+            spark.readStream.schema(GRID_SCHEMA)
+            .parquet(inp)
+            .writeStream.format("sheets")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(60)
+        time.sleep(0.2)
+
+    run_batch(
+        [
+            (1, "s1", 101, "t", 0, ["a0", "b0"]),
+            (1, "s1", 101, "t", 1, ["a1", "b1"]),
+        ]
+    )
+    run_batch([(1, "s1", 101, "t", 1, ["A1!", "B1!"]), (1, "s1", 101, "t", 2, ["a2"])])
+
+    with open(os.path.join(out, f"s1{SHEET_SUFFIX}")) as fh:
+        doc = _json.load(fh)
+    values = doc["tabs"][0]["values"]
+    assert values[0] == ["a0", "b0"]        # untouched row survives
+    assert values[1] == ["A1!", "B1!"]      # upserted row replaced
+    assert values[2] == ["a2"]              # new row appended
