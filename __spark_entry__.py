@@ -39,8 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted for the
-    non-SQL-expressible ops: recursive chunker, embedding pipeline)."""
+    """DuckDB-equivalent ANSI SQL per query — every registered query
+    has one (non-SQL-expressible ops register self-verifying invariant
+    outputs whose oracles ARE expressible; their byte-level semantics
+    are additionally property-tested in tests/)."""
     from spec_search_spark.operators import all_queries
 
     _, o = all_queries()
