@@ -301,6 +301,81 @@ WHERE rn <= {TOP_K}
 """
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each probe searches its own bucket PLUS the
+    N_PLANES buckets at Hamming distance 1 (one sign bit flipped) —
+    the standard recall lever for hyperplane LSH at scale (a neighbor
+    whose margin on one plane is tiny lands one bit away; probing
+    adjacent buckets recovers it without touching the other 2^P - P - 1
+    buckets). Probe side stays the broadcast side: the probed-bucket
+    fan-out (P+1 rows per probe) happens on the tiny table, the corpus
+    keeps its single bucket id. Exact L2 re-rank of candidates only,
+    partial top-k before the per-probe exchange — same two-phase shape
+    as ann_lsh_bucketed."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("embedding")))
+    probes = (
+        _probes(spark, sf_dir)
+        .withColumn("p_bucket", _bucket_expr(F.col("probe_vec")))
+        .select(
+            "probe_id",
+            "probe_vec",
+            F.explode(
+                F.array(
+                    F.col("p_bucket"),
+                    *[
+                        F.col("p_bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(N_PLANES)
+                    ],
+                )
+            ).alias("probed_bucket"),
+        )
+    )
+    # a vector matches at most ONE probed bucket per probe (the flipped
+    # buckets are pairwise distinct), so no pair dedup is needed.
+    cand = emb.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probed_bucket")) & (F.col("vec_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        "vec_id",
+        "bucket",
+        F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4).alias("dist2"),
+    )
+    local = partial_topk(cand, "probe_id", ["dist2", "vec_id"], TOP_K)
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", "bucket", "dist2", "rn")
+    )
+
+
+_PROBED_BUCKETS = ", ".join(
+    ["p_bucket"] + [f"xor(p_bucket, {1 << p})" for p in range(N_PLANES)]
+)
+
+ANN_MULTIPROBE_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+             FROM embeddings),
+probes0 AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS p_bucket
+            FROM emb WHERE vec_id < {N_PROBES}),
+probes AS (SELECT probe_id, probe_vec,
+                  unnest([{_PROBED_BUCKETS}]) AS probed_bucket
+           FROM probes0),
+cand AS (
+  SELECT p.probe_id, e.vec_id, e.bucket,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM emb e JOIN probes p
+    ON e.bucket = p.probed_bucket AND e.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, bucket, dist2, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist2 ASC, vec_id ASC) AS rn
+      FROM cand) t
+WHERE rn <= {TOP_K}
+"""
+
+
 # --- embedding-cosine near-dup ---------------------------------------------
 
 # Banded hyperplane LSH inside each label block: NEARDUP_N_BANDS bands
@@ -586,6 +661,7 @@ QUERIES = {
     "knn_multi_probe": knn_multi_probe,
     "cosine_topk": cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "embedding_near_dup": embedding_near_dup,
     "vector_index_build": vector_index_build_query,
     "semantic_search": semantic_search_query,
@@ -596,6 +672,7 @@ ORACLES = {
     "knn_multi_probe": KNN_MULTI_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
+    "ann_lsh_multiprobe": ANN_MULTIPROBE_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "vector_index_build": VECTOR_INDEX_SQL,
     "semantic_search": _semantic_search_sql(),

@@ -103,6 +103,9 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("ann_lsh_bucketed",
      ["MapInPandas", "hashpartitioning(probe_id"],
      ["SortMergeJoin", "CartesianProduct"]),
+    ("ann_lsh_multiprobe",
+     ["MapInPandas", "hashpartitioning(probe_id"],
+     ["SortMergeJoin", "CartesianProduct"]),
     # near-dup pair join is banded: join keys include (band_idx, sig),
     # never a label-only pair join (quadratic in a label block) —
     # see test_plans.test_neardup_banding for the candidate-count bound
