@@ -135,3 +135,24 @@ def test_queries_run_at_sf0001(spark, sf_dir, name):
     import __spark_entry__ as e
 
     assert e.queries()[name](spark, sf_dir).count() >= 0
+
+
+def test_multiprobe_dominates_single_bucket(spark, sf_dir):
+    """More probed buckets ⇒ superset of candidates ⇒ at every (probe,
+    rank) the multi-probe distance is ≤ the single-bucket distance."""
+    from spec_search_spark.operators.similarity import (
+        ann_lsh_bucketed,
+        ann_lsh_multiprobe,
+    )
+
+    single = {
+        (r["probe_id"], r["rn"]): r["dist2"]
+        for r in ann_lsh_bucketed(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["probe_id"], r["rn"]): r["dist2"]
+        for r in ann_lsh_multiprobe(spark, sf_dir).collect()
+    }
+    assert multi  # non-empty
+    for key, d_single in single.items():
+        assert key in multi and multi[key] <= d_single + 1e-9, (key, multi.get(key), d_single)
