@@ -582,8 +582,89 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+# --- dedup cluster assignment (connected components) ------------------------
+
+MAX_CC_ITERS = 15
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment: connected components over the
+    MinHash-LSH candidate graph, min doc_id as the cluster id — the
+    step production dedup pipelines run after candidate generation
+    (keep one canonical doc per component, drop the rest).
+
+    Spark-first CC: iterative min-label propagation as DataFrame
+    joins — each round every node takes the min of its own and its
+    neighbors' labels; converged when no label changes. Rounds ∝
+    component diameter: near-dup components are template clusters with
+    tiny diameters (2-4 here; a long-chain corpus would want the
+    star-contraction variant — same join primitives, fewer rounds).
+    The driver-side loop holds only a changed-row COUNT per round,
+    never data. Deterministic: min() is order-free.
+
+    Oracle: exact same semantics via a recursive transitive-closure
+    CTE (DuckDB) — min reachable doc_id per node.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = _materialize(
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).unionByName(
+            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+    )
+    labels = _materialize(docs.select("doc_id", F.col("doc_id").alias("label")))
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = _materialize(
+            labels.join(nbr_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION ALL SELECT doc2, doc1 FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id, (min(b) = a) AS is_canonical
+FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_candidates": minhash_lsh_candidates,
@@ -593,6 +674,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_clusters": _dedup_clusters_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_candidates": _minhash_lsh_sql(),

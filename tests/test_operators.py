@@ -156,3 +156,18 @@ def test_multiprobe_dominates_single_bucket(spark, sf_dir):
     assert multi  # non-empty
     for key, d_single in single.items():
         assert key in multi and multi[key] <= d_single + 1e-9, (key, multi.get(key), d_single)
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup candidate pair must land in ONE cluster, and the
+    cluster id must be the min doc_id of its members."""
+    from spec_search_spark.operators.dedup import dedup_clusters, minhash_lsh_candidates
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, sf_dir).collect()}
+    for r in minhash_lsh_candidates(spark, sf_dir).collect():
+        assert labels[r["doc1"]] == labels[r["doc2"]], r
+    members: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs), (c, min(docs))
