@@ -13,6 +13,7 @@ def all_queries():
         ivf,
         mllib_lsh,
         multimodal,
+        pipeline_ops,
         relational,
         scalar_sql,
         sheets_connector,
@@ -43,6 +44,7 @@ def all_queries():
         mllib_lsh,
         tpch_extra,
         extensibility,
+        pipeline_ops,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

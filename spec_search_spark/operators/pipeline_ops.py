@@ -1,0 +1,488 @@
+"""Training-data pipeline pack (north-star ops beyond the reference's
+own surface): benchmark decontamination, canonical-survivor selection,
+Gopher-style repetition filters, deterministic hash splits, TF-IDF
+keyword extraction, token-budget sequence packing, and source-mixing
+weights. The reference's corpus prep stops at chunk+embed
+(`/root/reference/indexer.py:29-66`); a 100 TB pretraining pipeline
+runs exactly these steps between ingest and tokenize, so they are
+first-class operators here.
+
+Scale design notes (local[32] tests, 1000-executor shapes):
+- Decontamination joins the corpus against the benchmark on 8-byte
+  shingle hashes, benchmark side broadcast — benchmarks are ~1e6 docs
+  while the corpus is 100 TB, so broadcast-the-small-side is THE plan,
+  and the corpus never shuffles its text.
+- Repetition filters / TF-IDF shuffle (doc_id, gram) pairs with
+  map-side partial aggregation; nothing is quadratic.
+- Hash split is embarrassingly parallel (a pure per-row hash), the
+  report a partial+final agg.
+- Sequence packing windows per SOURCE stream (never a global
+  single-partition window): each source packs independently, which is
+  both the scale shape and what heterogeneous-mixture training wants.
+- Mixing weights reduce to one tiny per-source row set crossed with a
+  one-row global — a broadcast nested loop over 1 row.
+
+Every query here has a DuckDB value oracle; doubles are exact
+(integer-ratio arithmetic mirrored operation-for-operation, final
+round in SQL semantics on both engines — no transcendental functions,
+see tfidf's rational idf note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import tokens
+from spec_search_spark.operators.dedup import (
+    _POLY_SQL,
+    _SHINGLES_SQL,
+    _dedup_clusters_sql,
+    _materialize,
+    _poly_hash,
+    dedup_clusters,
+    hashed_shingle_postings,
+)
+from spec_search_spark.session import tune
+
+# Whitespace token count, inlined for SQL mirrors (same fold as
+# functions.text.token_count / TOKEN_STATS_SQL).
+_TOKCOUNT_SQL = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+
+def _token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+CONTAM_BENCH_MOD = 10  # benchmark set := doc_id % 10 == 7 (deterministic
+CONTAM_BENCH_REM = 7  # stand-in for a held-out eval suite)
+CONTAM_MIN_OVERLAP = 6  # shared distinct 3-gram shingles to flag a doc
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing >= K
+    distinct word-3-gram shingles with the benchmark corpus (the
+    n-gram-overlap rule pretraining pipelines apply before training,
+    so eval answers don't leak into the train set).
+
+    Plan: reuses the memoized hashed shingle postings (hash computed
+    once per DISTINCT shingle, dedup.py:188); the benchmark's distinct
+    hash set is broadcast (benchmarks are MBs while the corpus is
+    100 TB — the corpus side never shuffles, and the join key is an
+    8-byte hash, not shingle text). Zero-overlap docs are restored by
+    a left join against the doc list, so the output is a verdict per
+    train doc, not just per contaminated doc.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hp = hashed_shingle_postings(spark, sf_dir)  # (doc_id, shingle, h)
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    bench_h = hp.filter(is_bench).select("h").distinct()
+    overlap = (
+        hp.filter(~is_bench)
+        .join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_overlap"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= CONTAM_MIN_OVERLAP).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH postings AS ({_SHINGLES_SQL}),
+hp AS (SELECT doc_id, {_POLY_SQL.format(s='shingle')} AS h FROM postings),
+bench AS (SELECT DISTINCT h FROM hp
+          WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}),
+ov AS (SELECT hp.doc_id, count(DISTINCT hp.h) AS n_overlap
+       FROM hp JOIN bench USING (h)
+       WHERE hp.doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+       GROUP BY hp.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) >= {CONTAM_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN ov o USING (doc_id)
+WHERE d.doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+"""
+
+
+# --- canonical survivors after near-dup clustering -------------------------
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-set a dedup pass actually emits: one canonical doc per
+    connected component of the MinHash-LSH near-dup graph, with the
+    member count it absorbed. Composition of dedup_clusters (iterative
+    min-label CC, dedup.py:590) + one size agg + metadata join-back —
+    all keyed on doc_id/cluster_id, nothing new shuffles text."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id, is_canonical)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.filter(F.col("is_canonical"))
+        .join(sizes, "cluster_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_members")
+    )
+
+
+def _dedup_survivors_sql() -> str:
+    return f"""
+WITH cc AS ({_dedup_clusters_sql()}),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, d.source, s.n_members
+FROM cc
+JOIN sizes s USING (cluster_id)
+JOIN documents d USING (doc_id)
+WHERE cc.is_canonical
+"""
+
+
+# --- Gopher-style repetition / diversity filters ---------------------------
+
+TOP_BIGRAM_MAX = 0.05  # max fraction of bigram mass in the top bigram
+DISTINCT_RATIO_MIN = 0.35  # min distinct-token / total-token ratio
+
+
+def _bigrams_from_toks(toks: Column) -> Column:
+    """All word bigrams (NOT distinct — repetition is the signal) from a
+    materialized tokens column; <2 tokens -> empty (same downward-
+    sequence guard as dedup._shingles_from_toks, dedup.py:102)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality verdicts (the Gopher-rules family):
+    top-bigram mass fraction + distinct-token ratio, and a keep/drop
+    verdict on fixed thresholds. Degenerate machine-generated text
+    repeats phrases — the top-bigram fraction catches loops the
+    per-token stats miss.
+
+    Plan: the ratio is pure per-row array arithmetic (no shuffle); the
+    bigram histogram shuffles (doc_id, bigram) with map-side partial
+    counts; verdicts compare ROUNDED values so both engines decide
+    ties identically.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks_df = docs.repartition(par, "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    ratio = toks_df.select(
+        "doc_id",
+        F.when(
+            F.size("toks") > 0,
+            F.round(
+                F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 4
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("distinct_ratio"),
+    )
+    per_doc = (
+        toks_df.select(
+            "doc_id", F.explode(_bigrams_from_toks(F.col("toks"))).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_bg"))
+    )
+    top_frac = F.coalesce(
+        F.round(F.col("top_n").cast("double") / F.col("total_bg"), 4), F.lit(0.0)
+    )
+    return ratio.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "distinct_ratio",
+        top_frac.alias("top_bigram_frac"),
+        (
+            (top_frac <= TOP_BIGRAM_MAX)
+            & (F.col("distinct_ratio") >= DISTINCT_RATIO_MIN)
+        ).alias("keep"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                                    i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+       FROM t),
+c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+pd AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total_bg FROM c GROUP BY doc_id),
+r AS (SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN round(len(list_distinct(toks))::DOUBLE / len(toks), 4)
+                  ELSE 1.0 END AS distinct_ratio
+      FROM t)
+SELECT r.doc_id, r.distinct_ratio,
+       coalesce(round(pd.top_n::DOUBLE / pd.total_bg, 4), 0.0) AS top_bigram_frac,
+       (coalesce(round(pd.top_n::DOUBLE / pd.total_bg, 4), 0.0) <= {TOP_BIGRAM_MAX}
+        AND r.distinct_ratio >= {DISTINCT_RATIO_MIN}) AS keep
+FROM r LEFT JOIN pd USING (doc_id)
+"""
+
+
+# --- deterministic hash split ----------------------------------------------
+
+SPLIT_BUCKETS = 100
+TRAIN_CUT = 90  # buckets [0, 90) -> train, [90, 100) -> val
+
+
+def hash_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val assignment by content-independent key
+    hash (salted doc_id), reported per (source, split): doc and token
+    counts. Hash-mod split is the reproducible way to partition a
+    100 TB corpus — no RNG state, stable under re-runs and backfills,
+    and any engine can recompute membership from the key alone.
+
+    Plan: pure per-row hash (Arrow-batched, before any exchange) +
+    partial/final agg on (source, split)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = _poly_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    bucket = F.pmod(h, F.lit(SPLIT_BUCKETS))
+    split = F.when(bucket < TRAIN_CUT, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select(
+            "source", split.alias("split"), _token_count(F.col("text")).alias("nt")
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+
+
+_SPLIT_H = _POLY_SQL.format(s="'split:' || CAST(doc_id AS VARCHAR)")
+HASH_SPLIT_SQL = f"""
+WITH s AS (SELECT source,
+                  CASE WHEN (({_SPLIT_H} % {SPLIT_BUCKETS}) + {SPLIT_BUCKETS})
+                            % {SPLIT_BUCKETS} < {TRAIN_CUT}
+                       THEN 'train' ELSE 'val' END AS split,
+                  {_TOKCOUNT_SQL} AS nt
+           FROM documents)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
+"""
+
+
+# --- TF-IDF keyword extraction ---------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per doc by tf-idf with a RATIONAL
+    idf: score = tf * (N+1)/(df+1). Deliberately no logarithm — the
+    rational weight ranks by the same (tf up, df down) signal while
+    staying exact integer-ratio IEEE arithmetic, bit-identical across
+    engines (ln() differs by ulps between libm and DuckDB, which a
+    round-to-4 cannot fully mask — the centroid_sig lesson from
+    ADVICE r2).
+
+    Plan: (doc_id, term) histogram with partial aggs; the document-
+    frequency vocabulary is term-keyed and SMALL (vocab-sized, not
+    corpus-sized) so it broadcasts back; top-k per doc is one window
+    over the doc_id partitioning the tf histogram already has."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tf = _materialize(
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") * (F.col("n_docs") + 1).cast("double"))
+                / (F.col("df") + 1),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "score")
+    )
+
+
+TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term,
+                  round((tf.tf * CAST(nd.n_docs + 1 AS DOUBLE)) / (dfreq.df + 1), 4)
+                    AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS INTEGER) AS rnk,
+       term, score
+FROM scored
+QUALIFY rnk <= {TFIDF_TOP_K}
+"""
+
+
+# --- token-budget sequence packing -----------------------------------------
+
+PACK_BUDGET = 512  # tokens per training block
+
+
+def token_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sequence packing: stream each source's docs in doc_id
+    order, cut a new block whenever the running token count crosses a
+    multiple of the budget (a doc belongs to the block its PREFIX sum
+    falls in — deterministic, one-pass, the streaming approximation of
+    greedy first-fit that tokenizer-sharding jobs use).
+
+    Plan: one window per SOURCE partition (never a global
+    single-partition cumsum — sources stream independently, which is
+    the 1000-executor shape), then a partial+final agg per block."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select("source", "doc_id", _token_count(F.col("text")).alias("nt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = nt.select(
+        "source",
+        "nt",
+        F.floor((F.sum("nt").over(w) - F.col("nt")) / PACK_BUDGET).alias("block_id"),
+    )
+    return packed.groupBy("source", "block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("block_tokens")
+    )
+
+
+PACK_SQL = f"""
+WITH nt AS (SELECT source, doc_id, {_TOKCOUNT_SQL} AS nt FROM documents),
+p AS (SELECT source, nt,
+             sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM nt)
+SELECT source, CAST(floor((cum - nt) / {PACK_BUDGET}.0) AS BIGINT) AS block_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS block_tokens
+FROM p GROUP BY source, block_id
+"""
+
+
+# --- source mixing weights --------------------------------------------------
+
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a uniform token mixture:
+    weight = min(1, (total/n_sources) / source_tokens). Over-
+    represented sources get down-sampled toward the uniform share;
+    under-represented ones keep everything (weight 1). The standard
+    first cut at rebalancing a web-scale mixture.
+
+    Plan: per-source partial+final token sums (tiny result), crossed
+    with a ONE-ROW global via broadcast nested loop (the q11 shape) —
+    no window, no second scan."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", _token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("src_tokens"))
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total_tokens").cast("double") / F.col("n_sources"))
+                / F.col("src_tokens"),
+            ),
+            6,
+        ).alias("weight"),
+    )
+
+
+MIX_SQL = f"""
+WITH nt AS (SELECT source, {_TOKCOUNT_SQL} AS nt FROM documents),
+src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens
+        FROM nt GROUP BY source),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources FROM src)
+SELECT source, src_tokens,
+       round(least(1.0, (total_tokens::DOUBLE / n_sources) / src_tokens), 6)
+         AS weight
+FROM src CROSS JOIN tot
+"""
+
+
+QUERIES = {
+    "decontaminate": decontaminate,
+    "dedup_survivors": dedup_survivors,
+    "repetition_filters": repetition_filters,
+    "hash_split_report": hash_split_report,
+    "tfidf_top_terms": tfidf_top_terms,
+    "token_pack_blocks": token_pack_blocks,
+    "source_mix_weights": source_mix_weights,
+}
+
+ORACLES = {
+    "decontaminate": DECONTAMINATE_SQL,
+    "dedup_survivors": _dedup_survivors_sql(),
+    "repetition_filters": REPETITION_SQL,
+    "hash_split_report": HASH_SPLIT_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "token_pack_blocks": PACK_SQL,
+    "source_mix_weights": MIX_SQL,
+}

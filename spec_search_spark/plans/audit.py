@@ -115,6 +115,27 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # custom-source unpivot is a pure map pipeline: custom BatchScan →
     # posexplode → filter/project, zero shuffles
     ("sheets_source_unpivot", ["BatchScan sheets", "Generate"], ["Exchange"]),
+    # --- training-pipeline pack (pipeline_ops.py) ---
+    # decontamination: the benchmark hash set broadcasts; the corpus
+    # side never cross-joins
+    ("decontaminate", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    # repetition histogram aggregates partially before the shuffle
+    ("repetition_filters", ["partial_count"], ["CartesianProduct"]),
+    # hash split: pure per-row hash + partial/final agg
+    ("hash_split_report", ["partial_sum"], ["CartesianProduct", "Window"]),
+    # tf-idf: vocab-sized df table broadcasts back; top-k window rides
+    # the doc_id partitioning; no global sort
+    ("tfidf_top_terms",
+     ["BroadcastHashJoin", "hashpartitioning(doc_id"],
+     ["SortMergeJoin", "Exchange rangepartitioning"]),
+    # packing windows per-source — never a single-partition cumsum
+    ("token_pack_blocks",
+     ["hashpartitioning(source"],
+     ["Exchange SinglePartition", "CartesianProduct"]),
+    # mixing weights: one-row global via broadcast nested loop (q11 shape)
+    ("source_mix_weights",
+     ["BroadcastNestedLoopJoin", "partial_sum"],
+     ["Window", "SortMergeJoin"]),
 ]
 
 

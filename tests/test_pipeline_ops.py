@@ -1,0 +1,112 @@
+"""Semantic invariants for the training-pipeline pack (value-level
+parity is covered by tools/selfcheck.py oracles; these pin the
+properties the oracle comparison alone wouldn't explain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spec_search_spark.operators import pipeline_ops as po
+
+
+def test_decontaminate_excludes_benchmark_and_flags_consistently(spark, sf_dir):
+    out = po.decontaminate(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    bench_ids = {r.doc_id for r in out} & {
+        i for i in range(docs_n * 100) if i % po.CONTAM_BENCH_MOD == po.CONTAM_BENCH_REM
+    }
+    # benchmark docs never appear in the train verdict set
+    assert not any(
+        r.doc_id % po.CONTAM_BENCH_MOD == po.CONTAM_BENCH_REM for r in out
+    ), bench_ids
+    # the flag is exactly the threshold rule, and both classes occur
+    assert all(r.contaminated == (r.n_overlap >= po.CONTAM_MIN_OVERLAP) for r in out)
+    flags = {r.contaminated for r in out}
+    assert flags == {True, False}
+
+
+def test_dedup_survivors_partition_docs(spark, sf_dir):
+    surv = po.dedup_survivors(spark, sf_dir)
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    agg = surv.agg(
+        F.sum("n_members").alias("members"), F.count(F.lit(1)).alias("n_clusters")
+    ).first()
+    # every doc belongs to exactly one cluster; clusters are non-trivial
+    assert agg.members == docs_n
+    assert 0 < agg.n_clusters <= docs_n
+    # canonical ids are cluster minima: no survivor is a member elsewhere
+    assert surv.filter(F.col("n_members") < 1).count() == 0
+
+
+def test_repetition_filters_verdict_rule(spark, sf_dir):
+    out = po.repetition_filters(spark, sf_dir).collect()
+    for r in out:
+        assert 0.0 <= r.distinct_ratio <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        assert r.keep == (
+            r.top_bigram_frac <= po.TOP_BIGRAM_MAX
+            and r.distinct_ratio >= po.DISTINCT_RATIO_MIN
+        )
+
+
+def test_hash_split_report_partitions_corpus(spark, sf_dir):
+    out = po.hash_split_report(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val"}
+    # deterministic: a second run assigns identically
+    a = {(r.source, r.split): r.n_docs for r in out.collect()}
+    b = {
+        (r.source, r.split): r.n_docs
+        for r in po.hash_split_report(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_tfidf_topk_shape_and_order(spark, sf_dir):
+    out = po.tfidf_top_terms(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= po.TFIDF_TOP_K
+        # scores non-increasing with rank
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_token_pack_blocks_conserve_tokens(spark, sf_dir):
+    out = po.token_pack_blocks(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = out.agg(F.sum("block_tokens")).first()[0]
+    expect = docs.select(
+        F.sum(po._token_count(F.col("text"))).alias("t")
+    ).first()[0]
+    assert total == expect
+    # blocks start at 0 per source
+    assert out.groupBy("source").agg(F.min("block_id").alias("m")).filter(
+        F.col("m") != 0
+    ).count() == 0
+    # a doc lands in block b iff its exclusive prefix sum is in
+    # [B*b, B*(b+1)): so the tokens BEFORE block b total >= B*b
+    rows = sorted(out.collect(), key=lambda r: (r.source, r.block_id))
+    prefix: dict = {}
+    for r in rows:
+        before = prefix.get(r.source, 0)
+        if r.block_id > 0:
+            assert before >= po.PACK_BUDGET * r.block_id, (r.source, r.block_id)
+            assert before < po.PACK_BUDGET * (r.block_id + 1)
+        prefix[r.source] = before + r.block_tokens
+
+
+def test_source_mix_weights_bounds(spark, sf_dir):
+    out = po.source_mix_weights(spark, sf_dir).collect()
+    assert all(0.0 < r.weight <= 1.0 for r in out)
+    # sources at or below the uniform share keep everything
+    target = sum(r.src_tokens for r in out) / len(out)
+    for r in out:
+        if r.src_tokens <= target:
+            assert r.weight == 1.0
