@@ -49,6 +49,11 @@ HEADLINE = [
     "multimodal_decode",
     "vector_index_build",
     "semantic_search",
+    # training-pipeline pack (round 3)
+    "decontaminate",
+    "repetition_filters",
+    "tfidf_top_terms",
+    "token_pack_blocks",
 ]
 
 
