@@ -194,6 +194,36 @@ FROM documents
 """
 
 
+def variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding via the VARIANT type (Spark 4):
+    parse_json once, variant_get typed paths — the open-format answer
+    to JSON columns at 100 TB (binary-encoded variant decodes ~10×
+    faster than repeated string JSON parsing, and shredded fields
+    prune like real columns). Aggregates the extracted field per
+    event_type with min/max and a conditional count."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+VARIANT_SHRED_SQL = """
+SELECT event_type,
+       CAST(min(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+       CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scalar_date_math": scalar_date_math,
     "percentiles_exact": percentiles_exact,
@@ -201,6 +231,7 @@ QUERIES = {
     "sql_grouping_sets": sql_grouping_sets,
     "ranged_scan": ranged_scan,
     "token_count_bpe": token_count_bpe,
+    "variant_shred_stats": variant_shred_stats,
 }
 
 ORACLES = {
@@ -210,4 +241,5 @@ ORACLES = {
     "sql_grouping_sets": SQL_GROUPING_SETS_SQL,
     "ranged_scan": RANGED_SCAN_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
+    "variant_shred_stats": VARIANT_SHRED_SQL,
 }

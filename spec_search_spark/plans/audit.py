@@ -136,6 +136,8 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("source_mix_weights",
      ["BroadcastNestedLoopJoin", "partial_sum"],
      ["Window", "SortMergeJoin"]),
+    # variant shredding stays a partial/final agg over the scan
+    ("variant_shred_stats", ["partial_min"], ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 

@@ -100,8 +100,50 @@ FROM events
 GROUP BY 1, 2
 """
 
-QUERIES = {"stream_hourly_counts": stream_hourly_counts_query}
-ORACLES = {"stream_hourly_counts": STREAM_HOURLY_SQL}
+def stream_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    streaming twin of the batch dedup north star. The watermark lets
+    the state store evict keys older than the lateness bound, so state
+    is O(keys-per-watermark-window), not O(all keys ever) — the only
+    shape that survives an unbounded 100 TB/day stream. Append mode:
+    each first-seen key is emitted exactly once; the result SET equals
+    batch DISTINCT regardless of micro-batch boundaries (first-seen
+    order is nondeterministic, so only key columns are emitted)."""
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+QUERIES = {
+    "stream_hourly_counts": stream_hourly_counts_query,
+    "stream_dedup_pairs": stream_dedup_pairs_query,
+}
+ORACLES = {
+    "stream_hourly_counts": STREAM_HOURLY_SQL,
+    "stream_dedup_pairs": STREAM_DEDUP_SQL,
+}
 
 
 def incremental_index(spark: SparkSession, docs_dir: str, out_dir: str | None = None) -> str:
