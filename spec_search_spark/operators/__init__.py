@@ -23,6 +23,7 @@ def all_queries():
         skew,
         text_analysis,
         tpch_extra,
+        vector_quant,
         windows,
     )
 
@@ -45,6 +46,7 @@ def all_queries():
         tpch_extra,
         extensibility,
         pipeline_ops,
+        vector_quant,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

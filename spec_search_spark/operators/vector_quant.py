@@ -1,0 +1,210 @@
+"""Int8 scalar quantization for the vector column (north-star ANN at
+100 TB): fp32 embeddings don't fit — SQ8 (per-vector max-abs scale +
+round-to-int8 components) cuts vector memory and shuffle bytes 4× and
+turns the inner loop into an integer dot product. The standard recipe
+(FAISS IndexScalarQuantizer SQ8, public) is: approximate-score the
+whole corpus on quantized vectors, keep a small candidate pool, exact
+re-rank only the pool — which is exactly the two-phase shape the other
+ANN operators here already use.
+
+Reference parity: the reference's ANN is ChromaDB's HNSW over fp32
+(`/root/reference/app.py:48-61`); quantization is the capability a
+100 TB corpus forces that the reference never needed at its scale.
+
+Determinism/oracle: quantization is pure arithmetic — exact casts,
+one IEEE division per component, round-half-away — mirrored
+operation-for-operation in DuckDB, so the quantized integers (and
+everything derived from them, including the candidate sets) are
+bit-identical across engines. No model, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.vector import cosine_similarity, cosine_similarity_sql
+from spec_search_spark.operators.similarity import N_PROBES, TOP_K, partial_topk
+from spec_search_spark.session import tune
+
+Q_MAX = 127  # int8 range
+CAND = 50  # approx-scored candidate pool per probe, re-ranked exactly
+
+
+def _with_scale(emb: DataFrame) -> DataFrame:
+    """Project the per-vector quantization scale as a REAL column
+    first: referencing the max-abs expression inside the later
+    transform() lambda would re-evaluate it per element (the O(d²)
+    HOF-re-eval trap)."""
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / float(Q_MAX)
+    )
+    return emb.select("vec_id", "embedding", scale.alias("scale"))
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, scale, qv: array<bigint>) — qv is the SQ8
+    code vector; all-zero vectors (scale 0) quantize to zeros."""
+    s = _with_scale(emb)
+    qv = F.when(
+        F.col("scale") == 0.0,
+        F.transform("embedding", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("bigint"),
+        )
+    )
+    return s.select("vec_id", "embedding", "scale", qv.alias("qv"))
+
+
+# DuckDB mirrors of the two projections above
+_SCALE_SQL = (
+    f"list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / {Q_MAX}.0"
+)
+_Q_CTES = f"""
+s AS (SELECT vec_id, embedding, {_SCALE_SQL} AS scale FROM embeddings),
+q AS (SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0::BIGINT)
+                  ELSE list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS qv
+      FROM s)
+"""
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+_INT_DOT_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+)
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 codebook build: per-vector scale plus integer invariants of
+    the code vector (component sum and squared norm pin every qv
+    bit-for-bit without emitting raw arrays). Narrow per-row map —
+    no shuffle, embarrassingly parallel at any scale."""
+    tune(spark)
+    q = _quantized(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        (F.round(F.col("scale"), 8) + 0.0).alias("qscale"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        _int_dot(F.col("qv"), F.col("qv")).alias("q_norm2"),
+    )
+
+
+QUANTIZE_SQL = f"""
+WITH {_Q_CTES}
+SELECT vec_id, round(scale, 8) + 0.0 AS qscale,
+       list_reduce(list_prepend(0::BIGINT, qv), (acc, x) -> acc + x) AS q_sum,
+       {_INT_DOT_SQL.format(a='qv', b='qv')} AS q_norm2
+FROM q
+"""
+
+
+def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SQ8 ANN: score the corpus with the INTEGER dot product
+    on quantized codes (approx ∝ scale_p·scale_d·(qp·qd)), keep the
+    top-CAND pool per probe (partial per-partition top-k before the
+    tiny per-probe exchange — the corpus never shuffles), then re-rank
+    only the pool with exact fp cosine. 4× less memory traffic in the
+    scan phase; exact math touches CAND×n_probes rows total."""
+    tune(spark)
+    q = _quantized(load_table(spark, sf_dir, "embeddings"))
+    probes = q.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("scale").alias("pscale"),
+        F.col("qv").alias("pqv"),
+    )
+    scored = (
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                (F.col("pscale") * F.col("scale"))
+                * _int_dot(F.col("qv"), F.col("pqv"))
+            ).alias("approx"),
+        )
+        .select("probe_id", "vec_id", (-F.col("approx")).alias("neg_approx"))
+    )
+    local = partial_topk(scored, "probe_id", ["neg_approx", "vec_id"], CAND)
+    wc = W.partitionBy("probe_id").orderBy(F.asc("neg_approx"), F.asc("vec_id"))
+    cand = (
+        local.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= CAND)
+        .select("probe_id", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    rer = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(probes.select("probe_id", "probe_vec")), "probe_id"
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("probe_vec")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "rn", "vec_id", "cos_sim")
+    )
+
+
+ANN_INT8_SQL = f"""
+WITH {_Q_CTES},
+probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec,
+                  scale AS pscale, qv AS pqv
+           FROM q WHERE vec_id < {N_PROBES}),
+scored AS (SELECT p.probe_id, e.vec_id,
+                  (p.pscale * e.scale) * {_INT_DOT_SQL.format(a='e.qv', b='p.pqv')}
+                    AS approx
+           FROM q e JOIN probes p ON e.vec_id <> p.probe_id),
+cand AS (SELECT probe_id, vec_id
+         FROM (SELECT probe_id, vec_id,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY approx DESC, vec_id) AS rc
+               FROM scored) t
+         WHERE rc <= {CAND}),
+rer AS (SELECT c.probe_id, c.vec_id,
+               round({cosine_similarity_sql('e.embedding', 'p.probe_vec')}, 4)
+                 AS cos_sim
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.probe_id = c.probe_id)
+SELECT probe_id, rn, vec_id, cos_sim
+FROM (SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM rer) t
+WHERE rn <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "quantize_int8": quantize_int8,
+    "ann_int8_rerank": ann_int8_rerank,
+}
+
+ORACLES = {
+    "quantize_int8": QUANTIZE_SQL,
+    "ann_int8_rerank": ANN_INT8_SQL,
+}

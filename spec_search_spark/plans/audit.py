@@ -138,6 +138,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["Window", "SortMergeJoin"]),
     # variant shredding stays a partial/final agg over the scan
     ("variant_shred_stats", ["partial_min"], ["CartesianProduct", "Exchange rangepartitioning"]),
+    # SQ8 codebook build is a pure per-row map: zero shuffles
+    ("quantize_int8", [], ["Exchange"]),
+    # SQ8 ANN keeps the two-phase shape: partial top-k before the
+    # per-probe exchange; quantized scan side never sort-merge joins
+    ("ann_int8_rerank",
+     ["MapInPandas", "hashpartitioning(probe_id"],
+     ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 
