@@ -467,6 +467,94 @@ FROM src CROSS JOIN tot
 """
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixing weights: keep a doc when its salted key hash
+    falls under the source's weight threshold — the deterministic
+    Bernoulli(weight) sample that actually materializes the rebalanced
+    mixture. Reported per source as kept/total counts.
+
+    The threshold is round(weight * 1e6) compared against
+    hash mod 1e6 — an INTEGER comparison in both engines, so the
+    sample membership is reproducible anywhere (backfills pick
+    exactly the same docs). Plan: tiny weights table broadcast onto
+    the doc scan; per-row hash; partial/final agg."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    weights = source_mix_weights(spark, sf_dir).select("source", "weight")
+    h = F.pmod(
+        _poly_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    kept = (h < F.round(F.col("weight") * 1e6, 0).cast("bigint")).cast("int")
+    return (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(weights), "source")
+        .select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+_SAMPLE_H = _POLY_SQL.format(s="'sample:' || CAST(doc_id AS VARCHAR)")
+WEIGHTED_SAMPLE_SQL = f"""
+WITH nt AS (SELECT source, {_TOKCOUNT_SQL} AS nt FROM documents),
+src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens
+        FROM nt GROUP BY source),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources FROM src),
+w AS (SELECT source,
+             round(least(1.0, (total_tokens::DOUBLE / n_sources) / src_tokens), 6)
+               AS weight
+      FROM src CROSS JOIN tot),
+d AS (SELECT d.source,
+             CASE WHEN (({_SAMPLE_H} % 1000000) + 1000000) % 1000000
+                       < CAST(round(w.weight * 1e6, 0) AS BIGINT)
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN w USING (source))
+SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM d GROUP BY source
+"""
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization (the cleaning stage before
+    dedup/tokenize): lowercase, strip non-alphanumerics, collapse
+    whitespace. Emits the normalized length + content fingerprint
+    rather than megabytes of normalized text. Pure per-row regex —
+    codegen'd, zero shuffle."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    d = docs.select("doc_id", norm.alias("norm"))
+    return d.select(
+        "doc_id",
+        F.length("norm").cast("bigint").alias("norm_len"),
+        _poly_hash(F.col("norm")).alias("norm_fp"),
+    )
+
+
+NORMALIZE_SQL = f"""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         ' +', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len,
+       {_POLY_SQL.format(s='norm')} AS norm_fp
+FROM n
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "dedup_survivors": dedup_survivors,
@@ -475,6 +563,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "token_pack_blocks": token_pack_blocks,
     "source_mix_weights": source_mix_weights,
+    "weighted_sample": weighted_sample,
+    "normalize_text": normalize_text,
 }
 
 ORACLES = {
@@ -485,4 +575,6 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "token_pack_blocks": PACK_SQL,
     "source_mix_weights": MIX_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "normalize_text": NORMALIZE_SQL,
 }

@@ -138,6 +138,10 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["Window", "SortMergeJoin"]),
     # variant shredding stays a partial/final agg over the scan
     ("variant_shred_stats", ["partial_min"], ["CartesianProduct", "Exchange rangepartitioning"]),
+    # weighted sampling: weights broadcast onto the scan, agg partial
+    ("weighted_sample", ["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
+    # normalization is a pure per-row regex map: zero shuffles
+    ("normalize_text", [], ["Exchange"]),
     # SQ8 codebook build is a pure per-row map: zero shuffles
     ("quantize_int8", [], ["Exchange"]),
     # SQ8 ANN keeps the two-phase shape: partial top-k before the

@@ -102,6 +102,35 @@ def test_token_pack_blocks_conserve_tokens(spark, sf_dir):
         prefix[r.source] = before + r.block_tokens
 
 
+def test_weighted_sample_respects_weights(spark, sf_dir):
+    weights = {r.source: r.weight for r in po.source_mix_weights(spark, sf_dir).collect()}
+    out = po.weighted_sample(spark, sf_dir).collect()
+    for r in out:
+        assert 0 <= r.n_kept <= r.n_total
+        if weights[r.source] == 1.0:
+            assert r.n_kept == r.n_total, r.source
+
+
+def test_normalize_text_idempotent(spark, sf_dir):
+    # normalizing already-normalized text is a fixed point: re-apply
+    # the same expressions to a normalized projection and compare fps
+    from pyspark.sql import functions as F2
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.dedup import _poly_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F2.trim(
+        F2.regexp_replace(
+            F2.regexp_replace(F2.lower(F2.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    once = docs.select("doc_id", norm.alias("text"))
+    twice = once.select("doc_id", norm.alias("text"))
+    a = {r.doc_id: r.fp for r in once.select("doc_id", _poly_hash("text").alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in twice.select("doc_id", _poly_hash("text").alias("fp")).collect()}
+    assert a == b
+
+
 def test_source_mix_weights_bounds(spark, sf_dir):
     out = po.source_mix_weights(spark, sf_dir).collect()
     assert all(0.0 < r.weight <= 1.0 for r in out)
