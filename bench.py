@@ -54,6 +54,7 @@ HEADLINE = [
     "repetition_filters",
     "tfidf_top_terms",
     "token_pack_blocks",
+    "ann_int8_rerank",
 ]
 
 

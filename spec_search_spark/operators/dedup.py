@@ -604,8 +604,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: exact same semantics via a recursive transitive-closure
     CTE (DuckDB) — min reachable doc_id per node.
+
+    Memoized per (session, corpus) like _HASHED_POSTINGS: the label
+    table is an index-shaped intermediate read by both the cluster
+    query and dedup_survivors — the iterative join rounds should run
+    once, not once per consumer.
     """
     tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CC_LABELS:
+        return _CC_LABELS[key]
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_lsh_candidates(spark, sf_dir)
     edges = _materialize(
@@ -640,11 +648,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
-    return labels.select(
+    _CC_LABELS[key] = labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("doc_id")).alias("is_canonical"),
     )
+    return _CC_LABELS[key]
+
+
+_CC_LABELS: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dedup_clusters_sql() -> str:
