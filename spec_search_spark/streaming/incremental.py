@@ -136,13 +136,73 @@ STREAM_DEDUP_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows: session_window(ts, 30 min)
+    merges events whose gaps stay UNDER the timeout into one growing
+    window, state evicted by the watermark — the streaming twin of the
+    batch lag+cumsum sessionizer (operators.windows.sessionize). Note
+    the boundary difference, pinned by the oracle: session_window
+    SPLITS at gap >= 30 min (window end is exclusive), the batch
+    idiom at gap > 30 min."""
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# gap >= 30 min splits (session_window's exclusive end), vs the batch
+# sessionizer's strict >; session_start is the first event's ts.
+STREAM_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, sid
+"""
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
+    "stream_sessionize": stream_sessionize_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
     "stream_dedup_pairs": STREAM_DEDUP_SQL,
+    "stream_sessionize": STREAM_SESSIONIZE_SQL,
 }
 
 
