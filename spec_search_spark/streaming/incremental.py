@@ -194,15 +194,83 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
 FROM sess GROUP BY user_id, sid
 """
 
+def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition:
+    click→purchase attribution within 10 minutes per user. Both sides
+    carry watermarks so the join state evicts rows outside the
+    attribution window — the bounded-state shape; without the time
+    bound the state would grow with the whole stream. Inner-join
+    append emission is match-driven, so the result SET equals the
+    batch join regardless of micro-batching."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purch_ts"),
+            F.col("value").alias("purch_value"),
+        )
+        .withWatermark("purch_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purch_ts") >= F.col("click_ts"))
+        & (F.col("purch_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purch_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        F.round("purch_value", 2).alias("purch_value"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+       round(p.value, 2) AS purch_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
     "stream_sessionize": stream_sessionize_query,
+    "stream_stream_join": stream_stream_join_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
     "stream_dedup_pairs": STREAM_DEDUP_SQL,
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
 }
 
 
