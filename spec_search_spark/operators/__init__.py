@@ -51,8 +51,9 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     from spec_search_spark.streaming import incremental as streaming_inc
+    from spec_search_spark.streaming import stateful as streaming_stateful
 
-    for mod in (streaming_inc,):
+    for mod in (streaming_inc, streaming_stateful):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

@@ -54,6 +54,97 @@ def _update_user_state(
     )
 
 
+class _UserEventCounter:
+    """transformWithStateInPandas processor (the Spark 4 arbitrary-
+    state v2 API): per-user event count held in a typed ValueState.
+    v2 improvements over applyInPandasWithState this demonstrates:
+    named state variables with schemas, an explicit processor
+    lifecycle (init/close), and timer support (unused here).
+
+    Counts only — integer state, so the emitted totals are exactly
+    the batch GROUP BY counts (no float fold-order dependence) and
+    the query carries a real value oracle."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._count = handle.getValueState(
+            "count", StructType([StructField("n", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the v2 stateful processor over the static events parquet;
+    the final table equals SELECT user_id, count(*) GROUP BY user_id."""
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401 (v2 API gate)
+
+    name = f"user_tws_{uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_processor(),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tws_")
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _make_processor():
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserEventCounter(_UserEventCounter, StatefulProcessor):
+        pass
+
+    return UserEventCounter()
+
+
+USER_COUNTS_TWS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def tws_available() -> bool:
+    """The v2 API streams plan metadata to a Python driver worker over
+    protobuf; this container ships no usable google.protobuf, so the
+    query cannot register (a registered query must RUN). The processor
+    above is the complete, correct surface — the gated test drives it
+    when the dependency exists and skips loudly when it doesn't (same
+    loud-boundary policy as multimodal.REAL_DECODE_AVAILABLE)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
 def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful operator over the static events parquet (one
     micro-batch) and return the final per-user stats table."""

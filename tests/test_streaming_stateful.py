@@ -93,3 +93,27 @@ def test_corrupt_record_quarantine(spark):
     assert good.count() == 2
     assert bad.count() == 2
     assert {r["id"] for r in good.collect()} == {1, 3}
+
+
+def test_transform_with_state_user_counts(spark, sf_dir):
+    """v2 arbitrary-state API (transformWithStateInPandas): final
+    per-user totals equal batch GROUP BY counts. Skips where the
+    protobuf dependency of the v2 driver worker is unavailable."""
+    import pytest
+
+    from spec_search_spark.streaming import stateful as st
+
+    if not st.tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState v2 needs it")
+    got = {r.user_id: r.n_events for r in st.user_counts_tws(spark, sf_dir).collect()}
+    from spec_search_spark.catalog import load_table
+
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
