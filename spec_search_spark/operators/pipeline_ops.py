@@ -555,6 +555,121 @@ FROM n
 """
 
 
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep funnel as ONE query — per source, how many
+    docs survive each gate in sequence: raw → quality (repetition
+    verdict) → near-dup canonical → decontaminated → train split →
+    mixture-sampled, plus the token count that actually reaches
+    tokenization. This is the report a pretraining data job publishes
+    per run; every stage reuses the oracle-checked operator above it
+    (and its memoized intermediates — postings, CC labels — so the
+    funnel costs one extra pass of joins, not a pipeline re-run).
+
+    Scale: four doc_id-keyed left joins of doc-count-sized flag
+    tables + one broadcast weights join; a single partial/final agg.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    cc = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    cont = decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    weights = source_mix_weights(spark, sf_dir).select("source", "weight")
+    split_h = F.pmod(
+        _poly_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    samp_h = F.pmod(
+        _poly_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    base = (
+        docs.select("doc_id", "source", _token_count(F.col("text")).alias("nt"))
+        .join(rep, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(F.broadcast(weights), "source")
+    )
+    q = F.coalesce("q_keep", F.lit(False))
+    c1 = q & F.coalesce("is_canonical", F.lit(False))
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    c2 = c1 & ~is_bench & ~F.coalesce("contaminated", F.lit(False))
+    c3 = c2 & (split_h < TRAIN_CUT)
+    c4 = c3 & (samp_h < F.round(F.col("weight") * 1e6, 0).cast("bigint"))
+    flagged = base.select(
+        "source",
+        "nt",
+        q.alias("f_q"),
+        c1.alias("f_c1"),
+        c2.alias("f_c2"),
+        c3.alias("f_c3"),
+        c4.alias("f_c4"),
+    )
+
+    def n(flag: str):
+        return F.sum(F.col(flag).cast("int")).cast("bigint")
+
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        n("f_q").alias("n_quality"),
+        n("f_c1").alias("n_canonical"),
+        n("f_c2").alias("n_clean"),
+        n("f_c3").alias("n_train"),
+        n("f_c4").alias("n_final"),
+        F.coalesce(F.sum(F.when(F.col("f_c4"), F.col("nt"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+
+
+def _training_pipeline_sql() -> str:
+    return f"""
+WITH rep AS (SELECT doc_id, keep FROM ({REPETITION_SQL}) r0),
+cc AS ({_dedup_clusters_sql()}),
+cont AS (SELECT doc_id, contaminated FROM ({DECONTAMINATE_SQL}) c0),
+ntd AS (SELECT doc_id, source, {_TOKCOUNT_SQL} AS nt FROM documents),
+nt2 AS (SELECT source, {_TOKCOUNT_SQL} AS nt FROM documents),
+src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens
+        FROM nt2 GROUP BY source),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources FROM src),
+w AS (SELECT source,
+             round(least(1.0, (total_tokens::DOUBLE / n_sources) / src_tokens), 6)
+               AS weight
+      FROM src CROSS JOIN tot),
+flags AS (
+  SELECT d.source, d.nt,
+         coalesce(r.keep, false) AS f_q,
+         (coalesce(r.keep, false) AND coalesce(cc.is_canonical, false)) AS f_c1,
+         (coalesce(r.keep, false) AND coalesce(cc.is_canonical, false)
+          AND NOT (d.doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM})
+          AND NOT coalesce(c.contaminated, false)) AS f_c2,
+         (({_POLY_SQL.format(s="'split:' || CAST(d.doc_id AS VARCHAR)")}
+           % {SPLIT_BUCKETS} + {SPLIT_BUCKETS}) % {SPLIT_BUCKETS})
+           < {TRAIN_CUT} AS is_train,
+         (({_POLY_SQL.format(s="'sample:' || CAST(d.doc_id AS VARCHAR)")}
+           % 1000000 + 1000000) % 1000000)
+           < CAST(round(w.weight * 1e6, 0) AS BIGINT) AS sampled
+  FROM ntd d
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN cc ON cc.doc_id = d.doc_id
+  LEFT JOIN cont c USING (doc_id)
+  JOIN w ON w.source = d.source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN f_c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN f_c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN f_c2 AND is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN f_c2 AND is_train AND sampled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_final,
+       CAST(coalesce(sum(CASE WHEN f_c2 AND is_train AND sampled THEN nt END), 0)
+            AS BIGINT) AS tokens_final
+FROM flags GROUP BY source
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "dedup_survivors": dedup_survivors,
@@ -565,6 +680,7 @@ QUERIES = {
     "source_mix_weights": source_mix_weights,
     "weighted_sample": weighted_sample,
     "normalize_text": normalize_text,
+    "training_pipeline_e2e": training_pipeline_e2e,
 }
 
 ORACLES = {
@@ -577,4 +693,5 @@ ORACLES = {
     "source_mix_weights": MIX_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "normalize_text": NORMALIZE_SQL,
+    "training_pipeline_e2e": _training_pipeline_sql(),
 }

@@ -140,6 +140,8 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("variant_shred_stats", ["partial_min"], ["CartesianProduct", "Exchange rangepartitioning"]),
     # weighted sampling: weights broadcast onto the scan, agg partial
     ("weighted_sample", ["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
+    # e2e funnel: flag joins + one partial/final agg, nothing quadratic
+    ("training_pipeline_e2e", ["partial_sum"], ["CartesianProduct"]),
     # normalization is a pure per-row regex map: zero shuffles
     ("normalize_text", [], ["Exchange"]),
     # SQ8 codebook build is a pure per-row map: zero shuffles

@@ -131,6 +131,19 @@ def test_normalize_text_idempotent(spark, sf_dir):
     assert a == b
 
 
+def test_training_pipeline_funnel_monotone(spark, sf_dir):
+    out = po.training_pipeline_e2e(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_raw for r in out) == docs_n
+    for r in out:
+        assert (
+            r.n_raw >= r.n_quality >= r.n_canonical >= r.n_clean
+            >= r.n_train >= r.n_final >= 0
+        ), r
+        if r.n_final == 0:
+            assert r.tokens_final == 0
+
+
 def test_source_mix_weights_bounds(spark, sf_dir):
     out = po.source_mix_weights(spark, sf_dir).collect()
     assert all(0.0 < r.weight <= 1.0 for r in out)
