@@ -13,6 +13,7 @@ def all_queries():
         ivf,
         mllib_lsh,
         multimodal,
+        pii,
         pipeline_ops,
         relational,
         scalar_sql,
@@ -45,6 +46,7 @@ def all_queries():
         mllib_lsh,
         tpch_extra,
         extensibility,
+        pii,
         pipeline_ops,
         vector_quant,
     ):

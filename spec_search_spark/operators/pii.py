@@ -1,0 +1,183 @@
+"""PII scan + redaction pack over `documents` — the privacy gate a
+training-data pipeline runs before anything leaves the corpus
+(north-star text ops; complements quality/repetition filters in
+`pipeline_ops.py`).
+
+The synthetic corpus contains no PII, so both engines first INJECT
+deterministic PII-shaped tokens derived from ``doc_id`` (emails,
+phones, IPv4s, URLs) into a subset of docs — the operator under test
+is the scan/redact machinery, and the injection makes its output
+non-trivial and bit-reproducible in DuckDB.
+
+Scale design: every expression is a built-in regexp op — JVM-side,
+whole-stage codegen, zero Python. The only shuffle is the final
+partial+final aggregate on `source` (cardinality 4), so the plan is
+scan → narrow map → tiny exchange regardless of corpus size. Regexes
+are written in the common Java/RE2 subset (no backreferences, no
+lookaround) so Spark and DuckDB match byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+# Java-regex / RE2 common-subset patterns (no escaping differences:
+# DuckDB standard strings keep backslashes literal; Spark gets these
+# via the DataFrame API, not SQL literals).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+URL_RE = r"https?://[A-Za-z0-9./_-]+"
+
+# Redaction must run URL-first (URLs contain dots/digits that the other
+# patterns could nibble at), then email, then IP, then phone — the same
+# fixed order in both engines.
+_REDACTION_ORDER = [
+    ("urls", URL_RE, "<URL>"),
+    ("emails", EMAIL_RE, "<EMAIL>"),
+    ("ipv4s", IPV4_RE, "<IP>"),
+    ("phones", PHONE_RE, "<PHONE>"),
+]
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII injected into docs where
+    doc_id % 3 != 0 (the rest stay clean, so zero-count groups are
+    exercised too)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    frag = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/p"),
+        F.col("doc_id").cast("string"),
+    )
+    aug = F.when(F.col("doc_id") % 3 != 0, F.concat(F.col("text"), frag)).otherwise(
+        F.col("text")
+    )
+    return docs.select("doc_id", "source", aug.alias("aug"))
+
+
+_AUG_SQL = """
+SELECT doc_id, source,
+       CASE WHEN doc_id % 3 <> 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.example.org/p' || CAST(doc_id AS VARCHAR)
+            ELSE text END AS aug
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII inventory: how many docs carry each PII class and
+    total match counts — the report a compliance pass reads before
+    deciding whether a source is shippable."""
+    aug = _augmented(spark, sf_dir)
+    counts = aug.select(
+        "source",
+        _matches(F.col("aug"), EMAIL_RE).alias("e"),
+        _matches(F.col("aug"), PHONE_RE).alias("p"),
+        _matches(F.col("aug"), IPV4_RE).alias("i"),
+        _matches(F.col("aug"), URL_RE).alias("u"),
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(((F.col("e") + F.col("p") + F.col("i") + F.col("u")) > 0).cast("bigint")).alias(
+                "docs_with_pii"
+            ),
+            F.sum(F.col("e").cast("bigint")).alias("emails"),
+            F.sum(F.col("p").cast("bigint")).alias("phones"),
+            F.sum(F.col("i").cast("bigint")).alias("ipv4s"),
+            F.sum(F.col("u").cast("bigint")).alias("urls"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCAN_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+c AS (SELECT source,
+             length(regexp_extract_all(aug, '{EMAIL_RE}')) AS e,
+             length(regexp_extract_all(aug, '{PHONE_RE}')) AS p,
+             length(regexp_extract_all(aug, '{IPV4_RE}')) AS i,
+             length(regexp_extract_all(aug, '{URL_RE}')) AS u
+      FROM aug)
+SELECT source, COUNT(*) AS docs,
+       SUM(CASE WHEN e + p + i + u > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+       SUM(e) AS emails, SUM(p) AS phones, SUM(i) AS ipv4s, SUM(u) AS urls
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source redaction report: chars before/after replacing every
+    PII match with a typed token, plus a residual re-scan of the
+    redacted text (self-verifying — residual_pii must be 0, and the
+    oracle recomputes it rather than trusting the claim)."""
+    aug = _augmented(spark, sf_dir)
+    red = F.col("aug")
+    for _, pattern, token in _REDACTION_ORDER:
+        red = F.regexp_replace(red, pattern, token)
+    docs = aug.select("source", F.length("aug").alias("raw_len"), red.alias("red"))
+    residual = sum(_matches(F.col("red"), p) for _, p, _ in _REDACTION_ORDER)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("raw_len").cast("bigint")).alias("raw_chars"),
+            F.sum(F.length("red").cast("bigint")).alias("redacted_chars"),
+            F.sum(residual.cast("bigint")).alias("residual_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+_RED_EXPR = "aug"
+for _, _p, _t in _REDACTION_ORDER:
+    _RED_EXPR = f"regexp_replace({_RED_EXPR}, '{_p}', '{_t}', 'g')"
+
+PII_REDACT_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+r AS (SELECT source, length(aug) AS raw_len, {_RED_EXPR} AS red FROM aug)
+SELECT source, COUNT(*) AS docs,
+       SUM(raw_len) AS raw_chars,
+       SUM(length(red)) AS redacted_chars,
+       SUM(length(regexp_extract_all(red, '{EMAIL_RE}'))
+           + length(regexp_extract_all(red, '{PHONE_RE}'))
+           + length(regexp_extract_all(red, '{IPV4_RE}'))
+           + length(regexp_extract_all(red, '{URL_RE}'))) AS residual_pii
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "pii_scan": pii_scan,
+    "pii_redact": pii_redact,
+}
+
+ORACLES = {
+    "pii_scan": PII_SCAN_SQL,
+    "pii_redact": PII_REDACT_SQL,
+}

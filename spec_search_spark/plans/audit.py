@@ -144,6 +144,10 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("training_pipeline_e2e", ["partial_sum"], ["CartesianProduct"]),
     # normalization is a pure per-row regex map: zero shuffles
     ("normalize_text", [], ["Exchange"]),
+    # PII scan/redact: per-row regex (codegen) + one partial/final agg
+    # on source — never a sort-based agg or anything quadratic
+    ("pii_scan", ["partial_sum", "HashAggregate"], ["CartesianProduct", "SortAggregate"]),
+    ("pii_redact", ["partial_sum", "HashAggregate"], ["CartesianProduct", "SortAggregate"]),
     # SQ8 codebook build is a pure per-row map: zero shuffles
     ("quantize_int8", [], ["Exchange"]),
     # SQ8 ANN keeps the two-phase shape: partial top-k before the
