@@ -26,7 +26,7 @@ from pyspark.sql.window import Window as W
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.vector import cosine_similarity, cosine_similarity_sql
-from spec_search_spark.operators.similarity import N_PROBES, TOP_K, partial_topk
+from spec_search_spark.operators.similarity import N_PROBES, TOP_K
 from spec_search_spark.session import tune
 
 Q_MAX = 127  # int8 range
@@ -113,41 +113,101 @@ FROM q
 """
 
 
+def _quantized_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized corpus is an index-shaped intermediate (like
+    dedup's hashed postings / ivf's trained centroids): build it once
+    per (session, corpus) and cache — the SQ8 code build is a pure map,
+    but its HOF projections carry a large codegen cost that shouldn't
+    be re-paid by every reader."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QUANTIZED:
+        q = (
+            _quantized(load_table(spark, sf_dir, "embeddings"))
+            .select("vec_id", "scale", "qv")  # narrow: never cache fp arrays
+            .cache()
+        )
+        q.count()
+        _QUANTIZED[key] = q
+    return _QUANTIZED[key]
+
+
+_QUANTIZED: dict[tuple[str, str], DataFrame] = {}
+
+
 def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SQ8 ANN: score the corpus with the INTEGER dot product
     on quantized codes (approx ∝ scale_p·scale_d·(qp·qd)), keep the
-    top-CAND pool per probe (partial per-partition top-k before the
-    tiny per-probe exchange — the corpus never shuffles), then re-rank
-    only the pool with exact fp cosine. 4× less memory traffic in the
-    scan phase; exact math touches CAND×n_probes rows total."""
+    top-CAND pool per probe, then re-rank only the pool with exact fp
+    cosine — exact math touches CAND×n_probes rows total.
+
+    The scan phase is ONE Arrow-batched mapInPandas kernel: an int64
+    matmul scores every probe against the batch (the vectorized form
+    SQ8 exists to enable — 4× less memory traffic than fp, no
+    per-element codegen'd lambda), and the same pass folds a running
+    per-probe top-CAND under the (neg_approx, vec_id) total order, so
+    only ≤ CAND×n_partitions×n_probes survivor rows reach the tiny
+    per-probe exchange. The corpus itself never shuffles. Probe codes
+    are collected driver-side (N_PROBES rows — the bounded FAISS-style
+    probe collect the other ANN ops use) and ship in the closure;
+    float ops replicate the oracle's (pscale·scale)·dot grouping
+    bit-for-bit, so candidate selection is engine-identical."""
     tune(spark)
-    q = _quantized(load_table(spark, sf_dir, "embeddings"))
-    probes = q.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
-        F.col("scale").alias("pscale"),
-        F.col("qv").alias("pqv"),
+    import numpy as np
+
+    q = _quantized_memo(spark, sf_dir)
+    probe_rows = sorted(
+        q.filter(F.col("vec_id") < N_PROBES).select("vec_id", "scale", "qv").collect(),
+        key=lambda r: r.vec_id,
     )
-    scored = (
-        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            (
-                (F.col("pscale") * F.col("scale"))
-                * _int_dot(F.col("qv"), F.col("pqv"))
-            ).alias("approx"),
-        )
-        .select("probe_id", "vec_id", (-F.col("approx")).alias("neg_approx"))
+    pids = np.array([r.vec_id for r in probe_rows], dtype=np.int64)
+    pscale = np.array([r.scale for r in probe_rows], dtype=np.float64)
+    pq = np.array([r.qv for r in probe_rows], dtype=np.int64)  # P×D
+    n_probes = len(probe_rows)
+
+    def score_fold(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            qm = np.array(list(pdf["qv"]), dtype=np.int64)  # N×D
+            dots = qm @ pq.T  # N×P, exact in int64
+            sc = pdf["scale"].to_numpy(dtype=np.float64)
+            approx = (sc[:, None] * pscale[None, :]) * dots.astype(np.float64)
+            cur = pd.DataFrame(
+                {
+                    "probe_id": np.tile(pids, n),
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), n_probes
+                    ),
+                    "neg_approx": -approx.reshape(-1),
+                }
+            )
+            cur = cur[cur.vec_id != cur.probe_id]
+            both = pd.concat([acc, cur]) if acc is not None else cur
+            acc = (
+                both.sort_values(["neg_approx", "vec_id"], kind="mergesort")
+                .groupby("probe_id", sort=False)
+                .head(CAND)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    scored = q.select("vec_id", "scale", "qv").mapInPandas(
+        score_fold, "probe_id bigint, vec_id bigint, neg_approx double"
     )
-    local = partial_topk(scored, "probe_id", ["neg_approx", "vec_id"], CAND)
     wc = W.partitionBy("probe_id").orderBy(F.asc("neg_approx"), F.asc("vec_id"))
     cand = (
-        local.withColumn("rc", F.row_number().over(wc))
+        scored.withColumn("rc", F.row_number().over(wc))
         .filter(F.col("rc") <= CAND)
         .select("probe_id", "vec_id")
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
     rer = (
         emb.join(F.broadcast(cand), "vec_id")
         .join(
