@@ -301,6 +301,96 @@ WHERE rn <= {TOP_K}
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: recall@k of the LSH-bucketed ANN against
+    exact kNN under the SAME metric/rounding/tie order — the number
+    that tells you whether a bucketing config is shippable before you
+    point it at the full corpus.
+
+    Both arms reuse the production operators (exact arm = the
+    multi-probe scan at k=TOP_K, approx arm = `ann_lsh_bucketed`), so
+    the report measures the deployed plans, not a reimplementation.
+    Scale: both arms end at ≤ N_PROBES×TOP_K rows; the hit-join and
+    per-probe rollup are driver-trivial regardless of corpus size."""
+    emb = _emb(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    scored = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4).alias("dist2"),
+    )
+    local = partial_topk(scored, "probe_id", ["dist2", "vec_id"], TOP_K)
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    exact = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id")
+    )
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        "probe_id", "vec_id", F.lit(1).alias("hit")
+    )
+    n_approx = approx.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias("n_hits"),
+        )
+        .join(F.broadcast(n_approx), "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0).cast("bigint")).alias("n_approx"),
+            "n_hits",
+            F.round(F.col("n_hits") / float(TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+             FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS p_bucket
+           FROM emb WHERE vec_id < {N_PROBES}),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM emb e JOIN probes p ON e.vec_id <> p.probe_id),
+exact AS (SELECT probe_id, vec_id
+          FROM (SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY dist2 ASC, vec_id ASC) AS rn
+                FROM scored) t
+          WHERE rn <= {TOP_K}),
+lshcand AS (
+  SELECT p.probe_id, e.vec_id,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM emb e JOIN probes p
+    ON e.bucket = p.p_bucket AND e.vec_id <> p.probe_id),
+appx AS (SELECT probe_id, vec_id
+         FROM (SELECT probe_id, vec_id,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY dist2 ASC, vec_id ASC) AS rn
+               FROM lshcand) t
+         WHERE rn <= {TOP_K}),
+napp AS (SELECT probe_id, COUNT(*) AS n_approx FROM appx GROUP BY probe_id)
+SELECT g.probe_id, g.n_exact,
+       COALESCE(napp.n_approx, 0) AS n_approx, g.n_hits,
+       round(g.n_hits / {float(TOP_K)}, 4) AS recall_at_k
+FROM (SELECT e.probe_id, COUNT(*) AS n_exact,
+             SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM exact e LEFT JOIN appx a
+        ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+      GROUP BY e.probe_id) g
+LEFT JOIN napp ON napp.probe_id = g.probe_id
+ORDER BY g.probe_id
+"""
+
+
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: each probe searches its own bucket PLUS the
     N_PLANES buckets at Hamming distance 1 (one sign bit flipped) —
@@ -662,6 +752,7 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_recall_report": ann_recall_report,
     "embedding_near_dup": embedding_near_dup,
     "vector_index_build": vector_index_build_query,
     "semantic_search": semantic_search_query,
@@ -673,6 +764,7 @@ ORACLES = {
     "cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_MULTIPROBE_SQL,
+    "ann_recall_report": ANN_RECALL_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "vector_index_build": VECTOR_INDEX_SQL,
     "semantic_search": _semantic_search_sql(),

@@ -155,6 +155,9 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("ann_int8_rerank",
      ["MapInPandas", "hashpartitioning(probe_id"],
      ["SortMergeJoin", "CartesianProduct"]),
+    # recall report: both arms keep their partial-top-k shape; the
+    # hit-join is over ≤ probes×k rows, never a sort-merge join
+    ("ann_recall_report", ["MapInPandas"], ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 

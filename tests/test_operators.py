@@ -158,6 +158,28 @@ def test_multiprobe_dominates_single_bucket(spark, sf_dir):
         assert key in multi and multi[key] <= d_single + 1e-9, (key, multi.get(key), d_single)
 
 
+def test_ann_recall_report_is_consistent(spark, sf_dir):
+    """recall = hits/k, hits ≤ min(n_exact, n_approx), one row per
+    probe — and the approx arm agrees with ann_lsh_bucketed's output."""
+    from spec_search_spark.operators.similarity import (
+        N_PROBES,
+        TOP_K,
+        ann_lsh_bucketed,
+        ann_recall_report,
+    )
+
+    rows = ann_recall_report(spark, sf_dir).collect()
+    assert [r.probe_id for r in rows] == list(range(N_PROBES))
+    n_appx = {}
+    for r in ann_lsh_bucketed(spark, sf_dir).collect():
+        n_appx[r.probe_id] = n_appx.get(r.probe_id, 0) + 1
+    for r in rows:
+        assert r.n_exact <= TOP_K
+        assert r.n_approx == n_appx.get(r.probe_id, 0)
+        assert 0 <= r.n_hits <= min(r.n_exact, r.n_approx)
+        assert abs(r.recall_at_k - round(r.n_hits / TOP_K, 4)) < 1e-12
+
+
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     """Every near-dup candidate pair must land in ONE cluster, and the
     cluster id must be the min doc_id of its members."""
