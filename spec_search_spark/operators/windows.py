@@ -342,6 +342,70 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def scd2_current_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change capture + latest-snapshot (the SCD-2 "current view" a
+    warehouse MERGE maintains): treat each user's event stream as a
+    versioned entity — count versions, count REAL changes (event_type
+    differs from the previous version; the initial version counts),
+    and surface the current state, all in one pass.
+
+    Scale: one shuffle on user_id for the window; the per-user
+    aggregate rides the SAME partitioning (no second exchange), so the
+    plan is scan → exchange(user_id) → window → partial/final agg.
+    Current state comes from the rn_desc=1 row inside the aggregate —
+    no self-join back to the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    wa = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        (
+            F.lag("event_type").over(wa).isNull()
+            | (F.lag("event_type").over(wa) != F.col("event_type"))
+        )
+        .cast("bigint")
+        .alias("changed"),
+        F.row_number().over(wd).alias("rn_desc"),
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum("changed").alias("n_changes"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("event_type"))).alias("cur_type"),
+            F.round(
+                F.max(F.when(F.col("rn_desc") == 1, F.col("value"))), 2
+            ).alias("cur_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SCD2_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS changed,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_versions,
+       CAST(SUM(changed) AS BIGINT) AS n_changes,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       MAX(CASE WHEN rn_desc = 1 THEN event_type END) AS cur_type,
+       round(MAX(CASE WHEN rn_desc = 1 THEN value END), 2) AS cur_value
+FROM v GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
     "window_range_10min": window_range_10min,
@@ -352,6 +416,7 @@ QUERIES = {
     "json_props_agg": json_props_agg,
     "hourly_event_rollup": hourly_event_rollup,
     "asof_join_purchase": asof_join_purchase,
+    "scd2_current_snapshot": scd2_current_snapshot,
 }
 
 ORACLES = {
@@ -364,4 +429,5 @@ ORACLES = {
     "json_props_agg": JSON_PROPS_SQL,
     "hourly_event_rollup": HOURLY_SQL,
     "asof_join_purchase": ASOF_SQL,
+    "scd2_current_snapshot": SCD2_SQL,
 }

@@ -158,6 +158,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # recall report: both arms keep their partial-top-k shape; the
     # hit-join is over ≤ probes×k rows, never a sort-merge join
     ("ann_recall_report", ["MapInPandas"], ["SortMergeJoin", "CartesianProduct"]),
+    # SCD2 snapshot: window + agg share ONE user_id exchange; current
+    # state comes from the window, never a self-join back to events
+    ("scd2_current_snapshot",
+     ["hashpartitioning(user_id"],
+     ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"]),
 ]
 
 
