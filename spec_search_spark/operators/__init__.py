@@ -10,6 +10,7 @@ def all_queries():
     from spec_search_spark.operators import (
         dedup,
         extensibility,
+        graph,
         ivf,
         mllib_lsh,
         multimodal,
@@ -46,6 +47,7 @@ def all_queries():
         mllib_lsh,
         tpch_extra,
         extensibility,
+        graph,
         pii,
         pipeline_ops,
         vector_quant,

@@ -163,6 +163,9 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("scd2_current_snapshot",
      ["hashpartitioning(user_id"],
      ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"]),
+    # fixed-point PageRank: per-round edge joins aggregate partially,
+    # nothing quadratic; scores stay bigint (no float agg nodes)
+    ("graph_pagerank", ["partial_sum"], ["CartesianProduct"]),
 ]
 
 
