@@ -31,22 +31,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy — Catalyst prunes columns/row-groups later.
 
-    `events` is written with TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; read nanos as long (runtime legacy conf) and
-    truncate to microsecond timestamps — the same truncation DuckDB
-    applies on its TIMESTAMP_NS → TIMESTAMP read, so oracle
-    comparisons agree. Integer division (`div`) keeps the full 64-bit
-    precision (a double division would corrupt epoch-nanos).
+    `events.ts` has been written two ways across testdata generations:
+    TIMESTAMP(NANOS) (which the Spark parquet reader rejects — read
+    nanos as long via the runtime legacy conf, then truncate to
+    microsecond timestamps, matching DuckDB's TIMESTAMP_NS → TIMESTAMP
+    truncation) or plain TIMESTAMP(MICROS)/NTZ. Branch on the read
+    dtype so both generations load identically, and normalize to
+    TIMESTAMP (LTZ): the session timezone is pinned to UTC
+    (session.tune), so the NTZ→LTZ cast is instant-preserving and the
+    whole operator surface (unix_micros, watermarks, window frames)
+    sees one stable type. Integer division (`div`) keeps the full
+    64-bit precision (a double division would corrupt epoch-nanos).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin UTC here too: the NTZ→LTZ cast below must not depend on
+        # the caller having run session.tune() first.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 

@@ -31,27 +31,27 @@ from pyspark.sql import types as T
 
 from spec_search_spark.session import tune
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog.load_table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, schema sniffed from a batch
+    scan so both testdata generations load (see catalog.load_table:
+    nanos-as-long needs a `ts div 1000` truncation; native
+    TIMESTAMP(MICROS) needs none)."""
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(static_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = static_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(ts_type, T.TimestampType):
+        # NTZ generation: normalize to LTZ under the UTC session tz so
+        # watermarks/windows match the batch catalog (catalog.load_table).
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def hourly_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
