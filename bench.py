@@ -78,9 +78,21 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # min of 2 runs: the VM shows ~3x wall-clock jitter between
+    # min of 3 runs: the VM shows ~3x wall-clock jitter between
     # identical executions; the minimum is the stable throughput signal.
-    timings = {name: round(min(run(name) for _ in range(2)), 3) for name in HEADLINE}
+    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
+
+    # Machine calibration: a fixed shuffle-agg microbench (1M rows,
+    # groupBy 1000 keys) so per-round numbers can be normalized across
+    # host VMs of different speed. Recorded, never added to `value`.
+    def _calib() -> float:
+        df = spark.range(1_000_000).selectExpr("id % 1000 as k", "id")
+        t0 = time.time()
+        df.groupBy("k").count().write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    _calib()  # warm
+    calib = round(min(_calib() for _ in range(3)), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -93,6 +105,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration_shuffle_agg_1m_sec": calib,
     }
     prev_name, prev = _previous_round()
     if prev is not None and prev.get("sf") == sf_val:

@@ -29,7 +29,7 @@ same Python constants below.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -247,28 +247,79 @@ GROUP BY fp
 
 # --- n-gram Jaccard near-dup ------------------------------------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 3-gram Jaccard ≥ threshold, via
-    inverted-index join (shuffle on the 8-byte shingle HASH, then on
-    the pair).
+def _jaccard_prefix_len(n_col: str) -> Column:
+    """Prefix length |x| - ceil(t·|x|) + 1 for the AllPairs/PPJoin
+    prefix filter (Bayardo et al. WWW'07; Xiao et al. WWW'08), in EXACT
+    integer arithmetic: a float ceil(t·n) can over-round (0.5·n landing
+    an ulp above the integer), shortening the prefix and silently
+    dropping qualifying pairs. t is converted to an exact fraction
+    num/den once, and ceil(num·n/den) = (num·n + den − 1) div den."""
+    from fractions import Fraction
 
-    The pair join keys on `h`, not the shingle text — at 100 TB the
-    inverted-index shuffle carries 8 bytes per posting instead of
-    ~24-byte shingle strings (the hash exists for exactly this; MinHash
-    already joined on it). The oracle hashes shingles with the same
-    polynomial fold and joins on the hash, so a (cosmically unlikely)
-    vocabulary hash collision would change both engines identically.
+    frac = Fraction(str(JACCARD_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
+    return F.expr(
+        f"{n_col} - ((({num}L * {n_col}) + {den - 1}L) div {den}L) + 1L"
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 3-gram Jaccard ≥ threshold, via a
+    prefix-filtered inverted-index join (shuffle on the 8-byte shingle
+    HASH, then on the pair).
+
+    Scale design, outside-in:
+
+    - Prefix filter (lossless at the threshold): each doc indexes only
+      its first |x| − ceil(t·|x|) + 1 shingles under one global
+      rarest-first order (df asc, h asc) — any pair with Jaccard ≥ t
+      must collide inside both prefixes, so candidate generation
+      touches a fraction of the postings and the common/stop-ish
+      shingles (the quadratic ones) never enter the pair join.
+      Candidates are then verified EXACTLY against the full postings,
+      so the output — and the oracle — are identical to the unfiltered
+      join.
+    - The pair join keys on `h`, not the shingle text — at 100 TB the
+      inverted-index shuffle carries 8 bytes per posting instead of
+      ~24-byte shingle strings (the hash exists for exactly this;
+      MinHash already joined on it). The oracle hashes shingles with
+      the same polynomial fold and joins on the hash, so a (cosmically
+      unlikely) vocabulary hash collision would change both engines
+      identically.
     """
     # materialized (inside hashed_shingle_postings): the postings feed
-    # the sizes agg AND both sides of the pair join — lazily, the
-    # shingle+hash pipeline would run 3×.
+    # the sizes agg, the prefix ranking AND the verify join — lazily,
+    # the shingle+hash pipeline would run 4×.
     s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = s.alias("a")
-    b = s.alias("b")
+
+    # Global rarest-first order: document frequency per shingle hash
+    # (vocabulary-sized agg), ties broken by h — one total order applied
+    # to every doc, as the prefix-filter theorem requires.
+    df_h = s.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        s.join(df_h, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= _jaccard_prefix_len("n_shingles"))
+        .select("doc_id", "h")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(pb, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+    # Exact verification: count the full-postings intersection of each
+    # candidate pair (candidate-bound work, two equi-joins).
+    p1 = s.select(F.col("doc_id").alias("doc1"), "h")
+    p2 = s.select(F.col("doc_id").alias("doc2"), "h")
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        cand.join(p1, "doc1")
+        .join(p2, ["doc2", "h"])
+        .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sz1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))

@@ -49,6 +49,48 @@ def test_chunk_recursive_covers_documents(spark, sf_dir):
     assert out.filter(F.length("chunk") > 120).count() == 0
 
 
+def test_jaccard_prefix_filter_is_lossless_and_reducing(spark, sf_dir):
+    """The AllPairs prefix filter must (a) keep the pair output
+    identical to the exhaustive inverted-index join and (b) index
+    strictly fewer postings than the full index (the whole point)."""
+    from spec_search_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _jaccard_prefix_len,
+        hashed_shingle_postings,
+        ngram_jaccard_pairs,
+    )
+
+    s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_prefix = (
+        sizes.select(F.sum(F.least(_jaccard_prefix_len("n_shingles"), F.col("n_shingles"))))
+        .collect()[0][0]
+    )
+    n_full = s.count()
+    assert n_prefix < n_full
+
+    # exhaustive reference join (the pre-prefix-filter implementation)
+    a, b = s.alias("a"), s.alias("b")
+    ref = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2")), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    expect = {(r["doc1"], r["doc2"], r["n_common"]) for r in ref.collect()}
+    got = {
+        (r["doc1"], r["doc2"], r["n_common"])
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     """LSH recall sanity: every pair with very high true Jaccard should
     appear in the banded candidates (4 bands × 4 rows, j≥0.9 ⇒
