@@ -55,6 +55,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "token_pack_blocks",
     "ann_int8_rerank",
+    # round-3 additions: co-located join, graph, fuzzy, resample
+    "bucketed_join_revenue",
+    "graph_triangles",
+    "fuzzy_name_pairs",
+    "gap_fill_hourly",
 ]
 
 

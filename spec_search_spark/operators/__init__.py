@@ -8,8 +8,10 @@ from __future__ import annotations
 
 def all_queries():
     from spec_search_spark.operators import (
+        bucketed,
         dedup,
         extensibility,
+        fuzzy,
         graph,
         ivf,
         mllib_lsh,
@@ -33,6 +35,7 @@ def all_queries():
     o: dict = {}
     for mod in (
         relational,
+        bucketed,
         windows,
         sheets_pipeline,
         sheets_connector,
@@ -47,6 +50,7 @@ def all_queries():
         mllib_lsh,
         tpch_extra,
         extensibility,
+        fuzzy,
         graph,
         pii,
         pipeline_ops,

@@ -125,10 +125,99 @@ ORDER BY d.doc_id
 _EDGES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the LSH
+    candidate graph (how clique-ish the near-dup neighborhoods are — a
+    dense block of mutual candidates is one template family, a sparse
+    one is chained borderline matches).
+
+    Scale design — degree-ordered node-iterator (the MapReduce triangle
+    classic): orient every undirected edge from its (deg, id)-smaller
+    endpoint to the larger, so each triangle is counted exactly once
+    and every wedge pivot has out-degree O(sqrt(m)) — the quadratic
+    per-hub wedge blowup of the naive enumeration cannot happen no
+    matter how skewed the degree distribution is. Wedges from oriented
+    out-neighbor pairs, closed by an equi-join back against the
+    oriented edge set. The oracle is the naive one-direction 3-join
+    (exact same count — orientation is a counting bijection, not an
+    approximation) plus the exact wedge formula sum(deg·(deg−1)/2).
+
+    Returns one row: (n_triangles, n_wedges, clustering) with
+    clustering = round(3·T/W, 6) — a single rounded division, safe
+    cross-engine.
+    """
+    tune(spark)
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc1", "doc2")
+    edges = _materialize(
+        pairs.unionByName(
+            pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+        )
+    )
+    deg = edges.groupBy(F.col("doc1").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient: (deg, id) total order, smaller endpoint -> larger
+    da = deg.select(F.col("v").alias("doc1"), F.col("deg").alias("d1"))
+    db = deg.select(F.col("v").alias("doc2"), F.col("deg").alias("d2"))
+    # deg is node-sized — no broadcast hint (nodes grow with the
+    # corpus); AQE picks broadcast at test scale, shuffle join at 100 TB
+    oriented = (
+        edges.join(da, "doc1")
+        .join(db, "doc2")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("doc1") < F.col("doc2")))
+        )
+        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    o = _materialize(oriented)
+
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    closed = wedges.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionByName(
+            o.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+        ),
+        ["v", "w"],
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    wed = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("clustering"),
+    )
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql()}),
+und AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs),
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM und GROUP BY a),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc1 = e1.doc2 AND e2.doc2 > e1.doc2
+  JOIN pairs e3 ON e3.doc1 = e1.doc1 AND e3.doc2 = e2.doc2
+),
+wed AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       round(3.0 * n_triangles / n_wedges, 6) AS clustering
+FROM tri, wed
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
+    "graph_triangles": _triangles_sql(),
 }

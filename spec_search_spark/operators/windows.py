@@ -406,6 +406,77 @@ FROM v GROUP BY user_id ORDER BY user_id
 """
 
 
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: a dense hourly spine per event_type over
+    the observed range, missing hours zero-filled for additive measures
+    and forward-filled (last observation carried forward) for the level
+    measure — the standard gap-fill a monitoring/feature pipeline needs
+    before any rolling computation.
+
+    Scale shape: the spine is #types × #hours — corpus-sublinear (time
+    ranges grow in wall-clock, not data volume), built with
+    sequence()+explode from a one-row bounds aggregate (crossJoin of a
+    single row, not a driver collect). The left join back to observed
+    buckets shuffles the tiny spine against the pre-aggregated hourly
+    table, never the raw events. Forward-fill is one
+    last(ignorenulls) running window per type, carrying the ROUNDED
+    hourly sum — rounding happens before the carry in both engines, so
+    the carried value is bit-identical (an avg here would land on .5
+    boundaries where the two engines' double sums disagree by an ulp).
+    """
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = obs.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = obs.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(obs, ["event_type", "h"], "left")
+        .withColumn("carried_sum", F.last("sum_value", ignorenulls=True).over(w))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            "carried_sum",
+        )
+    )
+
+
+GAP_FILL_SQL = """
+WITH obs AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM obs),
+spine AS (
+  SELECT t.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h) gs
+)
+SELECT s.event_type,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(o.n, 0) AS n,
+       coalesce(o.sum_value, 0.0) AS sum_value,
+       last_value(o.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_sum
+FROM spine s
+LEFT JOIN obs o ON o.h = s.h AND o.event_type = s.event_type
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
     "window_range_10min": window_range_10min,
@@ -417,6 +488,7 @@ QUERIES = {
     "hourly_event_rollup": hourly_event_rollup,
     "asof_join_purchase": asof_join_purchase,
     "scd2_current_snapshot": scd2_current_snapshot,
+    "gap_fill_hourly": gap_fill_hourly,
 }
 
 ORACLES = {
@@ -430,4 +502,5 @@ ORACLES = {
     "hourly_event_rollup": HOURLY_SQL,
     "asof_join_purchase": ASOF_SQL,
     "scd2_current_snapshot": SCD2_SQL,
+    "gap_fill_hourly": GAP_FILL_SQL,
 }

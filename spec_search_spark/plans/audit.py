@@ -166,6 +166,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # fixed-point PageRank: per-round edge joins aggregate partially,
     # nothing quadratic; scores stay bigint (no float agg nodes)
     ("graph_pagerank", ["partial_sum"], ["CartesianProduct"]),
+    # triangles: oriented wedge-close joins only — no cartesian, no
+    # broadcast of the node-sized degree table forced by hint
+    ("graph_triangles", ["partial_count"], ["CartesianProduct"]),
+    # bucketed join: both scans read bucket-clustered data and the SMJ
+    # consumes them with ZERO exchange on either orderkey — the
+    # write-once shuffle is amortized across every downstream join
+    ("bucketed_join_revenue",
+     ["SortMergeJoin", "Bucketed: true", "SelectedBucketsCount: 8 out of 8"],
+     ["Exchange hashpartitioning(l_orderkey", "Exchange hashpartitioning(o_orderkey"]),
+    # fuzzy vocab join: gram-blocked candidates + short-string block,
+    # never an unblocked name×name pair join
+    ("fuzzy_name_pairs", ["partial_count"], ["CartesianProduct"]),
+    # gap-fill: spine explode + ONE forward-fill window per type; the
+    # raw events never join the spine (only the pre-aggregated hourly)
+    ("gap_fill_hourly", ["Window", "partial_count"], ["CartesianProduct"]),
 ]
 
 
