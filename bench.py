@@ -55,11 +55,14 @@ HEADLINE = [
     "tfidf_top_terms",
     "token_pack_blocks",
     "ann_int8_rerank",
-    # round-3 additions: co-located join, graph, fuzzy, resample
+    # round-3 additions: co-located join, graph, fuzzy, resample,
+    # sharding, triplet mining
     "bucketed_join_revenue",
     "graph_triangles",
     "fuzzy_name_pairs",
     "gap_fill_hourly",
+    "balanced_shards",
+    "triplet_mining",
 ]
 
 

@@ -670,6 +670,72 @@ FROM flags GROUP BY source
 """
 
 
+# --- balanced shard assignment ----------------------------------------------
+
+N_SHARD_BUCKETS = 64
+N_SHARDS = 10
+
+
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-balanced training shards (|size_i − size_j| ≤ 1) under a
+    deterministic pseudo-random order — round-robin over the global
+    rank of each doc in (bucket, hash, doc_id) order.
+
+    The interesting part is computing a GLOBAL dense rank without a
+    global window over the data (which serializes 100 TB onto one
+    task). Distributed two-phase ranking: (1) hash docs into
+    N_SHARD_BUCKETS buckets and count per bucket — a bucket-count table
+    of 64 rows; (2) the only global window runs over THAT table
+    (prefix-sum of counts → per-bucket rank offset, 64 rows on one
+    task by construction); (3) row_number within each bucket (one
+    shuffle, parallel across buckets) + broadcast offset = exact global
+    rank. shard = rank mod N_SHARDS — shard sizes provably differ by
+    at most one, with no RNG state and membership recomputable from the
+    key alone (same property hash_split_report relies on).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = _poly_hash(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARD_BUCKETS)).alias("bucket")
+    )
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
+    w_rn = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w_rn))
+        .join(F.broadcast(offsets.select("bucket", "off")), "bucket")
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("grank"),
+            F.pmod(F.col("off") + F.col("rn") - 1, F.lit(N_SHARDS))
+            .cast("int")
+            .alias("shard"),
+        )
+    )
+
+
+_SHARD_H = _POLY_SQL.format(s="'shard:' || CAST(doc_id AS VARCHAR)")
+BALANCED_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_SHARD_H} AS h FROM documents
+), r AS (
+  SELECT doc_id,
+         ((h % {N_SHARD_BUCKETS}) + {N_SHARD_BUCKETS}) % {N_SHARD_BUCKETS} AS bucket,
+         row_number() OVER (
+           ORDER BY ((h % {N_SHARD_BUCKETS}) + {N_SHARD_BUCKETS}) % {N_SHARD_BUCKETS},
+                    h, doc_id) - 1 AS grank
+  FROM d
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(grank AS BIGINT) AS grank,
+       CAST(grank % {N_SHARDS} AS INT) AS shard
+FROM r
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "dedup_survivors": dedup_survivors,
@@ -681,6 +747,7 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "normalize_text": normalize_text,
     "training_pipeline_e2e": training_pipeline_e2e,
+    "balanced_shards": balanced_shards,
 }
 
 ORACLES = {
@@ -694,4 +761,5 @@ ORACLES = {
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "normalize_text": NORMALIZE_SQL,
     "training_pipeline_e2e": _training_pipeline_sql(),
+    "balanced_shards": BALANCED_SHARDS_SQL,
 }

@@ -746,6 +746,85 @@ LIMIT {k}
 """
 
 
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining for embedding training: per anchor,
+    the hardest in-bucket negative (most-similar different-label
+    vector) and the hardest in-bucket positive (least-similar
+    same-label vector) — the pairs a metric-learning loss learns most
+    from.
+
+    Scale: mining runs INSIDE each hyperplane-LSH bucket (the same
+    deterministic planes the ANN queries share), so the pair join is
+    bucket-blocked, never corpus-quadratic; bucket occupancy is tuned
+    by N_PLANES (more planes at larger corpora). Semantically that is
+    "hardest among the anchor's own collision set" — exactly the
+    candidates an ANN-backed production miner would score. Similarity
+    is rounded BEFORE the argmin/argmax (vec_id tie-break) so both
+    engines select identical winners. Anchors lacking a same-label and
+    a different-label bucket-mate are dropped (inner join).
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("embedding")))
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("label").alias("a_label"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("a_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w_pos = W.partitionBy("anchor_id").orderBy(F.asc("sim"), F.asc("cand_id"))
+    w_neg = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    pos = (
+        pairs.filter(F.col("a_label") == F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        pairs.filter(F.col("a_label") != F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim"
+    )
+
+
+TRIPLET_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding, label, {_bucket_sql('embedding')} AS bucket
+             FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         a.label = b.label AS same,
+         round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 6) AS sim
+  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim ASC, cand_id ASC) AS rn
+        FROM pairs WHERE same),
+neg AS (SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim DESC, cand_id ASC) AS rn
+        FROM pairs WHERE NOT same)
+SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+FROM pos p JOIN neg n USING (anchor_id)
+WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
 QUERIES = {
     "knn_exact": knn_exact,
     "knn_multi_probe": knn_multi_probe,
@@ -756,6 +835,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "vector_index_build": vector_index_build_query,
     "semantic_search": semantic_search_query,
+    "triplet_mining": triplet_mining,
 }
 
 ORACLES = {
@@ -768,4 +848,5 @@ ORACLES = {
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "vector_index_build": VECTOR_INDEX_SQL,
     "semantic_search": _semantic_search_sql(),
+    "triplet_mining": TRIPLET_SQL,
 }

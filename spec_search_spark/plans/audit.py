@@ -181,6 +181,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # gap-fill: spine explode + ONE forward-fill window per type; the
     # raw events never join the spine (only the pre-aggregated hourly)
     ("gap_fill_hourly", ["Window", "partial_count"], ["CartesianProduct"]),
+    # balanced shards: the only unpartitioned window runs over the
+    # 64-row bucket-count table; doc rows get a bucket-partitioned
+    # row_number + broadcast offset join, never a global sort
+    ("balanced_shards",
+     ["hashpartitioning(bucket", "BroadcastHashJoin"],
+     ["Exchange rangepartitioning", "CartesianProduct"]),
+    # triplet mining: pair join is bucket-blocked (equi join on the LSH
+    # bucket), argmin/argmax via per-anchor windows — no cross join
+    ("triplet_mining",
+     ["hashpartitioning(anchor_id", "Window"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
