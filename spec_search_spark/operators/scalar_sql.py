@@ -224,6 +224,54 @@ GROUP BY event_type
 """
 
 
+def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation: the cross-engine-deterministic way to
+    sum money. Every other revenue query here defends against
+    double-summation order with a final round(); this one removes the
+    hazard at the type level — prices cast to DECIMAL(18,2) at the
+    scan, summed exactly (Spark widens to DECIMAL(28,2); no ulp, no
+    order dependence), multiplied at fixed scale, and presented as
+    DOUBLE only at the output boundary (one exact-to-double conversion
+    per group). At 100 TB decimal aggregation costs ~2x a double sum
+    and buys bit-stable restatements — the right trade for financial
+    rollups.
+
+    Plan: pure partial+final hash aggregate on l_returnflag; the casts
+    are scan-level projections (no shuffle added).
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("_sp"),
+            F.sum((price * (one - disc)).cast("decimal(28,6)")).alias("_sd"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_sp").cast("double").alias("sum_price"),
+            F.col("_sd").cast("double").alias("sum_disc_price"),
+            "n_items",
+        )
+    )
+
+
+DECIMAL_REVENUE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "scalar_date_math": scalar_date_math,
     "percentiles_exact": percentiles_exact,
@@ -232,6 +280,7 @@ QUERIES = {
     "ranged_scan": ranged_scan,
     "token_count_bpe": token_count_bpe,
     "variant_shred_stats": variant_shred_stats,
+    "decimal_exact_revenue": decimal_exact_revenue,
 }
 
 ORACLES = {
@@ -242,4 +291,5 @@ ORACLES = {
     "ranged_scan": RANGED_SCAN_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "variant_shred_stats": VARIANT_SHRED_SQL,
+    "decimal_exact_revenue": DECIMAL_REVENUE_SQL,
 }

@@ -67,5 +67,70 @@ GROUP BY o_orderstatus
 """
 
 
-QUERIES = {"salted_join_revenue": salted_join_revenue}
-ORACLES = {"salted_join_revenue": SALTED_JOIN_SQL}
+HOT_KEY_MIN = 6  # fact rows per key to classify a key as hot
+
+
+def adaptive_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential (hot/cold split) join — the surgical alternative to
+    blanket salting: measure the fact side's key histogram first, then
+    route ONLY the hot keys through a broadcast join (their dimension
+    slice is small by construction — few keys are hot) while the cold
+    majority takes the ordinary shuffle join. Union, aggregate.
+
+    vs salted_join_revenue: salting multiplies the whole dimension S×
+    no matter how mild the skew; the differential join pays one extra
+    key-histogram aggregation (tiny — key cardinality, partial-agg'd)
+    and duplicates nothing. At 100 TB with power-law keys this routes
+    the handful of mega-keys around the straggler reducer and leaves
+    the other 99.9% of traffic untouched. Semantics identical to the
+    plain join — the oracle IS the plain join.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    hist = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    hot_keys = hist.filter(F.col("c") >= HOT_KEY_MIN).select("l_orderkey")
+
+    li_hot = li.join(F.broadcast(hot_keys), "l_orderkey")
+    li_cold = li.join(F.broadcast(hot_keys), "l_orderkey", "left_anti")
+    ord_hot = orders.join(
+        F.broadcast(hot_keys.select(F.col("l_orderkey").alias("o_orderkey"))),
+        "o_orderkey",
+    )
+
+    hot_joined = li_hot.join(F.broadcast(ord_hot), li_hot.l_orderkey == ord_hot.o_orderkey)
+    cold_joined = li_cold.join(orders, li_cold.l_orderkey == orders.o_orderkey)
+    both = hot_joined.select(
+        "o_orderpriority", "l_quantity", "l_extendedprice", "l_discount"
+    ).unionByName(
+        cold_joined.select("o_orderpriority", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    return both.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+ADAPTIVE_SKEW_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "salted_join_revenue": salted_join_revenue,
+    "adaptive_skew_join": adaptive_skew_join,
+}
+ORACLES = {
+    "salted_join_revenue": SALTED_JOIN_SQL,
+    "adaptive_skew_join": ADAPTIVE_SKEW_SQL,
+}

@@ -192,6 +192,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("triplet_mining",
      ["hashpartitioning(anchor_id", "Window"],
      ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # differential skew join: hot slice broadcasts, cold slice keeps
+    # the shuffle join; histogram aggregates partially
+    ("adaptive_skew_join",
+     ["BroadcastHashJoin", "LeftAnti", "partial_count"],
+     ["CartesianProduct"]),
+    # decimal aggregation: partial+final hash agg, casts stay in the
+    # scan projection (no extra exchange)
+    ("decimal_exact_revenue", ["partial_sum", "HashAggregate"], ["SortAggregate"]),
 ]
 
 
