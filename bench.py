@@ -41,6 +41,7 @@ HEADLINE = [
     "token_stats",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
+    "jaccard_strict_pairs",
     "minhash_lsh_candidates",
     "simhash_near_pairs",
     "knn_multi_probe",

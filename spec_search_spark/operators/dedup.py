@@ -247,16 +247,16 @@ GROUP BY fp
 
 # --- n-gram Jaccard near-dup ------------------------------------------------
 
-def _jaccard_prefix_len(n_col: str) -> Column:
+def _jaccard_prefix_len(n_col: str, threshold: float) -> Column:
     """Prefix length |x| - ceil(t·|x|) + 1 for the AllPairs/PPJoin
     prefix filter (Bayardo et al. WWW'07; Xiao et al. WWW'08), in EXACT
-    integer arithmetic: a float ceil(t·n) can over-round (0.5·n landing
+    integer arithmetic: a float ceil(t·n) can over-round (0.8·n landing
     an ulp above the integer), shortening the prefix and silently
     dropping qualifying pairs. t is converted to an exact fraction
     num/den once, and ceil(num·n/den) = (num·n + den − 1) div den."""
     from fractions import Fraction
 
-    frac = Fraction(str(JACCARD_THRESHOLD))
+    frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
     return F.expr(
         f"{n_col} - ((({num}L * {n_col}) + {den - 1}L) div {den}L) + 1L"
@@ -264,32 +264,76 @@ def _jaccard_prefix_len(n_col: str) -> Column:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 3-gram Jaccard ≥ threshold, via a
-    prefix-filtered inverted-index join (shuffle on the 8-byte shingle
-    HASH, then on the pair).
+    """Near-dup pairs with 3-gram Jaccard ≥ threshold, via
+    inverted-index join (shuffle on the 8-byte shingle HASH, then on
+    the pair).
 
-    Scale design, outside-in:
-
-    - Prefix filter (lossless at the threshold): each doc indexes only
-      its first |x| − ceil(t·|x|) + 1 shingles under one global
-      rarest-first order (df asc, h asc) — any pair with Jaccard ≥ t
-      must collide inside both prefixes, so candidate generation
-      touches a fraction of the postings and the common/stop-ish
-      shingles (the quadratic ones) never enter the pair join.
-      Candidates are then verified EXACTLY against the full postings,
-      so the output — and the oracle — are identical to the unfiltered
-      join.
-    - The pair join keys on `h`, not the shingle text — at 100 TB the
-      inverted-index shuffle carries 8 bytes per posting instead of
-      ~24-byte shingle strings (the hash exists for exactly this;
-      MinHash already joined on it). The oracle hashes shingles with
-      the same polynomial fold and joins on the hash, so a (cosmically
-      unlikely) vocabulary hash collision would change both engines
-      identically.
+    The pair join keys on `h`, not the shingle text — at 100 TB the
+    inverted-index shuffle carries 8 bytes per posting instead of
+    ~24-byte shingle strings (the hash exists for exactly this; MinHash
+    already joined on it). The intermediate row count is Σ_h df(h)²,
+    bounded by the MAX_SHINGLE_DF hot-cap — at the moderate default
+    threshold (0.5) this direct join beats a prefix-filtered plan,
+    whose candidate verification re-expands full postings per pair
+    (measured 2.4× slower at sf0.1); the prefix plan's domain is HIGH
+    thresholds, where it lives as :func:`jaccard_strict_pairs`. The
+    oracle hashes shingles with the same polynomial fold and joins on
+    the hash, so a (cosmically unlikely) vocabulary hash collision
+    would change both engines identically.
     """
     # materialized (inside hashed_shingle_postings): the postings feed
-    # the sizes agg, the prefix ranking AND the verify join — lazily,
-    # the shingle+hash pipeline would run 4×.
+    # the sizes agg AND both sides of the pair join — lazily, the
+    # shingle+hash pipeline would run 3×.
+    s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = s.alias("a")
+    b = s.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = (
+        common.join(F.broadcast(sz1), "doc1")
+        .join(F.broadcast(sz2), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("doc1", "doc2", "n_common", "jaccard")
+
+
+JACCARD_STRICT_THRESHOLD = 0.8
+
+
+def jaccard_strict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-confidence near-dup pairs (3-gram Jaccard ≥ 0.8) via the
+    AllPairs/PPJoin PREFIX FILTER — the regime where prefix filtering
+    earns its keep.
+
+    Lossless blocking: each doc indexes only its first
+    |x| − ceil(t·|x|) + 1 shingles (~20% at t=0.8) under one global
+    rarest-first order (df asc, h asc); any pair with Jaccard ≥ t must
+    collide inside both prefixes, so the common/stop-ish shingles never
+    enter the candidate join and the candidate set is near-output-sized.
+    Survivors are verified EXACTLY against the full postings
+    (candidate-bound work), so the output equals the exhaustive join at
+    the same threshold — which is precisely the oracle.
+
+    vs :func:`ngram_jaccard_pairs` (t=0.5, direct inverted-index join):
+    at moderate thresholds the prefix is half the index and
+    verification re-expands postings per candidate, costing more than
+    it saves; at t=0.8 candidates collapse to near-dups only. One
+    operator per regime, both oracle-checked.
+    """
     s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -302,7 +346,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(df_h, "h")
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
-        .filter(F.col("rn") <= _jaccard_prefix_len("n_shingles"))
+        .filter(F.col("rn") <= _jaccard_prefix_len("n_shingles", JACCARD_STRICT_THRESHOLD))
         .select("doc_id", "h")
     )
     pa, pb = prefix.alias("a"), prefix.alias("b")
@@ -335,9 +379,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= JACCARD_STRICT_THRESHOLD)
     )
     return jac.select("doc1", "doc2", "n_common", "jaccard")
+
+
+JACCARD_STRICT_SQL = f"""
+WITH postings AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {_POLY_SQL.format(s='shingle')} AS h FROM postings),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM hashed a JOIN hashed b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2, n_common,
+       round(n_common::DOUBLE / (s1.n + s2.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE round(n_common::DOUBLE / (s1.n + s2.n - n_common), 4) >= {JACCARD_STRICT_THRESHOLD}
+"""
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -729,6 +792,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "jaccard_strict_pairs": jaccard_strict_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "simhash_fingerprints": simhash_fingerprints,
@@ -739,6 +803,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "jaccard_strict_pairs": JACCARD_STRICT_SQL,
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_candidates": _minhash_lsh_sql(),
     "simhash_fingerprints": _simhash_sql(),

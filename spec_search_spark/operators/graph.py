@@ -44,22 +44,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. Vertices = docs with ≥1 candidate edge (undirected ⇒ no
     dangling mass). Returns (doc_id, deg, pr_fixed)."""
     tune(spark)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _EDGES:
-        edges, deg = _EDGES[key]
-    else:
-        pairs = minhash_lsh_candidates(spark, sf_dir)
-        edges = _materialize(
-            pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).unionByName(
-                pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
-            )
-        )
-        deg = _materialize(
-            edges.groupBy(F.col("a").alias("doc_id")).agg(
-                F.count(F.lit(1)).alias("deg")
-            )
-        )
-        _EDGES[key] = (edges, deg)
+    edges, deg = _edges_deg(spark, sf_dir)
     n_nodes = deg.count()  # bounded driver scalar (one long)
     base = SCALE // n_nodes
     teleport = (15 * base) // 100
@@ -125,6 +110,27 @@ ORDER BY d.doc_id
 _EDGES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def _edges_deg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Materialized undirected edge set (both directions) + degree table
+    of the LSH candidate graph, memoized per (session, corpus) — shared
+    by PageRank and triangle counting, like dedup's postings memo."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGES:
+        pairs = minhash_lsh_candidates(spark, sf_dir)
+        edges = _materialize(
+            pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).unionByName(
+                pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+            )
+        )
+        deg = _materialize(
+            edges.groupBy(F.col("a").alias("doc_id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+        )
+        _EDGES[key] = (edges, deg)
+    return _EDGES[key]
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the LSH
     candidate graph (how clique-ish the near-dup neighborhoods are — a
@@ -147,13 +153,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.
     """
     tune(spark)
-    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc1", "doc2")
-    edges = _materialize(
-        pairs.unionByName(
-            pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-        )
-    )
-    deg = edges.groupBy(F.col("doc1").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    und, deg_tbl = _edges_deg(spark, sf_dir)
+    edges = und.select(F.col("a").alias("doc1"), F.col("b").alias("doc2"))
+    deg = deg_tbl.select(F.col("doc_id").alias("v"), "deg")
 
     # orient: (deg, id) total order, smaller endpoint -> larger
     da = deg.select(F.col("v").alias("doc1"), F.col("deg").alias("d1"))

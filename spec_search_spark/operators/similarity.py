@@ -761,44 +761,66 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates an ANN-backed production miner would score. Similarity
     is rounded BEFORE the argmin/argmax (vec_id tie-break) so both
     engines select identical winners. Anchors lacking a same-label and
-    a different-label bucket-mate are dropped (inner join).
+    a different-label bucket-mate are dropped.
+
+    Physical shape: norms are hoisted per VECTOR (cosine = dot/(na·nb),
+    same doubles as the inline form, computed n times not n² times),
+    and both argmin(pos) and argmax(neg) come from ONE hash aggregation
+    over lexicographic struct min/max — not two window passes that
+    would each recompute the scored pair join. The negated-cand_id
+    struct trick makes max() break ties toward the SMALLEST cand_id,
+    matching the oracle's ORDER BY sim DESC, cand_id ASC.
     """
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("embedding")))
+    from spec_search_spark.functions.vector import dot, norm
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
     a = emb.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("a_vec"),
         F.col("label").alias("a_label"),
+        F.col("nrm").alias("a_nrm"),
         "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_vec"),
         F.col("label").alias("c_label"),
+        F.col("nrm").alias("c_nrm"),
         "bucket",
     )
+    same = F.col("a_label") == F.col("c_label")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("anchor_id") != F.col("cand_id"))
-        .withColumn(
-            "sim", F.round(cosine_similarity(F.col("a_vec"), F.col("c_vec")), 6)
+        .select(
+            "anchor_id",
+            "cand_id",
+            same.alias("same"),
+            F.round(
+                dot(F.col("a_vec"), F.col("c_vec"))
+                / (F.col("a_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
         )
     )
-    w_pos = W.partitionBy("anchor_id").orderBy(F.asc("sim"), F.asc("cand_id"))
-    w_neg = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    pos = (
-        pairs.filter(F.col("a_label") == F.col("c_label"))
-        .withColumn("rn", F.row_number().over(w_pos))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    agg = pairs.groupBy("anchor_id").agg(
+        F.min(F.when(F.col("same"), F.struct("sim", "cand_id"))).alias("p"),
+        F.max(
+            F.when(~F.col("same"), F.struct("sim", (-F.col("cand_id")).alias("neg_cand")))
+        ).alias("n"),
     )
-    neg = (
-        pairs.filter(F.col("a_label") != F.col("c_label"))
-        .withColumn("rn", F.row_number().over(w_neg))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.col("sim").alias("neg_sim"))
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim"
+    return agg.filter(F.col("p").isNotNull() & F.col("n").isNotNull()).select(
+        "anchor_id",
+        F.col("p.cand_id").alias("pos_id"),
+        F.col("p.sim").alias("pos_sim"),
+        (-F.col("n.neg_cand")).cast("bigint").alias("neg_id"),
+        F.col("n.sim").alias("neg_sim"),
     )
 
 

@@ -188,10 +188,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["hashpartitioning(bucket", "BroadcastHashJoin"],
      ["Exchange rangepartitioning", "CartesianProduct"]),
     # triplet mining: pair join is bucket-blocked (equi join on the LSH
-    # bucket), argmin/argmax via per-anchor windows — no cross join
+    # bucket); argmin+argmax fused into ONE partial+final struct-minmax
+    # aggregation — no window pass, no recomputed pair join, no cross
+    # join
     ("triplet_mining",
-     ["hashpartitioning(anchor_id", "Window"],
-     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+     ["partial_min", "partial_max", "HashAggregate"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # differential skew join: hot slice broadcasts, cold slice keeps
     # the shuffle join; histogram aggregates partially
     ("adaptive_skew_join",

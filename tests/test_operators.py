@@ -90,26 +90,34 @@ def test_triplet_mining_hardness(spark, sf_dir):
 
 
 def test_jaccard_prefix_filter_is_lossless_and_reducing(spark, sf_dir):
-    """The AllPairs prefix filter must (a) keep the pair output
-    identical to the exhaustive inverted-index join and (b) index
-    strictly fewer postings than the full index (the whole point)."""
+    """The AllPairs prefix filter (jaccard_strict_pairs) must (a) keep
+    the pair output identical to the exhaustive inverted-index join at
+    the same threshold and (b) index strictly fewer postings than the
+    full index (the whole point)."""
     from spec_search_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
+        JACCARD_STRICT_THRESHOLD,
         _jaccard_prefix_len,
         hashed_shingle_postings,
-        ngram_jaccard_pairs,
+        jaccard_strict_pairs,
     )
 
     s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     n_prefix = (
-        sizes.select(F.sum(F.least(_jaccard_prefix_len("n_shingles"), F.col("n_shingles"))))
+        sizes.select(
+            F.sum(
+                F.least(
+                    _jaccard_prefix_len("n_shingles", JACCARD_STRICT_THRESHOLD),
+                    F.col("n_shingles"),
+                )
+            )
+        )
         .collect()[0][0]
     )
     n_full = s.count()
     assert n_prefix < n_full
 
-    # exhaustive reference join (the pre-prefix-filter implementation)
+    # exhaustive reference join at the strict threshold
     a, b = s.alias("a"), s.alias("b")
     ref = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -121,12 +129,12 @@ def test_jaccard_prefix_filter_is_lossless_and_reducing(spark, sf_dir):
             "jaccard",
             F.round(F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= JACCARD_STRICT_THRESHOLD)
     )
     expect = {(r["doc1"], r["doc2"], r["n_common"]) for r in ref.collect()}
     got = {
         (r["doc1"], r["doc2"], r["n_common"])
-        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+        for r in jaccard_strict_pairs(spark, sf_dir).collect()
     }
     assert got == expect
 
