@@ -64,6 +64,7 @@ HEADLINE = [
     "gap_fill_hourly",
     "balanced_shards",
     "triplet_mining",
+    "stats_moments",
 ]
 
 

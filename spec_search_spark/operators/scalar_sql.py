@@ -272,6 +272,41 @@ GROUP BY l_returnflag
 """
 
 
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: dispersion, correlation and
+    least-squares slope per group — the profiling pass a feature
+    pipeline runs before normalizing columns. All built-in JVM
+    aggregates (one partial+final pass, numerically-stable merge
+    formulas on both engines); rounding scaled to each statistic's
+    magnitude so the ~1e-10 relative disagreement between the two
+    engines' merge orders stays below the printed precision.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_qty"),
+        )
+    )
+
+
+STATS_MOMENTS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(stddev_samp(l_quantity), 4) AS stddev_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "scalar_date_math": scalar_date_math,
     "percentiles_exact": percentiles_exact,
@@ -281,6 +316,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "variant_shred_stats": variant_shred_stats,
     "decimal_exact_revenue": decimal_exact_revenue,
+    "stats_moments": stats_moments,
 }
 
 ORACLES = {
@@ -292,4 +328,5 @@ ORACLES = {
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "variant_shred_stats": VARIANT_SHRED_SQL,
     "decimal_exact_revenue": DECIMAL_REVENUE_SQL,
+    "stats_moments": STATS_MOMENTS_SQL,
 }

@@ -765,13 +765,23 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physical shape: norms are hoisted per VECTOR (cosine = dot/(na·nb),
     same doubles as the inline form, computed n times not n² times),
-    and both argmin(pos) and argmax(neg) come from ONE hash aggregation
-    over lexicographic struct min/max — not two window passes that
-    would each recompute the scored pair join. The negated-cand_id
-    struct trick makes max() break ties toward the SMALLEST cand_id,
-    matching the oracle's ORDER BY sim DESC, cand_id ASC.
+    and both argmin(pos) and argmax(neg) come from ONE Tungsten HASH
+    aggregation — not two window passes that would each recompute the
+    scored pair join, and not a struct min/max (struct agg falls back
+    to SortAggregate). The (sim, cand_id) order is packed into one
+    bigint: sim is already rounded to 6 decimals, so
+    round(sim·1e6) ∈ [−1e6, 1e6] is exact; key = (sim_fixed + 2e6)·2³³
+    ± cand_id is non-negative and orders lexicographically (cand_id <
+    2³³), with the −cand_id variant making max() break ties toward the
+    SMALLEST cand_id, matching the oracle's ORDER BY sim DESC, cand_id
+    ASC. Decoding sim_fixed/1e6 reproduces round(sim, 6) bit-for-bit
+    (both are the correctly-rounded double of the same 6-decimal
+    value).
     """
     from spec_search_spark.functions.vector import dot, norm
+
+    SHIFT = 1 << 33  # cand_id headroom; vec_id << 2^33
+    OFFSET = 2_000_000  # lifts sim_fixed (≥ −1e6) to non-negative
 
     emb = _emb(spark, sf_dir).select(
         "vec_id",
@@ -795,32 +805,38 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     same = F.col("a_label") == F.col("c_label")
+    sim = F.round(
+        dot(F.col("a_vec"), F.col("c_vec")) / (F.col("a_nrm") * F.col("c_nrm")), 6
+    )
+    sim_fixed = F.round(sim * 1e6, 0).cast("bigint") + F.lit(OFFSET)
+    # k_pos: min over (sim asc, cand asc) — low field is cand_id.
+    # k_neg: max over (sim desc→max, cand asc→max of complement) — low
+    # field is SHIFT−1−cand_id, keeping every key non-negative and the
+    # high field intact under `div` (a subtractive encoding would
+    # borrow from the sim field and corrupt the decode).
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("anchor_id") != F.col("cand_id"))
         .select(
             "anchor_id",
-            "cand_id",
             same.alias("same"),
-            F.round(
-                dot(F.col("a_vec"), F.col("c_vec"))
-                / (F.col("a_nrm") * F.col("c_nrm")),
-                6,
-            ).alias("sim"),
+            (sim_fixed * SHIFT + F.col("cand_id")).alias("k_pos"),
+            (sim_fixed * SHIFT + (F.lit(SHIFT - 1) - F.col("cand_id"))).alias("k_neg"),
         )
     )
     agg = pairs.groupBy("anchor_id").agg(
-        F.min(F.when(F.col("same"), F.struct("sim", "cand_id"))).alias("p"),
-        F.max(
-            F.when(~F.col("same"), F.struct("sim", (-F.col("cand_id")).alias("neg_cand")))
-        ).alias("n"),
+        F.min(F.when(F.col("same"), F.col("k_pos"))).alias("kp"),
+        F.max(F.when(~F.col("same"), F.col("k_neg"))).alias("kn"),
     )
-    return agg.filter(F.col("p").isNotNull() & F.col("n").isNotNull()).select(
+    decode_sim = lambda k: (  # noqa: E731
+        (F.expr(f"{k} div {SHIFT}") - OFFSET).cast("double") / F.lit(1e6)
+    )
+    return agg.filter(F.col("kp").isNotNull() & F.col("kn").isNotNull()).select(
         "anchor_id",
-        F.col("p.cand_id").alias("pos_id"),
-        F.col("p.sim").alias("pos_sim"),
-        (-F.col("n.neg_cand")).cast("bigint").alias("neg_id"),
-        F.col("n.sim").alias("neg_sim"),
+        (F.col("kp") % SHIFT).cast("bigint").alias("pos_id"),
+        decode_sim("kp").alias("pos_sim"),
+        (F.lit(SHIFT - 1) - F.col("kn") % SHIFT).cast("bigint").alias("neg_id"),
+        decode_sim("kn").alias("neg_sim"),
     )
 
 

@@ -202,6 +202,8 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # decimal aggregation: partial+final hash agg, casts stay in the
     # scan projection (no extra exchange)
     ("decimal_exact_revenue", ["partial_sum", "HashAggregate"], ["SortAggregate"]),
+    # statistical moments: one partial+final pass computes every moment
+    ("stats_moments", ["partial_corr", "HashAggregate"], ["SortAggregate"]),
 ]
 
 

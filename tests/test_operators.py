@@ -49,6 +49,21 @@ def test_chunk_recursive_covers_documents(spark, sf_dir):
     assert out.filter(F.length("chunk") > 120).count() == 0
 
 
+def test_memoized_queries_are_idempotent(spark, sf_dir):
+    """Queries backed by per-session memo tables (shingle postings,
+    graph edges, bucketed copies, IVF centroids) must return identical
+    results when called twice in one session — the driver calls each
+    query through one long-lived SparkSession, so a stale or
+    half-initialized memo would silently corrupt the second read."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("minhash_lsh_candidates", "bucketed_join_revenue", "graph_triangles"):
+        first = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        second = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        assert first == second, name
+
+
 def test_balanced_shards_are_balanced_and_complete(spark, sf_dir):
     """Shard sizes must differ by at most 1, cover every doc exactly
     once, and grank must be a permutation of [0, n)."""
