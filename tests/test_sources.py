@@ -44,3 +44,37 @@ def test_unsupported_format_raises(spark, sf_dir):
         write_table_any(docs, "/tmp/x", "avro-nope")
     with pytest.raises(ValueError):
         read_table_any(spark, "/tmp/x", "csv")  # schema required
+
+
+def test_small_file_compaction(spark, sf_dir):
+    """Small-file compaction: the maintenance pass every long-lived
+    100 TB table needs. A fragmented write (64 files for a tiny table)
+    is compacted by sizing the output partition count from the actual
+    input bytes against a target file size — data unchanged, file count
+    collapsed, no skew introduced (coalesce, not repartition: no
+    shuffle)."""
+    import glob
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = tempfile.mkdtemp(prefix="frag_") + "/t"
+    li.repartition(64).write.parquet(frag)
+    n_frag = len(glob.glob(frag + "/part-*.parquet"))
+    assert n_frag >= 32  # genuinely fragmented
+
+    target_bytes = 32 * 1024 * 1024
+    in_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(frag + "/part-*.parquet")
+    )
+    n_out = max(1, (in_bytes + target_bytes - 1) // target_bytes)
+    compacted = tempfile.mkdtemp(prefix="compact_") + "/t"
+    spark.read.parquet(frag).coalesce(int(n_out)).write.parquet(compacted)
+    n_comp = len(glob.glob(compacted + "/part-*.parquet"))
+    assert n_comp == n_out < n_frag
+
+    before = spark.read.parquet(frag)
+    after = spark.read.parquet(compacted)
+    assert after.count() == before.count()
+    key = [r[0] for r in after.groupBy().agg(F.sum("l_orderkey")).collect()]
+    key0 = [r[0] for r in before.groupBy().agg(F.sum("l_orderkey")).collect()]
+    assert key == key0
