@@ -65,6 +65,7 @@ HEADLINE = [
     "balanced_shards",
     "triplet_mining",
     "stats_moments",
+    "recursive_reachability",
 ]
 
 

@@ -214,12 +214,65 @@ FROM tri, wed
 """
 
 
+MAX_DEPTH = 3
+
+
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability (min hop count ≤ MAX_DEPTH) from the smallest
+    candidate-graph vertex, written as an ANSI recursive CTE and
+    executed by Catalyst's UnionLoop — Spark 4's WITH RECURSIVE is the
+    third iterative-graph execution strategy here next to the unrolled
+    DataFrame loops (PageRank) and the fixpoint min-label loop (CC),
+    exercising the engine's SQL-level recursion instead of driver-side
+    iteration.
+
+    Scale: each recursion level is one equi-join of the frontier
+    against the edge list (the same per-iteration shape as the
+    DataFrame PageRank); depth is bounded, and the final min(depth)
+    collapses path multiplicity. The oracle is the same recursion in
+    DuckDB over its own candidate CTE.
+    """
+    tune(spark)
+    edges, _ = _edges_deg(spark, sf_dir)
+    edges.createOrReplaceTempView("lsh_edges_view")
+    return spark.sql(f"""
+      WITH RECURSIVE reach(doc_id, depth) AS (
+        SELECT CAST(min(a) AS BIGINT), 0 FROM lsh_edges_view
+        UNION ALL
+        SELECT e.b, r.depth + 1
+        FROM reach r JOIN lsh_edges_view e ON e.a = r.doc_id
+        WHERE r.depth < {MAX_DEPTH}
+      )
+      SELECT doc_id, CAST(min(depth) AS INT) AS depth
+      FROM reach GROUP BY doc_id
+    """)
+
+
+def _reachability_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+und AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs),
+reach(doc_id, depth) AS (
+  SELECT CAST(min(a) AS BIGINT), 0 FROM und
+  UNION ALL
+  SELECT e.b, r.depth + 1
+  FROM reach r JOIN und e ON e.a = r.doc_id
+  WHERE r.depth < {MAX_DEPTH}
+)
+SELECT doc_id, CAST(min(depth) AS INT) AS depth
+FROM reach GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "recursive_reachability": recursive_reachability,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": _triangles_sql(),
+    "recursive_reachability": _reachability_sql(),
 }
