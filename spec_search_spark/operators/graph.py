@@ -228,9 +228,14 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each recursion level is one equi-join of the frontier
     against the edge list (the same per-iteration shape as the
-    DataFrame PageRank); depth is bounded, and the final min(depth)
-    collapses path multiplicity. The oracle is the same recursion in
-    DuckDB over its own candidate CTE.
+    DataFrame PageRank). Spark's recursion only supports UNION ALL
+    (no recursive UNION-distinct yet), so without care the working
+    table would carry one row per PATH — deg^depth on a dense
+    near-dup cluster. The SELECT DISTINCT inside the recursive step
+    dedups each frontier, bounding every level to ≤ |V| rows (total
+    ≤ |V|·(depth+1)); the final min(depth) then collapses the
+    remaining cross-level revisits. The oracle is the same recursion
+    (same DISTINCT placement) in DuckDB over its own candidate CTE.
     """
     tune(spark)
     edges, _ = _edges_deg(spark, sf_dir)
@@ -239,7 +244,7 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
       WITH RECURSIVE reach(doc_id, depth) AS (
         SELECT CAST(min(a) AS BIGINT), 0 FROM lsh_edges_view
         UNION ALL
-        SELECT e.b, r.depth + 1
+        SELECT DISTINCT e.b, r.depth + 1
         FROM reach r JOIN lsh_edges_view e ON e.a = r.doc_id
         WHERE r.depth < {MAX_DEPTH}
       )
@@ -256,7 +261,7 @@ und AS (SELECT doc1 AS a, doc2 AS b FROM pairs
 reach(doc_id, depth) AS (
   SELECT CAST(min(a) AS BIGINT), 0 FROM und
   UNION ALL
-  SELECT e.b, r.depth + 1
+  SELECT DISTINCT e.b, r.depth + 1
   FROM reach r JOIN und e ON e.a = r.doc_id
   WHERE r.depth < {MAX_DEPTH}
 )
