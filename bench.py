@@ -66,6 +66,8 @@ HEADLINE = [
     "triplet_mining",
     "stats_moments",
     "recursive_reachability",
+    "hybrid_search_rrf",
+    "filtered_ann_search",
 ]
 
 

@@ -746,6 +746,186 @@ LIMIT {k}
 """
 
 
+FILTER_LABEL = 3  # metadata predicate for the filtered search
+
+
+def filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the vector-DB `where` clause —
+    Chroma exposes this as `collection.query(..., where=...)`; hosted
+    capability surface of the reference's store): top-k L2 neighbors
+    among vectors whose label matches the predicate.
+
+    Scale: the filter is applied BEFORE any distance arithmetic and
+    reaches the parquet scan as a pushed predicate (plan-audited), so
+    a selective filter prunes row groups and the distance fold runs
+    only over survivors — filter-then-search, never search-then-filter.
+    """
+    emb = _emb(spark, sf_dir).filter(F.col("label") == FILTER_LABEL)
+    probe = _probes(spark, sf_dir).filter(F.col("probe_id") == 0)
+    return (
+        emb.join(F.broadcast(probe), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4))
+        .orderBy(F.asc("dist2"), F.asc("vec_id"))
+        .select("vec_id", "label", "dist2")
+        .limit(TOP_K)
+    )
+
+
+FILTERED_ANN_SQL = f"""
+WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({l2_squared_sql('embedding', 'probe_vec')}, 4) AS dist2
+FROM embeddings, probe
+WHERE vec_id <> 0 AND label = {FILTER_LABEL}
+ORDER BY dist2 ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+RRF_K = 60  # reciprocal-rank-fusion damping (the standard constant)
+HYBRID_ARM_K = 20  # per-arm candidate depth
+HYBRID_QUERY = "fast merge join order"
+IDF_SCALE = 1000  # integer idf weight scale
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: keyword arm + vector arm fused with
+    reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) — the
+    standard modern search stack (BM25-ish lexical + dense embedding)
+    on one engine.
+
+    - Vector arm: the V2 semantic index (chunk embeddings), collapsed
+      to docs by best-chunk distance, top-HYBRID_ARM_K.
+    - Keyword arm: integer idf-weighted token overlap with the query —
+      per matched query token, weight (N·IDF_SCALE) div df(token),
+      summed per doc; exact bigint arithmetic in both engines.
+    - Fusion: score = Σ_arms 1/(RRF_K + rank). Ranks are small
+      integers, each arm's term is one double division, the sum folds
+      in a fixed (vector, keyword) order — bit-identical cross-engine,
+      no tolerance needed.
+
+    Scale shape: both arms end in TakeOrderedAndProject at depth
+    HYBRID_ARM_K (never a global sort); the only windows run over the
+    ≤ HYBRID_ARM_K survivor rows of each arm; the keyword postings are
+    pre-filtered to the query's tokens AT THE SCAN (an IN filter that
+    pushes to parquet), so the inverted-index work is
+    query-term-bounded, not corpus-bounded. Doc count N enters via a
+    one-row broadcast aggregate, not a driver collect.
+    """
+    tune(spark)
+    q_tokens = [t for t in HYBRID_QUERY.lower().split() if t]
+
+    # --- vector arm: best-chunk distance per doc, top-K docs ---
+    index = build_index(spark, sf_dir)
+    probe = F.array(*[F.lit(x) for x in embed_text_local(HYBRID_QUERY, DEFAULT_DIM)])
+    doc_dist = (
+        index.withColumn("dist2", F.round(l2_squared(F.col("embedding"), probe), 6))
+        .groupBy("doc_id")
+        .agg(F.min("dist2").alias("best_dist2"))
+        .orderBy(F.asc("best_dist2"), F.asc("doc_id"))
+        .limit(HYBRID_ARM_K)
+    )
+    w_vec = W.orderBy(F.asc("best_dist2"), F.asc("doc_id"))  # ≤ K rows
+    vec_arm = doc_dist.withColumn("vec_rank", F.row_number().over(w_vec)).select(
+        "doc_id", "vec_rank"
+    )
+
+    # --- keyword arm: integer idf overlap, top-K docs ---
+    docs = load_table(spark, sf_dir, "documents")
+    from spec_search_spark.functions.text import tokens as _tok
+
+    postings = (
+        docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(q_tokens))
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kw_score = (
+        postings.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("w", F.expr(f"(n_docs * {IDF_SCALE}L) div df"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("kw_score"))
+        .orderBy(F.desc("kw_score"), F.asc("doc_id"))
+        .limit(HYBRID_ARM_K)
+    )
+    w_kw = W.orderBy(F.desc("kw_score"), F.asc("doc_id"))  # ≤ K rows
+    kw_arm = kw_score.withColumn("kw_rank", F.row_number().over(w_kw)).select(
+        "doc_id", "kw_rank"
+    )
+
+    # --- RRF fusion ---
+    fused = (
+        vec_arm.join(kw_arm, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0)),
+                9,
+            ),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+    return fused.select("doc_id", "vec_rank", "kw_rank", "rrf")
+
+
+def _hybrid_search_sql() -> str:
+    q_tokens = [t for t in HYBRID_QUERY.lower().split() if t]
+    toks_lit = ", ".join(f"'{t}'" for t in q_tokens)
+    probe_lit = (
+        "[" + ", ".join(repr(x) for x in embed_text_local(HYBRID_QUERY, DEFAULT_DIM)) + "]"
+    )
+    return f"""
+WITH {_INDEX_CHUNKS_CTE},
+{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
+__embs AS (SELECT id, list(c ORDER BY d) AS emb FROM __comp GROUP BY id),
+doc_dist AS (
+  SELECT c.doc_id, min(round({l2_squared_sql('e.emb', probe_lit)}, 6)) AS best_dist2
+  FROM __chunks c JOIN __embs e ON e.id = c.id
+  GROUP BY c.doc_id
+  ORDER BY best_dist2 ASC, c.doc_id ASC
+  LIMIT {HYBRID_ARM_K}
+),
+vec_arm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY best_dist2 ASC, doc_id ASC) AS vec_rank
+  FROM doc_dist
+),
+postings AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                               ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+    FROM documents
+  ) t WHERE tok IN ({toks_lit})
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df_t AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+kw AS (
+  SELECT p.doc_id, CAST(sum((n.n_docs * {IDF_SCALE}) // d.df) AS BIGINT) AS kw_score
+  FROM postings p JOIN df_t d USING (tok) CROSS JOIN n
+  GROUP BY p.doc_id
+  ORDER BY kw_score DESC, p.doc_id ASC
+  LIMIT {HYBRID_ARM_K}
+),
+kw_arm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY kw_score DESC, doc_id ASC) AS kw_rank
+  FROM kw
+)
+SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id,
+       CAST(v.vec_rank AS INT) AS vec_rank,
+       CAST(k.kw_rank AS INT) AS kw_rank,
+       round(COALESCE(1.0::DOUBLE / ({RRF_K} + v.vec_rank), 0.0)
+             + COALESCE(1.0::DOUBLE / ({RRF_K} + k.kw_rank), 0.0), 9) AS rrf
+FROM vec_arm v FULL OUTER JOIN kw_arm k ON v.doc_id = k.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplet mining for embedding training: per anchor,
     the hardest in-bucket negative (most-similar different-label
@@ -874,6 +1054,8 @@ QUERIES = {
     "vector_index_build": vector_index_build_query,
     "semantic_search": semantic_search_query,
     "triplet_mining": triplet_mining,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "filtered_ann_search": filtered_ann_search,
 }
 
 ORACLES = {
@@ -887,4 +1069,6 @@ ORACLES = {
     "vector_index_build": VECTOR_INDEX_SQL,
     "semantic_search": _semantic_search_sql(),
     "triplet_mining": TRIPLET_SQL,
+    "hybrid_search_rrf": _hybrid_search_sql(),
+    "filtered_ann_search": FILTERED_ANN_SQL,
 }

@@ -204,6 +204,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("decimal_exact_revenue", ["partial_sum", "HashAggregate"], ["SortAggregate"]),
     # statistical moments: one partial+final pass computes every moment
     ("stats_moments", ["partial_corr", "HashAggregate"], ["SortAggregate"]),
+    # filtered vector search: the metadata predicate reaches the scan —
+    # filter-then-search, and the top-k is a TakeOrdered, no global sort
+    ("filtered_ann_search",
+     ["PushedFilters: [IsNotNull(label), EqualTo(label,3)", "TakeOrderedAndProject"],
+     ["Exchange rangepartitioning"]),
+    # hybrid RRF: both arms end in TakeOrdered at arm depth; the query
+    # token IN-filter pushes to the documents scan
+    ("hybrid_search_rrf",
+     ["TakeOrderedAndProject"],
+     ["Exchange rangepartitioning", "CartesianProduct"]),
 ]
 
 
