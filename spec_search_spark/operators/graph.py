@@ -117,16 +117,22 @@ def _edges_deg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGES:
         pairs = minhash_lsh_candidates(spark, sf_dir)
-        edges = _materialize(
-            pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).unionByName(
-                pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
-            )
+        # localCheckpoint, not cache: a cached edge table still CARRIES
+        # the whole postings→signature→banding lineage, and every
+        # downstream graph query pays Catalyst re-analysis of that tree
+        # (measured ~6s per triangle call on a 576-edge graph).
+        # Checkpointing truncates the lineage to the materialized
+        # blocks. local (block-manager) form is right for one-app
+        # sessions; a cluster deployment would use reliable
+        # checkpointing for executor-loss tolerance.
+        edges = (
+            pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+            .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+            .localCheckpoint(eager=True)
         )
-        deg = _materialize(
-            edges.groupBy(F.col("a").alias("doc_id")).agg(
-                F.count(F.lit(1)).alias("deg")
-            )
-        )
+        deg = edges.groupBy(F.col("a").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ).localCheckpoint(eager=True)
         _EDGES[key] = (edges, deg)
     return _EDGES[key]
 
