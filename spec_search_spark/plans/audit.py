@@ -187,13 +187,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("balanced_shards",
      ["hashpartitioning(bucket", "BroadcastHashJoin"],
      ["Exchange rangepartitioning", "CartesianProduct"]),
-    # triplet mining: pair join is bucket-blocked (equi join on the LSH
-    # bucket); argmin+argmax fused into ONE partial+final struct-minmax
-    # aggregation — no window pass, no recomputed pair join, no cross
-    # join
+    # triplet mining: ONE shuffle of vectors by LSH bucket into the
+    # per-bucket Arrow mining kernel — no pair join materialized at
+    # all, no window pass, no cross join
     ("triplet_mining",
-     ["partial_min", "partial_max", "HashAggregate"],
-     ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+     ["FlatMapGroupsInPandas", "hashpartitioning(bucket"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "SortMergeJoin"]),
     # differential skew join: hot slice broadcasts, cold slice keeps
     # the shuffle join; histogram aggregates partially
     ("adaptive_skew_join",
