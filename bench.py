@@ -68,6 +68,7 @@ HEADLINE = [
     "recursive_reachability",
     "hybrid_search_rrf",
     "filtered_ann_search",
+    "semantic_search_reranked",
 ]
 
 

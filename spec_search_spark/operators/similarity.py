@@ -926,6 +926,69 @@ LIMIT {TOP_K}
 """
 
 
+RERANK_DEPTH = 20  # first-stage candidate depth for the reranker
+
+
+def semantic_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve -> rerank (the production search stack:
+    a cheap first-stage retriever over the whole index, an expensive
+    scorer over its top candidates only). Stage 1 is the V2 L2
+    retriever at RERANK_DEPTH; stage 2 re-scores ONLY those candidates
+    with a cross-encoder-shaped scorer over (query, chunk) pairs and
+    reorders to the final top-k.
+
+    The scorer here is the deterministic poly-hash stand-in (same
+    fold the embedder uses, so the whole two-stage pipeline has an
+    exact DuckDB oracle); a real cross-encoder drops into the same
+    seam the way make_model_embed_udf swaps for the hash embedder —
+    batched model inference over RERANK_DEPTH rows per query, never
+    over the corpus.
+
+    Scale: stage-2 cost is O(k) per query regardless of corpus size —
+    the expensive model never sees more than RERANK_DEPTH candidates,
+    and stage 1 remains a TakeOrderedAndProject.
+    """
+    from spec_search_spark.operators.dedup import _poly_hash
+
+    cands = semantic_search(spark, sf_dir, HYBRID_QUERY, RERANK_DEPTH)
+    score = (
+        F.pmod(_poly_hash(F.concat(F.lit(HYBRID_QUERY + "||"), F.col("chunk"))), F.lit(100000))
+        .cast("bigint")
+    )
+    return (
+        cands.withColumn("rerank_score", score)
+        .orderBy(F.desc("rerank_score"), F.asc("id"))
+        .select("id", "doc_id", "chunk_idx", "dist2", "rerank_score")
+        .limit(TOP_K)
+    )
+
+
+def _semantic_search_reranked_sql() -> str:
+    from spec_search_spark.operators.dedup import _POLY_SQL
+
+    probe_lit = (
+        "[" + ", ".join(repr(x) for x in embed_text_local(HYBRID_QUERY, DEFAULT_DIM)) + "]"
+    )
+    score_sql = _POLY_SQL.format(s=f"'{HYBRID_QUERY}||' || chunk")
+    return f"""
+WITH {_INDEX_CHUNKS_CTE},
+{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
+__embs AS (SELECT id, list(c ORDER BY d) AS emb FROM __comp GROUP BY id),
+stage1 AS (
+  SELECT c.id, c.doc_id, c.chunk_idx, c.chunk,
+         round({l2_squared_sql('e.emb', probe_lit)}, 6) AS dist2
+  FROM __chunks c JOIN __embs e ON e.id = c.id
+  ORDER BY dist2 ASC, c.id ASC
+  LIMIT {RERANK_DEPTH}
+)
+SELECT id, doc_id, chunk_idx, dist2,
+       CAST((({score_sql}) % 100000 + 100000) % 100000 AS BIGINT) AS rerank_score
+FROM stage1
+ORDER BY rerank_score DESC, id ASC
+LIMIT {TOP_K}
+"""
+
+
 def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplet mining for embedding training: per anchor,
     the hardest in-bucket negative (most-similar different-label
@@ -1048,6 +1111,69 @@ SELECT p.anchor_id, p.pos_id, round(p.pos_raw, 6) AS pos_sim,
        n.neg_id, round(n.neg_raw, 6) AS neg_sim
 FROM pos p JOIN neg n USING (anchor_id)
 WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
+RERANK_DEPTH = 20  # first-stage candidate depth for the reranker
+
+
+def semantic_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve -> rerank (the production search stack:
+    a cheap first-stage retriever over the whole index, an expensive
+    scorer over its top candidates only). Stage 1 is the V2 L2
+    retriever at RERANK_DEPTH; stage 2 re-scores ONLY those candidates
+    with a cross-encoder-shaped scorer over (query, chunk) pairs and
+    reorders to the final top-k.
+
+    The scorer here is the deterministic poly-hash stand-in (same
+    fold the embedder uses, so the whole two-stage pipeline has an
+    exact DuckDB oracle); a real cross-encoder drops into the same
+    seam the way make_model_embed_udf swaps for the hash embedder —
+    batched model inference over RERANK_DEPTH rows per query, never
+    over the corpus.
+
+    Scale: stage-2 cost is O(k) per query regardless of corpus size —
+    the expensive model never sees more than RERANK_DEPTH candidates,
+    and stage 1 remains a TakeOrderedAndProject.
+    """
+    from spec_search_spark.operators.dedup import _poly_hash
+
+    cands = semantic_search(spark, sf_dir, HYBRID_QUERY, RERANK_DEPTH)
+    score = (
+        F.pmod(_poly_hash(F.concat(F.lit(HYBRID_QUERY + "||"), F.col("chunk"))), F.lit(100000))
+        .cast("bigint")
+    )
+    return (
+        cands.withColumn("rerank_score", score)
+        .orderBy(F.desc("rerank_score"), F.asc("id"))
+        .select("id", "doc_id", "chunk_idx", "dist2", "rerank_score")
+        .limit(TOP_K)
+    )
+
+
+def _semantic_search_reranked_sql() -> str:
+    from spec_search_spark.operators.dedup import _POLY_SQL
+
+    probe_lit = (
+        "[" + ", ".join(repr(x) for x in embed_text_local(HYBRID_QUERY, DEFAULT_DIM)) + "]"
+    )
+    score_sql = _POLY_SQL.format(s=f"'{HYBRID_QUERY}||' || chunk")
+    return f"""
+WITH {_INDEX_CHUNKS_CTE},
+{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
+__embs AS (SELECT id, list(c ORDER BY d) AS emb FROM __comp GROUP BY id),
+stage1 AS (
+  SELECT c.id, c.doc_id, c.chunk_idx, c.chunk,
+         round({l2_squared_sql('e.emb', probe_lit)}, 6) AS dist2
+  FROM __chunks c JOIN __embs e ON e.id = c.id
+  ORDER BY dist2 ASC, c.id ASC
+  LIMIT {RERANK_DEPTH}
+)
+SELECT id, doc_id, chunk_idx, dist2,
+       CAST((({score_sql}) % 100000 + 100000) % 100000 AS BIGINT) AS rerank_score
+FROM stage1
+ORDER BY rerank_score DESC, id ASC
+LIMIT {TOP_K}
 """
 
 
@@ -1188,6 +1314,7 @@ QUERIES = {
     "triplet_mining": triplet_mining,
     "hybrid_search_rrf": hybrid_search_rrf,
     "filtered_ann_search": filtered_ann_search,
+    "semantic_search_reranked": semantic_search_reranked,
 }
 
 ORACLES = {
@@ -1203,4 +1330,5 @@ ORACLES = {
     "triplet_mining": TRIPLET_SQL,
     "hybrid_search_rrf": _hybrid_search_sql(),
     "filtered_ann_search": FILTERED_ANN_SQL,
+    "semantic_search_reranked": _semantic_search_reranked_sql(),
 }

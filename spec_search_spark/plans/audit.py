@@ -213,6 +213,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("hybrid_search_rrf",
      ["TakeOrderedAndProject"],
      ["Exchange rangepartitioning", "CartesianProduct"]),
+    # two-stage rerank: stage 1 is a TakeOrdered at RERANK_DEPTH; the
+    # reranker never sees an unbounded candidate set (no global sort)
+    ("semantic_search_reranked",
+     ["TakeOrderedAndProject"],
+     ["Exchange rangepartitioning", "CartesianProduct"]),
 ]
 
 
