@@ -661,15 +661,31 @@ def build_index_df(docs: DataFrame) -> DataFrame:
     )
 
 
+_INDEX: dict[tuple[str, str], DataFrame] = {}
+
+
 def build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1: documents → empty-filter → chunk → embed → composite id.
 
     One DataFrame lineage replacing the reference's per-chunk
     `collection.add` loop (`indexer.py:46-57`) — the embedder runs as
     an Arrow-batched pandas_udf over whole partitions.
+
+    Memoized per (session, corpus) — an INDEX is built once and
+    searched many times (the reference persists it in Chroma,
+    `app.py:32-39`); without the memo every search query re-chunked
+    and re-embedded the corpus. localCheckpoint (not cache) so search
+    plans don't re-analyze the chunk+embed lineage per call (the
+    graph._edges_deg lesson); a cluster would persist to parquet —
+    exactly what the S5/S7 index-write path does.
     """
     tune(spark)
-    return build_index_df(load_table(spark, sf_dir, "documents"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX:
+        _INDEX[key] = build_index_df(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _INDEX[key]
 
 
 def vector_index_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
