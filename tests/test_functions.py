@@ -120,3 +120,73 @@ def test_sniff_type(spark, value, expected):
 
     row = spark.range(1).select(sniff_type(F.lit(value)).alias("t")).first()
     assert row["t"] == expected, value
+
+
+# --- lossless-blocking properties (pure Python, no Spark) -------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=14),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_fuzzy_qgram_blocking_is_lossless(names):
+    """Every pair within EDIT_D must be admitted by the candidate rule
+    used in operators.fuzzy (shared q-gram with position shift <= d and
+    count >= the Gravano bound, OR both strings short): a pair the
+    blocking drops while levenshtein says <= d would be a silent
+    correctness hole."""
+    from spec_search_spark.operators.fuzzy import EDIT_D, QGRAM, SHORT_LEN
+
+    def grams(s):
+        n = max(len(s) - QGRAM + 1, 1)
+        return [(i, s[i : i + QGRAM]) for i in range(n)]
+
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if abs(len(a) - len(b)) > EDIT_D:
+                continue
+            if _levenshtein(a, b) > EDIT_D:
+                continue
+            # the pair qualifies — the blocking must admit it
+            if max(len(a), len(b)) <= SHORT_LEN:
+                continue  # short-string block admits it
+            matched = sum(
+                1
+                for pa, ga in grams(a)
+                for pb, gb in grams(b)
+                if ga == gb and abs(pa - pb) <= EDIT_D
+            )
+            bound = max(len(a), len(b)) - (QGRAM - 1) - QGRAM * EDIT_D
+            assert matched >= max(bound, 1), (a, b, matched, bound)
+
+
+@given(st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=300, deadline=None)
+def test_jaccard_prefix_len_matches_exact_rational_ceil(n):
+    """The SQL integer form of |x| - ceil(t*|x|) + 1 must equal the
+    exact Fraction computation for every set size."""
+    import math
+    from fractions import Fraction
+
+    from spec_search_spark.operators.dedup import JACCARD_STRICT_THRESHOLD
+
+    frac = Fraction(str(JACCARD_STRICT_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
+    sql_form = n - ((num * n + den - 1) // den) + 1
+    exact = n - math.ceil(frac * n) + 1
+    assert sql_form == exact
