@@ -69,6 +69,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "filtered_ann_search",
     "semantic_search_reranked",
+    "corpus_diff",
 ]
 
 

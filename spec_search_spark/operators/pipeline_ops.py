@@ -736,6 +736,74 @@ FROM r
 """
 
 
+# --- corpus snapshot diff (CDC between dataset versions) --------------------
+
+DIFF_REMOVE_MOD = 17  # doc_id % 17 == 3 -> dropped in v2
+DIFF_EDIT_MOD = 13    # doc_id % 13 == 5 -> text edited in v2
+DIFF_ADD_MOD = 19     # doc_id % 19 == 7 -> cloned as a new doc in v2
+DIFF_ADD_OFFSET = 1_000_000
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every document across two corpus
+    versions as added / removed / modified / unchanged — the CDC pass
+    a training-data pipeline runs between crawl snapshots to build
+    incremental work lists instead of reprocessing 100 TB.
+
+    v2 is derived deterministically from v1 (drop doc_id%17==3, edit
+    text of doc_id%13==5, clone doc_id%19==7 under offset ids) so both
+    engines construct identical snapshots. The diff itself is the
+    scale-shaped part: each side reduces to (doc_id, content
+    fingerprint) — an 8-byte-payload full-outer hash join, never a
+    text comparison; classification is a CASE over null-ness and
+    fingerprint inequality, then a partial+final count per status.
+    """
+    tune(spark)
+    v1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    removed = (F.col("doc_id") % DIFF_REMOVE_MOD) == 3
+    edited = (F.col("doc_id") % DIFF_EDIT_MOD) == 5
+    base2 = v1.filter(~removed).withColumn(
+        "text",
+        F.when(edited, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+    )
+    added = v1.filter((F.col("doc_id") % DIFF_ADD_MOD) == 7).select(
+        (F.col("doc_id") + DIFF_ADD_OFFSET).alias("doc_id"), "text"
+    )
+    v2 = base2.unionByName(added)
+
+    d1 = v1.select("doc_id", _poly_hash(F.col("text")).alias("fp1"))
+    d2 = v2.select("doc_id", _poly_hash(F.col("text")).alias("fp2"))
+    j = d1.join(d2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+CORPUS_DIFF_SQL = f"""
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_EDIT_MOD} = 5 THEN text || ' v2' ELSE text END AS text
+  FROM v1 WHERE doc_id % {DIFF_REMOVE_MOD} <> 3
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_OFFSET}, text FROM v1 WHERE doc_id % {DIFF_ADD_MOD} = 7
+),
+d1 AS (SELECT doc_id, {_POLY_SQL.format(s='text')} AS fp1 FROM v1),
+d2 AS (SELECT doc_id, {_POLY_SQL.format(s='text')} AS fp2 FROM v2)
+SELECT CASE WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 IS NULL THEN 'added'
+            WHEN fp1 <> fp2 THEN 'modified'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs
+FROM d1 FULL OUTER JOIN d2 USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "dedup_survivors": dedup_survivors,
@@ -748,6 +816,7 @@ QUERIES = {
     "normalize_text": normalize_text,
     "training_pipeline_e2e": training_pipeline_e2e,
     "balanced_shards": balanced_shards,
+    "corpus_diff": corpus_diff,
 }
 
 ORACLES = {
@@ -762,4 +831,5 @@ ORACLES = {
     "normalize_text": NORMALIZE_SQL,
     "training_pipeline_e2e": _training_pipeline_sql(),
     "balanced_shards": BALANCED_SHARDS_SQL,
+    "corpus_diff": CORPUS_DIFF_SQL,
 }

@@ -218,6 +218,9 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("semantic_search_reranked",
      ["TakeOrderedAndProject"],
      ["Exchange rangepartitioning", "CartesianProduct"]),
+    # snapshot diff: fingerprint-only full-outer join (8-byte payload,
+    # SMJ — Spark has no broadcast full-outer), partial+final counts
+    ("corpus_diff", ["FullOuter", "partial_count"], ["CartesianProduct"]),
 ]
 
 
