@@ -70,6 +70,7 @@ HEADLINE = [
     "filtered_ann_search",
     "semantic_search_reranked",
     "corpus_diff",
+    "stratified_quality_sample",
 ]
 
 

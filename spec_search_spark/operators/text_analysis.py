@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import (
@@ -196,12 +197,59 @@ FROM documents
 """
 
 
+KEEP_PCT_NUM, KEEP_PCT_DEN = 1, 5  # keep the top 1/5 per source
+
+
+def stratified_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: keep the top 20% of each source's docs
+    by quality score — stratified curation (prune within every domain,
+    never let one good domain crowd out the rest), the selection pass
+    that follows quality_scores in a corpus pipeline.
+
+    Exact integer cutoff: keep rank <= ceil(count/5) per source, rank
+    by (quality desc, doc_id) so ties resolve identically everywhere.
+    One shuffle on source; rank + count share the same exchange.
+    """
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    w_cnt = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_src", F.count(F.lit(1)).over(w_cnt))
+        .filter(
+            F.col("rn")
+            <= F.expr(f"(({KEEP_PCT_NUM}L * n_src) + {KEEP_PCT_DEN - 1}L) div {KEEP_PCT_DEN}L")
+        )
+        .select("doc_id", "source", "quality", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, {quality_score_sql("text")} AS quality FROM documents
+), ranked AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT doc_id, source, quality, CAST(rn AS INT) AS rn
+FROM ranked
+WHERE rn <= ({KEEP_PCT_NUM} * n_src + {KEEP_PCT_DEN - 1}) // {KEEP_PCT_DEN}
+"""
+
+
 QUERIES = {
     "chunk_fixed": chunk_fixed,
     "chunk_recursive": chunk_recursive_check,
     "token_stats": token_stats,
     "lang_id": lang_id,
     "quality_scores": quality_scores,
+    "stratified_quality_sample": stratified_quality_sample,
     "doc_fingerprints": doc_fingerprints,
 }
 
@@ -211,5 +259,6 @@ ORACLES = {
     "token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_scores": QUALITY_SQL,
+    "stratified_quality_sample": STRATIFIED_SAMPLE_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
 }

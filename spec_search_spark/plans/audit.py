@@ -221,6 +221,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # snapshot diff: fingerprint-only full-outer join (8-byte payload,
     # SMJ — Spark has no broadcast full-outer), partial+final counts
     ("corpus_diff", ["FullOuter", "partial_count"], ["CartesianProduct"]),
+    # stratified gate: rank + count share ONE source exchange; never a
+    # global sort
+    ("stratified_quality_sample",
+     ["hashpartitioning(source", "Window"],
+     ["Exchange rangepartitioning", "CartesianProduct"]),
 ]
 
 
