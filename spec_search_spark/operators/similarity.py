@@ -1051,12 +1051,22 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    empty = pd.DataFrame(
+        {
+            "anchor_id": pd.Series(dtype="int64"),
+            "pos_id": pd.Series(dtype="int64"),
+            "pos_sim": pd.Series(dtype="float64"),
+            "neg_id": pd.Series(dtype="int64"),
+            "neg_sim": pd.Series(dtype="float64"),
+        }
+    )
+
     def mine(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return empty
         ids = pdf["vec_id"].to_numpy()
         labels = pdf["label"].to_numpy()
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
@@ -1092,6 +1102,8 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(s[np.argmax(ids == neg_i)]),
                 )
             )
+        if not rows:
+            return empty
         return pd.DataFrame(
             rows, columns=[f.name for f in out_schema.fields]
         )
