@@ -71,6 +71,7 @@ HEADLINE = [
     "semantic_search_reranked",
     "corpus_diff",
     "stratified_quality_sample",
+    "equi_depth_histogram",
 ]
 
 

@@ -307,6 +307,67 @@ GROUP BY l_returnflag
 """
 
 
+N_HIST_BUCKETS = 10
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of l_extendedprice — the
+    column statistic a cost-based optimizer keeps per column (ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS builds exactly this), and
+    the profiling summary a pipeline wants before range-partitioning
+    on a column.
+
+    Determinism: values become integer CENTS (round(price·100), exact
+    bigints), so the only cross-engine float is the interpolated cut
+    itself (Spark `percentile` and DuckDB `quantile_cont` share the
+    (n−1)·p linear-interpolation definition — same guarantee
+    percentiles_exact relies on), and a value-vs-cut comparison flips
+    only if a cut lands within an ulp of an integer, which exact-rank
+    cuts hit exactly (both engines agree) and fractional cuts miss by
+    construction. Classification: bucket = 1 + #cuts strictly below
+    the value, via one broadcast of the 9-element cut array — the scan
+    never shuffles for the histogram; the only exchange is the final
+    10-group count.
+    """
+    tune(spark)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    li = load_table(spark, sf_dir, "lineitem").select(cents.alias("cents"))
+    fracs = ", ".join(str(i / N_HIST_BUCKETS) for i in range(1, N_HIST_BUCKETS))
+    cuts = li.agg(F.expr(f"percentile(cents, array({fracs}))").alias("cuts"))
+    classified = li.join(F.broadcast(cuts)).select(
+        "cents",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "cuts",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("cents") > c, 1).otherwise(0),
+            )
+        ).cast("int").alias("bucket"),
+    )
+    return classified.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+EQUI_DEPTH_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem
+), cuts AS (
+  SELECT quantile_cont(cents, [{", ".join(str(i / N_HIST_BUCKETS) for i in range(1, N_HIST_BUCKETS))}]) AS q
+  FROM c
+)
+SELECT CAST(1 + len(list_filter(cuts.q, x -> c.cents > x)) AS INT) AS bucket,
+       count(*) AS n,
+       min(c.cents) AS lo_cents,
+       max(c.cents) AS hi_cents
+FROM c CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "scalar_date_math": scalar_date_math,
     "percentiles_exact": percentiles_exact,
@@ -317,6 +378,7 @@ QUERIES = {
     "variant_shred_stats": variant_shred_stats,
     "decimal_exact_revenue": decimal_exact_revenue,
     "stats_moments": stats_moments,
+    "equi_depth_histogram": equi_depth_histogram,
 }
 
 ORACLES = {
@@ -329,4 +391,5 @@ ORACLES = {
     "variant_shred_stats": VARIANT_SHRED_SQL,
     "decimal_exact_revenue": DECIMAL_REVENUE_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
+    "equi_depth_histogram": EQUI_DEPTH_SQL,
 }

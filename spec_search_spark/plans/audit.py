@@ -226,6 +226,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("stratified_quality_sample",
      ["hashpartitioning(source", "Window"],
      ["Exchange rangepartitioning", "CartesianProduct"]),
+    # equi-depth histogram: one 9-element cut broadcast; the scan never
+    # shuffles for classification — only the 10-group count exchanges
+    ("equi_depth_histogram",
+     ["partial_count", "partial_min"],
+     ["Exchange rangepartitioning", "SortMergeJoin"]),
 ]
 
 
