@@ -325,9 +325,15 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     only if a cut lands within an ulp of an integer, which exact-rank
     cuts hit exactly (both engines agree) and fractional cuts miss by
     construction. Classification: bucket = 1 + #cuts strictly below
-    the value, via one broadcast of the 9-element cut array — the scan
-    never shuffles for the histogram; the only exchange is the final
-    10-group count.
+    the value, via one broadcast of the 9-element cut array; the only
+    exchange after the cuts is the final 10-group count.
+
+    Scale note (honest, same as percentiles_exact): Spark's exact
+    `percentile` buffers the column in one aggregation state — fine
+    for the oracle-checked statistic here, but the 100 TB path is
+    `approx_percentile` (KLL, mergeable partials) or a distributed
+    cumulative-count rank walk; the classification side needs no
+    change either way.
     """
     tune(spark)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
