@@ -71,8 +71,11 @@ FROM orders
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per returnflag (Spark
     `percentile`, DuckDB `quantile_cont` — same linear-interpolation
-    definition). The approx variant (`approx_percentile`, t-digest/KLL)
-    is the 100 TB path but is not oracle-comparable across engines."""
+    definition). The 100 TB path is the REGISTERED twin
+    `percentiles_approx` (operators/sketches.py): approx_percentile's
+    bounded mergeable sketch state in a partial+final aggregate, with
+    a rank-band self-check; this exact version is its test-scale
+    ground truth."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -330,10 +333,11 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note (honest, same as percentiles_exact): Spark's exact
     `percentile` buffers the column in one aggregation state — fine
-    for the oracle-checked statistic here, but the 100 TB path is
-    `approx_percentile` (KLL, mergeable partials) or a distributed
-    cumulative-count rank walk; the classification side needs no
-    change either way.
+    for the oracle-checked statistic here. The 100 TB path is the
+    REGISTERED twin `equi_depth_histogram_approx`
+    (operators/sketches.py): approx_percentile cuts with bounded
+    mergeable sketch state, rank-band + depth-band self-checks; the
+    classification side is identical there.
     """
     tune(spark)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")

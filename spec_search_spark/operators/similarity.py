@@ -1017,10 +1017,12 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-blocked, never corpus-quadratic; bucket occupancy is tuned
     by N_PLANES (more planes at larger corpora). Semantically that is
     "hardest among the anchor's own collision set" — exactly the
-    candidates an ANN-backed production miner would score. Similarity
-    is rounded BEFORE the argmin/argmax (vec_id tie-break) so both
-    engines select identical winners. Anchors lacking a same-label and
-    a different-label bucket-mate are dropped.
+    candidates an ANN-backed production miner would score. Selection
+    compares RAW similarities (vec_id tie-break) in both engines —
+    cross-engine exact because the dimension folds are bit-identical —
+    and rounding to 6dp happens only on the selected winners' display
+    values. Anchors lacking a same-label and a different-label
+    bucket-mate are dropped.
 
     Physical shape: ONE shuffle of the vectors by bucket into a
     per-bucket Arrow kernel (applyInPandas). Inside the kernel the
@@ -1137,193 +1139,6 @@ neg AS (SELECT anchor_id, cand_id AS neg_id, sim_raw AS neg_raw,
         FROM pairs WHERE NOT same)
 SELECT p.anchor_id, p.pos_id, round(p.pos_raw, 6) AS pos_sim,
        n.neg_id, round(n.neg_raw, 6) AS neg_sim
-FROM pos p JOIN neg n USING (anchor_id)
-WHERE p.rn = 1 AND n.rn = 1
-"""
-
-
-RERANK_DEPTH = 20  # first-stage candidate depth for the reranker
-
-
-def semantic_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieve -> rerank (the production search stack:
-    a cheap first-stage retriever over the whole index, an expensive
-    scorer over its top candidates only). Stage 1 is the V2 L2
-    retriever at RERANK_DEPTH; stage 2 re-scores ONLY those candidates
-    with a cross-encoder-shaped scorer over (query, chunk) pairs and
-    reorders to the final top-k.
-
-    The scorer here is the deterministic poly-hash stand-in (same
-    fold the embedder uses, so the whole two-stage pipeline has an
-    exact DuckDB oracle); a real cross-encoder drops into the same
-    seam the way make_model_embed_udf swaps for the hash embedder —
-    batched model inference over RERANK_DEPTH rows per query, never
-    over the corpus.
-
-    Scale: stage-2 cost is O(k) per query regardless of corpus size —
-    the expensive model never sees more than RERANK_DEPTH candidates,
-    and stage 1 remains a TakeOrderedAndProject.
-    """
-    from spec_search_spark.operators.dedup import _poly_hash
-
-    cands = semantic_search(spark, sf_dir, HYBRID_QUERY, RERANK_DEPTH)
-    score = (
-        F.pmod(_poly_hash(F.concat(F.lit(HYBRID_QUERY + "||"), F.col("chunk"))), F.lit(100000))
-        .cast("bigint")
-    )
-    return (
-        cands.withColumn("rerank_score", score)
-        .orderBy(F.desc("rerank_score"), F.asc("id"))
-        .select("id", "doc_id", "chunk_idx", "dist2", "rerank_score")
-        .limit(TOP_K)
-    )
-
-
-def _semantic_search_reranked_sql() -> str:
-    from spec_search_spark.operators.dedup import _POLY_SQL
-
-    probe_lit = (
-        "[" + ", ".join(repr(x) for x in embed_text_local(HYBRID_QUERY, DEFAULT_DIM)) + "]"
-    )
-    score_sql = _POLY_SQL.format(s=f"'{HYBRID_QUERY}||' || chunk")
-    return f"""
-WITH {_INDEX_CHUNKS_CTE},
-{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
-__embs AS (SELECT id, list(c ORDER BY d) AS emb FROM __comp GROUP BY id),
-stage1 AS (
-  SELECT c.id, c.doc_id, c.chunk_idx, c.chunk,
-         round({l2_squared_sql('e.emb', probe_lit)}, 6) AS dist2
-  FROM __chunks c JOIN __embs e ON e.id = c.id
-  ORDER BY dist2 ASC, c.id ASC
-  LIMIT {RERANK_DEPTH}
-)
-SELECT id, doc_id, chunk_idx, dist2,
-       CAST((({score_sql}) % 100000 + 100000) % 100000 AS BIGINT) AS rerank_score
-FROM stage1
-ORDER BY rerank_score DESC, id ASC
-LIMIT {TOP_K}
-"""
-
-
-def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive triplet mining for embedding training: per anchor,
-    the hardest in-bucket negative (most-similar different-label
-    vector) and the hardest in-bucket positive (least-similar
-    same-label vector) — the pairs a metric-learning loss learns most
-    from.
-
-    Scale: mining runs INSIDE each hyperplane-LSH bucket (the same
-    deterministic planes the ANN queries share), so the pair join is
-    bucket-blocked, never corpus-quadratic; bucket occupancy is tuned
-    by N_PLANES (more planes at larger corpora). Semantically that is
-    "hardest among the anchor's own collision set" — exactly the
-    candidates an ANN-backed production miner would score. Similarity
-    is rounded BEFORE the argmin/argmax (vec_id tie-break) so both
-    engines select identical winners. Anchors lacking a same-label and
-    a different-label bucket-mate are dropped.
-
-    Physical shape: ONE shuffle of the vectors by bucket into a
-    per-bucket Arrow kernel (applyInPandas). Inside the kernel the
-    full bucket's pairwise cosine matrix comes from an ORDERED
-    dimension fold (acc += outer(col_j, col_j), j ascending — the
-    exact per-element operation sequence of the zip_with+aggregate
-    expression and of the DuckDB list fold, so the raw doubles are
-    bit-identical across all three), and per-anchor argmin/argmax run
-    vectorized in numpy. Selection compares RAW sims with a cand_id
-    tie-break — cross-engine exact because the folds are — and
-    rounding to 6 decimals happens only on the selected winners'
-    display values. The earlier pure-expression form materialized
-    ~n²/bucket pair rows through codegen (an array allocation per pair
-    in zip_with) and cost 2.7× more; kernel pair work is the same n²
-    but stays inside one fused numpy op per dimension. Bucket
-    occupancy (the n² bound) is tuned by N_PLANES at larger corpora.
-    """
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("anchor_id", T.LongType()),
-            T.StructField("pos_id", T.LongType()),
-            T.StructField("pos_sim", T.DoubleType()),
-            T.StructField("neg_id", T.LongType()),
-            T.StructField("neg_sim", T.DoubleType()),
-        ]
-    )
-
-    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        ids = pdf["vec_id"].to_numpy()
-        labels = pdf["label"].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        acc = np.zeros((n, n))
-        for j in range(mat.shape[1]):  # ordered fold — NOT np.dot
-            col = mat[:, j]
-            acc += np.outer(col, col)
-        nrm = np.sqrt(np.diagonal(acc))
-        sims = acc / np.outer(nrm, nrm)
-        rows = []
-        for i in range(n):
-            s = sims[i]
-            same = (labels == labels[i])
-            same[i] = False
-            diff = ~same
-            diff[i] = False
-            if not same.any() or not diff.any():
-                continue
-            # pos: min sim among same-label, ties -> min cand_id
-            ps = np.where(same, s, np.inf)
-            pmin = ps.min()
-            pos_i = ids[(ps == pmin)].min()
-            # neg: max sim among diff-label, ties -> min cand_id
-            ns = np.where(diff, s, -np.inf)
-            nmax = ns.max()
-            neg_i = ids[(ns == nmax)].min()
-            rows.append(
-                (
-                    int(ids[i]),
-                    int(pos_i),
-                    float(s[np.argmax(ids == pos_i)]),
-                    int(neg_i),
-                    float(s[np.argmax(ids == neg_i)]),
-                )
-            )
-        return pd.DataFrame(
-            rows, columns=[f.name for f in out_schema.fields]
-        )
-
-    mined = emb.groupBy("bucket").applyInPandas(mine, out_schema)
-    return mined.select(
-        "anchor_id",
-        "pos_id",
-        F.round("pos_sim", 6).alias("pos_sim"),
-        "neg_id",
-        F.round("neg_sim", 6).alias("neg_sim"),
-    )
-
-
-TRIPLET_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding, label, {_bucket_sql('embedding')} AS bucket
-             FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
-         a.label = b.label AS same,
-         round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 6) AS sim
-  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-),
-pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim,
-               row_number() OVER (PARTITION BY anchor_id
-                                  ORDER BY sim ASC, cand_id ASC) AS rn
-        FROM pairs WHERE same),
-neg AS (SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim,
-               row_number() OVER (PARTITION BY anchor_id
-                                  ORDER BY sim DESC, cand_id ASC) AS rn
-        FROM pairs WHERE NOT same)
-SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
 FROM pos p JOIN neg n USING (anchor_id)
 WHERE p.rn = 1 AND n.rn = 1
 """

@@ -108,12 +108,161 @@ FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
 """
 
 
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB twin of `percentiles_exact`
+    (operators/scalar_sql.py): same p50/p90/p99 statistic, computed
+    with `approx_percentile` (accuracy 10000) whose KLL-style sketch
+    keeps BOUNDED per-group state and merges in a normal partial+final
+    aggregate — no full-column buffering anywhere in the plan
+    (plans/audit.py pins `partial_approx_percentile` and forbids the
+    exact `partial_percentile` state).
+
+    Runs on orders.o_totalprice per o_orderstatus (the exact twin
+    covers lineitem) so the two quantile surfaces differ. Sketch
+    values are engine-specific, so per module convention the output is
+    the exact group count plus one bound-holds flag per quantile: the
+    returned value's true rank (recomputed from the raw data with
+    plain count aggregates) must sit within the published ±n/accuracy
+    band. At test scale the exact rank recomputation IS the oracle for
+    the sketch; at 100 TB you would drop the flags and keep the `apx`
+    values.
+    """
+    tune(spark)
+    od = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    apx = od.groupBy("o_orderstatus").agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, "
+            f"array({', '.join(str(q) for q in QUANTILES)}), {PCT_ACCURACY})"
+        ).alias("apx")
+    )
+    qlits = F.array(*[F.lit(float(q)) for q in QUANTILES])
+    probes = apx.select(
+        "o_orderstatus", F.posexplode("apx").alias("i", "val")
+    ).select(
+        "o_orderstatus", F.element_at(qlits, F.col("i") + 1).alias("q"), "val"
+    )
+    joined = od.join(F.broadcast(probes), "o_orderstatus")
+    stats = joined.groupBy("o_orderstatus", "q", "val").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("val"), 1).otherwise(0)).alias("n_le"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("val"), 1).otherwise(0)).alias("n_lt"),
+    )
+    eps = 1.0 / PCT_ACCURACY + 1e-9
+    rank_ok = (
+        F.col("n_le") >= F.floor((F.col("q") - eps) * F.col("n"))
+    ) & (F.col("n_lt") <= F.ceil((F.col("q") + eps) * F.col("n")))
+    # pivot the three (q, rank_ok) rows to one wide row per group
+    return (
+        stats.groupBy("o_orderstatus")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("q") == 0.5, rank_ok)).alias("p50_ok"),
+            F.max(F.when(F.col("q") == 0.9, rank_ok)).alias("p90_ok"),
+            F.max(F.when(F.col("q") == 0.99, rank_ok)).alias("p99_ok"),
+        )
+    )
+
+
+PERCENTILES_APPROX_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       true AS p50_ok, true AS p90_ok, true AS p99_ok
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+N_HIST_BUCKETS = 10
+
+
+def equi_depth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB twin of `equi_depth_histogram`
+    (operators/scalar_sql.py): same integer-cents domain and the same
+    classify-against-broadcast-cuts shape, but the 9 cuts come from
+    `approx_percentile` (accuracy 10000) — bounded mergeable sketch
+    state, partial+final aggregate, no full-column buffering (the
+    exact twin's single-state `percentile` is precisely what this
+    replaces at scale; plans/audit.py forbids `partial_percentile`
+    here).
+
+    Approx cuts shift bucket boundaries by at most the sketch's
+    ±n/accuracy rank error, so raw bucket counts are not cross-engine
+    pinnable. Self-verifying output (module convention), one row per
+    bucket: the cut's true rank must sit in the published band
+    (`rank_ok`, recomputed from raw data with count aggregates), and
+    the realized bucket depth must lie within n/10 ± (2n/accuracy +
+    tie mass at the bounding cuts) (`depth_ok` — the equi-depth
+    guarantee an optimizer relies on). Both are mathematical
+    consequences of the sketch bound, hence deterministically true.
+    """
+    tune(spark)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    li = load_table(spark, sf_dir, "lineitem").select(cents.alias("cents"))
+    fracs = ", ".join(str(i / N_HIST_BUCKETS) for i in range(1, N_HIST_BUCKETS))
+    cuts = li.agg(
+        F.expr(f"approx_percentile(cents, array({fracs}), {PCT_ACCURACY})").alias("cuts"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    probes = cuts.select(
+        F.posexplode("cuts").alias("i", "cut"), "n_total"
+    ).select((F.col("i") + 1).alias("cut_idx"), "cut", "n_total")
+    stats = (
+        li.join(F.broadcast(probes))
+        .groupBy("cut_idx", "cut", "n_total")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("cut"), 1).otherwise(0)).alias("n_le"),
+            F.sum(F.when(F.col("cents") < F.col("cut"), 1).otherwise(0)).alias("n_lt"),
+        )
+    )
+    eps = 1.0 / PCT_ACCURACY + 1e-9
+    q = F.col("cut_idx") / F.lit(float(N_HIST_BUCKETS))
+    rank_ok = (
+        F.col("n_le") >= F.floor((q - eps) * F.col("n_total"))
+    ) & (F.col("n_lt") <= F.ceil((q + eps) * F.col("n_total")))
+    # depth of bucket b = n_le(cut_b) - n_le(cut_{b-1}); the 9-row cut
+    # frame is tiny, so the unpartitioned window is a non-issue
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cut_idx")
+    mult = F.col("n_le") - F.col("n_lt")
+    prev_le = F.lag("n_le", 1, 0).over(w)
+    prev_mult = F.lag(mult, 1, 0).over(w)
+    depth = F.col("n_le") - prev_le
+    target = F.col("n_total") / F.lit(float(N_HIST_BUCKETS))
+    slack = 2.0 * F.col("n_total") / F.lit(float(PCT_ACCURACY)) + mult + prev_mult + 1
+    body = stats.select(
+        F.col("cut_idx").cast("int").alias("bucket"),
+        rank_ok.alias("rank_ok"),
+        (F.abs(depth - target) <= slack).alias("depth_ok"),
+        "n_le", "n_total", mult.alias("mult"),
+    )
+    # bucket 10 = everything above the last cut
+    last = body.filter(F.col("bucket") == N_HIST_BUCKETS - 1).select(
+        F.lit(N_HIST_BUCKETS).cast("int").alias("bucket"),
+        F.lit(True).alias("rank_ok"),
+        (
+            F.abs((F.col("n_total") - F.col("n_le")) - F.col("n_total") / 10.0)
+            <= 2.0 * F.col("n_total") / F.lit(float(PCT_ACCURACY)) + F.col("mult") + 1
+        ).alias("depth_ok"),
+    )
+    return body.select("bucket", "rank_ok", "depth_ok").unionByName(last)
+
+
+EQUI_DEPTH_APPROX_SQL = f"""
+SELECT CAST(b AS INT) AS bucket, true AS rank_ok, true AS depth_ok
+FROM range(1, {N_HIST_BUCKETS + 1}) t(b)
+"""
+
+
 QUERIES = {
     "approx_distinct_counts": approx_distinct_counts,
     "approx_quantiles": approx_quantiles,
+    "percentiles_approx": percentiles_approx,
+    "equi_depth_histogram_approx": equi_depth_histogram_approx,
 }
 
 ORACLES = {
     "approx_distinct_counts": APPROX_DISTINCT_SQL,
     "approx_quantiles": APPROX_QUANTILES_SQL,
+    "percentiles_approx": PERCENTILES_APPROX_SQL,
+    "equi_depth_histogram_approx": EQUI_DEPTH_APPROX_SQL,
 }

@@ -231,6 +231,15 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("equi_depth_histogram",
      ["partial_count", "partial_min"],
      ["Exchange rangepartitioning", "SortMergeJoin"]),
+    # approx quantile twins: the sketch aggregates partially (bounded
+    # mergeable KLL state, partial+final); the exact percentile's
+    # full-column single-state buffer must never appear in these plans
+    ("percentiles_approx",
+     ["partial_approx_percentile"],
+     ["partial_percentile(", "CartesianProduct"]),
+    ("equi_depth_histogram_approx",
+     ["partial_approx_percentile", "partial_sum"],
+     ["partial_percentile(", "SortMergeJoin"]),
 ]
 
 

@@ -104,6 +104,63 @@ def test_triplet_mining_hardness(spark, sf_dir):
         assert r["neg_sim"] >= r["pos_sim"] - 2.0  # sims live in [-1, 1]
 
 
+def _write_embeddings(tmp_path, rows):
+    """Write a synthetic embeddings.parquet matching the driver schema
+    (vec_id int64, embedding list<float>, label int32)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_triplet_mining_degenerate_buckets(spark, tmp_path):
+    """Edge cases for the per-bucket Arrow kernel: a one-vector corpus
+    (n<2 path) and a single-label corpus (no valid anchor path) must
+    both yield ZERO rows through a typed empty frame — Arrow rejects
+    object-dtype empties, so a wrong dtype here crashes the collect,
+    not just mismatches."""
+    from spec_search_spark.operators.similarity import DEFAULT_DIM, triplet_mining
+
+    dim = DEFAULT_DIM
+
+    def vec(seed):
+        # near-identical vectors: same hyperplane sign pattern, so all
+        # rows share one LSH bucket and the kernel sees a real n>=2 group
+        return [1.0 + 1e-3 * ((seed * 7 + j) % 5) for j in range(dim)]
+
+    # one vector total -> every bucket has n < 2
+    one = tmp_path / "one"
+    one.mkdir()
+    out = triplet_mining(spark, _write_embeddings(one, [(1, vec(1), 0)]))
+    assert out.collect() == []
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "double", "bigint", "double",
+    ]
+
+    # many vectors, all one label -> no anchor has a different-label mate
+    mono = tmp_path / "mono"
+    mono.mkdir()
+    rows = [(i, vec(i), 0) for i in range(12)]
+    assert triplet_mining(spark, _write_embeddings(mono, rows)).collect() == []
+
+    # sanity: adding a second label yields triplets with correct dtypes
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    rows = [(i, vec(i), i % 2) for i in range(12)]
+    got = triplet_mining(spark, _write_embeddings(mixed, rows)).collect()
+    assert len(got) > 0
+    for r in got:
+        assert isinstance(r["anchor_id"], int) and isinstance(r["pos_sim"], float)
+
+
 def test_jaccard_prefix_filter_is_lossless_and_reducing(spark, sf_dir):
     """The AllPairs prefix filter (jaccard_strict_pairs) must (a) keep
     the pair output identical to the exhaustive inverted-index join at
