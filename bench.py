@@ -72,6 +72,10 @@ HEADLINE = [
     "corpus_diff",
     "stratified_quality_sample",
     "equi_depth_histogram",
+    # round-4 additions: approx quantile twins (the scale path for the
+    # exact-percentile statistics)
+    "percentiles_approx",
+    "equi_depth_histogram_approx",
 ]
 
 
@@ -116,7 +120,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    full = {
         "metric": "headline_suite_total_steady_state",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -124,40 +128,95 @@ def main() -> None:
         "sf": sf_val,
         "calibration_shuffle_agg_1m_sec": calib,
     }
-    prev_name, prev = _previous_round()
+    prev_name, prev, this_round = _previous_round()
+    regressions: dict[str, float] = {}
     if prev is not None and prev.get("sf") == sf_val:
         prev_q = prev.get("queries", {})
-        out["prev"] = prev_name
-        out["prev_value"] = prev.get("value")
-        out["deltas"] = {
+        full["prev"] = prev_name
+        full["prev_value"] = prev.get("value")
+        full["deltas"] = {
             name: round(t - prev_q[name], 3)
             for name, t in timings.items()
             if name in prev_q
         }
-    print(json.dumps(out))
+        # Calibration-normalized regression ratios: divide the raw
+        # cross-round ratio by the machine-speed ratio measured on the
+        # fixed microbench, so host-VM drift cancels (VERDICT r3 #6).
+        prev_calib = prev.get("calibration_shuffle_agg_1m_sec")
+        if prev_calib:
+            machine = calib / prev_calib
+            full["calibration_prev_sec"] = prev_calib
+            full["machine_ratio"] = round(machine, 3)
+            adj = {
+                name: round((t / prev_q[name]) / machine, 3)
+                for name, t in timings.items()
+                if name in prev_q and prev_q[name] > 0
+            }
+            full["deltas_adjusted_ratio"] = adj
+            regressions = {
+                n: r for n, r in sorted(adj.items(), key=lambda kv: -kv[1]) if r > 1.3
+            }
+            full["regressions_adjusted_gt_1_3"] = regressions
+
+    # Full record to a file (the driver's stdout capture keeps only the
+    # last 2000 chars — r3's line overflowed it); stdout stays compact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_name = f"BENCH_FULL_r{this_round:02d}.json"
+    with open(os.path.join(here, full_name), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "calibration_shuffle_agg_1m_sec": calib,
+        "full_record": full_name,
+    }
+    if regressions:
+        out["regressions_adjusted_gt_1_3"] = dict(list(regressions.items())[:5])
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's 2000-char tail
+        out.pop("regressions_adjusted_gt_1_3", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 def _previous_round():
-    """Latest driver-recorded BENCH_r{N}.json next to this script — the
-    regression ledger baseline. Returns (name, parsed) or (None, None)."""
+    """Latest driver-recorded bench next to this script — the
+    regression ledger baseline. Prefers the driver's parsed
+    BENCH_r{N}.json; falls back to our own full record
+    BENCH_FULL_r{N}.json when the driver's tail capture truncated the
+    stdout line (r3). Returns (name, record, this_round_number)."""
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # ONLY the driver's BENCH_r{N}.json files mark rounds — our own
+    # BENCH_FULL files must not bump the round inference (a mid-round
+    # bench run would otherwise shift this_round on the next run).
     rounds = []
     for f in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
         if m:
-            rounds.append((int(m.group(1)), f))
+            rounds.append(int(m.group(1)))
     if not rounds:
-        return None, None
-    _, name = max(rounds)
-    try:
-        with open(os.path.join(here, name)) as fh:
-            data = json.load(fh)
+        return None, None, 1
+    last = max(rounds)
+    for name in (f"BENCH_r{last:02d}.json", f"BENCH_FULL_r{last:02d}.json"):
+        try:
+            with open(os.path.join(here, name)) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
         # the driver records {"parsed": <our line>, ...wrapper fields}
-        return name, data.get("parsed", data)
-    except (OSError, json.JSONDecodeError):
-        return None, None
+        rec = data.get("parsed", data)
+        if rec is not None and rec.get("queries"):
+            return name, rec, last + 1
+    return None, None, last + 1
 
 
 if __name__ == "__main__":
