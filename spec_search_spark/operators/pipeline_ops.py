@@ -314,9 +314,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE r2).
 
     Plan: (doc_id, term) histogram with partial aggs; the document-
-    frequency vocabulary is term-keyed and SMALL (vocab-sized, not
-    corpus-sized) so it broadcasts back; top-k per doc is one window
-    over the doc_id partitioning the tf histogram already has."""
+    frequency vocabulary is term-keyed and vocab-sized, not
+    corpus-sized, so it usually broadcasts back — but the vocabulary
+    GROWS with corpus size, so the broadcast is guarded by the same
+    BROADCAST_VOCAB_MAX cap dedup uses (dedup.py
+    hashed_shingle_postings): above the cap it falls back to a plain
+    shuffle join on `term`. Top-k per doc is one window over the
+    doc_id partitioning the tf histogram already has."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
@@ -326,10 +330,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from spec_search_spark.operators.dedup import BROADCAST_VOCAB_MAX
+
+    dfreq = _materialize(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    join_dfreq = (
+        F.broadcast(dfreq) if dfreq.count() <= BROADCAST_VOCAB_MAX else dfreq
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(join_dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -741,7 +750,10 @@ FROM r
 DIFF_REMOVE_MOD = 17  # doc_id % 17 == 3 -> dropped in v2
 DIFF_EDIT_MOD = 13    # doc_id % 13 == 5 -> text edited in v2
 DIFF_ADD_MOD = 19     # doc_id % 19 == 7 -> cloned as a new doc in v2
-DIFF_ADD_OFFSET = 1_000_000
+# synthetic added ids live in the NEGATIVE id space (-doc_id - 1):
+# disjoint from any real nonnegative doc_id by construction, so the
+# full-outer diff can never misclassify a collision (ADVICE r3) —
+# unlike a fixed positive offset, which real ids could eventually reach
 
 
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,7 +763,8 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental work lists instead of reprocessing 100 TB.
 
     v2 is derived deterministically from v1 (drop doc_id%17==3, edit
-    text of doc_id%13==5, clone doc_id%19==7 under offset ids) so both
+    text of doc_id%13==5, clone doc_id%19==7 under negative ids —
+    -doc_id-1, disjoint from every real nonnegative id) so both
     engines construct identical snapshots. The diff itself is the
     scale-shaped part: each side reduces to (doc_id, content
     fingerprint) — an 8-byte-payload full-outer hash join, never a
@@ -767,7 +780,7 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(edited, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
     )
     added = v1.filter((F.col("doc_id") % DIFF_ADD_MOD) == 7).select(
-        (F.col("doc_id") + DIFF_ADD_OFFSET).alias("doc_id"), "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
     )
     v2 = base2.unionByName(added)
 
@@ -790,7 +803,7 @@ v2 AS (
          CASE WHEN doc_id % {DIFF_EDIT_MOD} = 5 THEN text || ' v2' ELSE text END AS text
   FROM v1 WHERE doc_id % {DIFF_REMOVE_MOD} <> 3
   UNION ALL
-  SELECT doc_id + {DIFF_ADD_OFFSET}, text FROM v1 WHERE doc_id % {DIFF_ADD_MOD} = 7
+  SELECT -doc_id - 1, text FROM v1 WHERE doc_id % {DIFF_ADD_MOD} = 7
 ),
 d1 AS (SELECT doc_id, {_POLY_SQL.format(s='text')} AS fp1 FROM v1),
 d2 AS (SELECT doc_id, {_POLY_SQL.format(s='text')} AS fp2 FROM v2)

@@ -161,6 +161,59 @@ def test_triplet_mining_degenerate_buckets(spark, tmp_path):
         assert isinstance(r["anchor_id"], int) and isinstance(r["pos_sim"], float)
 
 
+def test_multimodal_real_codec_seam(spark):
+    """The codec seam must be proven by a real decoder, not only the
+    oracle fake: REAL_DECODE_AVAILABLE is probed (not assumed), BMP and
+    WAV files built by the fixture packers round-trip through the same
+    mapInPandas kernel the fake path uses, and unknown magic fails
+    loudly."""
+    import pytest as _pytest
+
+    from spec_search_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        REAL_DECODE_AVAILABLE,
+        make_bmp,
+        make_wav,
+        real_decode,
+        real_decode_media_batch,
+    )
+
+    assert REAL_DECODE_AVAILABLE  # pure-Python header codec always probes ok
+    w, h, nf, _cs = real_decode(make_bmp(7, 3, seed=5))
+    assert (w, h, nf) == (7, 3, 1)
+    rate, ch, ns, _cs = real_decode(make_wav(44100, 1, 10))
+    assert (rate, ch, ns) == (44100, 1, 10)
+    with _pytest.raises(ValueError):
+        real_decode(b"JUNKDATA" * 10)
+
+    df = spark.createDataFrame(
+        [(1, "image", make_bmp(5, 4)), (2, "audio", make_wav(16000, 2, 8))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(real_decode_media_batch, DECODED_SCHEMA).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (5, 4, 1)
+    # BMP stride: rows pad to 4 bytes -> 5px*3B=15 -> 16; 54 + 16*4 = 118
+    assert rows[1]["n_bytes"] == 118
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_frames"]) == (16000, 2, 8)
+    assert rows[2]["n_bytes"] == 44 + 8 * 2 * 2
+
+
+def test_tfidf_vocab_broadcast_fallback(spark, sf_dir, monkeypatch):
+    """tfidf_top_terms guards its document-frequency broadcast with
+    BROADCAST_VOCAB_MAX (the vocabulary grows with corpus size): with
+    the cap forced to 0 the shuffle-join fallback must produce exactly
+    the broadcast path's rows."""
+    from spec_search_spark.operators import dedup, pipeline_ops
+
+    base = sorted(map(tuple, pipeline_ops.tfidf_top_terms(spark, sf_dir).collect()))
+    monkeypatch.setattr(dedup, "BROADCAST_VOCAB_MAX", 0)
+    fell_back = sorted(map(tuple, pipeline_ops.tfidf_top_terms(spark, sf_dir).collect()))
+    assert fell_back == base
+
+
 def test_jaccard_prefix_filter_is_lossless_and_reducing(spark, sf_dir):
     """The AllPairs prefix filter (jaccard_strict_pairs) must (a) keep
     the pair output identical to the exhaustive inverted-index join at
