@@ -3,11 +3,19 @@ image/audio/video payloads as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / frame-sample run as Arrow-batched
 ``mapInPandas`` over whole partitions.
 
-The container has no image/audio libraries, so the actual codec step
-is STUBBED (``decode_stub_enabled`` / NotImplementedError path below)
-behind a deterministic fake that derives metadata purely from the
-payload bytes — the Spark-side plumbing (schema, partitioning, UDF
-signature, Arrow batch shape) is real and oracle-checked.
+The codec seam is PLUGGABLE (``make_decode_media_batch(decoder)``):
+the oracle-checked fixture queries use a deterministic fake decoder
+over utf-8 text payloads (DuckDB can replicate its arithmetic), while
+``real_decode`` is a real, working pure-Python codec that parses BMP
+and WAV headers from raw bytes — no image/audio libraries exist in
+this container, but header-parsing needs only ``struct``, so the seam
+is proven end-to-end by ``multimodal_real_codec`` (builds genuine
+BMP/WAV payloads, round-trips them through the mapInPandas kernel)
+the same way the embedding-model seam is proven by a swap test.
+``REAL_DECODE_AVAILABLE`` is flipped by an import-time probe that
+decodes a 2x2 BMP and a 4-sample WAV. A PIL/ffmpeg-class decoder
+drops into the same ``decoder`` argument for formats beyond
+header-parse (pixel data, resampling).
 
 Scale notes:
 - payloads stay in executor memory as Arrow binary buffers; nothing
@@ -32,60 +40,156 @@ from pyspark.sql import functions as F
 from spec_search_spark.catalog import load_table
 from spec_search_spark.session import tune
 
-#: flip to True when a real codec (PIL/torchaudio/ffmpeg) is installed;
-#: the mapInPandas plumbing is identical either way.
-REAL_DECODE_AVAILABLE = False
-
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
     "width int, height int, n_frames int, checksum bigint"
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic stand-in for a codec: metadata derived from bytes.
+def _prefix_checksum(payload: bytes) -> int:
+    checksum = 0
+    for b in payload[:256]:  # bounded prefix so cost is O(1) per row
+        checksum = (checksum * 31 + b) % 2147483647
+    return checksum
 
-    Replace with PIL/ffmpeg when available (REAL_DECODE_AVAILABLE);
-    raise NotImplementedError there to make the stub boundary loud.
-    """
-    if REAL_DECODE_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire a real codec here (PIL/ffmpeg)")
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in codec for the TEXT-payload fixture:
+    metadata derived purely from byte arithmetic, so the DuckDB oracle
+    can replicate it from the text column. Asserts the ASCII contract
+    that replication depends on (oracle recomputes the checksum via
+    ord(); a non-ASCII doc would make utf-8 byte length ≠ char length
+    and byte values ≠ code points, silently diverging) — better a loud
+    error at the boundary than a hash mismatch downstream."""
+    if any(b > 127 for b in payload[:256]) or len(payload) != len(
+        payload.decode("utf-8")
+    ):
+        raise ValueError(
+            "multimodal oracle requires ASCII payloads (non-ASCII byte found)"
+        )
     n = len(payload)
     width = 64 + n % 577
     height = 64 + n % 433
     n_frames = 1 + n % 7
-    checksum = 0
-    for b in payload[:256]:  # bounded prefix so cost is O(1) per row
-        checksum = (checksum * 31 + b) % 2147483647
-    return width, height, n_frames, checksum
+    return width, height, n_frames, _prefix_checksum(payload)
 
 
-def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, media_type, payload) → metadata.
+# --- real pure-Python codec (BMP + WAV header parse) ------------------------
 
-    Asserts the ASCII contract the DuckDB oracle depends on (oracle
-    recomputes the checksum from the TEXT column via ord(); a
-    non-ASCII doc would make utf-8 byte length ≠ char length and byte
-    values ≠ code points, silently diverging) — better a loud error at
-    the boundary than a hash mismatch downstream."""
-    for pdf in batches:
-        for p in pdf["payload"]:
-            if any(b > 127 for b in p[:256]) or len(p) != len(p.decode("utf-8")):
-                raise ValueError(
-                    "multimodal oracle requires ASCII payloads (non-ASCII byte found)"
-                )
-        meta = pdf["payload"].map(_fake_decode)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "width": meta.map(lambda m: m[0]).astype("int32"),
-                "height": meta.map(lambda m: m[1]).astype("int32"),
-                "n_frames": meta.map(lambda m: m[2]).astype("int32"),
-                "checksum": meta.map(lambda m: m[3]).astype("int64"),
-            }
-        )
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A genuine, spec-valid 24-bit BMP file (BITMAPINFOHEADER), with
+    deterministic pixel bytes. Row stride pads to 4 bytes per the BMP
+    spec — n_bytes is therefore real format arithmetic, not a fake."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    pixels = bytearray(stride * height)
+    for i in range(len(pixels)):
+        pixels[i] = (seed * 31 + i * 7) % 251
+    size = 54 + len(pixels)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(pixels)
+
+
+def make_wav(sample_rate: int, channels: int, n_samples: int, seed: int = 0) -> bytes:
+    """A genuine PCM-16 WAV file (RIFF/fmt /data chunks)."""
+    import struct
+
+    block_align = channels * 2
+    data = bytearray(n_samples * block_align)
+    for i in range(len(data)):
+        data[i] = (seed * 17 + i * 13) % 256
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + bytes(data)
+    )
+
+
+def real_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL codec: parse BMP and WAV headers from raw bytes (pure
+    Python ``struct`` — the only codec dependency this container has).
+
+    Output mapping into DECODED_SCHEMA's metadata slots:
+    - BMP:  (width, height, n_frames=1)   from BITMAPINFOHEADER
+    - WAV:  (width=sample_rate, height=channels, n_frames=n_samples)
+            from the fmt/data chunks (a frame = one sample across
+            channels, data_size // block_align)
+    Unknown magic raises ValueError — the loud boundary. A PIL/ffmpeg
+    decoder extends this to pixel/sample CONTENT; headers are what a
+    100 TB metadata-extraction pass reads anyway."""
+    import struct
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = struct.unpack_from("<i", payload, 22)[0]
+        return width, abs(height), 1, _prefix_checksum(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        off, rate, channels, block_align, n_frames = 12, 0, 0, 1, 0
+        while off + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, off)
+            if cid == b"fmt ":
+                channels, rate = struct.unpack_from("<HI", payload, off + 10)
+                block_align = struct.unpack_from("<H", payload, off + 20)[0] or 1
+            elif cid == b"data":
+                n_frames = csize // block_align
+            off += 8 + csize + (csize % 2)
+        return rate, channels, n_frames, _prefix_checksum(payload)
+    raise ValueError(f"unknown media magic {payload[:4]!r}")
+
+
+def _probe_real_codec() -> bool:
+    """Import-time probe: the real codec must round-trip a 2x2 BMP and
+    a 4-sample WAV before being advertised."""
+    try:
+        w, h, nf, _ = real_decode(make_bmp(2, 2))
+        ok_bmp = (w, h, nf) == (2, 2, 1)
+        r, c, ns, _ = real_decode(make_wav(8000, 2, 4))
+        return ok_bmp and (r, c, ns) == (8000, 2, 4)
+    except Exception:
+        return False
+
+
+#: True when a working codec backs `real_decode` (probed, not assumed);
+#: the mapInPandas plumbing is identical either way.
+REAL_DECODE_AVAILABLE = _probe_real_codec()
+
+
+def make_decode_media_batch(decoder):
+    """Build a mapInPandas kernel (doc_id, media_type, payload) →
+    metadata around any ``bytes -> (width, height, n_frames, checksum)``
+    decoder — the codec swap seam (fake for the text-payload oracle
+    fixture, `real_decode` for BMP/WAV bytes, PIL/ffmpeg in a real
+    deployment)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(decoder)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": meta.map(lambda m: m[0]).astype("int32"),
+                    "height": meta.map(lambda m: m[1]).astype("int32"),
+                    "n_frames": meta.map(lambda m: m[2]).astype("int32"),
+                    "checksum": meta.map(lambda m: m[3]).astype("int64"),
+                }
+            )
+
+    return kernel
+
+
+decode_media_batch = make_decode_media_batch(_fake_decode)
+real_decode_media_batch = make_decode_media_batch(real_decode)
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +234,71 @@ FROM documents
 """
 
 
+REAL_CODEC_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "width int, height int, n_frames int"
+)
+
+
+def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec seam driven by a REAL decoder: build genuine BMP/WAV
+    files (doc_id-parameterized dimensions/sample counts), hand them
+    through the binary Arrow column, and parse them back with
+    `real_decode` — header fields and spec arithmetic (BMP 4-byte row
+    stride, RIFF chunk layout) must survive the round trip.
+
+    Oracle: payload dimensions are functions of doc_id, so DuckDB
+    replicates the expected metadata (including the BMP stride and
+    WAV chunk-size arithmetic) without parsing bytes; the Spark side
+    genuinely packs and re-parses every file.
+
+    Plan: scan → synth kernel → decode kernel, two chained MapInPandas
+    in ONE stage — zero exchanges; payload bytes never leave the
+    executor that made them. That is the 100 TB shape for decode
+    pipelines: codec work scales with cores, shuffle volume is zero.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payloads.append(make_bmp(1 + d % 31, 1 + d % 17, seed=d))
+                    mtypes.append("image")
+                else:
+                    payloads.append(
+                        make_wav(8000 + d % 100, 1 + d % 2, d % 50, seed=d)
+                    )
+                    mtypes.append("audio")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": mtypes, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "doc_id bigint, media_type string, payload binary")
+    return media.mapInPandas(real_decode_media_batch, DECODED_SCHEMA).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+MULTIMODAL_REAL_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 54 + (((1 + doc_id % 31) * 3 + 3) // 4 * 4) * (1 + doc_id % 17)
+                 ELSE 44 + (doc_id % 50) * (1 + doc_id % 2) * 2
+            END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 31
+                 ELSE 8000 + doc_id % 100 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 17
+                 ELSE 1 + doc_id % 2 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 50 END AS INT) AS n_frames
+FROM documents
+"""
+
+
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: explode n_frames into (doc_id, frame_idx)
     work units — the shape a video pipeline fans decode tasks out on."""
@@ -152,9 +321,11 @@ FROM documents
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
+    "multimodal_real_codec": multimodal_real_codec,
 }
 
 ORACLES = {
     "multimodal_decode": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    "multimodal_real_codec": MULTIMODAL_REAL_SQL,
 }

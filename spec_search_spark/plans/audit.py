@@ -240,6 +240,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("equi_depth_histogram_approx",
      ["partial_approx_percentile", "partial_sum"],
      ["partial_percentile(", "SortMergeJoin"]),
+    # real-codec round trip: scan -> synth kernel -> decode kernel in
+    # ONE stage — payload bytes never cross an exchange
+    ("multimodal_real_codec",
+     ["MapInPandas"],
+     ["Exchange", "CartesianProduct"]),
 ]
 
 
