@@ -52,7 +52,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Pin UTC here too: the NTZ→LTZ cast below must not depend on
-        # the caller having run session.tune() first.
+        # the caller having run session.tune() first. This IS a session
+        # config override (the whole operator surface is defined over
+        # UTC event times — see session.tune); if a caller deliberately
+        # configured a different zone, say so loudly instead of
+        # silently flipping their unrelated timestamp arithmetic.
+        current = spark.conf.get("spark.sql.session.timeZone", None)
+        if current not in (None, "UTC", "Etc/UTC", "GMT", "+00:00"):
+            import warnings
+
+            warnings.warn(
+                f"load_table('events') pins spark.sql.session.timeZone=UTC "
+                f"(was {current!r}): every events operator and oracle is "
+                f"defined over UTC event times",
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
