@@ -72,10 +72,11 @@ HEADLINE = [
     "corpus_diff",
     "stratified_quality_sample",
     "equi_depth_histogram",
-    # round-4 additions: approx quantile twins (the scale path for the
-    # exact-percentile statistics)
+    # round-4 additions: approx quantile twins + the exact distributed
+    # rank walk (the scale paths for the exact-percentile statistics)
     "percentiles_approx",
     "equi_depth_histogram_approx",
+    "percentiles_distributed",
 ]
 
 

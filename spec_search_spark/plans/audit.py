@@ -230,7 +230,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # shuffles for classification — only the 10-group count exchanges
     ("equi_depth_histogram",
      ["partial_count", "partial_min"],
-     ["Exchange rangepartitioning", "SortMergeJoin"]),
+     ["Exchange rangepartitioning", "SortMergeJoin", "partial_percentile("]),
+    # exact percentile WITHOUT the single-state buffer: rank walk is
+    # partial+final aggregates + a distinct-value-sized window
+    ("percentiles_distributed",
+     ["partial_count", "partial_sum"],
+     ["partial_percentile(", "ObjectHashAggregate", "CartesianProduct"]),
     # approx quantile twins: the sketch aggregates partially (bounded
     # mergeable KLL state, partial+final); the exact percentile's
     # full-column single-state buffer must never appear in these plans
