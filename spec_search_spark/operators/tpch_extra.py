@@ -590,6 +590,111 @@ GROUP BY c_mktsegment
 """
 
 
+# --- Q16 shape: excluded-supplier distinct count ----------------------------
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) for a filtered
+    part population, excluding a supplier denylist — TPC-H Q16's
+    NOT IN + count(DISTINCT) shape (no partsupp → lineitem is the
+    part↔supplier relation; s_acctbal < 0 stands in for the
+    'Customer Complaints' comment match as the denylist predicate).
+
+    Scale: the denylist is a tiny broadcast anti join BEFORE the
+    distinct agg (never filter after expanding); part filters reach
+    the parquet scan; countDistinct shuffles (brand,type,size,supp)
+    pairs already reduced by the part semi join.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- Q20 shape: correlated-aggregate threshold up a semi-join chain ---------
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in low-key nations holding 'red' parts whose
+    single-shipment capacity (4 x max shipment) exceeds half their
+    total 1997 shipped quantity of that part — TPC-H Q20's shape: an
+    aggregate threshold per (supplier, part) feeding a semi-join chain
+    up to the supplier list (no partsupp → ps_availqty becomes the
+    capacity stand-in 4*max(l_quantity), keeping the
+    compare-two-aggregates HAVING that makes Q20's plan interesting).
+
+    Scale: ONE shuffle of the red-part lineitems on (suppkey,
+    partkey) computes both aggregates; the part filter broadcasts and
+    prunes before the exchange; the supplier side is a left-semi
+    against the tiny qualifying set.
+    """
+    part_red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    y97 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01")
+    )
+    qualifying = (
+        li.join(F.broadcast(part_red), li.l_partkey == part_red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.max("l_quantity").alias("max_qty"),
+            F.sum(F.when(y97, F.col("l_quantity")).otherwise(0.0)).alias("qty_97"),
+        )
+        .filter(F.col("max_qty") * 4 > F.col("qty_97") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(qualifying, sup.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_nationkey < 5
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, l_partkey,
+             max(l_quantity) AS max_qty,
+             sum(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                       AND l_shipdate < DATE '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_97
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+    ) sp
+    WHERE max_qty * 4 > qty_97 * 0.5
+  )
+"""
+
+
 QUERIES = {
     "q2_min_price_supplier": q2_min_price_supplier,
     "q4_priority_exists": q4_priority_exists,
@@ -603,6 +708,8 @@ QUERIES = {
     "q19_disjunctive_bands": q19_disjunctive_bands,
     "q21_sole_returner": q21_sole_returner,
     "q22_idle_customers": q22_idle_customers,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
 }
 
 ORACLES = {
@@ -618,4 +725,6 @@ ORACLES = {
     "q19_disjunctive_bands": Q19_SQL,
     "q21_sole_returner": Q21_SQL,
     "q22_idle_customers": Q22_SQL,
+    "q16_supplier_cnt": Q16_SQL,
+    "q20_promotion_suppliers": Q20_SQL,
 }

@@ -250,6 +250,15 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_real_codec",
      ["MapInPandas"],
      ["Exchange", "CartesianProduct"]),
+    # q16: denylist anti-joins (broadcast) BEFORE the distinct agg
+    ("q16_supplier_cnt",
+     ["LeftAnti", "BroadcastHashJoin", "partial_count"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    # q20: one (suppkey,partkey) exchange computes both aggregates;
+    # the chain stays semi joins
+    ("q20_promotion_suppliers",
+     ["LeftSemi", "partial_max"],
+     ["CartesianProduct", "SortMergeJoin"]),
 ]
 
 
