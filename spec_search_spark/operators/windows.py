@@ -477,6 +477,89 @@ LEFT JOIN obs o ON o.h = s.h AND o.event_type = s.event_type
 """
 
 
+# --- interval overlap join (grid-bucketed) ----------------------------------
+
+OVERLAP_GRID_US = 300_000_000     # 5-minute grid cells
+CLICK_SPAN_US = 600_000_000       # click activity interval: 10 min
+ERROR_SPAN_US = 120_000_000       # error/outage interval: 2 min
+ERROR_USER_MOD = 29               # rare-outage filter keeps |B| small
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — the join type Spark
+    lacks natively (an overlap predicate alone plans as a nested-loop
+    cross product). Pairs every click activity interval [ts, ts+10min]
+    with every overlapping outage interval [ts, ts+2min] (errors from
+    a sparse user set), closed-interval semantics.
+
+    Scale shape: GRID BUCKETING. Each interval explodes to the
+    5-minute grid cells it touches (≤ span/grid + 1 rows — a bounded,
+    tunable expansion), the join runs as a plain shuffle hash join on
+    the cell key, the overlap predicate verifies exactly, and DISTINCT
+    collapses pairs found in multiple shared cells. At 100 TB: no
+    broadcast requirement on either side, shuffle volume is
+    (rows x expansion), hot cells (time-of-day skew) are ordinary
+    skewed join keys for AQE. The naive theta join the oracle runs is
+    O(|A| x |B|) and exists only to certify this plan.
+
+    Arithmetic in epoch-micros bigints end-to-end — exact in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        us.alias("a_s"),
+        (us + F.lit(CLICK_SPAN_US)).alias("a_e"),
+    )
+    b = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("user_id") % ERROR_USER_MOD == 0)
+    ).select(
+        F.col("event_id").alias("b_id"),
+        us.alias("b_s"),
+        (us + F.lit(ERROR_SPAN_US)).alias("b_e"),
+    )
+
+    def cells(lo: str, hi: str) -> F.Column:
+        return F.explode(
+            F.sequence(
+                F.expr(f"{lo} div {OVERLAP_GRID_US}"),
+                F.expr(f"{hi} div {OVERLAP_GRID_US}"),
+            )
+        )
+
+    ag = a.withColumn("cell", cells("a_s", "a_e"))
+    bg = b.withColumn("cell", cells("b_s", "b_e"))
+    return (
+        ag.join(bg, "cell")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH a AS (
+  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+         epoch_us(ts) + {CLICK_SPAN_US} AS a_e
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+         epoch_us(ts) + {ERROR_SPAN_US} AS b_e
+  FROM events WHERE event_type = 'error' AND user_id % {ERROR_USER_MOD} = 0
+)
+SELECT a_id, b_id,
+       least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
     "window_range_10min": window_range_10min,
@@ -489,6 +572,7 @@ QUERIES = {
     "asof_join_purchase": asof_join_purchase,
     "scd2_current_snapshot": scd2_current_snapshot,
     "gap_fill_hourly": gap_fill_hourly,
+    "interval_overlap_join": interval_overlap_join,
 }
 
 ORACLES = {
@@ -503,4 +587,5 @@ ORACLES = {
     "asof_join_purchase": ASOF_SQL,
     "scd2_current_snapshot": SCD2_SQL,
     "gap_fill_hourly": GAP_FILL_SQL,
+    "interval_overlap_join": INTERVAL_OVERLAP_SQL,
 }

@@ -259,6 +259,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("q20_promotion_suppliers",
      ["LeftSemi", "partial_max"],
      ["CartesianProduct", "SortMergeJoin"]),
+    # interval overlap: grid cells explode (Generate) and the join is
+    # HASH-keyed on the cell — the overlap predicate must never plan
+    # as a nested-loop theta join
+    ("interval_overlap_join",
+     ["Generate"],
+     ["BroadcastNestedLoopJoin", "CartesianProduct"]),
 ]
 
 

@@ -161,6 +161,48 @@ def test_triplet_mining_degenerate_buckets(spark, tmp_path):
         assert isinstance(r["anchor_id"], int) and isinstance(r["pos_sim"], float)
 
 
+def test_interval_overlap_grid_is_lossless(spark, sf_dir):
+    """Grid bucketing must find EXACTLY the pairs the naive theta join
+    finds — cells are a candidate generator, not an approximation."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.windows import (
+        CLICK_SPAN_US,
+        ERROR_SPAN_US,
+        ERROR_USER_MOD,
+        interval_overlap_join,
+    )
+    from spec_search_spark.operators.windows import _t
+
+    grid = {
+        (r["a_id"], r["b_id"], r["overlap_us"])
+        for r in interval_overlap_join(spark, sf_dir).collect()
+    }
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), us.alias("a_s"),
+        (us + F.lit(CLICK_SPAN_US)).alias("a_e"),
+    )
+    b = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") % ERROR_USER_MOD == 0)
+    ).select(
+        F.col("event_id").alias("b_id"), us.alias("b_s"),
+        (us + F.lit(ERROR_SPAN_US)).alias("b_e"),
+    )
+    naive = {
+        (r["a_id"], r["b_id"], r["overlap_us"])
+        for r in a.crossJoin(b)
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select(
+            "a_id", "b_id",
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
+        )
+        .collect()
+    }
+    assert grid == naive and len(grid) > 0
+
+
 def test_multimodal_real_codec_seam(spark):
     """The codec seam must be proven by a real decoder, not only the
     oracle fake: REAL_DECODE_AVAILABLE is probed (not assumed), BMP and
