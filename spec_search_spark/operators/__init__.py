@@ -14,6 +14,7 @@ def all_queries():
         fuzzy,
         graph,
         ivf,
+        layout,
         mllib_lsh,
         multimodal,
         pii,
@@ -45,6 +46,7 @@ def all_queries():
         multimodal,
         scalar_sql,
         ivf,
+        layout,
         sketches,
         skew,
         mllib_lsh,

@@ -1,0 +1,148 @@
+"""Data-layout operators: Z-order clustering + skipping-stats report —
+the lakehouse write-side optimization a 100 TB table needs before any
+of the read-side pruning in this repo pays off (Delta/Iceberg
+`OPTIMIZE ZORDER BY` compute exactly this ordering; parquet row-group
+min/max stats do the skipping).
+
+The reference has no storage layer at all (it writes rows to Google
+Sheets, `/root/reference/sheet_creator_tool.py:60-90`); this module is
+target-engine surface per SURVEY.md §3's scale mandate.
+
+Scale shape: per-dimension bounds are one tiny agg broadcast as a
+single row; cell mapping + the Morton interleave are pure per-row
+codegen expressions (no shuffle, no UDF); the stats report is one
+partial+final aggregate. The write path in production is
+``repartitionByRange(z).sortWithinPartitions(z)`` + parquet write —
+the stats this query emits are precisely the row-group min/max that
+make a later ``WHERE x BETWEEN ..`` prune buckets on BOTH dimensions
+at once, which no single-column sort can do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+Z_BITS = 8           # bits per dimension after range normalization
+N_ZBUCKETS = 64      # clustered "files" the report describes
+# probe predicate for the prunable flag: a narrow partkey band
+PROBE_LO, PROBE_HI = 100, 200
+
+
+def _interleave(x: Column, y: Column) -> Column:
+    """Morton/Z code: interleave the low Z_BITS of x (even positions)
+    and y (odd positions). Pure shift/mask arithmetic — identical
+    operator set in DuckDB, so the oracle is exact."""
+    z = F.lit(0).cast("bigint")
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lineitem on (l_partkey, l_suppkey) and report per-bucket
+    clustering stats: row count, the min/max of BOTH dimensions (the
+    row-group stats data skipping reads), and whether the bucket is
+    prunable for a fixed partkey probe band — the fraction of `true`
+    in that column IS the two-dimensional skipping win.
+
+    Algorithm (what OPTIMIZE ZORDER does): normalize each dimension
+    onto its value RANGE first — cell = (v - min) * 2^Z_BITS div
+    (max - min + 1), exact bigint arithmetic — then Morton-interleave
+    the cell coordinates and cut z-space into equal-width buckets.
+    Without the normalization, keys that occupy a fraction of the bit
+    space collapse into one bucket. A single-column sort clusters one
+    dimension and scrambles the other; the Morton code keeps both
+    min/max ranges narrow, so range predicates on EITHER column prune
+    most buckets. Production writes range-partition on z for
+    equal-SIZE files — same code, planner-chosen boundaries.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    k = 1 << Z_BITS
+
+    def cell(v: str, lo: str, hi: str) -> Column:
+        return F.expr(f"(({v} - {lo}) * {k}) div ({hi} - {lo} + 1)")
+
+    withz = li.join(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        _interleave(
+            cell("l_partkey", "pmin", "pmax"), cell("l_suppkey", "smin", "smax")
+        ).alias("z"),
+    )
+    zspan = (k * k) // N_ZBUCKETS
+    stats = (
+        withz.select(
+            F.expr(f"z div {zspan}").cast("int").alias("zbucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_p"),
+            F.max("l_partkey").alias("max_p"),
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+        )
+    )
+    prunable = (F.col("max_p") < PROBE_LO) | (F.col("min_p") > PROBE_HI)
+    return stats.select(
+        "zbucket", "n", "min_p", "max_p", "min_s", "max_s",
+        prunable.alias("prunable_for_probe"),
+    )
+
+
+_K = 1 << Z_BITS
+ZORDER_SQL = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), z AS (
+  SELECT ({_interleave_sql(
+      f"(((l_partkey - pmin) * {_K}) // (pmax - pmin + 1))",
+      f"(((l_suppkey - smin) * {_K}) // (smax - smin + 1))")}) AS zv,
+         l_partkey, l_suppkey
+  FROM lineitem CROSS JOIN b
+)
+SELECT CAST(zv // {(_K * _K) // N_ZBUCKETS} AS INT) AS zbucket,
+       count(*) AS n,
+       min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+       (max(l_partkey) < {PROBE_LO} OR min(l_partkey) > {PROBE_HI})
+         AS prunable_for_probe
+FROM z
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "zorder_layout": zorder_layout,
+}
+
+ORACLES = {
+    "zorder_layout": ZORDER_SQL,
+}

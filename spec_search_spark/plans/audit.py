@@ -265,6 +265,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("interval_overlap_join",
      ["Generate"],
      ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # z-order: bounds are a one-row broadcast; z-code + cells stay
+    # per-row expressions (no extra exchange, no range partitioning)
+    ("zorder_layout",
+     ["partial_min", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 
