@@ -15,6 +15,7 @@ def all_queries():
         graph,
         ivf,
         layout,
+        maintenance,
         mllib_lsh,
         multimodal,
         pii,
@@ -47,6 +48,7 @@ def all_queries():
         scalar_sql,
         ivf,
         layout,
+        maintenance,
         sketches,
         skew,
         mllib_lsh,

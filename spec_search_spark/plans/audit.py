@@ -270,6 +270,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("zorder_layout",
      ["partial_min", "BroadcastNestedLoopJoin"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
+    # incremental maintenance: base partials come from the
+    # materialization boundary (InMemoryTableScan), merged by union +
+    # re-agg — never a rescan-and-join of raw base rows
+    ("incremental_agg_merge",
+     ["InMemoryTableScan", "Union", "partial_sum"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    # rollup hierarchy: every level re-aggregates the finer level
+    # (chained partial+final), one raw scan, no range partitioning
+    ("multi_granularity_rollup",
+     ["partial_count", "partial_sum", "Union"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 
