@@ -73,10 +73,15 @@ HEADLINE = [
     "stratified_quality_sample",
     "equi_depth_histogram",
     # round-4 additions: approx quantile twins + the exact distributed
-    # rank walk (the scale paths for the exact-percentile statistics)
+    # rank walk (the scale paths for the exact-percentile statistics),
+    # interval/layout/maintenance ops, the real-codec round trip
     "percentiles_approx",
     "equi_depth_histogram_approx",
     "percentiles_distributed",
+    "interval_overlap_join",
+    "zorder_layout",
+    "incremental_agg_merge",
+    "multimodal_real_codec",
 ]
 
 
@@ -143,21 +148,30 @@ def main() -> None:
         # Calibration-normalized regression ratios: divide the raw
         # cross-round ratio by the machine-speed ratio measured on the
         # fixed microbench, so host-VM drift cancels (VERDICT r3 #6).
+        # The microbench itself jitters across rounds (r3 0.432s vs r4
+        # 0.238s on flat raw timings), so a FLAG requires BOTH the raw
+        # and the adjusted ratio above threshold — either alone is
+        # machine noise in one direction or the other; the full ledger
+        # keeps both series for inspection.
         prev_calib = prev.get("calibration_shuffle_agg_1m_sec")
         if prev_calib:
             machine = calib / prev_calib
             full["calibration_prev_sec"] = prev_calib
             full["machine_ratio"] = round(machine, 3)
-            adj = {
-                name: round((t / prev_q[name]) / machine, 3)
+            raw = {
+                name: round(t / prev_q[name], 3)
                 for name, t in timings.items()
                 if name in prev_q and prev_q[name] > 0
             }
+            adj = {n: round(r / machine, 3) for n, r in raw.items()}
+            full["deltas_raw_ratio"] = raw
             full["deltas_adjusted_ratio"] = adj
             regressions = {
-                n: r for n, r in sorted(adj.items(), key=lambda kv: -kv[1]) if r > 1.3
+                n: max(raw[n], a)
+                for n, a in sorted(adj.items(), key=lambda kv: -kv[1])
+                if a > 1.3 and raw[n] > 1.3
             }
-            full["regressions_adjusted_gt_1_3"] = regressions
+            full["regressions_raw_and_adjusted_gt_1_3"] = regressions
 
     # Full record to a file (the driver's stdout capture keeps only the
     # last 2000 chars — r3's line overflowed it); stdout stays compact.
@@ -176,10 +190,10 @@ def main() -> None:
         "full_record": full_name,
     }
     if regressions:
-        out["regressions_adjusted_gt_1_3"] = dict(list(regressions.items())[:5])
+        out["regressions_raw_and_adjusted_gt_1_3"] = dict(list(regressions.items())[:5])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's 2000-char tail
-        out.pop("regressions_adjusted_gt_1_3", None)
+        out.pop("regressions_raw_and_adjusted_gt_1_3", None)
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         out["queries"] = {n: round(t, 2) for n, t in timings.items()}
