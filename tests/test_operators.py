@@ -161,6 +161,36 @@ def test_triplet_mining_degenerate_buckets(spark, tmp_path):
         assert isinstance(r["anchor_id"], int) and isinstance(r["pos_sim"], float)
 
 
+def test_rank_walk_matches_percentile_bitwise(spark):
+    """_percentiles_rank_walk claims BIT-compatibility with Spark's
+    single-state `percentile` (same interpolation formula, same
+    casts). Pin it with == on raw doubles — no rounding — across
+    distributions with ties, negatives, singletons, and a two-value
+    edge."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.scalar_sql import _percentiles_rank_walk
+
+    qs = [0.1, 0.25, 0.5, 0.77, 0.9, 0.99]
+    datasets = {
+        "ties": [1, 1, 1, 2, 2, 3, 5, 5, 5, 5, 8],
+        "negatives": [-7, -3, -3, 0, 4, 4, 11, 200],
+        "singleton": [42],
+        "two": [10, 20],
+        "spread": [((i * 2654435761) % 10007) - 5000 for i in range(500)],
+    }
+    for name, vals in datasets.items():
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        walk = {
+            r["q"]: r["value"]
+            for r in _percentiles_rank_walk(df, [], "v", qs).collect()
+        }
+        arr = ", ".join(str(q) for q in qs)
+        exact = df.agg(F.expr(f"percentile(v, array({arr}))").alias("p")).first()["p"]
+        for q, want in zip(qs, exact):
+            assert walk[q] == want, (name, q, walk[q], want)
+
+
 def test_interval_overlap_grid_is_lossless(spark, sf_dir):
     """Grid bucketing must find EXACTLY the pairs the naive theta join
     finds — cells are a candidate generator, not an approximation."""
