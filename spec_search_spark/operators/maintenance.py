@@ -149,12 +149,98 @@ FROM events GROUP BY 2, 3
 """
 
 
+def constraint_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint gate (the dbt-test / Great-Expectations
+    pass a pipeline runs before publishing a snapshot): primary-key
+    uniqueness, foreign-key containment, and domain-range checks, one
+    row per constraint with its violation count.
+
+    Scale shapes per check: PK uniqueness = count minus distinct-count
+    in ONE aggregate (never a self-join); FK containment = left-anti
+    join counting orphans (the probe side reduces to its join key at
+    the exchange, dims broadcast when small); range checks are pure
+    scan-level conditional counts that push their columns into the
+    parquet reader. The whole report is a union of tiny one-row
+    aggregates — at 100 TB each check is one pass over only the
+    columns it reads.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, viol: DataFrame) -> DataFrame:
+        return viol.select(
+            F.lit(name).alias("check"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).alias("ok"),
+        )
+
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+    )
+    fk_cust = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    fk_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    price = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n")
+    )
+    disc = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("n")
+    )
+    return (
+        row("orders_pk_unique", pk)
+        .unionByName(row("orders_custkey_fk", fk_cust))
+        .unionByName(row("lineitem_orderkey_fk", fk_li))
+        .unionByName(row("orders_price_positive", price))
+        .unionByName(row("lineitem_discount_in_unit_range", disc))
+    )
+
+
+CONSTRAINT_SQL = """
+SELECT 'orders_pk_unique' AS check,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+       count(*) = count(DISTINCT o_orderkey) AS ok
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_price_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_in_unit_range',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
     "multi_granularity_rollup": multi_granularity_rollup,
+    "constraint_check_report": constraint_check_report,
 }
 
 ORACLES = {
     "incremental_agg_merge": INCREMENTAL_MERGE_SQL,
     "multi_granularity_rollup": MULTI_ROLLUP_SQL,
+    "constraint_check_report": CONSTRAINT_SQL,
 }

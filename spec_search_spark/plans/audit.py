@@ -281,6 +281,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("multi_granularity_rollup",
      ["partial_count", "partial_sum", "Union"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
+    # constraint gate: uniqueness via one aggregate (never a
+    # self-join), FK orphans via anti joins
+    ("constraint_check_report",
+     ["LeftAnti", "partial_count", "Union"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 
