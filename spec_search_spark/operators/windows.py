@@ -477,6 +477,63 @@ LEFT JOIN obs o ON o.h = s.h AND o.event_type = s.event_type
 """
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN gap-session operator (`F.session_window`, 30-min
+    gap) — the declarative twin of the manual lag+cumsum `sessionize`:
+    one groupBy produces per-session rows with the engine-computed
+    window bounds, and the same aggregate runs unchanged in Structured
+    Streaming (streaming/ uses the same function with a watermark).
+
+    Semantics pinned by the oracle: session_window treats windows as
+    [start, last_ts + gap), so a gap of EXACTLY 30 minutes starts a
+    new session (>=, where the manual sessionizer's docstring idiom
+    uses >); the oracle replicates >= and end = max(ts) + 30 min.
+
+    Scale: one shuffle on (user_id) with Spark's session-merge
+    aggregation — no window function, no lag materialization.
+    """
+    ev = _t(spark, sf_dir, "events")
+    sw = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    return sw.select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT).alias("session_start"),
+        F.date_format("w.end", _TS_FMT).alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 # --- interval overlap join (grid-bucketed) ----------------------------------
 
 OVERLAP_GRID_US = 300_000_000     # 5-minute grid cells
@@ -573,6 +630,7 @@ QUERIES = {
     "scd2_current_snapshot": scd2_current_snapshot,
     "gap_fill_hourly": gap_fill_hourly,
     "interval_overlap_join": interval_overlap_join,
+    "session_window_native": session_window_native,
 }
 
 ORACLES = {
@@ -588,4 +646,5 @@ ORACLES = {
     "scd2_current_snapshot": SCD2_SQL,
     "gap_fill_hourly": GAP_FILL_SQL,
     "interval_overlap_join": INTERVAL_OVERLAP_SQL,
+    "session_window_native": SESSION_WINDOW_SQL,
 }

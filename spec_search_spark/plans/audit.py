@@ -286,6 +286,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("constraint_check_report",
      ["LeftAnti", "partial_count", "Union"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
+    # native gap sessions: the engine's session-merge aggregation on
+    # ONE user_id shuffle — no window function, no lag materialization
+    ("session_window_native",
+     ["MergingSessions", "hashpartitioning(user_id", "partial_count"],
+     ["Window", "CartesianProduct"]),
 ]
 
 
