@@ -185,6 +185,75 @@ def percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-statistics clip a feature pipeline
+    applies before normalizing a heavy-tailed column: per returnflag,
+    clamp integer-cents prices to the in-group [p05, p95] band and
+    report how many rows clipped each side plus the mean before/after.
+
+    Composes the distributed rank walk (`_percentiles_rank_walk`) for
+    the cut points — grouped percentiles from distinct-value-sized
+    state, no single-state buffer — then one more aggregate over the
+    clamped column. Cross-engine exactness rides the cents-domain
+    argument from equi_depth_histogram: exact-rank cuts are integers
+    both engines agree on, fractional cuts cannot collide with an
+    integer cents value, so the clip comparisons never straddle an
+    ulp; the clamped double sums are rounded.
+
+    Plan: rank walk (partial+final counts + per-group cumulative) →
+    3-row cut table broadcast back → one partial+final aggregate over
+    the scan. Two passes over one column, both distributed.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    vals = li.select("l_returnflag", cents.alias("cents"))
+    cuts = (
+        _percentiles_rank_walk(vals, ["l_returnflag"], "cents", [0.05, 0.95])
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("q") == 0.05, F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("hi"),
+        )
+    )
+    clamped = F.greatest(F.least(F.col("cents").cast("double"), F.col("hi")), F.col("lo"))
+    return (
+        vals.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_lo"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_hi"),
+            F.round(F.avg(F.col("cents").cast("double")), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        )
+    )
+
+
+WINSORIZE_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+), cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(cents, 0.05) AS lo,
+         quantile_cont(cents, 0.95) AS hi
+  FROM c GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       count(*) AS n,
+       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(avg(cents::DOUBLE), 4) AS mean_raw,
+       round(avg(greatest(least(cents::DOUBLE, hi), lo)), 4) AS mean_winsorized
+FROM c JOIN cuts USING (l_returnflag)
+GROUP BY c.l_returnflag
+"""
+
+
 _CORRELATED_SQL = """
 SELECT o_orderkey, o_totalprice
 FROM orders o
@@ -486,6 +555,7 @@ QUERIES = {
     "stats_moments": stats_moments,
     "equi_depth_histogram": equi_depth_histogram,
     "percentiles_distributed": percentiles_distributed,
+    "winsorized_stats": winsorized_stats,
 }
 
 ORACLES = {
@@ -500,4 +570,5 @@ ORACLES = {
     "stats_moments": STATS_MOMENTS_SQL,
     "equi_depth_histogram": EQUI_DEPTH_SQL,
     "percentiles_distributed": PERCENTILES_SQL,
+    "winsorized_stats": WINSORIZE_SQL,
 }

@@ -291,6 +291,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("session_window_native",
      ["MergingSessions", "hashpartitioning(user_id", "partial_count"],
      ["Window", "CartesianProduct"]),
+    # winsorization composes the rank walk — still no single-state
+    # percentile buffer anywhere
+    ("winsorized_stats",
+     ["partial_count", "BroadcastHashJoin"],
+     ["partial_percentile(", "CartesianProduct"]),
 ]
 
 
