@@ -120,9 +120,19 @@ def _percentiles_rank_walk(
          bit-compatible with the single-state implementation.
 
     Returns (group..., q, value)."""
+    vc = df.groupBy(*group_cols, val_col).agg(F.count(F.lit(1)).alias("_c"))
+    return _rank_walk_from_counts(vc, group_cols, val_col, qs)
+
+
+def _rank_walk_from_counts(
+    vc: DataFrame, group_cols: list[str], val_col: str, qs: list[float]
+) -> DataFrame:
+    """Rank walk over a precomputed (group..., value, _c) count table —
+    callers that also classify against the cuts (equi_depth_histogram)
+    materialize the count table ONCE and drive both passes from it, so
+    the raw table is scanned a single time."""
     from pyspark.sql.window import Window
 
-    vc = df.groupBy(*group_cols, val_col).agg(F.count(F.lit(1)).alias("_c"))
     w = (
         Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
     ).orderBy(val_col).rowsBetween(Window.unboundedPreceding, 0)
@@ -204,12 +214,22 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row cut table broadcast back → one partial+final aggregate over
     the scan. Two passes over one column, both distributed.
     """
+    from spec_search_spark.operators.dedup import _materialize
+
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     vals = li.select("l_returnflag", cents.alias("cents"))
+    # ONE raw scan (same trick as equi_depth_histogram): the
+    # (group, value, count) table drives the walk AND the clip
+    # aggregates; weighted sums over distinct values replace row-level
+    # avgs — and since v*c products are exact integers, mean_raw is
+    # exact, not merely rounded-stable.
+    vc = _materialize(
+        vals.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("_c"))
+    )
     cuts = (
-        _percentiles_rank_walk(vals, ["l_returnflag"], "cents", [0.05, 0.95])
+        _rank_walk_from_counts(vc, ["l_returnflag"], "cents", [0.05, 0.95])
         .groupBy("l_returnflag")
         .agg(
             F.max(F.when(F.col("q") == 0.05, F.col("value"))).alias("lo"),
@@ -218,16 +238,20 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clamped = F.greatest(F.least(F.col("cents").cast("double"), F.col("hi")), F.col("lo"))
     return (
-        vals.join(F.broadcast(cuts), "l_returnflag")
+        vc.join(F.broadcast(cuts), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            F.sum("_c").alias("n"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), F.col("_c")).otherwise(0))
             .cast("bigint").alias("n_clipped_lo"),
-            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            F.sum(F.when(F.col("cents") > F.col("hi"), F.col("_c")).otherwise(0))
             .cast("bigint").alias("n_clipped_hi"),
-            F.round(F.avg(F.col("cents").cast("double")), 4).alias("mean_raw"),
-            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+            F.round(
+                F.sum(F.col("cents").cast("double") * F.col("_c")) / F.sum("_c"), 4
+            ).alias("mean_raw"),
+            F.round(F.sum(clamped * F.col("_c")) / F.sum("_c"), 4).alias(
+                "mean_winsorized"
+            ),
         )
     )
 
@@ -498,19 +522,24 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered twin `equi_depth_histogram_approx`
     (operators/sketches.py).
     """
+    from spec_search_spark.operators.dedup import _materialize
+
     tune(spark)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     li = load_table(spark, sf_dir, "lineitem").select(cents.alias("cents"))
     fracs = [i / N_HIST_BUCKETS for i in range(1, N_HIST_BUCKETS)]
-    # exact cuts WITHOUT the single-state percentile buffer: the
-    # distributed rank walk reproduces `percentile`'s interpolation
-    # bit-for-bit (same formula, same double casts) from
-    # distinct-value-sized state
-    cuts = _percentiles_rank_walk(li, [], "cents", fracs).agg(
+    # ONE raw scan: the (value, count) table drives BOTH the cut
+    # computation and the classification — every downstream row set is
+    # distinct-value-sized. Cuts come from the rank walk, which
+    # reproduces `percentile`'s interpolation bit-for-bit (same
+    # formula, same double casts) with no single-state buffer.
+    vc = _materialize(li.groupBy("cents").agg(F.count(F.lit(1)).alias("_c")))
+    cuts = _rank_walk_from_counts(vc, [], "cents", fracs).agg(
         F.array_sort(F.collect_list("value")).alias("cuts")
     )
-    classified = li.join(F.broadcast(cuts)).select(
+    classified = vc.join(F.broadcast(cuts)).select(
         "cents",
+        "_c",
         (
             F.lit(1)
             + F.aggregate(
@@ -521,7 +550,7 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("bucket"),
     )
     return classified.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.sum("_c").alias("n"),
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
