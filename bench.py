@@ -82,6 +82,9 @@ HEADLINE = [
     "zorder_layout",
     "incremental_agg_merge",
     "multimodal_real_codec",
+    "session_window_native",
+    "winsorized_stats",
+    "constraint_check_report",
 ]
 
 
