@@ -278,6 +278,101 @@ GROUP BY c.l_returnflag
 """
 
 
+MAD_K = 3.0  # flag |x - median| > MAD_K * MAD (raw MAD, no 1.4826 scale)
+
+
+def robust_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based outlier detection — the robust twin of 3-sigma
+    flagging (mean/stddev are themselves dragged by the outliers they
+    are meant to find; median and median-absolute-deviation are not).
+    Per returnflag: median price, MAD, and how many rows fall outside
+    median ± 3*MAD.
+
+    Two CHAINED rank walks: the group median from the (value, count)
+    table, then the median of |x - median| from the absolute-deviation
+    count table derived from the same materialized counts (never the
+    raw rows — deviations of distinct values carry their counts). The
+    final flag pass is one aggregate over the counts joined to a tiny
+    broadcast (median, mad) table. One raw scan total; every
+    downstream row set is distinct-value-sized.
+
+    Exactness: cents are integers, so |x - med| is exact where med is
+    an exact-rank cut (odd-count groups) and a .5 fraction otherwise —
+    both engines compute the identical doubles; the band comparison
+    rides the same no-ulp-collision argument as the histogram.
+    """
+    from spec_search_spark.operators.dedup import _materialize
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    vc = _materialize(
+        li.select("l_returnflag", cents.alias("cents"))
+        .groupBy("l_returnflag", "cents")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    med = (
+        _rank_walk_from_counts(vc, ["l_returnflag"], "cents", [0.5])
+        .select("l_returnflag", F.col("value").alias("med"))
+    )
+    dev = (
+        vc.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med",
+            F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+            "_c",
+        )
+        .groupBy("l_returnflag", "med", "adev")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = (
+        _rank_walk_from_counts(dev, ["l_returnflag", "med"], "adev", [0.5])
+        .select("l_returnflag", "med", F.col("value").alias("mad"))
+    )
+    band = F.lit(MAD_K) * F.col("mad")
+    return (
+        vc.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("_c").alias("n"),
+            F.round(F.max("med"), 1).alias("median_cents"),
+            F.round(F.max("mad"), 1).alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("med")) > band,
+                    F.col("_c"),
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+ROBUST_OUTLIER_SQL = f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+  FROM c GROUP BY l_returnflag
+), mad AS (
+  SELECT c.l_returnflag, med,
+         quantile_cont(abs(cents::DOUBLE - med), 0.5) AS mad
+  FROM c JOIN med USING (l_returnflag)
+  GROUP BY c.l_returnflag, med
+)
+SELECT c.l_returnflag,
+       count(*) AS n,
+       round(max(med), 1) AS median_cents,
+       round(max(mad), 1) AS mad_cents,
+       CAST(sum(CASE WHEN abs(cents::DOUBLE - med) > {MAD_K} * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN mad USING (l_returnflag)
+GROUP BY c.l_returnflag
+"""
+
+
 _CORRELATED_SQL = """
 SELECT o_orderkey, o_totalprice
 FROM orders o
@@ -585,6 +680,7 @@ QUERIES = {
     "equi_depth_histogram": equi_depth_histogram,
     "percentiles_distributed": percentiles_distributed,
     "winsorized_stats": winsorized_stats,
+    "robust_outlier_report": robust_outlier_report,
 }
 
 ORACLES = {
@@ -600,4 +696,5 @@ ORACLES = {
     "equi_depth_histogram": EQUI_DEPTH_SQL,
     "percentiles_distributed": PERCENTILES_SQL,
     "winsorized_stats": WINSORIZE_SQL,
+    "robust_outlier_report": ROBUST_OUTLIER_SQL,
 }

@@ -296,6 +296,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("winsorized_stats",
      ["partial_count", "BroadcastHashJoin"],
      ["partial_percentile(", "CartesianProduct"]),
+    # MAD outliers: two chained rank walks, still distinct-value-sized
+    # state only
+    ("robust_outlier_report",
+     ["partial_count", "BroadcastHashJoin"],
+     ["partial_percentile(", "CartesianProduct"]),
 ]
 
 
