@@ -32,6 +32,7 @@ def all_queries():
         vector_quant,
         windows,
     )
+    from spec_search_spark.sources import formats
 
     q: dict = {}
     o: dict = {}
@@ -59,6 +60,7 @@ def all_queries():
         pii,
         pipeline_ops,
         vector_quant,
+        formats,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

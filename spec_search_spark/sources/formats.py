@@ -16,6 +16,9 @@ network/auth half of a real Sheets connector stays out of scope.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -39,6 +42,39 @@ def write_table_any(df: DataFrame, path: str, fmt: str) -> None:
         out.write.mode("overwrite").option("header", True).csv(path)
     else:
         out.write.mode("overwrite").format(fmt).save(path)
+
+
+def write_fixed_width(df: DataFrame, path: str, widths: list[tuple[str, int]]) -> None:
+    """Write a fixed-width text file (the mainframe/legacy-feed layout
+    Spark has no native writer for): each column rendered into its
+    byte-width slot via one format_string expression — per-row
+    codegen, no UDF — then written through the text sink. Columns must
+    be pre-rendered to strings; values longer than their slot raise at
+    write (silent truncation corrupts a positional format)."""
+    parts = []
+    for name, width in widths:
+        over = df.filter(F.length(F.col(name).cast("string")) > width).count()
+        if over:
+            raise ValueError(f"{over} values of {name!r} exceed width {width}")
+        parts.append(F.lpad(F.col(name).cast("string"), width, " "))
+    df.select(F.concat(*parts).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, widths: list[tuple[str, int]],
+    types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a fixed-width text file back into typed columns: substring
+    slices at the declared offsets + trim + cast, all codegen
+    expressions the optimizer prunes like any projection."""
+    df = spark.read.text(path)
+    cols, off = [], 1
+    for name, width in widths:
+        c = F.trim(F.substring(F.col("value"), off, width))
+        dtype = (types or {}).get(name)
+        cols.append((c.cast(dtype) if dtype else c).alias(name))
+        off += width
+    return df.select(*cols)
 
 
 def read_table_any(
@@ -69,3 +105,83 @@ def read_table_any(
     for name, dtype in arr_cols.items():
         df = df.withColumn(name, F.from_json(F.col(name), dtype))
     return df
+
+
+# --- fixed-width registered query -------------------------------------------
+
+_FW_WIDTHS = [
+    ("o_orderkey", 12),
+    ("o_custkey", 12),
+    ("o_orderstatus", 2),
+    ("price_cents", 14),
+]
+
+_FW_DIRS: dict[tuple[str, str], str] = {}
+
+
+def fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy fixed-width feed round trip: orders rendered into a
+    positional text layout (write_fixed_width), re-ingested by offset
+    slicing (read_fixed_width), then aggregated — the DuckDB oracle
+    computes the same aggregate from the ORIGINAL parquet, so equality
+    proves the positional format preserved every value.
+
+    Prices travel as integer cents (exact bigints) — float-to-text is
+    where positional feeds silently corrupt money, and the cents
+    rendering removes that hazard by construction.
+
+    Scale: render and parse are per-row codegen expressions around the
+    text source/sink; the write is memoized per (session, sf) like the
+    bucketed tables. The final aggregate is partial+final on the
+    3-value status column.
+    """
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.session import tune
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FW_DIRS:
+        path = os.path.join(tempfile.mkdtemp(prefix="spec_search_fw_"), "orders_fw")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+        )
+        write_fixed_width(orders, path, _FW_WIDTHS)
+        _FW_DIRS[key] = path
+    parsed = read_fixed_width(
+        spark,
+        _FW_DIRS[key],
+        _FW_WIDTHS,
+        types={"o_orderkey": "bigint", "o_custkey": "bigint", "price_cents": "bigint"},
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.sum("price_cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+FIXED_WIDTH_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(DISTINCT o_custkey) AS n_custs,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "fixed_width_roundtrip": fixed_width_roundtrip,
+}
+
+ORACLES = {
+    "fixed_width_roundtrip": FIXED_WIDTH_SQL,
+}

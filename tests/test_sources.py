@@ -78,3 +78,24 @@ def test_small_file_compaction(spark, sf_dir):
     key = [r[0] for r in after.groupBy().agg(F.sum("l_orderkey")).collect()]
     key0 = [r[0] for r in before.groupBy().agg(F.sum("l_orderkey")).collect()]
     assert key == key0
+
+
+def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
+    """Fixed-width: values survive the positional layout cell-for-cell,
+    and a value wider than its slot fails LOUDLY (silent truncation is
+    how positional feeds corrupt data)."""
+    from spec_search_spark.sources.formats import read_fixed_width, write_fixed_width
+
+    df = spark.createDataFrame(
+        [(1, "AB", 314159), (22, "C", -7)], "k long, s string, cents long"
+    )
+    widths = [("k", 4), ("s", 3), ("cents", 10)]
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, widths)
+    back = read_fixed_width(
+        spark, path, widths, types={"k": "bigint", "cents": "bigint"}
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    with pytest.raises(ValueError, match="exceed width"):
+        write_fixed_width(df, str(tmp_path / "fw2"), [("k", 4), ("s", 3), ("cents", 2)])
