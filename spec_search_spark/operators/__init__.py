@@ -14,6 +14,7 @@ def all_queries():
         fuzzy,
         graph,
         ivf,
+        kmeans,
         layout,
         maintenance,
         mllib_lsh,
@@ -27,6 +28,7 @@ def all_queries():
         similarity,
         sketches,
         skew,
+        span_dedup,
         text_analysis,
         tpch_extra,
         vector_quant,
@@ -44,10 +46,12 @@ def all_queries():
         sheets_connector,
         text_analysis,
         dedup,
+        span_dedup,
         similarity,
         multimodal,
         scalar_sql,
         ivf,
+        kmeans,
         layout,
         maintenance,
         sketches,
