@@ -1,0 +1,260 @@
+"""Distributed Lloyd's k-means over the embedding corpus — fully
+DataFrame-native (no driver-side training collect), plus the
+SemDeDup-style semantic dedup built on its clusters (Abbas et al. 2023:
+cluster embeddings, then drop near-duplicates within each cluster).
+
+The reference trains nothing; its vector store (Chroma,
+`/root/reference/search.py:24`) is a black box. These operators are the
+scale path the repo's own IVF trainer (`operators/ivf.py:104`) documents
+but bounds with a 100k sample collect: here EVERY iteration step is a
+Spark plan —
+
+- **assignment**: embeddings × centroids via broadcast nested-loop
+  (centroids are k×dim ≈ KB — always broadcastable), squared-L2 by the
+  shared zip_with+aggregate fold, winner by `row_number` over
+  (round(dist²,6), cid) so ties break identically in both engines;
+- **update**: posexplode dims → per-(cluster, dim) partial+final AVG
+  (map-side combine; shuffle ∝ k×dim, not corpus) → sort_array
+  re-assembly. New centroids are **rounded to 6dp** — THE determinism
+  contract: distributed float summation is order-sensitive, but both
+  engines round the per-dim means, so iteration i+1 starts from
+  bit-identical centroids and cross-engine assignment drift cannot
+  compound;
+- **init**: the k lowest vec_ids (deterministic; k-means|| would be the
+  production choice but is RNG-dependent and oracle-hostile);
+- empty clusters keep their previous centroid (left-join coalesce).
+
+Centroids are localCheckpoint'd each iteration (8 rows): broadcasting a
+deep-lineage DF re-runs its whole plan per reference; checkpointing
+truncates it exactly like the graph-pack edge memo (graph.py).
+
+At 100 TB: identical plan shape — assignment is map-side (broadcast),
+update shuffles k×dim rounded doubles; iterations add linear cost.
+The DuckDB oracle is the SAME algorithm with the loop unrolled into
+CTEs (d_i → a_i → m_i → u_i → c_i per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_sql,
+    l2_squared,
+    l2_squared_sql,
+)
+
+K_CLUSTERS = 8
+N_ITERS = 3
+SEMDEDUP_TAU = 0.93  # within-cluster cosine above this = semantic duplicate
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+
+def _init_centroids(emb: DataFrame) -> DataFrame:
+    w = Window.orderBy("vec_id")
+    return (
+        emb.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select((F.row_number().over(w) - 1).alias("cid"), F.col("e").alias("c"))
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, e, dist2): nearest centroid per vector. Broadcast
+    nested-loop over k rows — map-side, no shuffle of the corpus."""
+    d = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        "e",
+        F.round(l2_squared(F.col("e"), F.col("c")), 6).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """New centroids: per-dim mean of members, rounded to 6dp (the
+    cross-engine determinism contract); empty clusters keep the old."""
+    means = (
+        assigned.select("cid", F.posexplode("e").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("val"))
+    )
+    new = means.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
+        ).alias("c_new")
+    )
+    return (
+        prev.join(new, "cid", "left")
+        .select("cid", F.coalesce("c_new", "c").alias("c"))
+    )
+
+
+def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = _init_centroids(emb).localCheckpoint(eager=True)
+    for _ in range(N_ITERS):
+        assigned = _assign(emb, cent)
+        cent = _update(assigned, cent).localCheckpoint(eager=True)
+    return _assign(emb, cent)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster assignment after N_ITERS Lloyd iterations.
+    Output: (vec_id, cluster, dist2)."""
+    return _final_assignment(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist2"
+    )
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster population and inertia (Σ dist²). Sums of 6dp-rounded
+    doubles are order-sensitive at ~1e-13 — rounded to 4dp on output."""
+    return (
+        _final_assignment(spark, sf_dir)
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("dist2"), 4).alias("inertia"),
+        )
+    )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each k-means cluster, a vector is a semantic
+    duplicate if an EARLIER (lower vec_id) cluster member has cosine
+    similarity ≥ SEMDEDUP_TAU with it. Clustering bounds the pair
+    search: O(Σ cluster²) ≪ O(n²), and at 100 TB the within-cluster
+    pair join is an equi-join on cluster id (shuffle co-locates each
+    cluster), with per-cluster caps if a cluster grows pathological.
+
+    Output: (vec_id, cluster, keep, dup_of) — dup_of is the smallest
+    earlier member above the threshold (NULL when keep)."""
+    emb = _emb(spark, sf_dir)
+    assigned = (
+        _final_assignment(spark, sf_dir)
+        .select("vec_id", F.col("cid").alias("cluster"), "e")
+        .localCheckpoint(eager=True)  # feeds both sides of a self-join
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("b.vec_id") < F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("earlier"),
+            F.round(
+                cosine_similarity(F.col("a.e"), F.col("b.e")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("earlier").alias("dup_of"))
+    )
+    return (
+        assigned.drop("e")
+        .join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: the identical algorithm, loop unrolled into CTEs.
+# ---------------------------------------------------------------------------
+
+def _kmeans_ctes() -> str:
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c"
+        f" FROM emb ORDER BY vec_id LIMIT {K_CLUSTERS})",
+    ]
+    prev = "c0"
+    for i in range(1, N_ITERS + 1):
+        parts.append(
+            f"d{i} AS (SELECT emb.vec_id, {prev}.cid, emb.e,"
+            f" round({l2_squared_sql('emb.e', f'{prev}.c')}, 6) AS dist2"
+            f" FROM emb CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid, e FROM d{i}"
+            f" QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, i AS dim, round(avg(e[i]), 6) AS val"
+            f" FROM a{i}, LATERAL unnest(range(1, len(e) + 1)) AS t(i)"
+            f" GROUP BY cid, i)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT cid, list(val ORDER BY dim) AS c_new FROM m{i}"
+            f" GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT p.cid, coalesce(u.c_new, p.c) AS c"
+            f" FROM {prev} p LEFT JOIN u{i} u ON p.cid = u.cid)"
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"df AS (SELECT emb.vec_id, {prev}.cid, emb.e,"
+        f" round({l2_squared_sql('emb.e', f'{prev}.c')}, 6) AS dist2"
+        f" FROM emb CROSS JOIN {prev})"
+    )
+    parts.append(
+        "af AS (SELECT vec_id, cid, e, dist2 FROM df"
+        " QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1)"
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+KMEANS_ASSIGN_SQL = f"""
+{_kmeans_ctes()}
+SELECT vec_id, cid AS cluster, dist2 FROM af
+"""
+
+KMEANS_SIZES_SQL = f"""
+{_kmeans_ctes()}
+SELECT cid AS cluster, count(*) AS n, round(sum(dist2), 4) AS inertia
+FROM af GROUP BY cid
+"""
+
+SEMANTIC_DEDUP_SQL = f"""
+{_kmeans_ctes()},
+pairs AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round({cosine_similarity_sql('a.e', 'b.e')}, 6) >= {SEMDEDUP_TAU}
+  GROUP BY a.vec_id
+)
+SELECT af.vec_id, af.cid AS cluster,
+       (p.dup_of IS NULL) AS keep, p.dup_of
+FROM af LEFT JOIN pairs p ON af.vec_id = p.vec_id
+"""
+
+QUERIES = {
+    "kmeans_assign": kmeans_assign,
+    "kmeans_cluster_sizes": kmeans_cluster_sizes,
+    "semantic_dedup": semantic_dedup,
+}
+
+ORACLES = {
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
+    "kmeans_cluster_sizes": KMEANS_SIZES_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
+}
