@@ -22,6 +22,7 @@ def all_queries():
         pii,
         pipeline_ops,
         relational,
+        runtime_filter,
         scalar_sql,
         sheets_connector,
         sheets_pipeline,
@@ -54,6 +55,7 @@ def all_queries():
         kmeans,
         layout,
         maintenance,
+        runtime_filter,
         sketches,
         skew,
         mllib_lsh,
