@@ -301,6 +301,31 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("robust_outlier_report",
      ["partial_count", "BroadcastHashJoin"],
      ["partial_percentile(", "CartesianProduct"]),
+    # span dedup: duplicate detection is a partial+final agg on the
+    # 8-byte window fingerprint; the merge is a per-doc window — never
+    # a quadratic pair path
+    ("dup_spans_merged",
+     ["partial_count", "Window"],
+     ["CartesianProduct"]),
+    ("span_dup_ratio", ["partial_count"], ["CartesianProduct"]),
+    # k-means assignment: centroids broadcast (k rows — nested-loop is
+    # the right physical form), winner selection via the rank-limit
+    # pushdown, corpus never shuffled for the distance step
+    ("kmeans_assign",
+     ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    ("kmeans_cluster_sizes", ["HashAggregate"], ["CartesianProduct"]),
+    # SemDeDup: the within-cluster pair search is an EQUI-join on the
+    # cluster id (co-located SMJ), never an all-pairs nested loop
+    ("semantic_dedup",
+     ["SortMergeJoin", "partial_"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # bloom semi-join reduction: the bit-test filter must be present on
+    # the fact side (shiftrightunsigned probe), the one-row filter
+    # arrives by broadcast, and the exact join stays a hash join
+    ("bloom_pruned_join",
+     ["shiftrightunsigned", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "bit_or"],
+     ["CartesianProduct"]),
 ]
 
 
