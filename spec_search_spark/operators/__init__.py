@@ -21,6 +21,7 @@ def all_queries():
         multimodal,
         pii,
         pipeline_ops,
+        pq,
         relational,
         runtime_filter,
         scalar_sql,
@@ -65,6 +66,7 @@ def all_queries():
         graph,
         pii,
         pipeline_ops,
+        pq,
         vector_quant,
         formats,
     ):

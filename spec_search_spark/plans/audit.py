@@ -326,6 +326,15 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("bloom_pruned_join",
      ["shiftrightunsigned", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "bit_or"],
      ["CartesianProduct"]),
+    # PQ: codebook joins broadcast (128 rows), code winner via the
+    # rank-limit pushdown, candidate cut is a TakeOrdered (never a
+    # global sort), no quadratic path anywhere
+    ("pq_encode",
+     ["BroadcastHashJoin", "WindowGroupLimit", "partial_"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    ("pq_ann_search",
+     ["TakeOrderedAndProject", "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 
