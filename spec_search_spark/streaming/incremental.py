@@ -260,17 +260,68 @@ FROM events c JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
 """
 
+def stream_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per
+    micro-batch against the STATIC customer dimension (user_id →
+    c_custkey), aggregated to spend per (market segment, event type).
+    Structured Streaming plans the static side as an ordinary batch
+    relation inside every micro-batch — small dims broadcast, so the
+    stream never shuffles for the join; only the aggregation keeps
+    state, bounded by the segment×type key space. This is the standard
+    Kafka-enrichment topology at 100 TB/day: static side refreshed by
+    snapshot, stream side never blocked.
+
+    Output: (c_mktsegment, event_type, n, sum_value)."""
+    from spec_search_spark.catalog import load_table
+
+    name = f"enrich_stream_{uuid.uuid4().hex[:8]}"
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
     "stream_sessionize": stream_sessionize_query,
     "stream_stream_join": stream_stream_join_query,
+    "stream_static_enrich": stream_static_enrich_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
     "stream_dedup_pairs": STREAM_DEDUP_SQL,
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
 }
 
 
