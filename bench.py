@@ -85,6 +85,14 @@ HEADLINE = [
     "session_window_native",
     "winsorized_stats",
     "constraint_check_report",
+    # round-4 continuation: span dedup, distributed k-means + SemDeDup,
+    # bloom semi-join reduction, PQ ANN
+    "dup_spans_merged",
+    "span_dup_ratio",
+    "kmeans_assign",
+    "semantic_dedup",
+    "bloom_pruned_join",
+    "pq_ann_search",
 ]
 
 

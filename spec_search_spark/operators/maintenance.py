@@ -233,14 +233,77 @@ FROM lineitem
 """
 
 
+FRAGMENT_FILES = 64          # simulated small-file ingest fan-out
+TARGET_ROWS_PER_FILE = 50_000  # compaction target (row-based: size-based
+                               # targets vary with compression/machine and
+                               # would break the deterministic oracle)
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming
+    ingest needs: micro-batches leave thousands of KB-sized files, and
+    at 100 TB the NameNode/listing pressure plus per-file open cost
+    dominate scan time. This op writes a deliberately fragmented copy
+    of `orders` (repartition(FRAGMENT_FILES)), then compacts it to
+    ceil(rows / TARGET_ROWS_PER_FILE) files via a single repartition
+    write, and reports MEASURED file/row counts per phase.
+
+    Self-verifying oracle: the DuckDB side computes the PLANNED layout
+    (64 files; ceil(count/target)) straight from the base table —
+    equality proves the writer produced exactly the planned file count
+    and the round trip lost no rows. At scale the same job runs
+    per-partition (`maxRecordsPerFile` + dynamic partition overwrite);
+    the report shape is what Delta's OPTIMIZE returns.
+
+    Output: (phase, n_files, n_rows)."""
+    import glob
+    import os
+    import tempfile
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag_dir = os.path.join(base, "fragmented")
+    comp_dir = os.path.join(base, "compacted")
+
+    orders.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    n_rows = frag.count()
+    n_target = -(-n_rows // TARGET_ROWS_PER_FILE)  # ceil
+    frag.repartition(n_target).write.mode("overwrite").parquet(comp_dir)
+
+    def n_files(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "part-*.parquet")))
+
+    compacted_rows = spark.read.parquet(comp_dir).count()
+    return spark.createDataFrame(
+        [
+            ("fragmented", n_files(frag_dir), n_rows),
+            ("compacted", n_files(comp_dir), compacted_rows),
+        ],
+        "phase string, n_files long, n_rows long",
+    )
+
+
+COMPACT_SQL = f"""
+SELECT 'fragmented' AS phase, {FRAGMENT_FILES}::BIGINT AS n_files,
+       count(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'compacted', CAST(ceil(count(*) / {TARGET_ROWS_PER_FILE}.0) AS BIGINT),
+       count(*) FROM orders
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
     "multi_granularity_rollup": multi_granularity_rollup,
     "constraint_check_report": constraint_check_report,
+    "compact_small_files": compact_small_files,
 }
 
 ORACLES = {
     "incremental_agg_merge": INCREMENTAL_MERGE_SQL,
     "multi_granularity_rollup": MULTI_ROLLUP_SQL,
     "constraint_check_report": CONSTRAINT_SQL,
+    "compact_small_files": COMPACT_SQL,
 }
