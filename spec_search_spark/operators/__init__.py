@@ -8,6 +8,7 @@ from __future__ import annotations
 
 def all_queries():
     from spec_search_spark.operators import (
+        bm25,
         bucketed,
         dedup,
         extensibility,
@@ -42,6 +43,7 @@ def all_queries():
     o: dict = {}
     for mod in (
         relational,
+        bm25,
         bucketed,
         windows,
         sheets_pipeline,

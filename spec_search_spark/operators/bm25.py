@@ -1,0 +1,156 @@
+"""BM25 full-text ranking (Robertson & Zaragoza 2009) — the classic
+lexical retrieval scorer, completing the search family: `similarity`
+holds the dense arms, `hybrid_search_rrf` fuses an idf-overlap arm;
+this is the real thing with tf saturation (k1) and document-length
+normalization (b), the scorer Lucene/Elasticsearch run.
+
+The reference's retrieval is Chroma's vector search only
+(`/root/reference/app.py:50-52`); a production corpus search needs the
+lexical path too.
+
+Scale shape:
+- postings are filtered to the QUERY's tokens immediately after the
+  tokenizing explode — everything downstream of the scan (shuffles,
+  joins, windows) is ∝ query-token postings, not corpus size. (The
+  filter cannot reach the parquet scan here because `tok` is born in
+  the explode; at 100 TB the corpus side is a MATERIALIZED postings
+  table with `tok` as a physical column — then the same IN list does
+  push down and the scan itself is ∝ query df.);
+- document length and corpus stats (N, Σdl) are one tiny aggregate
+  broadcast as a single row (the one-row-stats pattern);
+- per-token df for the query tokens is a ≤|query|-row broadcast;
+- the final cut is TakeOrderedAndProject at depth TOP_K.
+
+Cross-engine determinism: each per-(doc, token) score term is rounded
+to 9dp (absorbing any libm ln() ulp skew), terms fold left-to-right in
+token order (sort_array + aggregate ⟷ list ORDER BY + list_reduce —
+never a float-order-ambiguous SUM), and the final score rounds to 6dp
+with doc_id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import RE_TOKEN_SPLIT
+from spec_search_spark.session import tune
+
+K1 = 1.2
+B = 0.75
+TOP_K = 10
+BM25_QUERY = "fast merge join order scan"
+_QTOKS = sorted(set(BM25_QUERY.split()))
+
+
+def _tokens(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, RE_TOKEN_SPLIT)
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents for BM25_QUERY.
+    Output: (doc_id, score)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    qpost = toks.filter(F.col("tok").isin(_QTOKS))
+    tf = qpost.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        qpost.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    terms = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + K1
+                    * (
+                        1.0
+                        - B
+                        + B * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+                    )
+                ),
+                9,
+            ).alias("term"),
+        )
+    )
+    scored = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("tok", "term"))),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)
+
+
+_QTOKS_SQL = ", ".join(f"'{t}'" for t in _QTOKS)
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+qpost AS (SELECT doc_id, tok FROM toks WHERE tok IN ({_QTOKS_SQL})),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM qpost GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, tok FROM qpost) GROUP BY tok),
+terms AS (
+  SELECT tf.doc_id, tf.tok,
+         round(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1.0 - {B}
+                + {B} * dl.dl * stats.n_docs / stats.sum_dl)),
+           9) AS term
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+          JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+scored AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(term ORDER BY tok)), (acc, x) -> acc + x), 6) AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_K}
+"""
+
+QUERIES = {"bm25_search": bm25_search}
+ORACLES = {"bm25_search": BM25_SQL}

@@ -101,13 +101,29 @@ def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
+_CENTROID_MEMO: dict = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED centroids, memoized per (session, corpus) like the
+    V2 search index (similarity.py): the iterative training loop runs
+    once and is consumed by kmeans_assign / kmeans_cluster_sizes /
+    semantic_dedup alike. Only the model is memoized — the final
+    assignment stays a live one-pass plan, so every consumer keeps the
+    broadcast-join shape the plan audit pins."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CENTROID_MEMO:
+        emb = _emb(spark, sf_dir)
+        cent = _init_centroids(emb).localCheckpoint(eager=True)
+        for _ in range(N_ITERS):
+            assigned = _assign(emb, cent)
+            cent = _update(assigned, cent).localCheckpoint(eager=True)
+        _CENTROID_MEMO[key] = cent
+    return _CENTROID_MEMO[key]
+
+
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    cent = _init_centroids(emb).localCheckpoint(eager=True)
-    for _ in range(N_ITERS):
-        assigned = _assign(emb, cent)
-        cent = _update(assigned, cent).localCheckpoint(eager=True)
-    return _assign(emb, cent)
+    return _assign(_emb(spark, sf_dir), _trained_centroids(spark, sf_dir))
 
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

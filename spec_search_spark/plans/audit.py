@@ -335,6 +335,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("pq_ann_search",
      ["TakeOrderedAndProject", "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
+    # BM25: corpus stats and per-token df arrive by broadcast, the
+    # final cut is a TakeOrdered, aggregation is partial+final
+    ("bm25_search",
+     ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 
