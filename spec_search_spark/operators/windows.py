@@ -617,6 +617,121 @@ FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel analysis (view → click → purchase): a user
+    advances a stage only with an event AT OR AFTER their previous
+    stage's first event — the standard product-analytics funnel, built
+    as chained filtered-min aggregations (each stage is one
+    partial+final min+count pass joined to the previous stage's
+    per-user timestamps; no window over raw events, no self-join
+    explosion). At 100 TB each stage shuffles user-cardinality rows,
+    not event rows.
+
+    Output: (stage, step, n_users, pct_of_entry)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage"), F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    entry = v.agg(F.count(F.lit(1)).alias("entry_n"))
+    return stages.crossJoin(F.broadcast(entry)).select(
+        "stage",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("entry_n"), 6).alias("pct_of_entry"),
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id),
+s AS (
+  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM v
+  UNION ALL SELECT 2, 'click', count(*) FROM c
+  UNION ALL SELECT 3, 'purchase', count(*) FROM p
+)
+SELECT stage, step, n_users,
+       round(n_users / (SELECT n_users FROM s WHERE stage = 1), 6) AS pct_of_entry
+FROM s
+"""
+
+
+RETENTION_MAX_OFFSET = 7  # day-offsets reported; bounds the matrix
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen DATE, and
+    for each day offset 0..RETENTION_MAX_OFFSET, how many of that
+    cohort were active that day. Two user-cardinality aggregates and
+    one distinct — every shuffle is ∝ users×active-days, never raw
+    events (the per-day distinct collapses map-side first).
+
+    Output: (cohort, day_offset, n_active)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"), "day_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+RETENTION_SQL = f"""
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id)
+SELECT strftime(first.cohort, '%Y-%m-%d') AS cohort,
+       date_diff('day', first.cohort, ev.d) AS day_offset,
+       count(*) AS n_active
+FROM ev JOIN first USING (user_id)
+WHERE date_diff('day', first.cohort, ev.d) <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
     "window_range_10min": window_range_10min,
@@ -631,6 +746,8 @@ QUERIES = {
     "gap_fill_hourly": gap_fill_hourly,
     "interval_overlap_join": interval_overlap_join,
     "session_window_native": session_window_native,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLES = {
@@ -647,4 +764,6 @@ ORACLES = {
     "gap_fill_hourly": GAP_FILL_SQL,
     "interval_overlap_join": INTERVAL_OVERLAP_SQL,
     "session_window_native": SESSION_WINDOW_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "retention_cohorts": RETENTION_SQL,
 }
