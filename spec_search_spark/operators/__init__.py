@@ -8,6 +8,7 @@ from __future__ import annotations
 
 def all_queries():
     from spec_search_spark.operators import (
+        affinity,
         bm25,
         bucketed,
         dedup,
@@ -43,6 +44,7 @@ def all_queries():
     o: dict = {}
     for mod in (
         relational,
+        affinity,
         bm25,
         bucketed,
         windows,

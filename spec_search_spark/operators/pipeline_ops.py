@@ -817,6 +817,47 @@ GROUP BY 1
 """
 
 
+CAP_PER_SOURCE = 15  # test corpus has 25 docs/source — the cap must bind
+# Knuth multiplicative hash over doc_id — a reproducible pseudo-random
+# rank computable with identical integer arithmetic in both engines
+# (xxhash64 has no DuckDB twin)
+_KNUTH_A = 2654435761
+_KNUTH_M = 2147483647
+
+
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the anti-domination gate a corpus mix
+    needs (one crawl dump must not swamp the mixture): keep at most
+    CAP_PER_SOURCE docs per source, selected by a deterministic
+    pseudo-random rank (Knuth multiplicative hash of doc_id) so the
+    sample is unbiased w.r.t. position but fully reproducible. One
+    window over the source partition — shuffle ∝ docs, state ∝ cap.
+    Complements stratified_quality_sample (quality-ranked): this one
+    is the uniform-rate limiter.
+
+    Output: (source, doc_id, h) for the kept docs."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = (F.col("doc_id") * _KNUTH_A) % _KNUTH_M
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP_PER_SOURCE)
+        .select("source", "doc_id", "h")
+    )
+
+
+PER_SOURCE_CAP_SQL = f"""
+SELECT source, doc_id, h FROM (
+  SELECT source, doc_id, (doc_id * {_KNUTH_A}) % {_KNUTH_M} AS h,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * {_KNUTH_A}) % {_KNUTH_M}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {CAP_PER_SOURCE}
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "dedup_survivors": dedup_survivors,
@@ -830,6 +871,7 @@ QUERIES = {
     "training_pipeline_e2e": training_pipeline_e2e,
     "balanced_shards": balanced_shards,
     "corpus_diff": corpus_diff,
+    "per_source_cap": per_source_cap,
 }
 
 ORACLES = {
@@ -845,4 +887,5 @@ ORACLES = {
     "training_pipeline_e2e": _training_pipeline_sql(),
     "balanced_shards": BALANCED_SHARDS_SQL,
     "corpus_diff": CORPUS_DIFF_SQL,
+    "per_source_cap": PER_SOURCE_CAP_SQL,
 }

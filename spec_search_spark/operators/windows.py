@@ -732,6 +732,54 @@ GROUP BY 1, 2
 """
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) event-time windows: 1-hour windows every
+    30 minutes via `F.window(ts, '1 hour', '30 minutes')` — each event
+    lands in exactly length/slide = 2 windows. The tumbling twin is
+    hourly_event_rollup; sliding is the shape alert pipelines use
+    (rate over the last hour, refreshed every half hour). Spark
+    implements it as a 2-row generate + partial+final agg — shuffle ∝
+    windows, not events². The oracle expands each event to its two
+    slide-aligned starts explicitly.
+
+    Output: (window_start, event_type, n, sum_value)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_WINDOW_SQL = """
+WITH g AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) AS b
+  FROM events
+),
+expanded AS (
+  SELECT event_type, value,
+         unnest([b - INTERVAL 30 MINUTE, b]) AS ws
+  FROM g
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
     "window_range_10min": window_range_10min,
@@ -748,6 +796,7 @@ QUERIES = {
     "session_window_native": session_window_native,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
+    "sliding_window_counts": sliding_window_counts,
 }
 
 ORACLES = {
@@ -766,4 +815,5 @@ ORACLES = {
     "session_window_native": SESSION_WINDOW_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
+    "sliding_window_counts": SLIDING_WINDOW_SQL,
 }
