@@ -134,3 +134,34 @@ def test_persistent_index_partition_pruning(spark, sf_dir, tmp_path):
     plan = plan_of(back)
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1].split("]")[0], plan
     assert back.count() == index.filter(F.col("cluster") == 0).count()
+
+
+def test_ivf_accepts_distributed_trainer_centroids(spark, sf_dir):
+    """The collect-free trainer (operators/kmeans.py) can feed IVF's
+    assignment path directly: ivf_index(centroids=...) partitions the
+    full corpus under centroids that never touched the driver beyond
+    the k×dim handoff — the seam a 100 TB deployment would use if the
+    FAISS-style sample collect (train_centroids) ever became the
+    bottleneck."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.ivf import ivf_index
+    from spec_search_spark.operators.kmeans import K_CLUSTERS, _trained_centroids
+
+    cents = [
+        [float(x) for x in r["c"]]
+        for r in _trained_centroids(spark, sf_dir).orderBy("cid").collect()
+    ]
+    assert len(cents) == K_CLUSTERS
+    idx = ivf_index(spark, sf_dir, centroids=cents)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert idx.count() == n
+    clusters = idx.groupBy("cluster").count()
+    assert clusters.filter(
+        (F.col("cluster") < 0) | (F.col("cluster") >= K_CLUSTERS)
+    ).count() == 0
+    # the trained partition is non-degenerate: no cluster holds
+    # everything, and most clusters are populated
+    sizes = [r["count"] for r in clusters.collect()]
+    assert max(sizes) < n and len(sizes) >= K_CLUSTERS // 2
