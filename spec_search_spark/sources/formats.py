@@ -178,10 +178,67 @@ GROUP BY o_orderstatus
 """
 
 
+_XML_DIRS: dict[tuple[str, str], str] = {}
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink round trip (Spark 4 ships spark-xml
+    in-tree): the nation dimension rendered to <row> elements and
+    re-ingested with an explicit schema (no inferSchema pre-scan),
+    joined back over region to prove keys and text survived markup.
+    Covers the last of the classic ingest-edge text formats alongside
+    csv/json/fixed-width.
+
+    Output: (r_name, n_nations, name_chars)."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.session import tune
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _XML_DIRS:
+        path = os.path.join(tempfile.mkdtemp(prefix="spec_search_xml_"), "nation_xml")
+        load_table(spark, sf_dir, "nation").write.format("xml").option(
+            "rootTag", "nations"
+        ).option("rowTag", "nation").save(path)
+        _XML_DIRS[key] = path
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    nation = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(_XML_DIRS[key])
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+    )
+
+
+XML_ROUNDTRIP_SQL = """
+SELECT r_name, count(*) AS n_nations,
+       sum(length(n_name)) AS name_chars
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "fixed_width_roundtrip": fixed_width_roundtrip,
+    "xml_roundtrip": xml_roundtrip,
 }
 
 ORACLES = {
     "fixed_width_roundtrip": FIXED_WIDTH_SQL,
+    "xml_roundtrip": XML_ROUNDTRIP_SQL,
 }
