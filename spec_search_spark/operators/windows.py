@@ -732,6 +732,118 @@ GROUP BY 1, 2
 """
 
 
+def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for every label event
+    (purchase), the freshest value of THREE feature streams as of that
+    moment — last click value, last view value, and seconds since the
+    last error. The training-set materialization every feature store
+    (Feast/Tecton-style) performs, with the leakage guarantee: no
+    feature may come from after the label timestamp.
+
+    Spark-first shape: where the naive build runs K as-of joins (K
+    shuffles of the spine), ALL feature streams union into ONE stream
+    tagged by kind, and a single per-user ordered window carries each
+    feature forward (`last(..., ignorenulls)` per stream) — one
+    shuffle + one sort TOTAL, regardless of how many features ride
+    along. Feature rows order before the spine at equal ts, so
+    at-or-before is inclusive. Each stream is first deduped to one row
+    per (user, ts) making every tie-break engine-independent. The
+    DuckDB oracle is the contrast: three native ASOF JOINs.
+
+    Output: (purchase_id, user_id, ts, last_click_value,
+    last_view_value, secs_since_error)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stream(kind: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id", "ts")
+            .agg(F.round(F.max("value"), 2).alias("v"))
+        )
+
+    spine = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+
+    null_d = F.lit(None).cast("double")
+    null_t = F.lit(None).cast("timestamp")
+    null_id = F.lit(None).cast("bigint")
+
+    def feature_row(df: DataFrame, click_v, view_v, err_ts) -> DataFrame:
+        return df.select(
+            "user_id",
+            "ts",
+            null_id.alias("purchase_id"),
+            F.lit(0).alias("kind"),
+            click_v.alias("click_v"),
+            view_v.alias("view_v"),
+            err_ts.alias("err_ts"),
+        )
+
+    clicks = feature_row(stream("click"), F.col("v"), null_d, null_t)
+    views = feature_row(stream("view"), null_d, F.col("v"), null_t)
+    errors = feature_row(stream("error"), null_d, null_d, F.col("ts"))
+    spine_t = spine.select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        F.lit(1).alias("kind"),
+        null_d.alias("click_v"),
+        null_d.alias("view_v"),
+        null_t.alias("err_ts"),
+    )
+    unioned = clicks.unionByName(views).unionByName(errors).unionByName(spine_t)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        unioned.withColumn("lc", F.last("click_v", ignorenulls=True).over(w))
+        .withColumn("lv", F.last("view_v", ignorenulls=True).over(w))
+        .withColumn("le", F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    return carried.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.col("lc").alias("last_click_value"),
+        F.col("lv").alias("last_view_value"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("le")))
+            / F.lit(1000000.0)
+        ).alias("secs_since_error"),
+    )
+
+
+FEATURE_PIT_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, round(max(value), 2) AS v FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+), views AS (
+  SELECT user_id, ts, round(max(value), 2) AS v FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+), errors AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+), spine AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT s.purchase_id, s.user_id, strftime(s.ts, '{{fmt}}') AS ts,
+       c.v AS last_click_value,
+       v.v AS last_view_value,
+       (epoch_us(s.ts) - epoch_us(e.ts)) / 1000000.0 AS secs_since_error
+FROM spine s
+ASOF LEFT JOIN clicks c ON s.user_id = c.user_id AND c.ts <= s.ts
+ASOF LEFT JOIN views v ON s.user_id = v.user_id AND v.ts <= s.ts
+ASOF LEFT JOIN errors e ON s.user_id = e.user_id AND e.ts <= s.ts
+""".replace("{fmt}", _TS_FMT_DUCK)
+
+
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping (sliding) event-time windows: 1-hour windows every
     30 minutes via `F.window(ts, '1 hour', '30 minutes')` — each event
@@ -797,6 +909,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "sliding_window_counts": sliding_window_counts,
+    "feature_store_pit": feature_store_pit,
 }
 
 ORACLES = {
@@ -816,4 +929,5 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
+    "feature_store_pit": FEATURE_PIT_SQL,
 }
