@@ -658,7 +658,52 @@ GROUP BY l_returnflag
 """
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the first-class DataFrame.unpivot (melt)
+    API — the inverse of pivot_status: lineitem's four measure columns
+    become (metric, value) rows, then a per-metric profile aggregates
+    the long table. Complements the positional unpivot the sheets
+    pipeline does with stack()/posexplode (cell_grid_unpivot):
+    this is the typed columnar form.
+
+    Plan: unpivot is a zero-shuffle Expand (4 rows out per input row,
+    map-side); the profile is one partial+final agg on the 4-value
+    metric key.
+
+    Output: (metric, n, min_v, max_v, sum_v)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+    )
+
+
+UNPIVOT_SQL = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, count(*) AS n,
+       round(min(v), 4) AS min_v,
+       round(max(v), 4) AS max_v,
+       round(sum(v), 2) AS sum_v
+FROM long GROUP BY metric
+"""
+
+
 QUERIES = {
+    "unpivot_metrics": unpivot_metrics,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -682,6 +727,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unpivot_metrics": UNPIVOT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
