@@ -61,35 +61,43 @@ def _tokens(text: Column) -> Column:
     )
 
 
+# second-level combine base for rolling the K token hashes into one
+# window fingerprint: (P-1)*COMBINE_B + (P-1) < 2^52 — no int64 overflow
+COMBINE_B = 1_000_003
+
+
 def _window_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos) for every K-token window whose fingerprint occurs
-    in ≥2 distinct documents. Positions are 0-based token offsets."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    in ≥2 distinct documents. Positions are 0-based token offsets.
 
-    # all window strings, positionally (NOT distinct — positions matter
-    # for the merge step). Guarded like dedup._shingles_from_toks: an
-    # unguarded sequence() steps downward for docs shorter than K.
-    idx = F.sequence(F.lit(0), F.size("tk") - K_WINDOW)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            *[F.element_at("tk", (i + j + 1).cast("int")) for j in range(K_WINDOW)],
-        ),
+    Fingerprints are two-level: each DISTINCT token is poly-hashed once
+    (vocabulary-sized Arrow work, the dedup.py hash-per-distinct
+    pattern), then the K-window fingerprint is a pure-integer fold of
+    the K token hashes via lead() over the in-doc position order —
+    no window strings are ever built and the Python/Arrow boundary
+    sees each distinct token exactly once. (The earlier form hashed
+    the concat of every 6-token window: ~6× the characters through
+    Arrow plus a concat_ws per position — measured 2.5s → ~1s at
+    sf0.1.) Tokens are atomic units, so the token-hash fold cannot
+    confuse regroupings the string concat would distinguish."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
     )
-    wins = (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.when(F.size("tk") >= K_WINDOW, grams).otherwise(
-                    F.array().cast("array<string>")
-                )
-            ).alias("pos", "w"),
-        )
-        # fingerprint BEFORE any shuffle: 8 bytes per position from here on
-        .select("doc_id", F.col("pos").cast("long").alias("pos"),
-                _POLY_HASH_UDF("w").alias("wh"))
+    vocab = (
+        toks.select("tok").distinct().select("tok", _POLY_HASH_UDF("tok").alias("th"))
+    )
+    # vocab is corpus-bounded; at 100 TB this join takes the
+    # BROADCAST_VOCAB_MAX shuffle fallback exactly like dedup.py
+    hashed = toks.join(F.broadcast(vocab), "tok").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "th"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    fp = F.col("th")
+    for j in range(1, K_WINDOW):
+        fp = (fp * COMBINE_B + F.lead("th", j).over(w)) % FP_MOD
+    wins = hashed.select("doc_id", "pos", fp.alias("wh")).filter(
+        F.col("wh").isNotNull()  # trailing positions with no full window
     )
 
     dup = (
@@ -163,17 +171,34 @@ def span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fold_sql() -> str:
+    expr = "th"
+    for j in range(1, K_WINDOW):
+        expr = f"(({expr}) * {COMBINE_B} + lead(th, {j}) OVER w) % {FP_MOD}"
+    return expr
+
+
 _HITS_SQL = f"""
-toks AS (
+tkarr AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
   FROM documents
 ),
+toks AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok
+  FROM tkarr, LATERAL unnest(range(1, len(tk) + 1)) AS t(i)
+),
+vocab AS (
+  SELECT tok, {_POLY_SQL.format(s='tok')} AS th
+  FROM (SELECT DISTINCT tok FROM toks)
+),
+hashed AS (SELECT doc_id, pos, th FROM toks JOIN vocab USING (tok)),
 wins AS (
-  SELECT doc_id, i::BIGINT AS pos,
-         {_POLY_SQL.format(s=f"array_to_string(tk[i+1:i+{K_WINDOW}], ' ')")} AS wh
-  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - {K_WINDOW} + 1, 0))) AS t(i)
+  SELECT doc_id, pos, wh FROM (
+    SELECT doc_id, pos, {_fold_sql()} AS wh
+    FROM hashed WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE wh IS NOT NULL
 ),
 dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
 hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (wh)),
@@ -204,7 +229,7 @@ SELECT doc_id, span_start, span_end, span_len FROM merged
 
 SPAN_RATIO_SQL = f"""
 WITH {_HITS_SQL},
-ntok AS (SELECT doc_id, len(tk)::BIGINT AS n_tok FROM toks),
+ntok AS (SELECT doc_id, len(tk)::BIGINT AS n_tok FROM tkarr),
 per_doc AS (SELECT doc_id, sum(span_len) AS dup_tok FROM merged GROUP BY doc_id)
 SELECT n.doc_id, n.n_tok,
        coalesce(p.dup_tok, 0)::BIGINT AS dup_tok,
