@@ -233,6 +233,60 @@ FROM lineitem
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile — the stats pass a catalog runs to
+    feed the optimizer and a data team runs to sanity-check a drop:
+    per measure column of lineitem, row/null/exact-distinct counts and
+    min/max/mean. ONE scan computes every column's aggregates side by
+    side (Catalyst plans a single partial+final aggregate with
+    count-distinct expansion); the wide one-row result is reshaped to
+    long form driver-free with an explode over a literal struct array.
+
+    Output: (column, n_rows, n_null, ndv, min_v, max_v, avg_v)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__null").cast("long").alias("n_null"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.col(f"{c}__avg").alias("avg_v"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS ndv,
+       round(min({c}), 4) AS min_v, round(max({c}), 4) AS max_v,
+       round(avg({c}), 6) AS avg_v
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 FRAGMENT_FILES = 64          # simulated small-file ingest fan-out
 TARGET_ROWS_PER_FILE = 50_000  # compaction target (row-based: size-based
                                # targets vary with compression/machine and
@@ -299,6 +353,7 @@ QUERIES = {
     "multi_granularity_rollup": multi_granularity_rollup,
     "constraint_check_report": constraint_check_report,
     "compact_small_files": compact_small_files,
+    "table_profile": table_profile,
 }
 
 ORACLES = {
@@ -306,4 +361,5 @@ ORACLES = {
     "multi_granularity_rollup": MULTI_ROLLUP_SQL,
     "constraint_check_report": CONSTRAINT_SQL,
     "compact_small_files": COMPACT_SQL,
+    "table_profile": TABLE_PROFILE_SQL,
 }

@@ -126,11 +126,65 @@ GROUP BY o_orderpriority
 """
 
 
+SKEW_TOP = 10
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the measurement pass that decides
+    WHICH of this module's strategies to deploy: per-key frequencies of
+    the lineitem join key, the 10 hottest keys with their share of the
+    table, and each key's ratio to a uniform share. At 100 TB this is
+    one partial+final count (shuffle ∝ distinct keys) + a TakeOrdered
+    over key counts — the cheap pre-flight before choosing blanket
+    salting, differential routing, or trusting AQE.
+
+    Output: (l_orderkey, cnt, share, x_uniform)."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.session import tune
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "l_orderkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 8).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 4).alias(
+                "x_uniform"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "l_orderkey")
+        .limit(SKEW_TOP)
+    )
+
+
+SKEW_PROFILE_SQL = f"""
+WITH counts AS (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+),
+totals AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM counts)
+SELECT l_orderkey, cnt,
+       round(cnt / n_rows, 8) AS share,
+       round(cnt * n_keys / n_rows, 4) AS x_uniform
+FROM counts, totals
+ORDER BY cnt DESC, l_orderkey LIMIT {SKEW_TOP}
+"""
+
+
 QUERIES = {
     "salted_join_revenue": salted_join_revenue,
     "adaptive_skew_join": adaptive_skew_join,
+    "skew_profile": skew_profile,
 }
 ORACLES = {
     "salted_join_revenue": SALTED_JOIN_SQL,
     "adaptive_skew_join": ADAPTIVE_SKEW_SQL,
+    "skew_profile": SKEW_PROFILE_SQL,
 }

@@ -732,6 +732,46 @@ GROUP BY 1, 2
 """
 
 
+def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-rank family in one query: per-nation
+    customer spend quartiles (`ntile`), `percent_rank`, and
+    `cume_dist`. Partitioned by nation — never a global window — and
+    ordered with the unique custkey tiebreak, so every rank value is a
+    deterministic rational both engines compute identically.
+
+    Output: (c_custkey, c_nationkey, spend, quartile, pr, cd)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("spend"), "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "c_nationkey",
+        "spend",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_nationkey, spend,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM spend JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
+"""
+
+
 def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-store point-in-time join: for every label event
     (purchase), the freshest value of THREE feature streams as of that
@@ -910,6 +950,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "sliding_window_counts": sliding_window_counts,
     "feature_store_pit": feature_store_pit,
+    "window_ntile_ranks": window_ntile_ranks,
 }
 
 ORACLES = {
@@ -930,4 +971,5 @@ ORACLES = {
     "retention_cohorts": RETENTION_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "feature_store_pit": FEATURE_PIT_SQL,
+    "window_ntile_ranks": WINDOW_NTILE_SQL,
 }
