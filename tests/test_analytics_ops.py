@@ -1,0 +1,129 @@
+"""Invariant tests for the round-4 continuation analytics ops (value
+parity vs DuckDB is covered by tools/selfcheck.py — these pin the
+structural claims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    from spec_search_spark.operators.windows import funnel_conversion
+
+    rows = {r["stage"]: r for r in funnel_conversion(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["pct_of_entry"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["pct_of_entry"] <= 1.0
+
+
+def test_retention_day0_equals_cohort_size(spark, sf_dir):
+    from spec_search_spark.operators.windows import retention_cohorts
+
+    df = retention_cohorts(spark, sf_dir)
+    # day 0 count per cohort == number of users first seen that day
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort"))
+        .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    day0 = df.filter(F.col("day_offset") == 0).select("cohort", "n_active")
+    diff = day0.join(cohorts, "cohort").filter(
+        F.col("n_active") != F.col("n_users")
+    )
+    assert diff.count() == 0
+
+
+def test_copurchase_pairs_ordered_and_positive(spark, sf_dir):
+    from spec_search_spark.operators.affinity import copurchase_pairs
+
+    rows = copurchase_pairs(spark, sf_dir).collect()
+    assert rows
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["p1"] < r["p2"] and r["n_orders"] >= 1 for r in rows)
+
+
+def test_table_profile_bounds(spark, sf_dir):
+    from spec_search_spark.operators.maintenance import table_profile
+
+    for r in table_profile(spark, sf_dir).collect():
+        assert r["ndv"] <= r["n_rows"]
+        assert r["n_null"] == 0
+        assert r["min_v"] <= r["avg_v"] <= r["max_v"]
+
+
+def test_skew_profile_shares(spark, sf_dir):
+    from spec_search_spark.operators.skew import skew_profile
+
+    rows = skew_profile(spark, sf_dir).collect()
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(r["share"] for r in rows) <= 1.0 + 1e-6
+    assert all(r["x_uniform"] >= 1.0 for r in rows)  # hottest keys ≥ uniform
+
+
+def test_per_source_cap_binds(spark, sf_dir):
+    from spec_search_spark.operators.pipeline_ops import (
+        CAP_PER_SOURCE,
+        per_source_cap,
+    )
+
+    per_src = (
+        per_source_cap(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert per_src.filter(F.col("n") > CAP_PER_SOURCE).count() == 0
+    # the cap must actually bind on the test corpus
+    docs = load_table(spark, sf_dir, "documents")
+    assert per_src.agg(F.sum("n")).first()[0] < docs.count()
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    from spec_search_spark.operators.windows import sliding_window_counts
+
+    total = (
+        sliding_window_counts(spark, sf_dir).agg(F.sum("n")).first()[0]
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == 2 * n_events  # 1h/30min → every event in exactly 2 windows
+
+
+def test_ntile_quartiles_in_range(spark, sf_dir):
+    from spec_search_spark.operators.windows import window_ntile_ranks
+
+    df = window_ntile_ranks(spark, sf_dir)
+    bad = df.filter(
+        (F.col("quartile") < 1)
+        | (F.col("quartile") > 4)
+        | (F.col("pr") < 0)
+        | (F.col("pr") > 1)
+        | (F.col("cd") <= 0)
+        | (F.col("cd") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_feature_pit_no_future_leakage(spark, sf_dir):
+    from spec_search_spark.operators.windows import feature_store_pit
+
+    df = feature_store_pit(spark, sf_dir)
+    # errors can only be in the past: the gap is never negative
+    assert df.filter(F.col("secs_since_error") < 0).count() == 0
+    # spine cardinality preserved: one row per deduped purchase
+    ev = load_table(spark, sf_dir, "events")
+    n_spine = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .count()
+    )
+    assert df.count() == n_spine
