@@ -243,6 +243,112 @@ WHERE rn <= ({KEEP_PCT_NUM} * n_src + {KEEP_PCT_DEN - 1}) // {KEEP_PCT_DEN}
 """
 
 
+BPE_TOP = 20
+VOCAB_TOP = 50
+
+
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training, distributed:
+    within-token adjacent character-pair frequencies over the whole
+    corpus, ranked — the merge candidates a byte-pair-encoding trainer
+    would fuse first. At 100 TB this IS how vocab induction starts
+    (pair counting = one partial+final agg on 2-char keys; later
+    iterations re-tokenize with merges applied — each is the same
+    shuffle shape over a shrinking pair space).
+
+    Output: top BPE_TOP (pair, n) by (n desc, pair)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    # adjacent char pairs inside each token; substring's start index is
+    # dynamic, so the transform is written as a SQL expr (the classic-
+    # API substring() takes only literal positions)
+    pairs = toks.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT substring(tok, i, 2) AS pair
+  FROM toks, LATERAL unnest(range(1, length(tok))) AS t(i)
+  WHERE length(tok) >= 2
+)
+SELECT pair, count(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP}
+"""
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage report: the top VOCAB_TOP corpus tokens with
+    each one's share of total token mass and the CUMULATIVE share — the
+    Zipf curve a tokenizer team reads to size a vocabulary. Frequencies
+    are one partial+final agg; the cumulative share is a window over
+    only the top rows (never the full vocab).
+
+    Output: (tok, n, share, cum_share) by rank."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(VOCAB_TOP)
+    )
+    w = Window.orderBy(F.desc("n"), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 8).alias("share"),
+            F.round(F.sum("n").over(w) / F.col("n_total"), 8).alias("cum_share"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+total AS (SELECT count(*) AS n_total FROM toks),
+top AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+  ORDER BY n DESC, tok LIMIT {VOCAB_TOP}
+)
+SELECT tok, n,
+       round(n / n_total, 8) AS share,
+       round(sum(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / n_total, 8) AS cum_share
+FROM top, total
+"""
+
+
 QUERIES = {
     "chunk_fixed": chunk_fixed,
     "chunk_recursive": chunk_recursive_check,
@@ -251,6 +357,8 @@ QUERIES = {
     "quality_scores": quality_scores,
     "stratified_quality_sample": stratified_quality_sample,
     "doc_fingerprints": doc_fingerprints,
+    "bpe_pair_merges": bpe_pair_merges,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -261,4 +369,6 @@ ORACLES = {
     "quality_scores": QUALITY_SQL,
     "stratified_quality_sample": STRATIFIED_SAMPLE_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
+    "bpe_pair_merges": BPE_PAIRS_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
 }
