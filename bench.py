@@ -93,6 +93,9 @@ HEADLINE = [
     "semantic_dedup",
     "bloom_pruned_join",
     "pq_ann_search",
+    "bm25_search",
+    "feature_store_pit",
+    "copurchase_pairs",
 ]
 
 
