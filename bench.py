@@ -212,6 +212,13 @@ def main() -> None:
     if len(line) > 1900:
         out["queries"] = {n: round(t, 2) for n, t in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # headline has outgrown the tail capture even at 2dp: keep the
+        # 10 slowest (the actionable ones) — the full per-query record
+        # is always in BENCH_FULL_r{N}.json
+        out["queries"] = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        out["queries_truncated_to_top10_slowest"] = True
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 
