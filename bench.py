@@ -190,7 +190,12 @@ def main() -> None:
     # Full record to a file (the driver's stdout capture keeps only the
     # last 2000 chars — r3's line overflowed it); stdout stays compact.
     here = os.path.dirname(os.path.abspath(__file__))
-    full_name = f"BENCH_FULL_r{this_round:02d}.json"
+    # only the graded scale claims the round record — a dev run at
+    # another sf must not clobber BENCH_FULL_r{N}.json
+    if sf_val == 0.1:
+        full_name = f"BENCH_FULL_r{this_round:02d}.json"
+    else:
+        full_name = f"BENCH_FULL_dev_sf{sf_val}.json"
     with open(os.path.join(here, full_name), "w") as fh:
         json.dump(full, fh, indent=1)
 
