@@ -340,6 +340,44 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("bm25_search",
      ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
+    # market basket: co-located equi self-join + TakeOrdered, never a
+    # cross product or a global sort
+    ("copurchase_pairs",
+     ["TakeOrderedAndProject", "partial_count"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    # sliding windows: ONE exchange (Expand generates the 2 window
+    # copies map-side, partial agg combines before the shuffle)
+    ("sliding_window_counts", ["Expand", "partial_count"], ["CartesianProduct"]),
+    # unpivot: the Expand is zero-shuffle; one partial+final agg
+    ("unpivot_metrics", ["Expand", "partial_count"], ["CartesianProduct"]),
+    # PIT join: one window pass carries all features — exactly one
+    # user_id partitioning, no as-of per-feature join cascade
+    ("feature_store_pit",
+     ["Window", "hashpartitioning(user_id", "partial_"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    # analytic ranks: nation-partitioned window after a broadcast dim
+    # join; never a global (empty-partition) window
+    ("window_ntile_ranks",
+     ["Window", "BroadcastHashJoin", "hashpartitioning(c_nationkey"],
+     ["CartesianProduct"]),
+    # profilers: single-scan partial+final aggregates; the skew top-k
+    # is a TakeOrdered over key counts
+    ("skew_profile",
+     ["TakeOrderedAndProject", "partial_count"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    ("table_profile", ["Expand", "partial_"], ["CartesianProduct"]),
+    # uniform rate limiter: one source-partitioned window with the
+    # rank-limit pushdown
+    ("per_source_cap",
+     ["WindowGroupLimit", "hashpartitioning(source"],
+     ["CartesianProduct"]),
+    # tokenizer ops: generate + partial agg + TakeOrdered
+    ("bpe_pair_merges",
+     ["Generate", "TakeOrderedAndProject", "partial_count"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    ("vocab_coverage",
+     ["TakeOrderedAndProject", "partial_count"],
+     ["CartesianProduct"]),
 ]
 
 
