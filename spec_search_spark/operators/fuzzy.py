@@ -130,10 +130,115 @@ FROM vocab a JOIN vocab b
 """
 
 
+MAX_ER_ITERS = 12
+
+
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part-name vocabulary:
+    blocking + verified fuzzy matching (fuzzy_name_pairs) → connected
+    components over the match graph (the dedup_clusters min-label
+    propagation, here with lexicographic string labels — ASCII names,
+    so both engines order identically) → survivorship: the canonical
+    record of each entity is its highest-`members` name (min-name
+    tiebreak), the master-data rule "keep the variant seen most".
+
+    Scale: inherits the fuzzy join's q-gram blocking (no quadratic
+    verify), CC rounds ∝ component diameter (typo clusters are tiny
+    stars), survivorship is one window over components. Driver holds
+    per-round changed-counts only.
+
+    Output: (entity_id, name, members, cluster_size, is_canonical)."""
+    from spec_search_spark.operators.dedup import _materialize
+    from pyspark.sql import Window
+
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("members")
+    )
+    pairs = fuzzy_name_pairs(spark, sf_dir).select("name1", "name2")
+    edges = _materialize(
+        pairs.select(F.col("name1").alias("a"), F.col("name2").alias("b")).unionByName(
+            pairs.select(F.col("name2").alias("a"), F.col("name1").alias("b"))
+        )
+    )
+    labels = _materialize(vocab.select("name", F.col("name").alias("label")))
+    for _ in range(MAX_ER_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.name)
+            .groupBy(F.col("a").alias("name"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = _materialize(
+            labels.join(nbr_min, "name", "left").select(
+                "name",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "name")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"ER components did not converge in {MAX_ER_ITERS} rounds")
+
+    clustered = labels.join(vocab, "name").select(
+        F.col("label").alias("entity_id"), "name", "members"
+    )
+    w = Window.partitionBy("entity_id")
+    wr = Window.partitionBy("entity_id").orderBy(F.desc("members"), "name")
+    return clustered.select(
+        "entity_id",
+        "name",
+        "members",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.row_number().over(wr) == 1).alias("is_canonical"),
+    )
+
+
+ER_SQL = f"""
+WITH RECURSIVE vocab AS (
+  SELECT p_name AS name, count(*) AS members FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.name AS name1, b.name AS name2
+  FROM vocab a JOIN vocab b
+    ON a.name < b.name
+   AND abs(length(a.name) - length(b.name)) <= {EDIT_D}
+   AND levenshtein(a.name, b.name) <= {EDIT_D}
+),
+edges AS (SELECT name1 AS a, name2 AS b FROM pairs
+          UNION ALL SELECT name2, name1 FROM pairs),
+reach(a, b) AS (
+  SELECT name, name FROM vocab
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clustered AS (
+  SELECT r.a AS name, min(r.b) AS entity_id FROM reach r GROUP BY r.a
+)
+SELECT c.entity_id, c.name, v.members,
+       CAST(count(*) OVER (PARTITION BY c.entity_id) AS BIGINT) AS cluster_size,
+       (row_number() OVER (PARTITION BY c.entity_id
+                           ORDER BY v.members DESC, c.name) = 1) AS is_canonical
+FROM clustered c JOIN vocab v USING (name)
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "entity_resolution": entity_resolution,
 }
 
 ORACLES = {
     "fuzzy_name_pairs": FUZZY_SQL,
+    "entity_resolution": ER_SQL,
 }
