@@ -1144,6 +1144,47 @@ WHERE p.rn = 1 AND n.rn = 1
 """
 
 
+def doc_embeddings_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level embeddings by mean-pooling the V1 index's chunk
+    embeddings — the retrieval-stack step between chunk-level search
+    and doc-level dedup/clustering (SemDeDup, kmeans.py, consume
+    exactly this shape). One posexplode + per-(doc, dim) partial+final
+    AVG (shuffle ∝ docs×dim), re-packed with the sort_array idiom;
+    6dp rounding is the cross-engine float-order contract (kmeans.py).
+
+    Output: (doc_id, n_chunks, pooled array<double>)."""
+    index = build_index(spark, sf_dir)
+    per_dim = (
+        index.select("doc_id", "id", F.posexplode("embedding").alias("d", "c"))
+        .groupBy("doc_id", "d")
+        .agg(F.round(F.avg("c"), 6).alias("v"))
+    )
+    pooled = per_dim.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("pooled")
+    )
+    n_chunks = index.groupBy("doc_id").agg(F.countDistinct("id").alias("n_chunks"))
+    return n_chunks.join(pooled, "doc_id").select("doc_id", "n_chunks", "pooled")
+
+
+DOC_POOLED_SQL = f"""
+WITH {_INDEX_CHUNKS_CTE},
+{embedding_sql_ctes('__chunks', 'id', 'chunk', DEFAULT_DIM).lstrip()},
+per_dim AS (
+  SELECT c.doc_id, comp.d, round(avg(comp.c), 6) AS v
+  FROM __comp comp JOIN __chunks c ON comp.id = c.id
+  GROUP BY c.doc_id, comp.d
+),
+pooled AS (
+  SELECT doc_id, list(v ORDER BY d) AS pooled FROM per_dim GROUP BY doc_id
+),
+nch AS (SELECT doc_id, count(DISTINCT id) AS n_chunks FROM __chunks GROUP BY doc_id)
+SELECT nch.doc_id, nch.n_chunks, pooled.pooled
+FROM nch JOIN pooled USING (doc_id)
+"""
+
+
 QUERIES = {
     "knn_exact": knn_exact,
     "knn_multi_probe": knn_multi_probe,
@@ -1153,6 +1194,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "embedding_near_dup": embedding_near_dup,
     "vector_index_build": vector_index_build_query,
+    "doc_embeddings_pooled": doc_embeddings_pooled,
     "semantic_search": semantic_search_query,
     "triplet_mining": triplet_mining,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -1169,6 +1211,7 @@ ORACLES = {
     "ann_recall_report": ANN_RECALL_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "vector_index_build": VECTOR_INDEX_SQL,
+    "doc_embeddings_pooled": DOC_POOLED_SQL,
     "semantic_search": _semantic_search_sql(),
     "triplet_mining": TRIPLET_SQL,
     "hybrid_search_rrf": _hybrid_search_sql(),
