@@ -152,6 +152,9 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ER_LABELS:
+        return _ER_LABELS[key]
     part = load_table(spark, sf_dir, "part")
     vocab = part.groupBy(F.col("p_name").alias("name")).agg(
         F.count(F.lit(1)).alias("members")
@@ -190,18 +193,26 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError(f"ER components did not converge in {MAX_ER_ITERS} rounds")
 
+    # localCheckpoint truncates the per-round join lineage (the plan
+    # text otherwise nests every CC iteration — the graph-pack lesson);
+    # memoized per session like dedup_clusters' label table
+    labels = labels.localCheckpoint(eager=True)
     clustered = labels.join(vocab, "name").select(
         F.col("label").alias("entity_id"), "name", "members"
     )
     w = Window.partitionBy("entity_id")
     wr = Window.partitionBy("entity_id").orderBy(F.desc("members"), "name")
-    return clustered.select(
+    _ER_LABELS[key] = clustered.select(
         "entity_id",
         "name",
         "members",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.row_number().over(wr) == 1).alias("is_canonical"),
     )
+    return _ER_LABELS[key]
+
+
+_ER_LABELS: dict[tuple[str, str], DataFrame] = {}
 
 
 ER_SQL = f"""

@@ -378,6 +378,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("vocab_coverage",
      ["TakeOrderedAndProject", "partial_count"],
      ["CartesianProduct"]),
+    # ER: converged label table is checkpointed (plan must NOT nest the
+    # CC iterations — a deep-lineage plan re-analyzes every round);
+    # survivorship is one component-partitioned window
+    ("entity_resolution",
+     ["Window", "hashpartitioning(entity_id", "Scan ExistingRDD"],
+     ["CartesianProduct"]),
+    # pooled doc embeddings: index scan (checkpointed memo) +
+    # partial+final per-dim means
+    ("doc_embeddings_pooled",
+     ["partial_", "Generate"],
+     ["CartesianProduct", "SortMergeJoin"]),
 ]
 
 
