@@ -732,6 +732,73 @@ GROUP BY 1, 2
 """
 
 
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join AGAIN, through the cogrouped-pandas API surface
+    (§2.11): clicks and purchases cogrouped per user, matched with
+    pandas `merge_asof` inside an Arrow-batched kernel. Same output
+    and SAME DuckDB ASOF oracle as asof_join_purchase — two
+    independent engines' worth of implementations pinned to one
+    result, and the demonstration that `cogroup().applyInPandas`
+    (Spark's two-sided UDF shape) composes into the operator set.
+
+    Scale: both sides shuffle once on user_id (the cogroup key); the
+    kernel sees one user's rows at a time. The window composition
+    (asof_join_purchase) is the plan to prefer — no Python in the hot
+    path — but cogroup is the escape hatch for match logic SQL cannot
+    express; this query proves the seam with logic SQL CAN check."""
+    import pandas as pd  # noqa: F811
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.round(F.max("value"), 2).alias("purchase_value"),
+        )
+    )
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                columns=[
+                    "click_id", "user_id", "click_ts",
+                    "purchase_id", "purchase_ts", "purchase_value",
+                ]
+            )
+        left = left.sort_values("ts")
+        right = (
+            right.sort_values("ts")
+            .rename(columns={"ts": "p_ts"})
+            .drop(columns=["user_id"])
+        )
+        m = pd.merge_asof(
+            left, right, left_on="ts", right_on="p_ts", direction="backward"
+        )
+        m["click_ts"] = m["ts"].dt.strftime(fmt)
+        m["purchase_ts"] = m["p_ts"].dt.strftime(fmt)
+        m["purchase_id"] = m["purchase_id"].astype("Int64")
+        return m[
+            ["click_id", "user_id", "click_ts",
+             "purchase_id", "purchase_ts", "purchase_value"]
+        ]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "click_id bigint, user_id bigint, click_ts string, "
+            "purchase_id bigint, purchase_ts string, purchase_value double",
+        )
+    )
+
+
 def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining analytic-rank family in one query: per-nation
     customer spend quartiles (`ntile`), `percent_rank`, and
@@ -951,6 +1018,7 @@ QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "feature_store_pit": feature_store_pit,
     "window_ntile_ranks": window_ntile_ranks,
+    "asof_join_cogroup": asof_join_cogroup,
 }
 
 ORACLES = {
@@ -972,4 +1040,5 @@ ORACLES = {
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "feature_store_pit": FEATURE_PIT_SQL,
     "window_ntile_ranks": WINDOW_NTILE_SQL,
+    "asof_join_cogroup": ASOF_SQL,
 }
