@@ -309,12 +309,73 @@ GROUP BY 1, 2
 """
 
 
+def stream_sliding_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of windows.sliding_window_counts: overlapping
+    1-hour windows sliding every 30 minutes over event time, state
+    evicted by the watermark. Each event updates exactly 2 window
+    states; the state store holds only windows newer than the
+    watermark — the alerting topology (rate over the last hour,
+    refreshed every half hour) that must survive an unbounded stream.
+
+    Output: (window_start, event_type, n, sum_value)."""
+    name = f"sliding_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_slide_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# identical result set to the batch sliding window — same oracle shape
+STREAM_SLIDING_SQL = """
+WITH g AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) AS b
+  FROM events
+),
+expanded AS (
+  SELECT event_type, value,
+         unnest([b - INTERVAL 30 MINUTE, b]) AS ws
+  FROM g
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
     "stream_sessionize": stream_sessionize_query,
     "stream_stream_join": stream_stream_join_query,
     "stream_static_enrich": stream_static_enrich_query,
+    "stream_sliding_counts": stream_sliding_counts_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -322,6 +383,7 @@ ORACLES = {
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "stream_sliding_counts": STREAM_SLIDING_SQL,
 }
 
 
