@@ -127,3 +127,44 @@ def test_feature_pit_no_future_leakage(spark, sf_dir):
         .count()
     )
     assert df.count() == n_spine
+
+
+def test_bpe_pairs_shape(spark, sf_dir):
+    from spec_search_spark.operators.text_analysis import bpe_pair_merges
+
+    rows = bpe_pair_merges(spark, sf_dir).collect()
+    assert rows
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from spec_search_spark.operators.text_analysis import vocab_coverage
+
+    rows = sorted(
+        vocab_coverage(spark, sf_dir).collect(),
+        key=lambda r: (-r["n"], r["tok"]),
+    )
+    cum = [r["cum_share"] for r in rows]
+    assert cum == sorted(cum)
+    assert cum[-1] <= 1.0 + 1e-9
+    assert abs(cum[-1] - sum(r["share"] for r in rows)) < 1e-4
+
+
+def test_entity_resolution_structure(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.fuzzy import entity_resolution
+
+    df = entity_resolution(spark, sf_dir)
+    # exactly one canonical per entity
+    per_entity = df.groupBy("entity_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("cluster_size").alias("sz"),
+    )
+    assert per_entity.filter(F.col("n_canon") != 1).count() == 0
+    assert per_entity.filter(F.col("n") != F.col("sz")).count() == 0
+    # entity id is a member of its own cluster
+    assert df.filter(F.col("entity_id") == F.col("name")).count() == per_entity.count()
