@@ -33,7 +33,7 @@ def test_collapses_float_repr_noise_only():
     assert norm_cell(1.0000000001) == norm_cell(1.0)
     assert norm_cell(1.000001) != norm_cell(1.0)
     assert norm_cell(float("nan")) == norm_cell(float("nan"))
-    assert norm_cell(math.inf) == math.inf
+    assert norm_cell(math.inf) == "inf"  # formatted, stable across engines
 
 
 def test_detects_cardinality_and_null_changes():
