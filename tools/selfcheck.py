@@ -24,7 +24,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and float32/64 repr noise
+        if v == 0.0:
+            v = 0.0  # collapse -0.0 (f"{-0.0:.9g}" would keep the sign)
+        # collapse float32/64 repr noise
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
