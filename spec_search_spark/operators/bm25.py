@@ -152,5 +152,67 @@ scored AS (
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_K}
 """
 
-QUERIES = {"bm25_search": bm25_search}
-ORACLES = {"bm25_search": BM25_SQL}
+PHRASE = "merge join"  # the exact phrase to match, position-verified
+_PTOKS = PHRASE.split()
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching over a positional inverted index: docs
+    containing the query tokens at CONSECUTIVE positions, with match
+    counts — the verification step separating "merge join" from
+    "join ... merge" that bag-of-words scoring (bm25_search) cannot
+    see. Lucene's phrase query, shuffle-first:
+
+    - the positional postings are filtered to the phrase's tokens
+      right after the explode (work ∝ phrase-token postings);
+    - adjacency is an equi-join per consecutive token pair on
+      (doc_id, pos + offset) — at 100 TB each hop shuffles only the
+      candidate positions that survived the previous hop, narrowing
+      monotonically.
+
+    Output: (doc_id, n_matches)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    cur = (
+        toks.filter(F.col("tok") == _PTOKS[0])
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+    for i, t in enumerate(_PTOKS[1:], start=1):
+        nxt = toks.filter(F.col("tok") == t).select(
+            "doc_id", (F.col("pos").cast("long") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["doc_id", "pos"])
+    return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def _phrase_sql() -> str:
+    joins = []
+    for i, t in enumerate(_PTOKS):
+        joins.append(
+            f"t{i} AS (SELECT doc_id, pos - {i} AS pos FROM toks"
+            f" WHERE tok = '{t}')"
+        )
+    join_chain = "t0" + "".join(
+        f" JOIN t{i} USING (doc_id, pos)" for i in range(1, len(_PTOKS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+        FROM documents) t,
+       LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+),
+{", ".join(joins)}
+SELECT doc_id, count(*) AS n_matches
+FROM {join_chain}
+GROUP BY doc_id
+"""
+
+
+QUERIES = {"bm25_search": bm25_search, "phrase_search": phrase_search}
+ORACLES = {"bm25_search": BM25_SQL, "phrase_search": _phrase_sql()}
