@@ -658,6 +658,41 @@ GROUP BY l_returnflag
 """
 
 
+def shuffle_hash_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: the orders⋈lineitem fact join
+    forced to a SHUFFLED HASH join via the `shuffle_hash` hint — the
+    strategy Catalyst rarely picks by itself (it prefers sort-merge
+    for large equi-joins) but that wins when one side is modestly
+    sized and sorting would dominate: hash-build the smaller
+    post-shuffle side, stream the larger, no sort at all. At 100 TB
+    this is the knob for skew-resistant medium-dim joins where
+    broadcast is too big and SMJ's double sort is waste; the audit
+    pins ShuffledHashJoin in the physical plan (the only query here
+    exercising that operator).
+
+    Output: (o_orderpriority, n_items, avg_qty)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    joined = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+SHUFFLE_HASH_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape via the first-class DataFrame.unpivot (melt)
     API — the inverse of pivot_status: lineitem's four measure columns
@@ -704,6 +739,7 @@ FROM long GROUP BY metric
 
 QUERIES = {
     "unpivot_metrics": unpivot_metrics,
+    "shuffle_hash_join_agg": shuffle_hash_join_agg,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -728,6 +764,7 @@ QUERIES = {
 
 ORACLES = {
     "unpivot_metrics": UNPIVOT_SQL,
+    "shuffle_hash_join_agg": SHUFFLE_HASH_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

@@ -389,6 +389,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("doc_embeddings_pooled",
      ["partial_", "Generate"],
      ["CartesianProduct", "SortMergeJoin"]),
+    # join-strategy hint surface: the shuffle_hash hint must yield the
+    # SHUFFLED hash join (no sort), the one physical join strategy no
+    # other query exercises
+    ("shuffle_hash_join_agg",
+     ["ShuffledHashJoin", "partial_count"],
+     ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"]),
+    # phrase search: adjacency via equi-joins on (doc, pos) only
+    ("phrase_search", ["partial_count"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
