@@ -253,11 +253,62 @@ FROM range(1, {N_HIST_BUCKETS + 1}) t(b)
 """
 
 
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch ROLLUP property, proven on Spark's Apache
+    DataSketches HLL surface (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate): per-returnflag part-distinct sketches merged
+    with hll_union_agg must estimate what one direct sketch over the
+    whole table estimates — sketch(A∪B) ≃ merge(sketch(A), sketch(B))
+    is the property that lets a 100 TB warehouse keep tiny
+    per-partition sketch partials and answer any-slice distinct
+    queries without rescanning (the same partial-merge algebra as
+    maintenance.incremental_agg_merge, for a non-algebraic statistic).
+
+    Self-verifying: the merge identity is exact on the REGISTER level,
+    but Spark's union gadget materializes at HLL_8 while the direct
+    path defaults to HLL_4, so the two ESTIMATES may differ at the
+    estimator-rounding level — the check pins them within 1% of each
+    other, and the merged estimate within 5% of the true count.
+    Output: (exact_distinct, merged_close_to_direct, rel_err_ok)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_direct"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    return direct.crossJoin(F.broadcast(merged)).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= 0.01 * F.col("est_direct")
+        ).alias("merged_close_to_direct"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("rel_err_ok"),
+    )
+
+
+HLL_ROLLUP_SQL = """
+SELECT count(DISTINCT l_partkey) AS exact_distinct,
+       TRUE AS merged_close_to_direct,
+       TRUE AS rel_err_ok
+FROM lineitem
+"""
+
+
 QUERIES = {
     "approx_distinct_counts": approx_distinct_counts,
     "approx_quantiles": approx_quantiles,
     "percentiles_approx": percentiles_approx,
     "equi_depth_histogram_approx": equi_depth_histogram_approx,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
 }
 
 ORACLES = {
@@ -265,4 +316,5 @@ ORACLES = {
     "approx_quantiles": APPROX_QUANTILES_SQL,
     "percentiles_approx": PERCENTILES_APPROX_SQL,
     "equi_depth_histogram_approx": EQUI_DEPTH_APPROX_SQL,
+    "hll_mergeable_rollup": HLL_ROLLUP_SQL,
 }
