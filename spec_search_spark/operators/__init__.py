@@ -18,6 +18,7 @@ def all_queries():
         ivf,
         kmeans,
         layout,
+        lm_quality,
         maintenance,
         mllib_lsh,
         multimodal,
@@ -51,6 +52,7 @@ def all_queries():
         sheets_pipeline,
         sheets_connector,
         text_analysis,
+        lm_quality,
         dedup,
         span_dedup,
         similarity,

