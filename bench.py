@@ -96,6 +96,12 @@ HEADLINE = [
     "bm25_search",
     "feature_store_pit",
     "copurchase_pairs",
+    # round-4 corpus-statistics quality pack
+    "lm_perplexity_scores",
+    "boilerplate_ngram_report",
+    "heavy_hitters_cms",
+    "embedding_outlier_report",
+    "time_weighted_avg",
 ]
 
 

@@ -15,6 +15,10 @@ near-dup in `dedup.py`):
   verify pass (the third classic sketch next to `sketches.py`'s HLL
   and KLL-style quantiles); the CMS estimate is computed as data and
   pinned `est >= exact` per token.
+* `embedding_outlier_report` — the vector twin of the perplexity
+  filter: distance-to-own-label-centroid with an integer top-decile
+  cut per label (the mislabeled/off-distribution screen over the
+  `embeddings` table).
 
 Scale notes (100 TB): everything here is expression-level token
 explosion + keyed aggregation — narrow until the groupBy, partial
@@ -297,14 +301,94 @@ WHERE e.n_est * {HH_DENOM} >= t.n_total
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-space outlier gate
+# --------------------------------------------------------------------------
+
+OUTLIER_TOP_DENOM = 10  # flag the top 1/10 of each label by distance
+
+
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality gate: distance of every vector to its own
+    label centroid, flagging the top decile per label as outliers —
+    the mislabeled/off-distribution screen run before contrastive
+    training (the vector twin of the perplexity filter above).
+
+    Determinism contract: centroids are rounded to 8dp BEFORE the
+    distance (so both engines square identical doubles), distances to
+    6dp, and the decile cut is pure integer arithmetic
+    (10·rank <= n+9 ⟺ rank <= ceil(n/10)) — no float percentile.
+
+    Plan shape: posexplode to (label, dim) → partial+final avg (the
+    centroid table is labels×dims rows, shuffle-joined back on the
+    same keys) → one keyed sum per vector → one window pass per label.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    cent = ex.groupBy("label", "dim").agg(F.round(F.avg("x"), 8).alias("c"))
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dist2")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy("label")
+    rn = F.row_number().over(wl.orderBy(F.desc("dist2"), "vec_id"))
+    return dist.select(
+        "vec_id",
+        "label",
+        "dist2",
+        rn.alias("rnk"),
+        F.count(F.lit(1)).over(wl).alias("n_label"),
+    ).select(
+        "vec_id",
+        "label",
+        "dist2",
+        (F.col("rnk") * OUTLIER_TOP_DENOM <= F.col("n_label") + OUTLIER_TOP_DENOM - 1)
+        .alias("is_outlier"),
+    )
+
+
+EMBEDDING_OUTLIER_SQL = rf"""
+WITH ex AS (
+  SELECT vec_id, label, i AS dim, embedding[i + 1]::DOUBLE AS x
+  FROM (SELECT vec_id, label, embedding,
+               unnest(range(0, len(embedding))) AS i
+        FROM embeddings) t
+), cent AS (
+  SELECT label, dim, round(avg(x), 8) AS c FROM ex GROUP BY label, dim
+), dist AS (
+  SELECT e.vec_id, e.label, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist2
+  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, dist2,
+       (row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id)
+          * {OUTLIER_TOP_DENOM}
+        <= count(*) OVER (PARTITION BY label) + {OUTLIER_TOP_DENOM - 1})
+         AS is_outlier
+FROM dist
+"""
+
+
 QUERIES = {
     "lm_perplexity_scores": lm_perplexity_scores,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "heavy_hitters_cms": heavy_hitters_cms,
+    "embedding_outlier_report": embedding_outlier_report,
 }
 
 ORACLES = {
     "lm_perplexity_scores": LM_PERPLEXITY_SQL,
     "boilerplate_ngram_report": BOILERPLATE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_SQL,
+    "embedding_outlier_report": EMBEDDING_OUTLIER_SQL,
 }

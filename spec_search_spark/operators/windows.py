@@ -999,6 +999,53 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of `value` (the TimescaleDB
+    `time_weight('LOCF')` hyperfunction shape): each observation holds
+    until the next one, so it is weighted by its holding duration in
+    epoch-micros — a plain mean over irregular samples over-weights
+    bursts. The last observation per user has no successor and carries
+    zero weight (pure LOCF-until-next semantics; both engines agree).
+
+    One window pass (lead over the user partition) then one keyed
+    aggregation — single hash shuffle on user_id, partial aggregation
+    map-side; the integer micros weights keep the oracle exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    wt = F.lead(us).over(w) - us
+    return (
+        ev.select("user_id", "value", wt.alias("wt"))
+        .filter(F.col("wt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("wt").alias("held_micros"),
+            F.round(F.sum(F.col("value") * F.col("wt")) / F.sum("wt"), 6).alias("twa"),
+        )
+        .filter(F.col("held_micros") > 0)
+    )
+
+
+TIME_WEIGHTED_SQL = """
+WITH weighted AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS wt
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(wt) AS BIGINT) AS held_micros,
+       round(sum(value * wt) / sum(wt), 6) AS twa
+FROM weighted
+WHERE wt IS NOT NULL
+GROUP BY user_id
+HAVING sum(wt) > 0
+"""
+
+
 QUERIES = {
     "window_topk_per_customer": window_topk_per_customer,
     "window_range_10min": window_range_10min,
@@ -1019,6 +1066,7 @@ QUERIES = {
     "feature_store_pit": feature_store_pit,
     "window_ntile_ranks": window_ntile_ranks,
     "asof_join_cogroup": asof_join_cogroup,
+    "time_weighted_avg": time_weighted_avg,
 }
 
 ORACLES = {
@@ -1041,4 +1089,5 @@ ORACLES = {
     "feature_store_pit": FEATURE_PIT_SQL,
     "window_ntile_ranks": WINDOW_NTILE_SQL,
     "asof_join_cogroup": ASOF_SQL,
+    "time_weighted_avg": TIME_WEIGHTED_SQL,
 }

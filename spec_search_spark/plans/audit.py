@@ -413,6 +413,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("heavy_hitters_cms",
      ["Union", "partial_sum", "partial_min"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
+    # time-weighted avg: one window pass on the user partition, then
+    # partial+final aggregation — no second shuffle beyond user_id
+    ("time_weighted_avg",
+     ["Window", "hashpartitioning(user_id", "partial_sum"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    # embedding outliers: posexplode + partial centroid avg + one
+    # label-partitioned window for the decile cut
+    ("embedding_outlier_report",
+     ["Generate", "partial_avg", "Window"],
+     ["CartesianProduct"]),
 ]
 
 

@@ -85,3 +85,44 @@ def test_cms_estimate_is_one_sided_and_collides(spark, sf_dir):
     # W=32 on a real vocabulary must produce at least one genuine
     # collision — otherwise the sketch test is vacuous
     assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_time_weighted_avg_is_bounded_by_value_range(spark, sf_dir):
+    from spec_search_spark.operators.windows import time_weighted_avg
+
+    rows = time_weighted_avg(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    bounds = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert r["held_micros"] > 0
+        assert r["n_intervals"] >= 1
+        b = bounds[r["user_id"]]
+        # a weighted average can never leave the convex hull of values
+        assert b["lo"] - 1e-6 <= r["twa"] <= b["hi"] + 1e-6
+
+
+def test_embedding_outliers_decile_cut(spark, sf_dir):
+    from spec_search_spark.operators.lm_quality import (
+        OUTLIER_TOP_DENOM,
+        embedding_outlier_report,
+    )
+
+    rows = embedding_outlier_report(spark, sf_dir).collect()
+    assert rows
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        n = len(rs)
+        out = [r for r in rs if r["is_outlier"]]
+        inl = [r for r in rs if not r["is_outlier"]]
+        # exactly ceil(n/10) flagged per label
+        assert len(out) == -(-n // OUTLIER_TOP_DENOM)
+        if out and inl:
+            assert min(r["dist2"] for r in out) >= max(r["dist2"] for r in inl)
