@@ -238,8 +238,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate tokens (est over threshold) are carried to the exact
     verify, which at test scale doubles as the oracle's ground truth.
     """
+    from spec_search_spark.operators.dedup import _materialize
+
     base = _tok_arrays(_docs(spark, sf_dir), 1)
-    exact = (
+    # vocabulary-sized (distinct tokens), so materializing is bounded —
+    # the corpus-sized token explosion underneath runs exactly once
+    # instead of once per downstream branch (D projections + total +
+    # verify join all read this)
+    exact = _materialize(
         base.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_exact"))
