@@ -405,10 +405,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("lm_perplexity_scores",
      ["Generate", "partial_count"],
      ["CartesianProduct", "Exchange rangepartitioning"]),
-    # boilerplate grams: explode + partial counts, keyed join only
+    # boilerplate grams: ONE corpus explode + partial counts; document
+    # frequency is a window count over the pre-aggregated doc-gram
+    # table — no self-join, so no second Generate pass
     ("boilerplate_ngram_report",
-     ["Generate", "partial_count", "partial_sum"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["Generate", "partial_count", "partial_sum", "Window"],
+     ["CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
     # CMS: union of D projections, partial bucket sums, min-merge
     ("heavy_hitters_cms",
      ["Union", "partial_sum", "partial_min"],
