@@ -369,6 +369,121 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def stream_heavy_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: heavy-hitter USERS over the event
+    stream, with the sketch itself as the ONLY streaming state. Each
+    event explodes into D (d, bucket) increments (integer hash rows,
+    same family as `lm_quality.heavy_hitters_cms`) and a streaming
+    groupBy maintains the D×W bucket-count table — O(96 rows) of state
+    regardless of stream volume, the textbook reason count-min is the
+    streaming-native frequency sketch (a per-user count table would
+    grow with the key space and never evict).
+
+    After the stream drains, the estimate per user is the batch
+    min-over-rows probe of the final bucket table, verified one-sided
+    against exact batch counts — identical output to running the
+    sketch in batch, which is what the oracle does.
+
+    Output: (user_id, n_exact, n_est, overcount) for users with
+    estimated count ≥ total/HH_DENOM."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.lm_quality import CMS_ROWS, CMS_W, HH_DENOM
+    from spec_search_spark.functions.text import FP_MOD
+
+    name = f"cms_stream_{uuid.uuid4().hex[:8]}"
+    incs = _events_stream(spark, sf_dir).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (((F.col("user_id") * a + b) % FP_MOD) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d, a, b in CMS_ROWS
+                ]
+            )
+        ).alias("r")
+    )
+    agg = incs.groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cms_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    buckets = spark.table(name)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    rows = None
+    for d, a, b in CMS_ROWS:
+        proj = exact.select(
+            "user_id",
+            "n_exact",
+            F.lit(d).alias("d"),
+            (((F.col("user_id") * a + b) % FP_MOD) % CMS_W).alias("bucket"),
+        )
+        rows = proj if rows is None else rows.unionByName(proj)
+    est = (
+        rows.join(buckets, ["d", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("bc").alias("n_est"))
+    )
+    total = exact.agg(F.sum("n_exact").alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))  # one row
+        .filter(F.col("n_est") * HH_DENOM >= F.col("n_total"))
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def _stream_cms_sql() -> str:
+    from spec_search_spark.functions.text import FP_MOD
+    from spec_search_spark.operators.lm_quality import CMS_ROWS, CMS_W, HH_DENOM
+
+    values = ", ".join(f"({d}, {a}, {b})" for d, a, b in CMS_ROWS)
+    return f"""
+WITH exact AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+), proj AS (
+  SELECT r.d, ((e.user_id * r.a + r.b) % {FP_MOD}) % {CMS_W} AS bucket,
+         e.user_id, e.n_exact
+  FROM exact e CROSS JOIN (VALUES {values}) r(d, a, b)
+), buckets AS (
+  SELECT d, bucket, CAST(sum(n_exact) AS BIGINT) AS bc FROM proj GROUP BY d, bucket
+), est AS (
+  SELECT p.user_id, p.n_exact, min(b.bc) AS n_est
+  FROM proj p JOIN buckets b ON p.d = b.d AND p.bucket = b.bucket
+  GROUP BY p.user_id, p.n_exact
+), total AS (
+  SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM exact
+)
+SELECT user_id, n_exact, n_est, n_est - n_exact AS overcount
+FROM est CROSS JOIN total
+WHERE n_est * {HH_DENOM} >= n_total
+"""
+
+
+STREAM_CMS_SQL = _stream_cms_sql()
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
@@ -376,6 +491,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join_query,
     "stream_static_enrich": stream_static_enrich_query,
     "stream_sliding_counts": stream_sliding_counts_query,
+    "stream_heavy_users": stream_heavy_users_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -384,6 +500,7 @@ ORACLES = {
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_sliding_counts": STREAM_SLIDING_SQL,
+    "stream_heavy_users": STREAM_CMS_SQL,
 }
 
 

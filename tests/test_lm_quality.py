@@ -87,6 +87,19 @@ def test_cms_estimate_is_one_sided_and_collides(spark, sf_dir):
     assert any(r["overcount"] > 0 for r in rows)
 
 
+def test_stream_cms_matches_batch_sketch_and_is_one_sided(spark, sf_dir):
+    """The streaming sketch must be exactly mergeable: the bucket table
+    a streaming groupBy accumulates across micro-batches equals the
+    batch sketch, so estimates agree bit-for-bit and stay one-sided."""
+    from spec_search_spark.streaming.incremental import stream_heavy_users_query
+
+    rows = stream_heavy_users_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["n_est"] == r["n_exact"] + r["overcount"]
+
+
 def test_time_weighted_avg_is_bounded_by_value_range(spark, sf_dir):
     from spec_search_spark.operators.windows import time_weighted_avg
 
