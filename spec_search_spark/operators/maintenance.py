@@ -348,12 +348,83 @@ SELECT 'compacted', CAST(ceil(count(*) / {TARGET_ROWS_PER_FILE}.0) AS BIGINT),
 """
 
 
+CHECKSUM_BUCKETS = 64
+
+
+def table_checksum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent, bucket-wise table checksum over `orders` —
+    the replication/migration verification primitive (pt-table-checksum
+    shape): two replicas compare 64 bucket rows instead of the full
+    table, and a mismatch localizes the divergence to one hash range.
+
+    Each row is serialized to a canonical string (integer keys, status
+    chars, ISO date — deliberately no floats, whose formatting is not
+    engine-portable), poly-hashed to 8 bytes, and bucketed by hash
+    range. Per bucket: row count, an ADDITIVE checksum (sum of hashes —
+    commutative, so partial aggregation and any row order give the
+    same value, and bucket checksums from shards merge by plain
+    addition), and the min/max hash as range witnesses.
+
+    Scale: one narrow projection + one 64-group partial+final hash
+    aggregate; the checksum table is O(buckets) rows for any table
+    size, and comparing two 100 TB replicas ships 64 rows, not data.
+    """
+    from spec_search_spark.functions.text import fingerprint
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = fingerprint(row_str)
+    return (
+        o.select(h.alias("h"))
+        .groupBy((F.col("h") % CHECKSUM_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("checksum"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )
+
+
+def _checksum_sql() -> str:
+    from spec_search_spark.functions.text import fingerprint_sql
+
+    expr = (
+        "concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR, "
+        "o_orderstatus, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d'))"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {fingerprint_sql(expr)} AS h FROM orders
+)
+SELECT h % {CHECKSUM_BUCKETS} AS bucket,
+       count(*) AS n_rows,
+       CAST(sum(h) AS BIGINT) AS checksum,
+       min(h) AS h_min,
+       max(h) AS h_max
+FROM hashed
+GROUP BY h % {CHECKSUM_BUCKETS}
+"""
+
+
+TABLE_CHECKSUM_SQL = _checksum_sql()
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
     "multi_granularity_rollup": multi_granularity_rollup,
     "constraint_check_report": constraint_check_report,
     "compact_small_files": compact_small_files,
     "table_profile": table_profile,
+    "table_checksum_report": table_checksum_report,
 }
 
 ORACLES = {
@@ -362,4 +433,5 @@ ORACLES = {
     "constraint_check_report": CONSTRAINT_SQL,
     "compact_small_files": COMPACT_SQL,
     "table_profile": TABLE_PROFILE_SQL,
+    "table_checksum_report": TABLE_CHECKSUM_SQL,
 }

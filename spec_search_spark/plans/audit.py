@@ -425,6 +425,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("embedding_outlier_report",
      ["Generate", "partial_avg", "Window"],
      ["CartesianProduct"]),
+    # table checksum: one narrow scan + one 64-group partial+final agg;
+    # the additive checksum must combine map-side
+    ("table_checksum_report",
+     ["partial_sum", "partial_count", "HashAggregate"],
+     ["CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin", "Window"]),
 ]
 
 

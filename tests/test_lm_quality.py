@@ -100,6 +100,56 @@ def test_stream_cms_matches_batch_sketch_and_is_one_sided(spark, sf_dir):
         assert r["n_est"] == r["n_exact"] + r["overcount"]
 
 
+def test_table_checksum_is_additive_across_shards(spark, sf_dir):
+    """The bucket checksums must merge by plain addition — checksumming
+    two disjoint shards and summing per bucket equals checksumming the
+    whole table (the property that lets 100 TB replicas compare
+    shard-local checksum tables without reshuffling rows)."""
+    from spec_search_spark.operators.maintenance import (
+        CHECKSUM_BUCKETS,
+        table_checksum_report,
+    )
+
+    whole = {r["bucket"]: r for r in table_checksum_report(spark, sf_dir).collect()}
+    assert len(whole) <= CHECKSUM_BUCKETS
+    orders = load_table(spark, sf_dir, "orders")
+    n_total = orders.count()
+    assert sum(r["n_rows"] for r in whole.values()) == n_total
+    # shard by order parity and recompute: per-bucket (n, checksum) add up
+    import spec_search_spark.operators.maintenance as m
+
+    def shard(pred):
+        from spec_search_spark.functions.text import fingerprint
+
+        o = orders.filter(pred)
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        h = fingerprint(row_str)
+        return {
+            r["bucket"]: r
+            for r in o.select(h.alias("h"))
+            .groupBy((F.col("h") % m.CHECKSUM_BUCKETS).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("checksum"))
+            .collect()
+        }
+
+    even = shard(F.col("o_orderkey") % 2 == 0)
+    odd = shard(F.col("o_orderkey") % 2 == 1)
+    for b, r in whole.items():
+        n = even.get(b, {"n_rows": 0})["n_rows"] + odd.get(b, {"n_rows": 0})["n_rows"]
+        cs = (even[b]["checksum"] if b in even else 0) + (
+            odd[b]["checksum"] if b in odd else 0
+        )
+        assert n == r["n_rows"]
+        assert cs == r["checksum"]
+
+
 def test_time_weighted_avg_is_bounded_by_value_range(spark, sf_dir):
     from spec_search_spark.operators.windows import time_weighted_avg
 
