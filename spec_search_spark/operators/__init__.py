@@ -9,6 +9,7 @@ from __future__ import annotations
 def all_queries():
     from spec_search_spark.operators import (
         affinity,
+        behavior,
         bm25,
         bucketed,
         dedup,
@@ -46,6 +47,7 @@ def all_queries():
     for mod in (
         relational,
         affinity,
+        behavior,
         bm25,
         bucketed,
         windows,

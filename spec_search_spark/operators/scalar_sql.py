@@ -667,8 +667,79 @@ GROUP BY 1
 """
 
 
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: correlated LATERAL subquery with LIMIT — per nation,
+    its top-2 customers by account balance, written the way an
+    analyst writes it. Catalyst decorrelates the LIMIT-per-group into
+    a window row_number filter (one shuffle on the correlation key),
+    never a per-nation re-scan; DuckDB executes the same text
+    natively. Tie-break: c_name is unique, making the LIMIT
+    deterministic in both engines."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+LISTAGG_TOP_N = 3
+
+
+def listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set string aggregation: per nation, a comma-joined list
+    of its top-3 customers by balance — Spark 4's `listagg(...) WITHIN
+    GROUP (ORDER BY ...)` over a window-limited top-k (DuckDB mirrors
+    with ORDER BY inside string_agg). The window pre-filter keeps the
+    aggregate's input at k×groups rows, so the string build never sees
+    full customer cardinality; the deterministic inner ORDER BY is the
+    cross-engine contract (c_name unique)."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH ranked AS (
+          SELECT n_name, c_name, c_acctbal,
+                 row_number() OVER (PARTITION BY n_nationkey
+                                    ORDER BY c_acctbal DESC, c_name) AS rk
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY rk) AS top_customers,
+               round(sum(c_acctbal), 2) AS top_balance
+        FROM ranked WHERE rk <= {LISTAGG_TOP_N}
+        GROUP BY n_name
+        """
+    )
+
+
+LISTAGG_SQL = f"""
+WITH ranked AS (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY c_acctbal DESC, c_name) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY rk) AS top_customers,
+       round(sum(c_acctbal), 2) AS top_balance
+FROM ranked WHERE rk <= {LISTAGG_TOP_N}
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "scalar_date_math": scalar_date_math,
+    "sql_lateral_topk": sql_lateral_topk,
+    "listagg_top_customers": listagg_top_customers,
     "percentiles_exact": percentiles_exact,
     "sql_correlated_subquery": sql_correlated_subquery,
     "sql_grouping_sets": sql_grouping_sets,
@@ -685,6 +756,8 @@ QUERIES = {
 
 ORACLES = {
     "scalar_date_math": SCALAR_DATE_MATH_SQL,
+    "sql_lateral_topk": _LATERAL_SQL,
+    "listagg_top_customers": LISTAGG_SQL,
     "percentiles_exact": PERCENTILES_SQL,
     "sql_correlated_subquery": _CORRELATED_SQL,
     "sql_grouping_sets": SQL_GROUPING_SETS_SQL,

@@ -349,8 +349,89 @@ FROM top, total
 """
 
 
+PMI_MIN_COUNT = 5  # report bigrams seen at least this often
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token bigrams over the corpus — the statistical phrase detector
+    (word2vec's phrase pass, Gensim Phrases) that finds 'new york'-
+    style multiword units before tokenizer training.
+
+    Plan: ONE JVM-side bigram explode (transform over indices — no
+    UDF, no self-join), partial+final counts for bigrams and unigrams,
+    then two joins of the bigram table against the unigram counts
+    (AQE picks broadcast vs shuffle — the vocab grows with the corpus,
+    same policy as lm_quality's prob table) and a one-row totals
+    broadcast. PMI arithmetic uses an identical operation order in
+    both engines: double products folded left-to-right, one division,
+    one ln, round 6.
+
+    Output: (a, b, n_ab, pmi) for bigrams with n_ab >= PMI_MIN_COUNT."""
+    docs = _docs(spark, sf_dir).select(tokens(F.col("text")).alias("toks"))
+    docs = docs.filter(F.size("toks") >= 1)
+    bi = docs.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("a"),
+                    F.element_at(F.col("toks"), i + 2).alias("b"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    uni = docs.select(F.explode("toks").alias("tok"))
+    bic = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = bi.agg(F.count(F.lit(1)).alias("n_bi")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    joined = (
+        bic.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(uc.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
+        .join(uc.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("n_ab").cast("double") * F.col("n_uni") * F.col("n_uni")
+    )
+    den = F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b")
+    return joined.select(
+        "a", "b", "n_ab", F.round(F.log(num / den), 6).alias("pmi")
+    )
+
+
+COLLOCATION_SQL = f"""
+WITH toklists AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+nonempty AS (SELECT toks FROM toklists WHERE len(toks) >= 1),
+bi AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                               i -> struct_pack(a := toks[i+1],
+                                                b := toks[i+2]))) AS bg
+  FROM nonempty WHERE len(toks) >= 2),
+uni AS (SELECT unnest(toks) AS tok FROM nonempty),
+bic AS (SELECT bg.a AS a, bg.b AS b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM bi) AS n_bi,
+               (SELECT count(*) FROM uni) AS n_uni)
+SELECT a, b, n_ab,
+       round(ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+FROM bic
+JOIN uc ua ON bic.a = ua.tok
+JOIN uc ub ON bic.b = ub.tok
+CROSS JOIN tot
+WHERE n_ab >= {PMI_MIN_COUNT}
+"""
+
+
 QUERIES = {
     "chunk_fixed": chunk_fixed,
+    "collocation_pmi": collocation_pmi,
     "chunk_recursive": chunk_recursive_check,
     "token_stats": token_stats,
     "lang_id": lang_id,
@@ -363,6 +444,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_fixed": CHUNK_FIXED_SQL,
+    "collocation_pmi": COLLOCATION_SQL,
     "chunk_recursive": CHUNK_RECURSIVE_CHECK_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,

@@ -430,6 +430,48 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("table_checksum_report",
      ["partial_sum", "partial_count", "HashAggregate"],
      ["CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin", "Window"]),
+    # --- behavioral-analytics pack (behavior.py) ---
+    # gaps-and-islands: map-side distinct (partial agg) feeds ONE
+    # user-partitioned window; island detection is a subtraction,
+    # never a self-join
+    ("activity_streaks",
+     ["Window", "hashpartitioning(user_id", "partial_count"],
+     ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
+    # transition matrix: one lag window on user_id + partial counts
+    ("event_transition_matrix",
+     ["Window", "hashpartitioning(user_id", "partial_count"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    # last-touch: window form, NOT the purchases×events point-in-time
+    # self-join
+    ("attribution_last_touch",
+     ["Window", "hashpartitioning(user_id", "partial_count"],
+     ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
+    # cumulative distinct: first-occurrence row_number + running sum —
+    # two window partitionings on custkey-rooted keys, no
+    # distinct-per-frame rescan, no join beyond the fact equi join
+    ("cumulative_distinct_parts",
+     ["Window", "hashpartitioning(o_custkey", "partial_sum"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # Welch A/B: single conditional partial+final aggregation pass;
+    # no arm-vs-arm join, no window
+    ("ab_test_welch",
+     ["HashAggregate", "partial_count"],
+     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+    # collocations: ONE JVM bigram explode (Generate), partial counts;
+    # the only cross join is the one-row totals broadcast
+    ("collocation_pmi",
+     ["Generate", "partial_count"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    # LATERAL + LIMIT decorrelates to a window filter, never a
+    # per-group rescan loop or a cartesian
+    ("sql_lateral_topk",
+     ["Window"],
+     ["CartesianProduct"]),
+    # listagg: window pre-filter caps the aggregate input at k×groups;
+    # dimension join broadcasts
+    ("listagg_top_customers",
+     ["Window", "BroadcastHashJoin"],
+     ["CartesianProduct"]),
 ]
 
 

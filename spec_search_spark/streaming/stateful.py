@@ -141,8 +141,95 @@ def tws_available() -> bool:
         return False
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+ATTR_OUTPUT_SCHEMA = "channel string, value double"
+ATTR_STATE_SCHEMA = "last_ch string"
+
+
+def _attribute_purchases(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Streaming last-touch attribution for one user: state is the
+    single last non-purchase event type seen so far; each purchase in
+    the batch is credited to the carried touch strictly before it.
+    Vectorized — sort, shift, forward-fill — no per-row Python loop."""
+    last_ch = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    touch = pdf["event_type"].where(pdf["event_type"] != "purchase")
+    # carried[i] = last non-purchase type among rows < i (state-seeded)
+    carried = touch.shift(1).ffill()
+    if last_ch is not None:
+        carried = carried.fillna(last_ch)
+    is_p = pdf["event_type"] == "purchase"
+    out = pd.DataFrame(
+        {
+            "channel": carried[is_p].fillna("direct").astype(str),
+            "value": pdf.loc[is_p, "value"].astype(float),
+        }
+    )
+    live = touch.dropna()
+    if len(live):
+        last_ch = str(live.iloc[-1])
+    state.update((last_ch,))
+    yield out
+
+
+def stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `behavior.attribution_last_touch`: per-user
+    last-touch state (ONE string per active user — the minimum state
+    any attribution needs) maintained by applyInPandasWithState;
+    purchases are emitted with their credited channel as they arrive,
+    and the adapter folds the emitted stream into per-channel totals.
+
+    Scale: state is O(active users) × one string; with event-time
+    in-order delivery per key (Kafka per-key ordering) the emitted
+    credits are exactly the batch window result, which is this
+    query's oracle. Idle-user eviction (ProcessingTimeTimeout) drops
+    the docstring-noted long-tail state in production; not armed here
+    so the drained result is deterministic."""
+    name = f"attr_stream_{uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    credited = stream.groupBy("user_id").applyInPandasWithState(
+        _attribute_purchases,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_attr_")
+    q = (
+        credited.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _stream_attribution_sql() -> str:
+    from spec_search_spark.operators.behavior import ATTRIBUTION_SQL
+
+    return ATTRIBUTION_SQL
+
+
+QUERIES: dict = {"stream_attribution": stream_attribution_query}
+ORACLES: dict = {"stream_attribution": _stream_attribution_sql()}
 
 
 def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
