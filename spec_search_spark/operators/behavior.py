@@ -324,8 +324,58 @@ FROM m
 """
 
 
+# --- exponentially weighted moving average ---------------------------------
+
+EWMA_ALPHA = 0.125  # 1/8: exactly representable in binary, so the fold
+# arithmetic is bit-identical across engines (no decimal-fraction noise)
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the recursive time-series smoother (pandas .ewm, TimescaleDB
+    continuous aggs) that windows cannot express without a per-frame
+    power series. Built as an ordered JVM fold: collect the user's
+    (ts, event_id, value) structs, array_sort (total order — event_id
+    breaks ts ties), seed with the first value, then a codegen
+    `aggregate` lambda folds α·x + (1−α)·acc left-to-right. DuckDB
+    mirrors with list(ORDER BY)+list_reduce — identical fold order,
+    identical doubles.
+
+    Scale: state per user is its own event list (the same bound any
+    sequence model needs); the fold itself is JVM-side, no Python.
+    At 100 TB you'd segment-fold per day and carry the EWMA across
+    segments with the decay identity ewma(a∥b) = fold(b, seed=ewma(a))
+    — same kernel, checkpointed seeds.
+
+    Output: (user_id, n_events, ewma_value)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), arr.alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s["value"])
+    first = F.element_at(vals, 1)
+    rest = F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return agg.select("user_id", "n_events", F.round(ewma, 6).alias("ewma_value"))
+
+
+EWMA_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc),
+             6) AS ewma_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "activity_streaks": activity_streaks,
+    "ewma_user_value": ewma_user_value,
     "event_transition_matrix": event_transition_matrix,
     "attribution_last_touch": attribution_last_touch,
     "cumulative_distinct_parts": cumulative_distinct_parts,
@@ -334,6 +384,7 @@ QUERIES = {
 
 ORACLES = {
     "activity_streaks": ACTIVITY_STREAKS_SQL,
+    "ewma_user_value": EWMA_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
     "cumulative_distinct_parts": CUM_DISTINCT_SQL,

@@ -115,9 +115,68 @@ def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrow_group_stats(table):
+    """applyInArrow kernel: one group's rows arrive as a pyarrow.Table;
+    stats computed by Arrow compute kernels — no pandas materialization,
+    no Python per-row loop. Raw doubles leave the kernel; rounding
+    happens JVM-side so both engines share one half-away-from-zero
+    round."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "event_type": [table.column("event_type")[0].as_py()],
+            "n": [table.num_rows],
+            "n_users": [pc.count_distinct(table.column("user_id")).as_py()],
+            "total_value": [pc.sum(table.column("value")).as_py()],
+            "max_value": [pc.max(table.column("value")).as_py()],
+        }
+    )
+
+
+def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third grouped-UDF API surface: `groupBy().applyInArrow` —
+    the zero-copy Arrow-native sibling of applyInPandas (Spark 4).
+    Per-event-type stats computed by Arrow compute kernels on the raw
+    record batches; pandas never materializes.
+
+    Scale: one shuffle on the group key, Arrow batches stream through
+    the Python worker. The same stats are one `groupBy().agg()` in
+    pure SQL (the oracle) — this entry exists to cover the API
+    surface, proving custom columnar kernels slot into the operator
+    set when built-ins genuinely cannot express one."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    out = ev.groupBy("event_type").applyInArrow(
+        _arrow_group_stats,
+        "event_type string, n bigint, n_users bigint, "
+        "total_value double, max_value double",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "n_users",
+        F.round("total_value", 2).alias("total_value"),
+        "max_value",
+    )
+
+
+ARROW_GROUP_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "udtf_chunk_explode": udtf_chunk_explode,
     "udaf_label_centroid": udaf_label_centroid,
+    "arrow_group_stats": arrow_group_stats,
 }
 
 ORACLES = {
@@ -139,4 +198,5 @@ SELECT label, string_agg(q::VARCHAR, ',' ORDER BY ord) AS centroid_sig FROM (
   GROUP BY label, ord
 ) GROUP BY label
 """,
+    "arrow_group_stats": ARROW_GROUP_STATS_SQL,
 }

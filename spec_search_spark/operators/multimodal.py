@@ -318,14 +318,127 @@ FROM documents
 """
 
 
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames int, "
+    "total_abs bigint, peak int"
+)
+
+
+def decode_wav_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL sample-content decode: parse the RIFF/fmt/data chunks and
+    the PCM-16 payload itself (numpy `frombuffer('<i2')` — vectorized,
+    no per-sample Python), then fold to integer energy features.
+    Integer outputs (sum/max of |sample|) are exact, so the oracle is
+    a value oracle, not a tolerance check."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            _, channels, sample_rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", payload[20:36]
+            )
+            (data_len,) = struct.unpack("<I", payload[40:44])
+            samples = np.frombuffer(
+                payload[44 : 44 + data_len], dtype="<i2"
+            ).astype(np.int64)
+            a = np.abs(samples)
+            rows.append(
+                (
+                    int(doc_id),
+                    int(sample_rate),
+                    int(channels),
+                    data_len // block_align,
+                    int(a.sum()) if len(a) else 0,
+                    int(a.max()) if len(a) else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "sample_rate",
+                "n_channels",
+                "n_frames",
+                "total_abs",
+                "peak",
+            ],
+        )
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature EXTRACTION through the codec seam — one level deeper
+    than `multimodal_real_codec`'s header parse: the kernel decodes the
+    PCM sample CONTENT of genuine WAV files and folds it to energy
+    features (sum/max absolute amplitude), the audio analog of pixel
+    statistics. The synthetic sample bytes are doc_id-parameterized,
+    so DuckDB replicates the expected features by pure arithmetic
+    while Spark genuinely packs bytes and decodes them back.
+
+    Plan: scan → synth kernel → decode kernel, chained MapInPandas in
+    one stage, zero exchanges — payload bytes never cross the network
+    (the only 100 TB-viable shape for media feature extraction)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 2 == 1
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_wav(8000 + d % 100, 1 + d % 2, d % 50, seed=d)
+                for d in (int(x) for x in pdf["doc_id"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return media.mapInPandas(decode_wav_energy_batch, AUDIO_ENERGY_SCHEMA)
+
+
+# expected features by arithmetic: data[i] = (doc_id*17 + i*13) % 256,
+# sample j = int16le(data[2j], data[2j+1]) — same formulas as make_wav.
+AUDIO_ENERGY_SQL = """
+WITH audio AS (
+  SELECT doc_id,
+         CAST(8000 + doc_id % 100 AS INT) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INT) AS n_channels,
+         CAST(doc_id % 50 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 2 = 1),
+vals AS (
+  SELECT doc_id, sample_rate, n_channels, n_frames,
+         list_transform(range(0, n_frames * n_channels), j ->
+           CASE WHEN (doc_id*17 + (2*j)*13) % 256
+                     + 256 * ((doc_id*17 + (2*j+1)*13) % 256) >= 32768
+                THEN (doc_id*17 + (2*j)*13) % 256
+                     + 256 * ((doc_id*17 + (2*j+1)*13) % 256) - 65536
+                ELSE (doc_id*17 + (2*j)*13) % 256
+                     + 256 * ((doc_id*17 + (2*j+1)*13) % 256)
+           END) AS v
+  FROM audio)
+SELECT doc_id, sample_rate, n_channels, n_frames,
+       CAST(coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'sum'), 0)
+            AS BIGINT) AS total_abs,
+       CAST(coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0)
+            AS INT) AS peak
+FROM vals
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
     "multimodal_real_codec": multimodal_real_codec,
+    "multimodal_audio_energy": multimodal_audio_energy,
 }
 
 ORACLES = {
     "multimodal_decode": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_real_codec": MULTIMODAL_REAL_SQL,
+    "multimodal_audio_energy": AUDIO_ENERGY_SQL,
 }

@@ -472,6 +472,20 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("listagg_top_customers",
      ["Window", "BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # ewma: partial collect before the single user_id exchange; the
+    # fold is a codegen expression, not a window or a Python kernel
+    ("ewma_user_value",
+     ["ObjectHashAggregate", "hashpartitioning(user_id"],
+     ["CartesianProduct", "Window", "MapInPandas"]),
+    # applyInArrow: the Arrow-native grouped kernel after one exchange
+    ("arrow_group_stats",
+     ["FlatMapGroupsInArrow", "hashpartitioning(event_type"],
+     ["CartesianProduct", "Window"]),
+    # audio energy: chained MapInPandas in ONE stage — payload bytes
+    # never cross an exchange
+    ("multimodal_audio_energy",
+     ["MapInPandas"],
+     ["Exchange", "CartesianProduct", "Window"]),
 ]
 
 

@@ -1,0 +1,113 @@
+"""Invariant tests for the EWMA / applyInArrow / audio-energy batch
+(value parity vs DuckDB is covered by tools/selfcheck.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+
+
+def test_ewma_stays_within_value_hull(spark, sf_dir):
+    from spec_search_spark.operators.behavior import ewma_user_value
+
+    rows = ewma_user_value(spark, sf_dir).collect()
+    assert rows
+    hull = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = hull[r["user_id"]]
+        # a convex combination of observed values cannot escape their hull
+        assert lo - 1e-6 <= r["ewma_value"] <= hi + 1e-6
+
+
+def test_ewma_single_event_equals_value(spark, sf_dir):
+    """ewma([v]) == v: the fold seeds with the first value."""
+    import pandas as pd
+
+    from spec_search_spark.operators.behavior import EWMA_ALPHA
+
+    # replicate the fold locally on one user's ordered values
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    uid = ev["user_id"].iloc[0]
+    vals = ev[ev["user_id"] == uid]["value"].tolist()
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+    from spec_search_spark.operators.behavior import ewma_user_value
+
+    got = {
+        r["user_id"]: r["ewma_value"]
+        for r in ewma_user_value(spark, "/root/testdata/sf0.001").collect()
+    }[uid]
+    assert abs(got - round(acc, 6)) < 1e-9
+
+
+def test_arrow_group_stats_matches_builtin_agg(spark, sf_dir):
+    from spec_search_spark.operators.extensibility import arrow_group_stats
+
+    got = {
+        r["event_type"]: (r["n"], r["n_users"], r["total_value"], r["max_value"])
+        for r in arrow_group_stats(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["n_users"], r["total_value"], r["max_value"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_audio_energy_decodes_known_payload(spark, sf_dir):
+    """The kernel's numpy decode agrees with a hand-rolled struct
+    parse on a fixed payload."""
+    import struct
+
+    import pandas as pd
+
+    from spec_search_spark.operators.multimodal import (
+        decode_wav_energy_batch,
+        make_wav,
+    )
+
+    payload = make_wav(8000, 2, 5, seed=123)
+    (out,) = decode_wav_energy_batch(
+        iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+    )
+    r = out.iloc[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (8000, 2, 5)
+    data = payload[44:]
+    vals = [
+        struct.unpack("<h", data[2 * j : 2 * j + 2])[0] for j in range(5 * 2)
+    ]
+    assert r["total_abs"] == sum(abs(v) for v in vals)
+    assert r["peak"] == max(abs(v) for v in vals)
+
+
+def test_audio_energy_covers_all_audio_docs(spark, sf_dir):
+    from spec_search_spark.operators.multimodal import multimodal_audio_energy
+
+    df = multimodal_audio_energy(spark, sf_dir)
+    n_audio = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .count()
+    )
+    assert df.count() == n_audio
