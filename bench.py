@@ -102,6 +102,13 @@ HEADLINE = [
     "heavy_hitters_cms",
     "embedding_outlier_report",
     "time_weighted_avg",
+    # round-4 behavioral-analytics + collocation + codec-content pack
+    "activity_streaks",
+    "attribution_last_touch",
+    "cumulative_distinct_parts",
+    "ewma_user_value",
+    "collocation_pmi",
+    "multimodal_audio_energy",
 ]
 
 

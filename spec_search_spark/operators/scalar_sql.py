@@ -691,6 +691,34 @@ LATERAL (
 """
 
 
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: the Spark 4 pipe syntax (`|>`) — linear
+    scan-filter-aggregate composition, the readability surface
+    GoogleSQL/ZetaSQL popularized. Parses to the identical logical
+    plan as the nested form (filter pushed to scan, partial+final
+    agg), so the oracle is the classic GROUP BY text."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 LISTAGG_TOP_N = 3
 
 
@@ -739,6 +767,7 @@ GROUP BY n_name
 QUERIES = {
     "scalar_date_math": scalar_date_math,
     "sql_lateral_topk": sql_lateral_topk,
+    "sql_pipe_syntax": sql_pipe_syntax,
     "listagg_top_customers": listagg_top_customers,
     "percentiles_exact": percentiles_exact,
     "sql_correlated_subquery": sql_correlated_subquery,
@@ -757,6 +786,7 @@ QUERIES = {
 ORACLES = {
     "scalar_date_math": SCALAR_DATE_MATH_SQL,
     "sql_lateral_topk": _LATERAL_SQL,
+    "sql_pipe_syntax": SQL_PIPE_SQL,
     "listagg_top_customers": LISTAGG_SQL,
     "percentiles_exact": PERCENTILES_SQL,
     "sql_correlated_subquery": _CORRELATED_SQL,

@@ -472,6 +472,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("listagg_top_customers",
      ["Window", "BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # pipe syntax parses to the same physical plan as the nested form:
+    # filter reaches the scan, aggregation is partial+final
+    ("sql_pipe_syntax",
+     ["PushedFilters: [IsNotNull(l_shipdate)", "partial_count"],
+     ["CartesianProduct"]),
     # ewma: partial collect before the single user_id exchange; the
     # fold is a codegen expression, not a window or a Python kernel
     ("ewma_user_value",
