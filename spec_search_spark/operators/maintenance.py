@@ -418,8 +418,48 @@ GROUP BY h % {CHECKSUM_BUCKETS}
 TABLE_CHECKSUM_SQL = _checksum_sql()
 
 
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline pipeline-health counters via the `df.observe` API: the
+    metrics accumulate on the executors DURING the write action (noop
+    sink here), so row counts / revenue / threshold counters cost zero
+    extra scans — the shape a 100 TB ingestion job uses to validate
+    each batch without re-reading what it just wrote. The observed
+    aggregates come back to the driver as one O(1) metrics row, which
+    IS this query's result.
+
+    Oracle: the same aggregates as a plain GROUP-BY-less scan."""
+    from pyspark.sql import Observation
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("write_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.when(F.col("l_quantity") > 45, 1)).alias("n_high_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue"], m["n_high_qty"])],
+        "n_rows bigint, revenue double, n_high_qty bigint",
+    )
+
+
+OBSERVED_METRICS_SQL = """
+SELECT count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(CASE WHEN l_quantity > 45 THEN 1 END) AS n_high_qty
+FROM lineitem
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
+    "observed_write_metrics": observed_write_metrics,
     "multi_granularity_rollup": multi_granularity_rollup,
     "constraint_check_report": constraint_check_report,
     "compact_small_files": compact_small_files,
@@ -429,6 +469,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_agg_merge": INCREMENTAL_MERGE_SQL,
+    "observed_write_metrics": OBSERVED_METRICS_SQL,
     "multi_granularity_rollup": MULTI_ROLLUP_SQL,
     "constraint_check_report": CONSTRAINT_SQL,
     "compact_small_files": COMPACT_SQL,

@@ -101,6 +101,25 @@ def test_audio_energy_decodes_known_payload(spark, sf_dir):
     assert r["peak"] == max(abs(v) for v in vals)
 
 
+def test_observed_metrics_match_direct_agg(spark, sf_dir):
+    from spec_search_spark.operators.maintenance import observed_write_metrics
+
+    (r,) = observed_write_metrics(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    (want,) = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.when(F.col("l_quantity") > 45, 1)).alias("n_high_qty"),
+    ).collect()
+    assert (r["n_rows"], r["revenue"], r["n_high_qty"]) == (
+        want["n_rows"],
+        want["revenue"],
+        want["n_high_qty"],
+    )
+
+
 def test_audio_energy_covers_all_audio_docs(spark, sf_dir):
     from spec_search_spark.operators.multimodal import multimodal_audio_energy
 
