@@ -206,12 +206,74 @@ WHERE text IS NOT NULL AND text <> ''
 """
 
 
+STREAM_FILES_PER_BATCH = 2  # throttle: forces real multi-epoch progress
+
+
+def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom DataSource's streaming READ path (completing the
+    surface: batch read + pushdown + batch write + streaming sink +
+    now a streaming source): readStream over the sheet-file feed,
+    throttled to STREAM_FILES_PER_BATCH files per micro-batch, driven
+    to completion and folded to per-file grid statistics.
+
+    Oracle: the fixture layout is deterministic arithmetic over
+    `documents` (same placement as sheets_source_unpivot), so DuckDB
+    recomputes rows-per-file and non-empty-cells-per-file without the
+    connector. Equality proves every file was ingested exactly once
+    across the micro-batches — offset planning neither drops nor
+    replays a file."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    tune(spark)
+    fixture = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
+    register(spark)
+    name = f"sheets_stream_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("sheets")
+        .option("maxFilesPerBatch", str(STREAM_FILES_PER_BATCH))
+        .load(fixture)
+    )
+    ckpt = _tf.mkdtemp(prefix="ckpt_sheets_src_")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    live = F.size(F.filter("cells", lambda c: c.isNotNull() & (c != "")))
+    return rows.groupBy("file_id", "file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(live).cast("bigint").alias("n_cells"),
+    )
+
+
+SHEETS_STREAM_SQL = f"""
+SELECT doc_id // {CELLS_PER_FILE} AS file_id,
+       'sheet_' || lpad((doc_id // {CELLS_PER_FILE})::VARCHAR, 3, '0') AS file_name,
+       CAST(max((doc_id % {CELLS_PER_FILE}) // {COLS_PER_ROW}) + 1 AS BIGINT)
+         AS n_rows,
+       CAST(count(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 END) AS BIGINT)
+         AS n_cells
+FROM documents
+GROUP BY doc_id // {CELLS_PER_FILE}
+"""
+
+
 QUERIES = {
     "sheets_source_unpivot": sheets_source_unpivot,
     "sheets_records_scan": sheets_records_scan,
+    "sheets_stream_scan": sheets_stream_scan,
 }
 
 ORACLES = {
     "sheets_source_unpivot": SHEETS_SOURCE_SQL,
     "sheets_records_scan": _records_sql(),
+    "sheets_stream_scan": SHEETS_STREAM_SQL,
 }

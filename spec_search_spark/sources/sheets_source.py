@@ -59,6 +59,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -112,6 +113,74 @@ def _list_sheet_files(path: str) -> list[str]:
     return sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(SHEET_SUFFIX)
     )
+
+
+def _grid_rows(path: str):
+    """Grid-mode row emission for one sheet file (shared by the batch
+    and streaming readers — one contract, two planners)."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    for tab in doc["tabs"]:
+        for row_idx, cells in enumerate(tab["values"]):
+            yield (
+                int(doc["file_id"]),
+                doc["file_name"],
+                int(tab["sheet_id"]),
+                tab["tab_name"],
+                int(row_idx),
+                [None if c is None else str(c) for c in cells],
+            )
+
+
+class SheetsStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming READER over the sheet-file feed: the
+    offset is a position in the sorted file listing, each batch
+    ingests the files that appeared since the last planned offset —
+    the engine form of the reference's vestigial `/index-file`
+    webhook's ingestion side (`app.py:252-259`), polling the folder
+    instead of being called per file.
+
+    ``option("maxFilesPerBatch", k)`` throttles ingestion to k files
+    per micro-batch (the maxFilesPerTrigger idiom), exercising real
+    multi-epoch progress on a static fixture. Planning state is the
+    sorted listing position only; partitions(start, end) hands one
+    InputPartition per file to executors, so a batch's decode work is
+    cluster-parallel exactly like the batch scan. Restart resumes from
+    the checkpointed offset (files already ingested are never
+    re-planned; the per-batch throttle re-advances from the committed
+    position)."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sheets source requires a path")
+        self.per_batch = int(options.get("maxfilesperbatch") or 0)
+        self._planned: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        total = len(_list_sheet_files(self.path))
+        if not self.per_batch:
+            return {"index": total}
+        if self._planned is None:
+            self._planned = 0
+        self._planned = min(self._planned + self.per_batch, total)
+        return {"index": self._planned}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_sheet_files(self.path)
+        return [InputPartition(p) for p in files[start["index"] : end["index"]]]
+
+    def read(self, partition: InputPartition):
+        yield from _grid_rows(partition.value)
+
+    def commit(self, end: dict) -> None:
+        if self.per_batch and (self._planned is None or end["index"] > self._planned):
+            # restart with a checkpoint ahead of fresh throttle state:
+            # resume planning from the committed position
+            self._planned = end["index"]
 
 
 class SheetsReader(DataSourceReader):
@@ -338,6 +407,9 @@ class SheetsDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool):
         return SheetsStreamWriter(self.options)
+
+    def streamReader(self, schema):
+        return SheetsStreamReader(self.options)
 
 
 def register(spark) -> None:

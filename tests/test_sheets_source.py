@@ -172,3 +172,41 @@ def test_stream_sink_upserts_rows(spark, tmp_path):
     assert values[0] == ["a0", "b0"]        # untouched row survives
     assert values[1] == ["A1!", "B1!"]      # upserted row replaced
     assert values[2] == ["a2"]              # new row appended
+
+
+def test_stream_reader_multi_epoch_exactly_once(spark, fixture_dir, tmp_path):
+    """The streaming reader ingests every file exactly once across
+    several throttled micro-batches (no drop, no replay)."""
+    import uuid
+
+    register(spark)
+    n_files = len([f for f in os.listdir(fixture_dir) if f.endswith(SHEET_SUFFIX)])
+    assert n_files > 2
+    name = f"stream_rd_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("sheets")
+        .option("maxFilesPerBatch", "2")
+        .load(fixture_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    got = spark.table(name)
+    # throttle at 2 files/batch forces more than one non-empty batch
+    assert n_batches >= (n_files + 1) // 2
+    # exactly-once: streamed rows == batch-scan rows, no dup grid keys
+    batch = read_sheets(spark, fixture_dir)
+    assert got.count() == batch.count()
+    assert (
+        got.select("file_id", "sheet_id", "row_idx").distinct().count()
+        == got.count()
+    )
