@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import FP_MOD, fingerprint, fingerprint_sql, tokens
+from spec_search_spark.operators.dedup import _POLY_SQL, _poly_hash
 from spec_search_spark.session import tune
 
 
@@ -392,8 +393,119 @@ FROM dist
 """
 
 
+# --- DSIR importance resampling --------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed unigram feature space (DSIR's hashed n-grams)
+DSIR_TARGET = "src0"  # stand-in target domain (the 'wiki' of this corpus)
+
+
+def dsir_importance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log importance ratio of a TARGET domain's hashed-unigram
+    distribution to the raw corpus distribution, then report the
+    per-source selection funnel — the method behind domain-matched
+    pretraining mixtures.
+
+    Construction: tokens hash into DSIR_BUCKETS features (same
+    poly-hash both engines); Laplace-smoothed bucket probabilities for
+    target (docs of DSIR_TARGET) and raw (all docs);
+    log w(doc) = Σ_tokens ln(p_target(b)/p_raw(b)); a doc is selected
+    when log w > 0 (more target-like than raw). Token-less docs carry
+    log w = 0, never selected.
+
+    Plan/scale: the feature table is O(DSIR_BUCKETS) rows — broadcast
+    is safe BY CONSTRUCTION (hashing fixes the dimensionality; this is
+    DSIR's own trick and the difference from the tf-idf vocab table,
+    which grows with the corpus and takes the guarded path). One
+    explode, two bucket aggregations, one broadcast join back, one
+    per-doc sum, one per-source rollup. The ln-ratio argument is
+    assembled with identical operation order in both engines; per-doc
+    sums ride the lm_perplexity 6dp-rounding precedent.
+
+    Output: (source, n_docs, n_selected, avg_logw)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode("toks").alias("tok"),
+    ).withColumn("bucket", F.pmod(_poly_hash(F.col("tok")), F.lit(DSIR_BUCKETS)))
+    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        occ.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    totals = occ.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("source") == DSIR_TARGET, 1)).alias("n_t"),
+    )
+    # all DSIR_BUCKETS rows, zero-filled: raw covers every occupied
+    # bucket, target left-joins onto it (c_t=0 where the target never
+    # hashed there — the Laplace +1 keeps the ratio finite)
+    w = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"c_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("c_t") + 1).cast("double") * (F.col("n_r") + DSIR_BUCKETS))
+                / ((F.col("c_r") + 1).cast("double") * (F.col("n_t") + DSIR_BUCKETS))
+            ).alias("lw"),
+        )
+    )
+    doc_w = (
+        occ.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").alias("logw"))
+    )
+    scored = (
+        docs.select("doc_id", "source")
+        .join(doc_w, "doc_id", "left")
+        .na.fill({"logw": 0.0})
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("logw") > 0, 1)).alias("n_selected"),
+        F.round(F.avg("logw"), 6).alias("avg_logw"),
+    )
+
+
+_DSIR_H = _POLY_SQL.format(s="tok")
+DSIR_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, source,
+         (({_DSIR_H} % {DSIR_BUCKETS}) + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source, unnest(
+          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+        FROM documents) t),
+raw AS (SELECT bucket, count(*) AS c_r FROM occ GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS c_t FROM occ
+        WHERE source = '{DSIR_TARGET}' GROUP BY bucket),
+tot AS (SELECT count(*) AS n_r,
+               count(CASE WHEN source = '{DSIR_TARGET}' THEN 1 END) AS n_t
+        FROM occ),
+w AS (SELECT raw.bucket,
+             ln((coalesce(c_t, 0) + 1)::DOUBLE * (n_r + {DSIR_BUCKETS})
+                / ((c_r + 1)::DOUBLE * (n_t + {DSIR_BUCKETS}))) AS lw
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+doc_w AS (SELECT doc_id, sum(lw) AS logw
+          FROM occ JOIN w USING (bucket) GROUP BY doc_id)
+SELECT d.source, count(*) AS n_docs,
+       count(CASE WHEN coalesce(logw, 0) > 0 THEN 1 END) AS n_selected,
+       round(avg(coalesce(logw, 0)), 6) AS avg_logw
+FROM documents d LEFT JOIN doc_w USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "lm_perplexity_scores": lm_perplexity_scores,
+    "dsir_importance_report": dsir_importance_report,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "heavy_hitters_cms": heavy_hitters_cms,
     "embedding_outlier_report": embedding_outlier_report,
@@ -401,6 +513,7 @@ QUERIES = {
 
 ORACLES = {
     "lm_perplexity_scores": LM_PERPLEXITY_SQL,
+    "dsir_importance_report": DSIR_SQL,
     "boilerplate_ngram_report": BOILERPLATE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_SQL,
     "embedding_outlier_report": EMBEDDING_OUTLIER_SQL,

@@ -472,6 +472,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("listagg_top_customers",
      ["Window", "BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # DSIR: one token explode, bucket aggregations, and the O(64)-row
+    # importance table broadcast back onto the occurrence stream — the
+    # hashed feature space makes the broadcast safe by construction
+    ("dsir_importance_report",
+     ["Generate", "partial_count", "BroadcastHashJoin"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
     # pipe syntax parses to the same physical plan as the nested form:
     # filter reaches the scan, aggregation is partial+final
     ("sql_pipe_syntax",

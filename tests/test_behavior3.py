@@ -130,3 +130,19 @@ def test_audio_energy_covers_all_audio_docs(spark, sf_dir):
         .count()
     )
     assert df.count() == n_audio
+
+
+def test_dsir_target_domain_scores_highest(spark, sf_dir):
+    from spec_search_spark.operators.lm_quality import (
+        DSIR_TARGET,
+        dsir_importance_report,
+    )
+
+    rows = dsir_importance_report(spark, sf_dir).collect()
+    assert rows
+    by_src = {r["source"]: r for r in rows}
+    assert all(0 <= r["n_selected"] <= r["n_docs"] for r in rows)
+    # the importance ratio is trained ON the target domain: its own
+    # docs must score highest on average
+    target_avg = by_src[DSIR_TARGET]["avg_logw"]
+    assert target_avg == max(r["avg_logw"] for r in rows)
