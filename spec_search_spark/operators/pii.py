@@ -172,12 +172,55 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+K_ANON_K = 5  # the privacy threshold the report audits against
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment): group sizes on the QI combination, the dataset's
+    k-anonymity level (the smallest group), and how many rows sit in
+    groups below K_ANON_K — the re-identification risk screen run
+    before a table leaves the privacy boundary (the pii_scan's
+    structured-data sibling).
+
+    Plan: one partial+final count on the QI pair, one tiny re-agg —
+    group cardinality is |QI space| regardless of row count."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("k_anonymity"),
+        F.sum(F.when(F.col("n") < K_ANON_K, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_rows_below_k"
+        ),
+        F.count(F.when(F.col("n") < K_ANON_K, 1)).alias("n_groups_below_k"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       min(n) AS k_anonymity,
+       CAST(sum(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(count(CASE WHEN n < {K_ANON_K} THEN 1 END) AS BIGINT)
+         AS n_groups_below_k
+FROM g
+"""
+
+
 QUERIES = {
     "pii_scan": pii_scan,
     "pii_redact": pii_redact,
+    "k_anonymity_report": k_anonymity_report,
 }
 
 ORACLES = {
     "pii_scan": PII_SCAN_SQL,
     "pii_redact": PII_REDACT_SQL,
+    "k_anonymity_report": K_ANONYMITY_SQL,
 }

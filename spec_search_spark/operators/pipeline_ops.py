@@ -463,6 +463,53 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/multilingual sampling
+    rule): sampling share p_s ∝ n_s^(1/τ) with τ=2, i.e. √-scaling —
+    over-represented sources are compressed, the tail is boosted,
+    without the hard uniform cap of `source_mix_weights`.
+
+    Determinism note (why this keeps the module's exact-doubles
+    pledge): the exponent is implemented as `sqrt`, which IEEE 754
+    requires to be CORRECTLY ROUNDED — bit-identical across engines,
+    unlike pow/ln. The Σ√ normalizer is a 20-term sum whose fold-order
+    noise sits ~1e-16 relative, far below the 6dp round.
+
+    Output: (source, src_tokens, raw_share, temp_share)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", _token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("src_tokens"))
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("src_tokens"))).alias("sqrt_norm"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.round(F.col("src_tokens") / F.col("total_tokens"), 6).alias("raw_share"),
+        F.round(F.sqrt(F.col("src_tokens")) / F.col("sqrt_norm"), 6).alias(
+            "temp_share"
+        ),
+    )
+
+
+MIX_TEMP_SQL = f"""
+WITH nt AS (SELECT source, {_TOKCOUNT_SQL} AS nt FROM documents),
+src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens
+        FROM nt GROUP BY source),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+               sum(sqrt(src_tokens)) AS sqrt_norm FROM src)
+SELECT source, src_tokens,
+       round(src_tokens / CAST(total_tokens AS DOUBLE), 6) AS raw_share,
+       round(sqrt(src_tokens) / sqrt_norm, 6) AS temp_share
+FROM src CROSS JOIN tot
+"""
+
+
 MIX_SQL = f"""
 WITH nt AS (SELECT source, {_TOKCOUNT_SQL} AS nt FROM documents),
 src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens
@@ -866,6 +913,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "token_pack_blocks": token_pack_blocks,
     "source_mix_weights": source_mix_weights,
+    "source_mix_temperature": source_mix_temperature,
     "weighted_sample": weighted_sample,
     "normalize_text": normalize_text,
     "training_pipeline_e2e": training_pipeline_e2e,
@@ -882,6 +930,7 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "token_pack_blocks": PACK_SQL,
     "source_mix_weights": MIX_SQL,
+    "source_mix_temperature": MIX_TEMP_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "normalize_text": NORMALIZE_SQL,
     "training_pipeline_e2e": _training_pipeline_sql(),

@@ -170,6 +170,38 @@ FROM documents
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    language heuristic against the labeled `lang` column, with
+    per-true-label recall — the accuracy report any lang-ID gate needs
+    before it filters a corpus. One partial+final count on the
+    (label, guess) pair; the matrix is |langs|² rows at any corpus
+    size; recall is an exact rational divided as doubles."""
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.select("lang", lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("lang")
+    return pairs.select(
+        "lang",
+        "guess",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share_of_label"),
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pairs AS (
+  SELECT lang, {lang_guess_sql("text")} AS guess, count(*) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT lang, guess, n,
+       round(n / sum(n) OVER (PARTITION BY lang), 6) AS share_of_label
+FROM pairs
+"""
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality score + per-source aggregate view."""
     docs = _docs(spark, sf_dir)
@@ -435,6 +467,7 @@ QUERIES = {
     "chunk_recursive": chunk_recursive_check,
     "token_stats": token_stats,
     "lang_id": lang_id,
+    "lang_id_confusion": lang_id_confusion,
     "quality_scores": quality_scores,
     "stratified_quality_sample": stratified_quality_sample,
     "doc_fingerprints": doc_fingerprints,
@@ -448,6 +481,7 @@ ORACLES = {
     "chunk_recursive": CHUNK_RECURSIVE_CHECK_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
+    "lang_id_confusion": LANG_CONFUSION_SQL,
     "quality_scores": QUALITY_SQL,
     "stratified_quality_sample": STRATIFIED_SAMPLE_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,

@@ -472,6 +472,19 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("listagg_top_customers",
      ["Window", "BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # lang confusion: one pair count + one label-partitioned window
+    ("lang_id_confusion",
+     ["partial_count", "Window"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    # temperature mixing: per-source partial sums crossed with the
+    # one-row normalizer broadcast (the q11 shape)
+    ("source_mix_temperature",
+     ["partial_sum", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # k-anonymity: two chained aggregations, nothing else
+    ("k_anonymity_report",
+     ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "Window", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # DSIR: one token explode, bucket aggregations, and the O(64)-row
     # importance table broadcast back onto the occurrence stream — the
     # hashed feature space makes the broadcast safe by construction

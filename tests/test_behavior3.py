@@ -146,3 +146,43 @@ def test_dsir_target_domain_scores_highest(spark, sf_dir):
     # docs must score highest on average
     target_avg = by_src[DSIR_TARGET]["avg_logw"]
     assert target_avg == max(r["avg_logw"] for r in rows)
+
+
+def test_lang_confusion_diagonal_dominates(spark, sf_dir):
+    from spec_search_spark.operators.text_analysis import lang_id_confusion
+
+    rows = lang_id_confusion(spark, sf_dir).collect()
+    assert rows
+    shares: dict[str, float] = {}
+    for r in rows:
+        shares[r["lang"]] = shares.get(r["lang"], 0.0) + r["share_of_label"]
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_temperature_mixing_compresses_shares(spark, sf_dir):
+    from spec_search_spark.operators.pipeline_ops import source_mix_temperature
+
+    rows = source_mix_temperature(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
+    # sqrt-scaling moves every share toward the mean: biggest sources
+    # shrink, smallest grow
+    big = max(rows, key=lambda r: r["raw_share"])
+    small = min(rows, key=lambda r: r["raw_share"])
+    assert big["temp_share"] <= big["raw_share"] + 1e-9
+    assert small["temp_share"] >= small["raw_share"] - 1e-9
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    from spec_search_spark.operators.pii import K_ANON_K, k_anonymity_report
+
+    (r,) = k_anonymity_report(spark, sf_dir).collect()
+    assert r["n_groups"] >= 1
+    assert 1 <= r["k_anonymity"]
+    if r["k_anonymity"] >= K_ANON_K:
+        assert r["n_rows_below_k"] == 0 and r["n_groups_below_k"] == 0
+    else:
+        assert r["n_groups_below_k"] >= 1
+        assert r["n_rows_below_k"] >= r["n_groups_below_k"]
