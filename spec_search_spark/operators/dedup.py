@@ -788,8 +788,55 @@ FROM reach GROUP BY a
 """
 
 
+def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup quality loop (text-side sibling of
+    similarity.ann_recall_report): measure the MinHash banding's
+    candidate recall/precision against the EXACT Jaccard pairs at the
+    same threshold. Quantifies the banding operating point — with 4
+    bands × 4 rows the analytic S-curve at j=0.5 sits low by design
+    (banding is tuned for high-j pairs); this report is how a pipeline
+    owner validates that trade before trusting the candidates.
+
+    Plan: both member pipelines reuse their memoized postings/band
+    tables; the report itself is three O(1)-row aggregates composed by
+    one-row broadcast crosses.
+
+    Output: one row (n_truth, n_candidates, n_hit, recall, precision)."""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = cand.join(truth, ["doc1", "doc2"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_candidates"), 6).alias("precision"),
+        )
+    )
+
+
+def _minhash_eval_sql() -> str:
+    return f"""
+WITH truth AS (SELECT doc1, doc2 FROM ({NGRAM_JACCARD_SQL}) t),
+cand AS ({_minhash_lsh_sql()}),
+hit AS (SELECT count(*) AS n_hit FROM cand JOIN truth USING (doc1, doc2))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit / (SELECT CAST(count(*) AS DOUBLE) FROM truth), 6) AS recall,
+       round(n_hit / (SELECT CAST(count(*) AS DOUBLE) FROM cand), 6) AS precision
+FROM hit
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "minhash_eval_report": minhash_eval_report,
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "jaccard_strict_pairs": jaccard_strict_pairs,
@@ -801,6 +848,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_eval_report": _minhash_eval_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "jaccard_strict_pairs": JACCARD_STRICT_SQL,

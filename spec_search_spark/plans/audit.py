@@ -472,6 +472,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("listagg_top_customers",
      ["Window", "BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # minhash eval: three O(1)-row aggregates composed by one-row
+    # broadcast crosses; both member pipelines keep their equi-key
+    # joins (no quadratic path enters through the composition)
+    ("minhash_eval_report",
+     ["HashAggregate", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct"]),
     # lang confusion: one pair count + one label-partitioned window
     ("lang_id_confusion",
      ["partial_count", "Window"],

@@ -186,3 +186,15 @@ def test_k_anonymity_consistency(spark, sf_dir):
     else:
         assert r["n_groups_below_k"] >= 1
         assert r["n_rows_below_k"] >= r["n_groups_below_k"]
+
+
+def test_minhash_eval_counts_consistent(spark, sf_dir):
+    from spec_search_spark.operators.dedup import minhash_eval_report
+
+    (r,) = minhash_eval_report(spark, sf_dir).collect()
+    assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_candidates"])
+    assert 0.0 <= r["recall"] <= 1.0
+    assert 0.0 <= r["precision"] <= 1.0
+    # this corpus's planted near-dups are high-jaccard: banding with
+    # 4x4 must catch most of them
+    assert r["recall"] >= 0.8
