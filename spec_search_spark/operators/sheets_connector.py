@@ -206,21 +206,38 @@ WHERE text IS NOT NULL AND text <> ''
 """
 
 
-STREAM_FILES_PER_BATCH = 2  # throttle: forces real multi-epoch progress
+STREAM_FILES_PER_WAVE = 2  # feed arrival pacing: forces multi-epoch progress
+
+
+def feed_files_in_waves(fixture: str, feed: str, q, per_wave: int) -> int:
+    """Copy sheet files into the feed directory in waves, draining the
+    stream between waves — genuine arrival, so each wave is (at least)
+    one micro-batch. Returns the number of waves."""
+    import shutil
+
+    os.makedirs(feed, exist_ok=True)
+    files = sorted(f for f in os.listdir(fixture) if f.endswith(SHEET_SUFFIX))
+    waves = 0
+    for i in range(0, len(files), per_wave):
+        for f in files[i : i + per_wave]:
+            shutil.copy(os.path.join(fixture, f), os.path.join(feed, f))
+        q.processAllAvailable()
+        waves += 1
+    return waves
 
 
 def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom DataSource's streaming READ path (completing the
     surface: batch read + pushdown + batch write + streaming sink +
-    now a streaming source): readStream over the sheet-file feed,
-    throttled to STREAM_FILES_PER_BATCH files per micro-batch, driven
-    to completion and folded to per-file grid statistics.
+    now a streaming source): readStream over a feed directory that
+    files ARRIVE in (STREAM_FILES_PER_WAVE copied per wave, stream
+    drained between waves), then folded to per-file grid statistics.
 
     Oracle: the fixture layout is deterministic arithmetic over
     `documents` (same placement as sheets_source_unpivot), so DuckDB
     recomputes rows-per-file and non-empty-cells-per-file without the
     connector. Equality proves every file was ingested exactly once
-    across the micro-batches — offset planning neither drops nor
+    across the arrival waves — offset planning neither drops nor
     replays a file."""
     import tempfile as _tf
     import uuid as _uuid
@@ -229,11 +246,8 @@ def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
     register(spark)
     name = f"sheets_stream_{_uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.format("sheets")
-        .option("maxFilesPerBatch", str(STREAM_FILES_PER_BATCH))
-        .load(fixture)
-    )
+    feed = _tf.mkdtemp(prefix="sheets_feed_")
+    stream = spark.readStream.format("sheets").load(feed)
     ckpt = _tf.mkdtemp(prefix="ckpt_sheets_src_")
     q = (
         stream.writeStream.outputMode("append")
@@ -243,7 +257,7 @@ def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.processAllAvailable()
+        feed_files_in_waves(fixture, feed, q, STREAM_FILES_PER_WAVE)
     finally:
         q.stop()
     rows = spark.table(name)

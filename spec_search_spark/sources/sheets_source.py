@@ -135,52 +135,51 @@ def _grid_rows(path: str):
 class SheetsStreamReader(DataSourceStreamReader):
     """Micro-batch streaming READER over the sheet-file feed: the
     offset is a position in the sorted file listing, each batch
-    ingests the files that appeared since the last planned offset —
+    ingests the files that appeared since the last committed offset —
     the engine form of the reference's vestigial `/index-file`
     webhook's ingestion side (`app.py:252-259`), polling the folder
     instead of being called per file.
 
-    ``option("maxFilesPerBatch", k)`` throttles ingestion to k files
-    per micro-batch (the maxFilesPerTrigger idiom), exercising real
-    multi-epoch progress on a static fixture. Planning state is the
-    sorted listing position only; partitions(start, end) hands one
-    InputPartition per file to executors, so a batch's decode work is
-    cluster-parallel exactly like the batch scan. Restart resumes from
-    the checkpointed offset (files already ingested are never
-    re-planned; the per-batch throttle re-advances from the committed
-    position)."""
+    Contract notes: ``latestOffset`` reports the TRUE latest (all
+    files currently present) — the plain Python streaming API has no
+    admission-control hook, and a reader-side throttle that remembers
+    its own position replays data after a restart (a throttled offset
+    can land BEHIND the checkpointed commit, and the engine then plans
+    a backward batch; found by the restart test). Arrival pacing
+    therefore lives where it belongs — in the feed (files appear over
+    time; sheet names must be append-only in listing order, as
+    arriving files sorting before already-committed positions would
+    shift the mapping). partitions(start, end) hands one
+    InputPartition per new file to executors, so each batch's decode
+    work is cluster-parallel exactly like the batch scan; restart
+    resumes from the checkpointed offset with no reader-side state at
+    all."""
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sheets source requires a path")
-        self.per_batch = int(options.get("maxfilesperbatch") or 0)
-        self._planned: int | None = None
+
+    def _feed(self) -> list[str]:
+        # a feed dir that does not exist YET is an empty feed, not an
+        # error — the batch reader keeps its loud missing-path failure
+        return _list_sheet_files(self.path) if os.path.isdir(self.path) else []
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        total = len(_list_sheet_files(self.path))
-        if not self.per_batch:
-            return {"index": total}
-        if self._planned is None:
-            self._planned = 0
-        self._planned = min(self._planned + self.per_batch, total)
-        return {"index": self._planned}
+        return {"index": len(self._feed())}
 
     def partitions(self, start: dict, end: dict):
-        files = _list_sheet_files(self.path)
+        files = self._feed()
         return [InputPartition(p) for p in files[start["index"] : end["index"]]]
 
     def read(self, partition: InputPartition):
         yield from _grid_rows(partition.value)
 
     def commit(self, end: dict) -> None:
-        if self.per_batch and (self._planned is None or end["index"] > self._planned):
-            # restart with a checkpoint ahead of fresh throttle state:
-            # resume planning from the committed position
-            self._planned = end["index"]
+        pass
 
 
 class SheetsReader(DataSourceReader):

@@ -175,19 +175,18 @@ def test_stream_sink_upserts_rows(spark, tmp_path):
 
 
 def test_stream_reader_multi_epoch_exactly_once(spark, fixture_dir, tmp_path):
-    """The streaming reader ingests every file exactly once across
-    several throttled micro-batches (no drop, no replay)."""
+    """Files arriving in waves are each ingested exactly once, one or
+    more micro-batches per wave (no drop, no replay)."""
     import uuid
+
+    from spec_search_spark.operators.sheets_connector import feed_files_in_waves
 
     register(spark)
     n_files = len([f for f in os.listdir(fixture_dir) if f.endswith(SHEET_SUFFIX)])
     assert n_files > 2
     name = f"stream_rd_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.format("sheets")
-        .option("maxFilesPerBatch", "2")
-        .load(fixture_dir)
-    )
+    feed = str(tmp_path / "feed")
+    stream = spark.readStream.format("sheets").load(feed)
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")
@@ -196,14 +195,75 @@ def test_stream_reader_multi_epoch_exactly_once(spark, fixture_dir, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        waves = feed_files_in_waves(fixture_dir, feed, q, 2)
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     finally:
         q.stop()
+    assert waves == (n_files + 1) // 2
+    # each wave drains before the next arrives -> at least one
+    # non-empty batch per wave
+    assert n_batches >= waves
     got = spark.table(name)
-    # throttle at 2 files/batch forces more than one non-empty batch
-    assert n_batches >= (n_files + 1) // 2
-    # exactly-once: streamed rows == batch-scan rows, no dup grid keys
+    batch = read_sheets(spark, fixture_dir)
+    assert got.count() == batch.count()
+    assert (
+        got.select("file_id", "sheet_id", "row_idx").distinct().count()
+        == got.count()
+    )
+
+
+def test_stream_reader_restart_resumes_from_checkpoint(spark, fixture_dir, tmp_path):
+    """Stop the stream between arrival waves and restart on the same
+    checkpoint: the committed union of both runs is every file exactly
+    once (the offset log is the source of truth)."""
+    from spec_search_spark.operators.sheets_connector import feed_files_in_waves
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    feed = str(tmp_path / "feed")
+    files = sorted(f for f in os.listdir(fixture_dir) if f.endswith(SHEET_SUFFIX))
+    assert len(files) > 2
+
+    def start():
+        return (
+            spark.readStream.format("sheets")
+            .load(feed)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    import shutil
+
+    os.makedirs(feed, exist_ok=True)
+    q = start()
+    try:
+        for f in files[:2]:
+            shutil.copy(os.path.join(fixture_dir, f), os.path.join(feed, f))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q2 = start()
+    try:
+        feed_files_in_waves(fixture_dir, feed, q2, 2)  # copies the rest
+    finally:
+        q2.stop()
+    # exactly-once is defined by the sink's transaction log: an aborted
+    # attempt may leave orphan part-files that only _spark_metadata
+    # excludes — read the COMMITTED file set, as a downstream consumer
+    # of a file sink must
+    committed = []
+    meta = os.path.join(out, "_spark_metadata")
+    for entry in sorted(os.listdir(meta)):
+        if entry.endswith(".compact") or entry.isdigit():
+            with open(os.path.join(meta, entry)) as fh:
+                for line in fh:
+                    if line.startswith("{"):
+                        committed.append(json.loads(line)["path"])
+    got = spark.read.parquet(*committed)
     batch = read_sheets(spark, fixture_dir)
     assert got.count() == batch.count()
     assert (
