@@ -693,6 +693,60 @@ GROUP BY o_orderpriority
 """
 
 
+def transpose_pricing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third reshape primitive: `DataFrame.transpose` (Spark 4) —
+    a per-returnflag metrics table flipped so metrics become rows and
+    flags become columns, the presentation matrix a report renders.
+    Completes the reshape family: pivot (pivot_status), unpivot/melt
+    (unpivot_metrics), transpose (this).
+
+    transpose() collects the INDEX COLUMN's values to the driver to
+    name the output columns — bounded by the flag domain (3), the same
+    bounded-collect contract as pivot's value list. Upstream is one
+    partial+final agg; the flip itself is O(metrics × flags).
+
+    Output: (key, A, N, R) — one row per metric."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return base.transpose()
+
+
+TRANSPOSE_SQL = """
+WITH b AS (
+  SELECT l_returnflag AS f,
+         CAST(count(*) AS DOUBLE) AS n,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price
+  FROM lineitem GROUP BY 1)
+SELECT 'n' AS key,
+       max(CASE WHEN f = 'A' THEN n END) AS "A",
+       max(CASE WHEN f = 'N' THEN n END) AS "N",
+       max(CASE WHEN f = 'R' THEN n END) AS "R"
+FROM b
+UNION ALL
+SELECT 'avg_qty',
+       max(CASE WHEN f = 'A' THEN avg_qty END),
+       max(CASE WHEN f = 'N' THEN avg_qty END),
+       max(CASE WHEN f = 'R' THEN avg_qty END)
+FROM b
+UNION ALL
+SELECT 'avg_price',
+       max(CASE WHEN f = 'A' THEN avg_price END),
+       max(CASE WHEN f = 'N' THEN avg_price END),
+       max(CASE WHEN f = 'R' THEN avg_price END)
+FROM b
+"""
+
+
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape via the first-class DataFrame.unpivot (melt)
     API — the inverse of pivot_status: lineitem's four measure columns
@@ -739,6 +793,7 @@ FROM long GROUP BY metric
 
 QUERIES = {
     "unpivot_metrics": unpivot_metrics,
+    "transpose_pricing_matrix": transpose_pricing_matrix,
     "shuffle_hash_join_agg": shuffle_hash_join_agg,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -764,6 +819,7 @@ QUERIES = {
 
 ORACLES = {
     "unpivot_metrics": UNPIVOT_SQL,
+    "transpose_pricing_matrix": TRANSPOSE_SQL,
     "shuffle_hash_join_agg": SHUFFLE_HASH_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -381,6 +381,89 @@ FROM top, total
 """
 
 
+def bpe_apply_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training iteration TWO, distributed: fuse the corpus's top
+    character pair (computed from the data in-plan, no driver round
+    trip) into a single symbol, re-segment every token, and recount
+    adjacent-pair frequencies — the loop body a tokenizer trainer runs
+    to convergence. Proves the iteration is the same partial+final
+    shuffle shape over a shrinking pair space (the claim
+    bpe_pair_merges' docstring makes).
+
+    Mechanics: the fused pair is replace()d with the \\x01 placeholder
+    — replace is leftmost-non-overlapping in BOTH engines, so greedy
+    merge order is identical — and pair windows then slide over the
+    re-segmented symbols; output pairs render the placeholder as
+    [pair] for readability.
+
+    Output: top BPE_TOP (pair, n) after the first merge."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    first_pairs = toks.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    top1 = (
+        first_pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merge_pair"))
+    )
+    merged = toks.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(tok, merge_pair, '\\u0001')").alias("m"), "merge_pair"
+    )
+    pairs2 = merged.filter(F.length("m") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(m) - 1), i -> substring(m, i, 2))"
+            )
+        ).alias("raw"),
+        "merge_pair",
+    )
+    rendered = pairs2.select(
+        F.expr("replace(raw, '\\u0001', '[' || merge_pair || ']')").alias("pair")
+    )
+    return (
+        rendered.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+def _bpe_apply_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+p1 AS (
+  SELECT substring(tok, i, 2) AS pair
+  FROM toks, LATERAL unnest(range(1, length(tok))) AS t(i)
+  WHERE length(tok) >= 2
+),
+top1 AS (SELECT pair AS merge_pair FROM p1
+         GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+merged AS (SELECT replace(tok, merge_pair, chr(1)) AS m, merge_pair
+           FROM toks CROSS JOIN top1),
+p2 AS (
+  SELECT replace(substring(m, i, 2), chr(1), '[' || merge_pair || ']') AS pair
+  FROM merged, LATERAL unnest(range(1, length(m))) AS t(i)
+  WHERE length(m) >= 2
+)
+SELECT pair, count(*) AS n FROM p2
+GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP}
+"""
+
+
 PMI_MIN_COUNT = 5  # report bigrams seen at least this often
 
 
@@ -472,6 +555,7 @@ QUERIES = {
     "stratified_quality_sample": stratified_quality_sample,
     "doc_fingerprints": doc_fingerprints,
     "bpe_pair_merges": bpe_pair_merges,
+    "bpe_apply_first_merge": bpe_apply_first_merge,
     "vocab_coverage": vocab_coverage,
 }
 
@@ -486,5 +570,6 @@ ORACLES = {
     "stratified_quality_sample": STRATIFIED_SAMPLE_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "bpe_pair_merges": BPE_PAIRS_SQL,
+    "bpe_apply_first_merge": _bpe_apply_sql(),
     "vocab_coverage": VOCAB_COVERAGE_SQL,
 }

@@ -472,6 +472,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("listagg_top_customers",
      ["Window", "BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # transpose executes its (partial+final agg) input eagerly and the
+    # flipped matrix is a bounded LOCAL table — metrics × flags rows,
+    # never a distributed plan to mis-shape
+    ("transpose_pricing_matrix",
+     ["LocalTableScan"],
+     ["CartesianProduct", "Exchange"]),
+    # BPE iteration 2: pair explode + partial counts + top-k without a
+    # global sort; the merge pair rides a one-row broadcast
+    ("bpe_apply_first_merge",
+     ["Generate", "partial_count", "TakeOrderedAndProject"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
     # minhash eval: three O(1)-row aggregates composed by one-row
     # broadcast crosses; both member pipelines keep their equi-key
     # joins (no quadratic path enters through the composition)
