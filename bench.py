@@ -109,6 +109,9 @@ HEADLINE = [
     "ewma_user_value",
     "collocation_pmi",
     "multimodal_audio_energy",
+    "dsir_importance_report",
+    "minhash_eval_report",
+    "bpe_apply_first_merge",
 ]
 
 
