@@ -333,7 +333,16 @@ def jaccard_strict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification re-expands postings per candidate, costing more than
     it saves; at t=0.8 candidates collapse to near-dups only. One
     operator per regime, both oracle-checked.
+
+    The candidate join additionally applies the AllPairs LENGTH filter
+    (min(|x|,|y|) ≥ t·max(|x|,|y|), a necessary condition for
+    Jaccard ≥ t since |x∩y| ≤ min) in the join condition itself, in the
+    same exact num/den integer arithmetic as the prefix length — a
+    size-skewed colliding pair is dropped before the shuffle writes it,
+    not after. Losslessness of the combined filter is pinned by
+    ``test_jaccard_prefix_filter_is_lossless_and_reducing``.
     """
+    from fractions import Fraction
     s = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -347,11 +356,22 @@ def jaccard_strict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(F.col("rn") <= _jaccard_prefix_len("n_shingles", JACCARD_STRICT_THRESHOLD))
-        .select("doc_id", "h")
+        .select("doc_id", "h", "n_shingles")
     )
+    frac = Fraction(str(JACCARD_STRICT_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
     pa, pb = prefix.alias("a"), prefix.alias("b")
     cand = (
-        pa.join(pb, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        pa.join(
+            pb,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: den·min(n1,n2) ≥ num·max(n1,n2) ⇔ min ≥ t·max
+            & (
+                F.lit(den) * F.least(F.col("a.n_shingles"), F.col("b.n_shingles"))
+                >= F.lit(num) * F.greatest(F.col("a.n_shingles"), F.col("b.n_shingles"))
+            ),
+        )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )

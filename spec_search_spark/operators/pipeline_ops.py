@@ -122,6 +122,171 @@ WHERE d.doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
 """
 
 
+# --- containment decontamination (asymmetric overlap) ----------------------
+
+CONTAIN_TAU = 0.5  # fraction of a bench doc's shingles found in a train doc
+
+
+def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination: for every (benchmark doc,
+    training doc) pair, the fraction of the BENCHMARK doc's distinct
+    3-gram shingles that appear in the training doc —
+    |B ∩ T| / |B|, the asymmetric measure that catches an eval item
+    EMBEDDED in a much larger training doc, which symmetric Jaccard
+    (diluted by the big doc's size) structurally misses. This is the
+    pairwise attribution report behind :func:`decontaminate`'s per-doc
+    verdict: it names WHICH benchmark item leaked into which train doc.
+
+    Plan (100 TB): the benchmark postings and its per-doc sizes are
+    broadcast (benchmarks are MBs; the corpus is the 100 TB side, and
+    it never shuffles for the probe join — each corpus partition
+    probes the broadcast hash set in place). The only shuffle is the
+    pair aggregation, whose input is overlap-bounded: a corpus posting
+    with no benchmark collision emits nothing.
+    """
+    tune(spark)
+    hp = hashed_shingle_postings(spark, sf_dir).select("doc_id", "h")
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    bench = hp.filter(is_bench).select(F.col("doc_id").alias("bench_doc"), "h")
+    bsz = bench.groupBy("bench_doc").agg(F.count(F.lit(1)).alias("n_b"))
+    train = hp.filter(~is_bench).select(F.col("doc_id").alias("train_doc"), "h")
+    ov = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("bench_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.round(F.col("n_common").cast("double") / F.col("n_b"), 4)
+    return (
+        ov.join(F.broadcast(bsz), "bench_doc")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .select("bench_doc", "train_doc", "n_common", "containment")
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH postings AS ({_SHINGLES_SQL}),
+hp AS (SELECT doc_id, {_POLY_SQL.format(s='shingle')} AS h FROM postings),
+bench AS (SELECT doc_id AS bench_doc, h FROM hp
+          WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}),
+bsz AS (SELECT bench_doc, count(*) AS n_b FROM bench GROUP BY bench_doc),
+train AS (SELECT doc_id AS train_doc, h FROM hp
+          WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}),
+ov AS (SELECT bench_doc, train_doc, count(*) AS n_common
+       FROM bench JOIN train USING (h) GROUP BY 1, 2)
+SELECT bench_doc, train_doc, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common::DOUBLE / n_b, 4) AS containment
+FROM ov JOIN bsz USING (bench_doc)
+WHERE round(n_common::DOUBLE / n_b, 4) >= {CONTAIN_TAU}
+"""
+
+
+# --- leakage-safe split (cluster-aware train/val) ---------------------------
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that hashes the near-dup CLUSTER id instead of
+    the doc id, so a template cluster lands wholly on one side — the
+    fix for the classic eval-leakage bug where doc-level hash splits
+    put one near-duplicate in train and its twin in val. For
+    singleton clusters (cluster_id == doc_id) the bucket equals the
+    plain :func:`hash_split_report` bucket, so the two splits diverge
+    ONLY where near-dups exist — a backfill can upgrade in place.
+
+    Plan: reuses the memoized CC label table (dedup.dedup_clusters;
+    the iterative rounds run once per session), one join to attach
+    cluster ids, per-row hash, partial/final agg on (source, split).
+    Reported per (source, split): docs, distinct clusters, tokens.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    h = _poly_hash(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+    bucket = F.pmod(h, F.lit(SPLIT_BUCKETS))
+    split = F.when(bucket < TRAIN_CUT, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id", "source", _token_count(F.col("text")).alias("nt"))
+        .join(cl, "doc_id")
+        .select("source", split.alias("split"), "cluster_id", "nt")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    cl_h = _POLY_SQL.format(s="'split:' || CAST(cluster_id AS VARCHAR)")
+    return f"""
+WITH cl AS ({_dedup_clusters_sql()}),
+a AS (SELECT d.source,
+             CASE WHEN (({cl_h} % {SPLIT_BUCKETS}) + {SPLIT_BUCKETS})
+                       % {SPLIT_BUCKETS} < {TRAIN_CUT}
+                  THEN 'train' ELSE 'val' END AS split,
+             cl.cluster_id, {_TOKCOUNT_SQL} AS nt
+      FROM documents d JOIN cl USING (doc_id))
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM a GROUP BY source, split
+"""
+
+
+# --- weighted reservoir sampling (Efraimidis–Spirtakis A-ES) ----------------
+
+WRS_K = 200  # fixed sample size
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-k weighted sample WITHOUT replacement, selection
+    probability proportional to token count — the Efraimidis–Spirtakis
+    A-ES scheme (Inf. Proc. Letters 2006): each item draws
+    key = u^(1/w) for u ~ U(0,1) and the k LARGEST keys are the
+    sample. Complements :func:`weighted_sample` (Bernoulli, variable
+    size): this one returns EXACTLY k docs, which is what a
+    fixed-token-budget ablation or eval-set carve-out needs.
+
+    Deterministic u: the salted doc_id hash mapped to
+    (pmod(h,1e6)+1)/1000001 ∈ (0,1) — reproducible on any engine, no
+    RNG state; a backfill re-derives the identical sample. The key is
+    ranked, never output: cross-engine pow() may differ in the last
+    ulp, which cannot reorder keys spaced ~1e-5 apart but could change
+    a ROUNDED key's printed value (FIXTURES float-determinism rule).
+
+    Plan (100 TB): per-row hash+pow (codegen), then TakeOrderedAndProject
+    — every partition keeps a local top-k heap and only k rows per
+    partition reach the single merge; no global sort, no full shuffle.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.greatest(_token_count(F.col("text")), F.lit(1))
+    h = _poly_hash(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+    u = (F.pmod(h, F.lit(1_000_000)) + F.lit(1)) / F.lit(1_000_001.0)
+    key = F.pow(u, F.lit(1.0) / F.col("nt"))
+    return (
+        docs.select("doc_id", "source", nt.alias("nt"))
+        .withColumn("key", key)
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(WRS_K)
+        .select("doc_id", "source", F.col("nt").cast("bigint").alias("n_tokens"))
+    )
+
+
+_WRS_H = _POLY_SQL.format(s="'wrs:' || CAST(doc_id AS VARCHAR)")
+WRS_SQL = f"""
+WITH w AS (SELECT doc_id, source, greatest({_TOKCOUNT_SQL}, 1) AS nt
+           FROM documents),
+k AS (SELECT doc_id, source, nt,
+             pow(((({_WRS_H} % 1000000) + 1000000) % 1000000 + 1) / 1000001.0,
+                 1.0 / nt) AS key
+      FROM w)
+SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens
+FROM k ORDER BY key DESC, doc_id LIMIT {WRS_K}
+"""
+
+
 # --- canonical survivors after near-dup clustering -------------------------
 
 
@@ -907,6 +1072,9 @@ SELECT source, doc_id, h FROM (
 
 QUERIES = {
     "decontaminate": decontaminate,
+    "contamination_containment": contamination_containment,
+    "leakage_safe_split": leakage_safe_split,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
     "dedup_survivors": dedup_survivors,
     "repetition_filters": repetition_filters,
     "hash_split_report": hash_split_report,
@@ -924,6 +1092,9 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
+    "contamination_containment": CONTAINMENT_SQL,
+    "leakage_safe_split": _leakage_safe_split_sql(),
+    "weighted_reservoir_sample": WRS_SQL,
     "dedup_survivors": _dedup_survivors_sql(),
     "repetition_filters": REPETITION_SQL,
     "hash_split_report": HASH_SPLIT_SQL,
