@@ -112,6 +112,11 @@ HEADLINE = [
     "dsir_importance_report",
     "minhash_eval_report",
     "bpe_apply_first_merge",
+    # round-4 continuation: containment decontamination, cluster-aware
+    # split, weighted reservoir sampling
+    "contamination_containment",
+    "leakage_safe_split",
+    "weighted_reservoir_sample",
 ]
 
 

@@ -527,6 +527,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_audio_energy",
      ["MapInPandas"],
      ["Exchange", "CartesianProduct", "Window"]),
+    # containment decontamination: benchmark postings + sizes broadcast;
+    # the 100 TB corpus side probes in place, never cross-joins
+    ("contamination_containment",
+     ["BroadcastHashJoin", "partial_count"],
+     ["CartesianProduct", "SortMergeJoin"]),
+    # leakage-safe split: per-row hash on the cluster label + one
+    # partial/final agg; the CC label table is memoized, not recomputed
+    ("leakage_safe_split",
+     ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "Exchange rangepartitioning"]),
+    # weighted reservoir: per-partition top-k heaps, single merge —
+    # no global sort, no shuffle of the full corpus
+    ("weighted_reservoir_sample",
+     ["TakeOrderedAndProject"],
+     ["Exchange rangepartitioning", "CartesianProduct", "Window"]),
 ]
 
 

@@ -152,3 +152,72 @@ def test_source_mix_weights_bounds(spark, sf_dir):
     for r in out:
         if r.src_tokens <= target:
             assert r.weight == 1.0
+
+
+def test_containment_is_asymmetric_and_thresholded(spark, sf_dir):
+    """Containment pairs: bench side only bench docs, train side only
+    train docs, values in [tau, 1], and the measure is strictly more
+    sensitive than symmetric Jaccard for the pairs it reports —
+    containment >= Jaccard always, since |B∩T|/|B| >= |B∩T|/|B∪T|."""
+    out = po.contamination_containment(spark, sf_dir).collect()
+    assert out, "the near-dup corpus must produce at least one pair"
+    for r in out:
+        assert r.bench_doc % po.CONTAM_BENCH_MOD == po.CONTAM_BENCH_REM
+        assert r.train_doc % po.CONTAM_BENCH_MOD != po.CONTAM_BENCH_REM
+        assert po.CONTAIN_TAU <= r.containment <= 1.0
+    # cross-check against the symmetric strict-Jaccard pairs: any
+    # (bench, train) pair both report must satisfy jaccard <= containment
+    from spec_search_spark.operators.dedup import ngram_jaccard_pairs
+
+    jac = {
+        (min(r.doc1, r.doc2), max(r.doc1, r.doc2)): r.jaccard
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    cont = {
+        (min(r.bench_doc, r.train_doc), max(r.bench_doc, r.train_doc)): r.containment
+        for r in out
+    }
+    shared = set(jac) & set(cont)
+    assert all(jac[p] <= cont[p] + 1e-9 for p in shared)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """The invariant the operator exists for: every near-dup cluster
+    lands wholly in train or wholly in val — recomputed per-doc, not
+    from the aggregated report."""
+    from spec_search_spark.operators.dedup import _poly_hash, dedup_clusters
+
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    h = _poly_hash(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+    split = F.when(
+        F.pmod(h, F.lit(po.SPLIT_BUCKETS)) < po.TRAIN_CUT, F.lit("train")
+    ).otherwise(F.lit("val"))
+    per_cluster = (
+        cl.select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("mx"))
+        .collect()[0]
+    )
+    assert per_cluster.mx == 1
+    # and the aggregated report accounts for every document exactly once
+    rep = po.leakage_safe_split(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rep) == docs_n
+
+
+def test_weighted_reservoir_is_exact_size_and_length_biased(spark, sf_dir):
+    """A-ES with weight = token count must return exactly k docs and a
+    sample whose mean token count exceeds the corpus mean (long docs
+    are proportionally more likely to be drawn)."""
+    out = po.weighted_reservoir_sample(spark, sf_dir).collect()
+    assert len(out) == po.WRS_K
+    assert len({r.doc_id for r in out}) == po.WRS_K  # without replacement
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+        .agg(F.avg("nt"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_tokens for r in out) / len(out)
+    assert sample_mean > corpus_mean
