@@ -117,6 +117,13 @@ HEADLINE = [
     "contamination_containment",
     "leakage_safe_split",
     "weighted_reservoir_sample",
+    # round-4 in-plan ML pack + incremental dedup + CBO/bootstrap stats
+    "pca_power_iteration",
+    "nb_lang_classifier",
+    "ols_price_model",
+    "incremental_minhash_delta",
+    "join_cardinality_cms",
+    "bootstrap_ci_revenue",
 ]
 
 

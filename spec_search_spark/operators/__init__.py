@@ -21,6 +21,7 @@ def all_queries():
         layout,
         lm_quality,
         maintenance,
+        ml,
         mllib_lsh,
         multimodal,
         pii,
@@ -64,6 +65,7 @@ def all_queries():
         kmeans,
         layout,
         maintenance,
+        ml,
         runtime_filter,
         sketches,
         skew,

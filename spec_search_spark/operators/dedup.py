@@ -454,13 +454,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any of 4 bands of 4 minhash rows.
-
-    The band key is an equi-join key → plain shuffle join, no
-    similarity computation until the (tiny) candidate set.
-    """
-    sig = minhash_signatures(spark, sf_dir)
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): each signature exploded into its
+    N_BANDS band keys — the LSH bucket table both the full self-join
+    and the incremental delta probe are keyed on."""
     bands = F.array(
         *[
             F.struct(
@@ -476,16 +473,24 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(N_BANDS)
         ]
     )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any of 4 bands of 4 minhash rows.
+
+    The band key is an equi-join key → plain shuffle join, no
+    similarity computation until the (tiny) candidate set.
+    """
+    sig = minhash_signatures(spark, sf_dir)
     # materialized: both sides of the candidate self-join read the band
     # table; lazily, the whole shingle→hash→16-min signature pipeline
     # would execute twice (it dominated the first bench run at 160 s).
-    exploded = _materialize(
-        sig.select("doc_id", F.explode(bands).alias("b")).select(
-            "doc_id",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_key").alias("band_key"),
-        )
-    )
+    exploded = _materialize(_band_rows(sig))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -526,6 +531,119 @@ bands AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# --- incremental near-dup: delta batch vs the standing corpus ---------------
+
+INC_FOLD_MOD = 10  # hash bucket 0 of 10 -> the "tonight's new docs" delta
+
+
+def incremental_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dups of a ~10% DELTA batch against the full corpus — the
+    nightly-ingest shape of MinHash dedup: candidate pairs are generated
+    ONLY where at least one side is a delta doc, so the base×base
+    quadrant (the quadratic bulk a full re-dedup would redo every night)
+    is never joined. Verification is the exact shingle-intersection
+    Jaccard at JACCARD_THRESHOLD, so the output is a true near-dup list,
+    not just LSH candidates. `is_cross` marks delta↔base matches (the
+    "incoming doc duplicates the standing corpus" signal) vs
+    delta↔delta (dupes within the batch itself).
+
+    100 TB shape: in production the base band table and shingle postings
+    are the PERSISTED index this engine already builds
+    (`minhash_signatures` written to parquet); the nightly cost is then
+    O(|delta| bands + bucket co-members), independent of corpus size.
+    Here both sides derive from one scan and the delta restriction is a
+    pushed predicate on the probe side of the same band equi-join.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _materialize(
+        _band_rows(sig).withColumn(
+            "is_delta",
+            F.pmod(
+                _poly_hash(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))),
+                F.lit(INC_FOLD_MOD),
+            )
+            == 0,
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.is_delta") | F.col("b.is_delta")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            (F.col("a.is_delta") != F.col("b.is_delta")).alias("is_cross"),
+        )
+        .distinct()
+    )
+    p = hashed_shingle_postings(spark, sf_dir)
+    sizes = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(p.select(F.col("doc_id").alias("doc1"), "h"), "doc1")
+        .join(p.select(F.col("doc_id").alias("doc2"), "h"), ["doc2", "h"])
+        .groupBy("doc1", "doc2", "is_cross")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")), "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "is_cross", jac.alias("jaccard"))
+    )
+
+
+def _incremental_delta_sql() -> str:
+    h = _POLY_SQL.format(s="'inc:' || CAST(doc_id AS VARCHAR)")
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        + " || '|' || ".join(
+            f"s{bi * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands0 AS ({band_rows}),
+bands AS (
+  SELECT doc_id, band_idx, band_key,
+         ((({h} % {INC_FOLD_MOD}) + {INC_FOLD_MOD}) % {INC_FOLD_MOD}) = 0 AS is_delta
+  FROM bands0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.is_delta <> b.is_delta AS is_cross
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id AND (a.is_delta OR b.is_delta)
+),
+postings AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {_POLY_SQL.format(s='shingle')} AS h FROM postings),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+common AS (
+  SELECT c.doc1, c.doc2, c.is_cross, count(*) AS n_common
+  FROM cand c
+  JOIN hashed h1 ON h1.doc_id = c.doc1
+  JOIN hashed h2 ON h2.doc_id = c.doc2 AND h2.h = h1.h
+  GROUP BY c.doc1, c.doc2, c.is_cross
+)
+SELECT doc1, doc2, is_cross,
+       round(n_common::DOUBLE / (s1.n + s2.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE round(n_common::DOUBLE / (s1.n + s2.n - n_common), 4) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -862,6 +980,7 @@ QUERIES = {
     "jaccard_strict_pairs": jaccard_strict_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_candidates": minhash_lsh_candidates,
+    "incremental_minhash_delta": incremental_minhash_delta,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
 }
@@ -874,6 +993,7 @@ ORACLES = {
     "jaccard_strict_pairs": JACCARD_STRICT_SQL,
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_candidates": _minhash_lsh_sql(),
+    "incremental_minhash_delta": _incremental_delta_sql(),
     "simhash_fingerprints": _simhash_sql(),
     "simhash_near_pairs": _simhash_pairs_sql(),
 }

@@ -1,0 +1,473 @@
+"""In-plan classical ML over the driver tables — the "ML without an ML
+runtime" pack. The reference delegates every learned component to hosted
+models (Chroma's MiniLM embedder, `app.py:35-36`; the GPT agent,
+`sheet_creator_tool.py:162-165`); a training-data engine at 100 TB needs
+the classic closed-form/iterative algorithms expressible as pure
+aggregation plans, because that is what actually runs next to the data:
+
+* `pca_power_iteration` — top principal component of the `embeddings`
+  table: exact-integer covariance via two aggregation passes (sum →
+  rounded mean → centered second moment), then 8 power-iteration steps
+  on the tiny d×d matrix. The d² outer-product explode stays NARROW
+  (no shuffle) and collapses map-side into 4096 partial-agg groups —
+  the canonical "Gram matrix distributed, eigensolve tiny" split that
+  scales to any row count.
+* `nb_lang_classifier` — multinomial Naive Bayes trained in-plan on a
+  deterministic 80% hash split of `documents`, evaluated on the held-out
+  20%: the fastText-style lang/quality classifier of a data pipeline,
+  as one DataFrame lineage. Log-probs are rounded to integer micro-nats
+  BEFORE summation, so per-document scores are order-independent exact
+  integer sums (stronger than round-after-avg).
+* `ols_price_model` — 3-parameter linear regression (normal equations,
+  Cramer's rule) of l_extendedprice on l_quantity and l_discount: the
+  moment sums are exact integer-cents aggregations (one partial+final
+  pass), the solve is a fixed closed-form expression tree evaluated on
+  those exact sums — in-database regression with zero iterations.
+
+Determinism contract (FIXTURES float rule): every sum that crosses an
+engine boundary is integer-exact (scaled BIGINT / DECIMAL(38,0));
+doubles appear only in fixed-arity expression trees evaluated on
+identical inputs, then rounded. The shared closed-form strings (_DET3,
+_OLS exprs) are evaluated by BOTH engines from the same SQL text, so
+the operation order is identical by construction.
+
+Scale notes (100 TB): PCA pass 1/2 are partial+final aggs over narrow
+projections (d and d² groups — constant); the eigensolve touches only
+the 4096-row matrix. NB's token-class log-prob table grows with the
+vocabulary and is therefore shuffle-joined on the token key (never
+broadcast — `dedup.BROADCAST_VOCAB_MAX` policy); the 5-row class table
+IS broadcast. OLS is a single one-row aggregate. None of these collect
+anything to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import tokens
+from spec_search_spark.operators.dedup import _POLY_SQL, _poly_hash
+from spec_search_spark.session import tune
+
+# --------------------------------------------------------------------------
+# PCA via power iteration on an exact-integer covariance matrix
+# --------------------------------------------------------------------------
+
+PCA_DIM = 64  # embeddings.embedding is fixed 64-dim (TESTDATA.md)
+PCA_XSCALE = 10_000  # component grid: round(x * 1e4) — ints ≤ ~1.2e4 centered
+PCA_VSCALE = 100_000  # eigenvector grid per iteration
+PCA_ITERS = 8
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component (loading per dimension + eigenvalue) of
+    the embedding cloud.
+
+    Exactness: components are snapped to the 1e-4 grid; the per-dim sum
+    and the centered second-moment sum are exact BIGINT aggregations
+    (order-independent). The covariance entry is scaled per-row
+    (`round(S/n)`) so matrix magnitudes are independent of corpus size —
+    the matvec then fits BIGINT for any n, and the norm² fits
+    DECIMAL(38,0). Each iteration re-snaps the vector to the 1e-5 grid,
+    so both engines walk the identical integer sequence.
+
+    Plan: two narrow partial+final aggs over the data (d=64 and d²=4096
+    groups), then 8 joins over 4096/64-row tables — nothing wide ever
+    shuffles. Reference anchor: this is the engine-side analog of the
+    embedding-space geometry the reference outsources to MiniLM/HNSW
+    (`app.py:35-39`).
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = emb.select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {PCA_XSCALE}) as bigint))"
+        ).alias("xi")
+    )
+    # pass 1: exact per-dim sums -> mean snapped to the same integer grid
+    dim_sums = xi.select(
+        F.posexplode("xi").alias("dim", "x")
+    ).groupBy("dim").agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    means_row = dim_sums.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'dim', dim, 'm', cast(round(s / n) as bigint)))), p -> p.m)"
+        ).alias("marr"),
+        F.max("n").alias("n"),
+    )
+    # pass 2: centered outer products, narrow explode -> 4096-group agg
+    cent = xi.crossJoin(F.broadcast(means_row)).select(
+        F.expr("zip_with(xi, marr, (x, m) -> x - m)").alias("c"), "n"
+    )
+    prods = cent.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {PCA_DIM - 1}), i -> "
+                f"transform(sequence(0, {PCA_DIM - 1}), j -> "
+                "named_struct('i', i, 'j', j, 'p', c[i] * c[j]))))"
+            )
+        ).alias("e"),
+    ).select("n", F.col("e.i").alias("i"), F.col("e.j").alias("j"), F.col("e.p").alias("p"))
+    # materialize the 4096-row matrix ONCE: every iteration joins
+    # against it, and each iteration references its matvec result twice
+    # (norm + update) — unmaterialized, the lineage would double per
+    # step and re-run the covariance pass 2^ITERS times
+    g = prods.groupBy("i", "j").agg(
+        F.expr("cast(round(sum(p) / max(n)) as bigint)").alias("g")
+    )
+    g = g.localCheckpoint(eager=True)
+    # power iteration on the tiny matrix, all executor-side
+    v = spark.range(PCA_DIM).select(
+        F.col("id").cast("int").alias("j"), F.lit(PCA_VSCALE).cast("bigint").alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            g.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("g * v")).alias("w"))
+        )
+        w = w.localCheckpoint(eager=True)  # 64 rows; pins the shared node
+        norm = w.groupBy().agg(
+            F.expr("sqrt(cast(sum(cast(w as decimal(38,0)) * cast(w as decimal(38,0))) as double))").alias(
+                "nrm"
+            )
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("j"),
+            F.expr(f"cast(round(cast(w as double) / nrm * {PCA_VSCALE}) as bigint)").alias("v"),
+        )
+    # Rayleigh quotient on the final vector: eigenvalue in original units
+    w_fin = g.join(v.select(F.col("j"), F.col("v")), "j").groupBy("i").agg(
+        F.sum(F.expr("g * v")).alias("w")
+    )
+    quot = (
+        w_fin.join(v.select(F.col("j").alias("i"), F.col("v").alias("vi")), "i")
+        .groupBy()
+        .agg(
+            F.expr("sum(cast(vi as decimal(38,0)) * cast(w as decimal(38,0)))").alias("num"),
+            F.expr("sum(cast(vi as decimal(38,0)) * cast(vi as decimal(38,0)))").alias("den"),
+        )
+    )
+    lam = quot.select(
+        F.expr(
+            f"round(cast(num as double) / cast(den as double) / {PCA_XSCALE * PCA_XSCALE}, 9)"
+        ).alias("eigenvalue")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.expr(f"round(cast(v as double) / {PCA_VSCALE}, 5)").alias("loading"),
+            "eigenvalue",
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_sql() -> str:
+    """DuckDB oracle: the identical integer walk, iterations unrolled."""
+    head = f"""
+WITH xi AS (
+  SELECT list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {PCA_XSCALE}) AS BIGINT)) AS xi
+  FROM embeddings
+), xir AS (
+  SELECT row_number() OVER () AS rid, xi FROM xi
+), dimx AS (
+  -- (vector, dim, x) rows: the outer product below is a rid-keyed
+  -- self-join (hash join, 64 rows/key) — NOT a per-row list-lambda
+  -- cross join, which DuckDB executes ~1000x slower here
+  SELECT rid, i - 1 AS dim, xi[i] AS x
+  FROM xir, generate_series(1, {PCA_DIM}) AS gs(i)
+), dim_sums AS (
+  SELECT dim, sum(x) AS s, count(*) AS n FROM dimx GROUP BY dim
+), means AS (
+  SELECT dim, CAST(round(s * 1.0 / n) AS BIGINT) AS m FROM dim_sums
+), nn AS (
+  SELECT max(n) AS n FROM dim_sums
+), cent AS (
+  SELECT d.rid, d.dim, d.x - m.m AS c FROM dimx d JOIN means m USING (dim)
+), g AS MATERIALIZED (
+  -- MATERIALIZED: g is read by every unrolled iteration and each
+  -- iteration reads its w twice — inlined CTEs would re-run the
+  -- covariance join 2^ITERS times (the same lineage blowup the Spark
+  -- side pins with localCheckpoint)
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(round(sum(a.c * b.c) * 1.0 / (SELECT n FROM nn)) AS BIGINT) AS g
+  FROM cent a JOIN cent b USING (rid) GROUP BY a.dim, b.dim
+), v0 AS (
+  SELECT i AS j, CAST({PCA_VSCALE} AS BIGINT) AS v
+  FROM generate_series(0, {PCA_DIM - 1}) AS t(i)
+)"""
+    cte = ""
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        cte += f""",
+w{t} AS MATERIALIZED (
+  SELECT g.i, sum(g.g * v.v) AS w FROM g JOIN {prev} v ON g.j = v.j GROUP BY g.i
+), n{t} AS (
+  SELECT sqrt(CAST(sum(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE)) AS nrm FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT w.i AS j,
+         CAST(round(CAST(w.w AS DOUBLE) / n.nrm * {PCA_VSCALE}) AS BIGINT) AS v
+  FROM w{t} w CROSS JOIN n{t} n
+)"""
+        prev = f"v{t}"
+    tail = f""",
+wf AS (
+  SELECT g.i, sum(g.g * v.v) AS w FROM g JOIN {prev} v ON g.j = v.j GROUP BY g.i
+), ray AS (
+  SELECT round(CAST(sum(CAST(v.v AS DECIMAL(38,0)) * CAST(w.w AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(sum(CAST(v.v AS DECIMAL(38,0)) * CAST(v.v AS DECIMAL(38,0))) AS DOUBLE)
+             / {PCA_XSCALE * PCA_XSCALE}, 9) AS eigenvalue
+  FROM wf w JOIN {prev} v ON w.i = v.j
+)
+SELECT CAST(v.j AS BIGINT) AS dim,
+       round(CAST(v.v AS DOUBLE) / {PCA_VSCALE}, 5) AS loading,
+       r.eigenvalue
+FROM {prev} v CROSS JOIN ray r
+ORDER BY dim"""
+    return head + cte + tail
+
+
+PCA_SQL = _pca_sql()
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier, trained and scored in-plan
+# --------------------------------------------------------------------------
+
+NB_SPLIT_MOD = 5  # hash bucket 0 of 5 -> held-out eval fold (~20%)
+NB_SCALE = 1_000_000  # log-probs as integer micro-nats (round BEFORE sum)
+
+
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (true lang × predicted lang, doc counts) of a
+    multinomial NB classifier trained on the 80% hash fold and scored
+    on the held-out 20%.
+
+    Model: Laplace-smoothed token likelihoods P(t|l)=(c+1)/(n_l+V) and
+    doc-count priors, all from the train fold only (leakage-free by the
+    same salted-hash split discipline as `train_val_split`). Scores are
+    exact integer sums of micro-nat log-probs — rounding happens per
+    TERM, so the per-doc sum is order-independent and the argmax is
+    bit-identical across engines (ties break on lang ascending).
+
+    Plan: token-class table is vocab×5 rows, shuffle-joined on token
+    (grows with corpus — never broadcast); the 5-row class table and
+    the one-row vocab count ARE broadcast. One window argmax per doc.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    fold = F.pmod(
+        _poly_hash(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))),
+        F.lit(NB_SPLIT_MOD),
+    )
+    base = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"), fold.alias("fold"))
+    train = base.filter(F.col("fold") != 0)
+    test = base.filter(F.col("fold") == 0)
+
+    tr_tok = train.select("lang", F.explode("t").alias("tok"))
+    vocab = tr_tok.groupBy().agg(F.countDistinct("tok").alias("vsz"))
+    cls = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_l"))
+        .crossJoin(F.broadcast(train.groupBy().agg(F.count(F.lit(1)).alias("d"))))
+        .join(
+            tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")),
+            "lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.expr(f"cast(round(ln(d_l / cast(d as double)) * {NB_SCALE}) as bigint)").alias(
+                "prior"
+            ),
+            F.expr(f"cast(round(ln(1.0 / (n_l + vsz)) * {NB_SCALE}) as bigint)").alias("unk"),
+            "n_l",
+            "vsz",
+        )
+    )
+    llp = (
+        tr_tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(cls.select("lang", "n_l", "vsz"), "lang")
+        .select(
+            "lang",
+            "tok",
+            F.expr(f"cast(round(ln((c + 1) / cast(n_l + vsz as double)) * {NB_SCALE}) as bigint)").alias(
+                "lp"
+            ),
+        )
+    )
+    te_tok = test.select("doc_id", F.explode("t").alias("tok")).groupBy(
+        "doc_id", "tok"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        te_tok.crossJoin(F.broadcast(cls.select("lang", "prior", "unk")))
+        .join(llp, ["tok", "lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.max("prior") + F.sum(F.col("cnt") * F.coalesce(F.col("lp"), F.col("unk")))).alias(
+                "score"
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.join(test.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_NB_H = _POLY_SQL.format(s="'nb:' || CAST(doc_id AS VARCHAR)")
+NB_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t,
+         (({_NB_H} % {NB_SPLIT_MOD}) + {NB_SPLIT_MOD}) % {NB_SPLIT_MOD} AS fold
+  FROM documents WHERE trim(text) <> ''
+), train AS (SELECT * FROM base WHERE fold <> 0),
+test AS (SELECT * FROM base WHERE fold = 0),
+tr_tok AS (SELECT lang, unnest(t) AS tok FROM train),
+vocab AS (SELECT count(DISTINCT tok) AS vsz FROM tr_tok),
+cls AS (
+  SELECT d.lang,
+         CAST(round(ln(d.d_l / t.d) * {NB_SCALE}) AS BIGINT) AS prior,
+         CAST(round(ln(1.0 / (n.n_l + v.vsz)) * {NB_SCALE}) AS BIGINT) AS unk,
+         n.n_l, v.vsz
+  FROM (SELECT lang, count(*) AS d_l FROM train GROUP BY lang) d
+  CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS d FROM train) t
+  JOIN (SELECT lang, count(*) AS n_l FROM tr_tok GROUP BY lang) n USING (lang)
+  CROSS JOIN vocab v
+),
+llp AS (
+  SELECT c.lang, c.tok,
+         CAST(round(ln((c.c + 1) / CAST(k.n_l + k.vsz AS DOUBLE)) * {NB_SCALE}) AS BIGINT) AS lp
+  FROM (SELECT lang, tok, count(*) AS c FROM tr_tok GROUP BY lang, tok) c
+  JOIN cls k USING (lang)
+),
+te_tok AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tok FROM test) x GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT t.doc_id, k.lang,
+         max(k.prior) + sum(t.cnt * coalesce(l.lp, k.unk)) AS score
+  FROM te_tok t CROSS JOIN cls k
+  LEFT JOIN llp l ON l.tok = t.tok AND l.lang = k.lang
+  GROUP BY t.doc_id, k.lang
+),
+pred AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scored) r WHERE rn = 1
+)
+SELECT e.lang AS true_lang, p.lang AS pred_lang, count(*) AS n_docs
+FROM pred p JOIN test e USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Closed-form OLS via normal equations (Cramer's rule on exact moments)
+# --------------------------------------------------------------------------
+
+# the entire solve as ONE shared SQL expression text so both engines
+# evaluate the identical double expression tree on identical exact sums
+# per-row products fit BIGINT (p100 <= ~1e7 -> p*p <= 1e14); the SUMS
+# accumulate in DECIMAL(38,0) so they stay exact at any row count
+# (Spark's BIGINT sum would overflow ~1e5 rows of p100*p100)
+_OLS_MOMENTS = """
+  CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(q100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sq,
+  CAST(sum(CAST(d100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sd,
+  CAST(sum(CAST(p100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sp,
+  CAST(sum(CAST(q100 * q100 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sqq,
+  CAST(sum(CAST(q100 * d100 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sqd,
+  CAST(sum(CAST(d100 * d100 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sdd,
+  CAST(sum(CAST(q100 * p100 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sqp,
+  CAST(sum(CAST(d100 * p100 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sdp,
+  CAST(sum(CAST(p100 * p100 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS spp
+"""
+
+_OLS_DET = (
+    "(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)"
+    " + sd * (sq * sqd - sqq * sd))"
+)
+_OLS_B0 = (
+    "(sp * (sqq * sdd - sqd * sqd) - sq * (sqp * sdd - sqd * sdp)"
+    " + sd * (sqp * sqd - sqq * sdp))"
+)
+_OLS_B1 = (
+    "(n * (sqp * sdd - sqd * sdp) - sp * (sq * sdd - sqd * sd)"
+    " + sd * (sq * sdp - sqp * sd))"
+)
+_OLS_B2 = (
+    "(n * (sqq * sdp - sqp * sqd) - sq * (sq * sdp - sqp * sd)"
+    " + sp * (sq * sqd - sqq * sd))"
+)
+_OLS_OUT = f"""
+  CAST(n AS BIGINT) AS n_rows,
+  round({_OLS_B0} / {_OLS_DET}, 6) AS b0,
+  round({_OLS_B1} / {_OLS_DET}, 6) AS b1,
+  round({_OLS_B2} / {_OLS_DET}, 6) AS b2,
+  round(1.0 - (spp - ({_OLS_B0} / {_OLS_DET}) * sp - ({_OLS_B1} / {_OLS_DET}) * sqp
+             - ({_OLS_B2} / {_OLS_DET}) * sdp)
+           / (spp - sp * sp / n), 6) AS r2
+"""
+
+
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit l_extendedprice ~ b0 + b1·l_quantity + b2·l_discount by the
+    normal equations, entirely as one aggregation + a closed-form
+    expression row.
+
+    The moment matrix is accumulated in exact integer cents (BIGINT —
+    one partial+final agg, order-independent); the 3×3 Cramer solve and
+    R² evaluate the SAME SQL expression text in both engines, so the
+    double arithmetic is the identical IEEE tree. This is the pattern a
+    100 TB feature pipeline uses for calibration fits: zero iterations,
+    zero driver collect, one shuffle of 10 partial sums per partition.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("q100"),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("d100"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
+    )
+    li.createOrReplaceTempView("_ols_cents")
+    return spark.sql(
+        f"WITH m AS (SELECT {_OLS_MOMENTS} FROM _ols_cents) SELECT {_OLS_OUT} FROM m"
+    )
+
+
+OLS_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100
+  FROM lineitem
+), m AS (SELECT {_OLS_MOMENTS} FROM c)
+SELECT {_OLS_OUT} FROM m
+"""
+
+
+QUERIES = {
+    "pca_power_iteration": pca_power_iteration,
+    "nb_lang_classifier": nb_lang_classifier,
+    "ols_price_model": ols_price_model,
+}
+
+ORACLES = {
+    "pca_power_iteration": PCA_SQL,
+    "nb_lang_classifier": NB_SQL,
+    "ols_price_model": OLS_SQL,
+}

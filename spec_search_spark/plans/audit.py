@@ -542,6 +542,38 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("weighted_reservoir_sample",
      ["TakeOrderedAndProject"],
      ["Exchange rangepartitioning", "CartesianProduct", "Window"]),
+    # PCA: the visible plan is the post-checkpoint eigensolve (the
+    # covariance explode runs once behind localCheckpoint); partial
+    # aggregation on the matvec, no Python kernels, no global sort
+    ("pca_power_iteration",
+     ["partial_sum"],
+     ["Exchange rangepartitioning", "MapInPandas", "CartesianProduct"]),
+    # NB classifier: token explode + partial-agg counts; one window
+    # argmax per doc — never a sort-based aggregation
+    ("nb_lang_classifier",
+     ["partial_count", "Window", "Generate"],
+     ["CartesianProduct", "Exchange rangepartitioning", "SortAggregate"]),
+    # OLS: ONE partial+final moment aggregation and a scalar project —
+    # no join, no window, no second pass over the fact table
+    ("ols_price_model",
+     ["partial_sum", "HashAggregate"],
+     ["CartesianProduct", "Window", "SortMergeJoin", "BroadcastHashJoin"]),
+    # incremental dedup: band-keyed equi joins only; the verify join is
+    # hash-keyed on the 8-byte shingle hash — no quadratic fallback
+    ("incremental_minhash_delta",
+     ["HashAggregate"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"]),
+    # CMS join-cardinality: the sketch side collapses map-side into
+    # D×W groups (partial agg); no window, no sort, no Python
+    ("join_cardinality_cms",
+     ["partial_count", "HashAggregate"],
+     ["Window", "Exchange rangepartitioning", "MapInPandas", "SortMergeJoin"]),
+    # Poisson bootstrap: ONE narrow explode (Generate) collapsed into B
+    # replicate groups by partial aggregation — no key shuffle, no join
+    # on the fact side, no Python kernel
+    ("bootstrap_ci_revenue",
+     ["Generate", "partial_sum"],
+     ["Window", "SortMergeJoin", "MapInPandas", "CartesianProduct"]),
 ]
 
 
