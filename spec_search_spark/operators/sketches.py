@@ -303,12 +303,202 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# CMS join-cardinality (self-join size / F2) estimation — CBO statistics
+# --------------------------------------------------------------------------
+
+SJS_D = 3          # independent sketch rows
+SJS_W = 64         # buckets per row — small enough that collisions are real
+SJS_ROWS = [(0, 1_000_003, 12_345), (1, 4_000_037, 6_789), (2, 7_000_003, 999)]
+_SJS_P = 2147483647
+
+
+def join_cardinality_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size of lineitem on l_partkey (F2 = Σ_k c_k², the join
+    optimizer's cardinality statistic for `lineitem ⋈ lineitem ON
+    partkey`) estimated WITHOUT building per-key counts: each row
+    increments D×W bucket counters (partial-aggregated — the data never
+    shuffles on the key), est = min_d Σ_w bucket². The CMS inner-product
+    estimate is ONE-SIDED (est ≥ exact, collisions only add), pinned as
+    `overcount >= 0`; the exact F2 (which at 100 TB is itself the
+    expensive key-shuffle this sketch exists to avoid) is computed as
+    verification and oracle ground truth.
+
+    Bucket hashing is pure integer universal hashing ((k·a+b) mod P
+    mod W) — identical arithmetic in both engines, no string hashing.
+    Squares accumulate in DECIMAL(38,0): a 100 TB bucket count squared
+    overflows BIGINT.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    buckets = None
+    for d, a, b in SJS_ROWS:
+        proj = li.select(
+            F.lit(d).alias("d"),
+            (((F.col("l_partkey") * a + b) % _SJS_P) % SJS_W).alias("bucket"),
+        )
+        buckets = proj if buckets is None else buckets.unionByName(proj)
+    bc = buckets.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("bc"))
+    est = (
+        bc.groupBy("d")
+        .agg(F.expr("sum(cast(bc as decimal(38,0)) * cast(bc as decimal(38,0)))").alias("f2_d"))
+        .groupBy()
+        .agg(F.min("f2_d").cast("bigint").alias("f2_est"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.expr("cast(sum(cast(c as decimal(38,0)) * cast(c as decimal(38,0))) as bigint)").alias(
+                "f2_exact"
+            ),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_keys",
+        "f2_exact",
+        "f2_est",
+        (F.col("f2_est") - F.col("f2_exact")).alias("overcount"),
+        (F.col("f2_est") >= F.col("f2_exact")).alias("one_sided_ok"),
+    )
+
+
+_SJS_VALUES = ", ".join(f"({d}, {a}, {b})" for d, a, b in SJS_ROWS)
+JOIN_CARD_SQL = f"""
+WITH proj AS (
+  SELECT r.d, ((l.l_partkey * r.a + r.b) % {_SJS_P}) % {SJS_W} AS bucket
+  FROM lineitem l CROSS JOIN (VALUES {_SJS_VALUES}) r(d, a, b)
+), bc AS (
+  SELECT d, bucket, count(*) AS bc FROM proj GROUP BY d, bucket
+), est AS (
+  SELECT CAST(min(f2_d) AS BIGINT) AS f2_est FROM (
+    SELECT d, sum(CAST(bc AS DECIMAL(38,0)) * CAST(bc AS DECIMAL(38,0))) AS f2_d
+    FROM bc GROUP BY d) x
+), exact AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS BIGINT) AS f2_exact
+  FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey) k
+)
+SELECT e.n_keys, e.f2_exact, s.f2_est,
+       s.f2_est - e.f2_exact AS overcount,
+       s.f2_est >= e.f2_exact AS one_sided_ok
+FROM exact e CROSS JOIN est s
+"""
+
+
+# --------------------------------------------------------------------------
+# Distributed Poisson bootstrap — resampling without resamples
+# --------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+
+# Poisson(1) CDF on the integer micro-grid: P(X <= k) * 1e6, k = 0..7
+# (shared literals — both engines compare against the SAME integers, so
+# no cross-engine exp()/ln() arithmetic is ever evaluated)
+_POIS_CDF = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+
+
+def _boot_weight_sql(u: str) -> str:
+    """CASE chain mapping a uniform micro-draw to a Poisson(1) weight."""
+    cases = " ".join(
+        f"WHEN {u} < {thr} THEN {k}" for k, thr in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_POIS_CDF)} END"
+
+
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean(l_extendedprice): every row contributes
+    a Poisson(1)-distributed weight to each of B=32 replicates (the
+    distributed bootstrap — resampling n rows WITH replacement needs
+    global coordination; independent Poisson(1) weights per (row,
+    replicate) need none and converge to the same distribution).
+
+    Determinism: the uniform draw is integer universal hashing of
+    (orderkey, linenumber, replicate); the Poisson inversion compares
+    against shared precomputed CDF literals. Replicate sums accumulate
+    in exact integer cents, so each `boot_mean` is one double division
+    of exact integers.
+
+    Plan shape: one narrow explode ×B collapsed map-side into B groups
+    (partial+final agg) — the bootstrap costs one scan regardless of n,
+    which is why this is THE resampling scheme at 100 TB. Output: B
+    replicate means + the point estimate; SE/CI are trivial downstream
+    order statistics of 32 rows.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
+    )
+    # the replicate index must enter MULTIPLICATIVELY: an additive
+    # b-offset shifts the draw by a constant, leaving all B replicates
+    # near-perfectly correlated (one effective resample, biased CI)
+    u = (
+        "pmod(pmod(l_orderkey * 2654435761 + l_linenumber * 40503 + 13, "
+        f"{_SJS_P}) * (b * 40503 + 1000003), {_SJS_P}) % 1000000"
+    )
+    w = _boot_weight_sql(f"({u})")
+    rep = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p100",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).select("p100", "b", F.expr(w).alias("w"))
+    point = li.groupBy().agg(
+        F.expr("round(sum(cast(p100 as decimal(38,0))) / count(*) / 1e2, 6)").alias(
+            "point_mean"
+        )
+    )
+    return (
+        rep.groupBy("b")
+        .agg(
+            F.expr("sum(cast(w as bigint) * cast(p100 as decimal(38,0)))").alias("swp"),
+            F.sum("w").alias("sw"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.col("b").alias("replicate"),
+            F.expr("round(cast(swp as double) / sw / 1e2, 6)").alias("boot_mean"),
+            "point_mean",
+        )
+        .orderBy("replicate")
+    )
+
+
+BOOTSTRAP_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100
+  FROM lineitem
+), rep AS (
+  SELECT c.p100, b.b,
+         {_boot_weight_sql(f"(((((c.l_orderkey * 2654435761 + c.l_linenumber * 40503 + 13) % {_SJS_P}) * (b.b * 40503 + 1000003)) % {_SJS_P}) % 1000000)")} AS w
+  FROM c CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+), point AS (
+  SELECT round(sum(CAST(p100 AS DECIMAL(38,0))) / count(*) / 1e2, 6) AS point_mean
+  FROM c
+)
+SELECT r.b AS replicate,
+       round(CAST(sum(CAST(r.w AS BIGINT) * CAST(r.p100 AS DECIMAL(38,0))) AS DOUBLE)
+             / sum(r.w) / 1e2, 6) AS boot_mean,
+       p.point_mean
+FROM rep r CROSS JOIN point p
+GROUP BY r.b, p.point_mean
+ORDER BY replicate
+"""
+
+
 QUERIES = {
     "approx_distinct_counts": approx_distinct_counts,
     "approx_quantiles": approx_quantiles,
     "percentiles_approx": percentiles_approx,
     "equi_depth_histogram_approx": equi_depth_histogram_approx,
     "hll_mergeable_rollup": hll_mergeable_rollup,
+    "join_cardinality_cms": join_cardinality_cms,
+    "bootstrap_ci_revenue": bootstrap_ci_revenue,
 }
 
 ORACLES = {
@@ -317,4 +507,6 @@ ORACLES = {
     "percentiles_approx": PERCENTILES_APPROX_SQL,
     "equi_depth_histogram_approx": EQUI_DEPTH_APPROX_SQL,
     "hll_mergeable_rollup": HLL_ROLLUP_SQL,
+    "join_cardinality_cms": JOIN_CARD_SQL,
+    "bootstrap_ci_revenue": BOOTSTRAP_SQL,
 }
