@@ -124,6 +124,8 @@ HEADLINE = [
     "incremental_minhash_delta",
     "join_cardinality_cms",
     "bootstrap_ci_revenue",
+    "label_propagation_communities",
+    "multimodal_image_stats",
 ]
 
 

@@ -276,14 +276,93 @@ FROM reach GROUP BY doc_id
 """
 
 
+LPA_ITERS = 4
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after LPA_ITERS rounds of synchronous label
+    propagation over the LSH candidate graph (Raghavan et al. 2007) —
+    the third graph algorithm on the shared edge set, and the
+    community-detection complement to dedup's connected components: CC
+    answers "which docs are transitively linked at all", LPA splits a
+    big weak component into its dense template families.
+
+    Determinism: labels are doc_ids; each round every vertex takes the
+    MOST FREQUENT neighbor label, ties broken by smallest label — pure
+    integer count + min, so synchronous rounds are bit-identical in
+    both engines (the usual LPA tie-randomization is replaced by the
+    deterministic min rule). Fixed round count keeps the oracle an
+    unrolled-CTE chain.
+
+    Scale: per round one shuffle joining labels onto edges (edge-
+    dominated, like PageRank) and one (vertex, label)-keyed partial
+    agg; the argmax window partitions on the vertex — node-sized state,
+    never edge-sized.
+    """
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    edges, deg = _edges_deg(spark, sf_dir)
+    labels = deg.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(LPA_ITERS):
+        nb = edges.join(
+            labels.withColumnRenamed("v", "b"), "b"
+        ).select(F.col("a").alias("v"), "lbl")
+        cnt = nb.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )
+
+
+def _lpa_sql() -> str:
+    head = f"""
+WITH pairs AS MATERIALIZED ({_minhash_lsh_sql()}),
+edges AS MATERIALIZED (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM edges)"""
+    cte = ""
+    prev = "l0"
+    for t in range(1, LPA_ITERS + 1):
+        cte += f""",
+l{t} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT e.a AS v, l.lbl, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN {prev} l ON l.v = e.b
+    GROUP BY e.a, l.lbl) x
+  WHERE rn = 1
+)"""
+        prev = f"l{t}"
+    return (
+        head
+        + cte
+        + f"""
+SELECT lbl AS community, count(*) AS n_members
+FROM {prev} GROUP BY lbl ORDER BY community"""
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "recursive_reachability": recursive_reachability,
+    "label_propagation_communities": label_propagation_communities,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": _triangles_sql(),
     "recursive_reachability": _reachability_sql(),
+    "label_propagation_communities": _lpa_sql(),
 }

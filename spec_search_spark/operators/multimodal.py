@@ -429,11 +429,102 @@ FROM vals
 """
 
 
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel statistics from the PIXEL BYTES — the image
+    twin of `multimodal_audio_energy`: genuine BMPs are packed per doc
+    (even doc_ids, same parameterization as `multimodal_real_codec`),
+    then a numpy kernel parses the BITMAPINFOHEADER, strips the 4-byte
+    row-stride padding, and sums each BGR channel as exact integers
+    (the reference's feature-extraction step, `indexer.py:62-66`
+    spiritually, applied to image content instead of text).
+
+    Oracle: pixel bytes are `(doc_id*31 + i*7) % 251` by construction,
+    so DuckDB reproduces the channel sums in closed form from
+    (y, x, c) coordinates WITHOUT parsing bytes — the Spark side
+    genuinely decodes every payload; agreement proves the stride/
+    offset arithmetic of the real parse.
+
+    Plan: synth kernel → stats kernel, two chained MapInPandas in one
+    stage; only (doc_id, 5 ints) per image crosses the boundary —
+    payload bytes never shuffle.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_bmp(1 + int(d) % 31, 1 + int(d) % 17, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "sum_b": [], "sum_g": [], "sum_r": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                import struct
+
+                w = struct.unpack_from("<i", b, 18)[0]
+                h = struct.unpack_from("<i", b, 22)[0]
+                off = struct.unpack_from("<I", b, 10)[0]
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+                rows = px.reshape(h, stride)[:, : w * 3].astype(np.int64)
+                chan = rows.reshape(-1, 3).sum(axis=0)
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_b"].append(int(chan[0]))
+                out["sum_g"].append(int(chan[1]))
+                out["sum_r"].append(int(chan[2]))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "sum_b": "int64", "sum_g": "int64", "sum_r": "int64"}
+            )
+
+    media = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, width int, height int, sum_b bigint, sum_g bigint, sum_r bigint",
+    )
+
+
+IMAGE_STATS_SQL = """
+WITH img AS (
+  SELECT doc_id, CAST(1 + doc_id % 31 AS INT) AS w, CAST(1 + doc_id % 17 AS INT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), rows_y AS (
+  SELECT doc_id, w, h, (w * 3 + 3) // 4 * 4 AS stride,
+         unnest(generate_series(0, h - 1)) AS y
+  FROM img
+), px AS (
+  SELECT doc_id, w, h, stride, y,
+         unnest(generate_series(0, w - 1)) AS x
+  FROM rows_y
+)
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       sum((doc_id * 31 + (y * stride + x * 3 + 0) * 7) % 251) AS sum_b,
+       sum((doc_id * 31 + (y * stride + x * 3 + 1) * 7) % 251) AS sum_g,
+       sum((doc_id * 31 + (y * stride + x * 3 + 2) * 7) % 251) AS sum_r
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
     "multimodal_real_codec": multimodal_real_codec,
     "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_image_stats": multimodal_image_stats,
 }
 
 ORACLES = {
@@ -441,4 +532,5 @@ ORACLES = {
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_real_codec": MULTIMODAL_REAL_SQL,
     "multimodal_audio_energy": AUDIO_ENERGY_SQL,
+    "multimodal_image_stats": IMAGE_STATS_SQL,
 }

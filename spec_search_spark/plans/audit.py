@@ -574,6 +574,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("bootstrap_ci_revenue",
      ["Generate", "partial_sum"],
      ["Window", "SortMergeJoin", "MapInPandas", "CartesianProduct"]),
+    # LPA: edge-keyed joins + vertex-keyed argmax windows only; the
+    # checkpointed edge table keeps the lineage linear per round
+    ("label_propagation_communities",
+     ["Window", "partial_count"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # image stats: chained MapInPandas in ONE stage — pixel bytes never
+    # cross an exchange; the even-doc filter reaches the parquet scan
+    ("multimodal_image_stats",
+     ["MapInPandas"],
+     ["Exchange", "CartesianProduct", "Window"]),
 ]
 
 

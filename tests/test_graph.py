@@ -32,3 +32,24 @@ def test_pagerank_vertices_match_candidate_graph(spark, sf_dir):
     pairs = minhash_lsh_candidates(spark, sf_dir).collect()
     edge_ids = {r.doc1 for r in pairs} | {r.doc2 for r in pairs}
     assert pr_ids == edge_ids
+
+
+def test_lpa_partitions_the_vertex_set(spark, sf_dir):
+    from spec_search_spark.operators.graph import (
+        _edges_deg,
+        label_propagation_communities,
+    )
+
+    comm = label_propagation_communities(spark, sf_dir).collect()
+    _, deg = _edges_deg(spark, sf_dir)
+    n_vertices = deg.count()
+    vertex_ids = {r["doc_id"] for r in deg.collect()}
+    # every vertex lands in exactly one community
+    assert sum(r["n_members"] for r in comm) == n_vertices
+    for r in comm:
+        assert r["n_members"] >= 1
+        # community ids are propagated doc_ids from the graph
+        assert r["community"] in vertex_ids
+    # propagation merges labels: strictly fewer communities than vertices
+    # (the near-dup graph always has at least one multi-node neighborhood)
+    assert len(comm) < n_vertices

@@ -184,3 +184,25 @@ def test_bootstrap_replicates_straddle_the_point_estimate(spark, sf_dir):
     assert min(means) <= point <= max(means)
     spread = max(means) - min(means)
     assert spread < 0.2 * abs(point)
+
+
+def test_image_stats_match_direct_decode(spark, sf_dir):
+    """Cross-check one image's channel sums against a direct in-process
+    decode of the same generated BMP (independent of the SQL oracle)."""
+    from spec_search_spark.operators.multimodal import make_bmp, multimodal_image_stats
+
+    rows = {r["doc_id"]: r for r in multimodal_image_stats(spark, sf_dir).collect()}
+    assert rows, "no even doc_ids in documents?"
+    d = sorted(rows)[len(rows) // 2]
+    r = rows[d]
+    w, h = 1 + d % 31, 1 + d % 17
+    assert (r["width"], r["height"]) == (w, h)
+    payload = make_bmp(w, h, seed=d)
+    stride = (w * 3 + 3) // 4 * 4
+    px = payload[54:]
+    sums = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                sums[c] += px[y * stride + x * 3 + c]
+    assert (r["sum_b"], r["sum_g"], r["sum_r"]) == tuple(sums)
