@@ -126,6 +126,9 @@ HEADLINE = [
     "bootstrap_ci_revenue",
     "label_propagation_communities",
     "multimodal_image_stats",
+    "quality_auc_by_lang",
+    "bucketed_agg_revenue",
+    "km_survival_curve",
 ]
 
 

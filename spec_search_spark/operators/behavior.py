@@ -373,6 +373,124 @@ FROM events GROUP BY user_id
 """
 
 
+# --- Kaplan–Meier survival: time-to-churn with right censoring --------------
+
+KM_CENSOR_DAYS = 7  # last event inside the final week => user still active
+KM_LN_SCALE = 1_000_000_000  # log factors as integer nano-nats
+
+
+def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user "lifetime" (days between
+    first and last event), with RIGHT CENSORING: users whose last event
+    falls within KM_CENSOR_DAYS of the observation window's end are
+    censored (still active — their true lifetime is only known to be
+    ≥ the observed one). This is the churn/retention curve product
+    analytics runs, with the estimator that makes censoring correct —
+    an empirical CDF would silently treat active users as churned.
+
+    Per distinct lifetime t: n_risk = users with lifetime ≥ t,
+    d = churn events at t, c = censored at t,
+    S(t) = Π_{t_j ≤ t, n_j > d_j} (1 − d_j/n_j), and 0 forever after
+    any t_j with d_j = n_j. The product is a cumulative sum of
+    integer-rounded nano-nat logs over the DISTINCT-lifetime table
+    (bounded by the observation window, ~tens of rows) — the corpus
+    collapses to per-user rows by one agg, then to per-lifetime rows
+    by another; no window ever touches event-sized data.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    bounds = ev.groupBy().agg(F.max("day").alias("wend"))
+    users = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        (
+            F.datediff("wend", "last_day") < F.lit(KM_CENSOR_DAYS)
+        ).alias("censored"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c"),
+    )
+    w_ord = W.orderBy("t")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, -1)
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.coalesce(F.sum(F.col("d") + F.col("c")).over(W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)), F.lit(0)),
+    )
+    lf = at_risk.withColumn(
+        "lf",
+        F.when(
+            (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+            F.expr(
+                f"cast(round(ln((n_risk - d) / cast(n_risk as double)) * {KM_LN_SCALE}) as bigint)"
+            ),
+        ).otherwise(F.lit(0)),
+    ).withColumn("dead", (F.col("d") >= F.col("n_risk")) & (F.col("d") > 0))
+    out = lf.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        (F.coalesce(F.sum("lf").over(w_cum), F.lit(0)) + F.col("lf")).alias("cum_lf"),
+        F.coalesce(
+            F.max(F.col("dead").cast("int")).over(
+                w_ord.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            F.lit(0),
+        ).alias("dead_seen"),
+    )
+    return out.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("dead_seen") == 1, F.lit(0.0))
+        .otherwise(F.expr(f"round(exp(cum_lf / {KM_LN_SCALE}.0), 6)"))
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+KM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), per_user AS (
+  SELECT user_id, min(day) AS first_day, max(day) AS last_day FROM ev GROUP BY user_id
+), bounds AS (SELECT max(day) AS wend FROM ev),
+users AS (
+  SELECT date_diff('day', first_day, last_day) AS t,
+         date_diff('day', last_day, wend) < {KM_CENSOR_DAYS} AS censored
+  FROM per_user CROSS JOIN bounds
+), per_t AS (
+  SELECT t,
+         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS d,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+  FROM users GROUP BY t
+), at_risk AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM per_t
+), lf AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0 AND n_risk > d
+              THEN CAST(round(ln((n_risk - d) / CAST(n_risk AS DOUBLE)) * {KM_LN_SCALE}) AS BIGINT)
+              ELSE 0 END AS lf,
+         CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS dead
+  FROM at_risk
+), acc AS (
+  SELECT t, n_risk, d, c,
+         sum(lf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lf,
+         max(dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_seen
+  FROM lf
+)
+SELECT t AS t_days, n_risk, d AS n_churned, c AS n_censored,
+       CASE WHEN dead_seen = 1 THEN 0.0
+            ELSE round(exp(cum_lf / {KM_LN_SCALE}.0), 6) END AS survival
+FROM acc ORDER BY t_days
+"""
+
+
 QUERIES = {
     "activity_streaks": activity_streaks,
     "ewma_user_value": ewma_user_value,
@@ -380,6 +498,7 @@ QUERIES = {
     "attribution_last_touch": attribution_last_touch,
     "cumulative_distinct_parts": cumulative_distinct_parts,
     "ab_test_welch": ab_test_welch,
+    "km_survival_curve": km_survival_curve,
 }
 
 ORACLES = {
@@ -389,4 +508,5 @@ ORACLES = {
     "attribution_last_touch": ATTRIBUTION_SQL,
     "cumulative_distinct_parts": CUM_DISTINCT_SQL,
     "ab_test_welch": AB_TEST_SQL,
+    "km_survival_curve": KM_SQL,
 }

@@ -97,10 +97,43 @@ GROUP BY o_orderpriority
 """
 
 
+def bucketed_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order revenue aggregated ON the bucketed lineitem scan: the
+    groupBy key equals the bucketing key, so the scan's bucket layout
+    already satisfies the aggregation's required distribution — the
+    plan carries NO exchange at all (audited). This is the second
+    amortization of the bucketed write: the one-time layout shuffle
+    pays for every downstream join AND every keyed aggregation.
+
+    Exact integer cents (sum of round(price·(1−disc)·1e4) fits BIGINT
+    per order) so the per-order totals compare exactly; ~n_orders
+    output rows, the oracle groups the raw parquet."""
+    tune(spark)
+    li_name, _ = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "sum(cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as bigint))"
+        ).alias("revenue_c4"),
+    )
+
+
+BUCKETED_AGG_SQL = """
+SELECT l_orderkey AS orderkey,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_c4
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": bucketed_join_revenue,
+    "bucketed_agg_revenue": bucketed_agg_revenue,
 }
 
 ORACLES = {
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
+    "bucketed_agg_revenue": BUCKETED_AGG_SQL,
 }

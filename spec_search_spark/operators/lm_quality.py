@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.functions.text import FP_MOD, fingerprint, fingerprint_sql, tokens
+from spec_search_spark.functions.text import (
+    FP_MOD,
+    fingerprint,
+    fingerprint_sql,
+    quality_score_sql,
+    tokens,
+)
 from spec_search_spark.operators.dedup import _POLY_SQL, _poly_hash
 from spec_search_spark.session import tune
 
@@ -503,12 +509,94 @@ GROUP BY d.source
 """
 
 
+# --------------------------------------------------------------------------
+# AUC evaluation of a score column — the filter-bias audit
+# --------------------------------------------------------------------------
+
+
+def quality_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the heuristic `quality_score` for separating English
+    documents from the rest — the language-bias audit every corpus
+    quality filter needs before it silently skews the training mix
+    (AUC 0.5 = unbiased, far from 0.5 = the gate is a covert lang-ID).
+
+    Computed as the Mann–Whitney U statistic WITHOUT a global rank:
+    scores collapse to the (bounded, 4dp-grid) distinct-score table
+    with per-score pos/neg counts — one partial+final agg over the
+    corpus — then AUC = Σ(neg_below·pos_c + pos_c·neg_c/2)/(n₁·n₀)
+    accumulates over that tiny table. Everything up to the final
+    division is exact integer arithmetic (the ×2 trick absorbs the
+    half-credit tie term), so the 6dp AUC is one double division of
+    exact integers — bit-identical cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    from spec_search_spark.functions.text import quality_score
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.trim("text") != "")
+        .select(
+            F.round(quality_score(F.col("text")) * 10000).cast("int").alias("q4"),
+            (F.col("lang") == "en").alias("pos"),
+        )
+    )
+    per_score = base.groupBy("q4").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("pos_c"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("neg_c"),
+    )
+    w = Window.orderBy("q4").rowsBetween(Window.unboundedPreceding, -1)
+    num2 = per_score.select(
+        (
+            2 * F.coalesce(F.sum("neg_c").over(w), F.lit(0)) * F.col("pos_c")
+            + F.col("pos_c") * F.col("neg_c")
+        ).alias("t"),
+        "pos_c",
+        "neg_c",
+    ).groupBy().agg(
+        F.sum("t").alias("num2"),
+        F.sum("pos_c").alias("n_pos"),
+        F.sum("neg_c").alias("n_neg"),
+    )
+    return num2.select(
+        "n_pos",
+        "n_neg",
+        F.expr("round(cast(num2 as double) / (2.0 * n_pos * n_neg), 6)").alias("auc"),
+    )
+
+
+def _auc_sql() -> str:
+    q = quality_score_sql("text")
+    return f"""
+WITH base AS (
+  SELECT CAST(round({q} * 10000) AS INT) AS q4, lang = 'en' AS pos
+  FROM documents WHERE trim(text) <> ''
+), per_score AS (
+  SELECT q4,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_c,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_c
+  FROM base GROUP BY q4
+), acc AS (
+  SELECT 2 * coalesce(sum(neg_c) OVER (ORDER BY q4
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * pos_c
+         + pos_c * neg_c AS t,
+         pos_c, neg_c
+  FROM per_score
+)
+SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+       CAST(sum(neg_c) AS BIGINT) AS n_neg,
+       round(CAST(sum(t) AS DOUBLE) / (2.0 * sum(pos_c) * sum(neg_c)), 6) AS auc
+FROM acc
+"""
+
+
 QUERIES = {
     "lm_perplexity_scores": lm_perplexity_scores,
     "dsir_importance_report": dsir_importance_report,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "heavy_hitters_cms": heavy_hitters_cms,
     "embedding_outlier_report": embedding_outlier_report,
+    "quality_auc_by_lang": quality_auc_by_lang,
 }
 
 ORACLES = {
@@ -517,4 +605,5 @@ ORACLES = {
     "boilerplate_ngram_report": BOILERPLATE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_SQL,
     "embedding_outlier_report": EMBEDDING_OUTLIER_SQL,
+    "quality_auc_by_lang": _auc_sql(),
 }

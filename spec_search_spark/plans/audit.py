@@ -584,6 +584,22 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_image_stats",
      ["MapInPandas"],
      ["Exchange", "CartesianProduct", "Window"]),
+    # AUC: corpus collapses to the distinct-score table by partial agg
+    # FIRST; the rank window runs over that bounded table only (its
+    # range exchange is score-grid-sized, like balanced_shards' 64 rows)
+    ("quality_auc_by_lang",
+     ["partial_sum", "Window"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin"]),
+    # bucketed aggregation: the groupBy key IS the bucketing key — the
+    # whole plan is scan + partial/final agg with ZERO exchanges
+    ("bucketed_agg_revenue",
+     ["HashAggregate"],
+     ["Exchange", "CartesianProduct", "Window", "SortAggregate"]),
+    # KM survival: events collapse per-user then per-lifetime BEFORE any
+    # window; the cumulative windows run on the bounded lifetime table
+    ("km_survival_curve",
+     ["partial_min", "Window"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin"]),
 ]
 
 

@@ -198,3 +198,24 @@ def test_minhash_eval_counts_consistent(spark, sf_dir):
     # this corpus's planted near-dups are high-jaccard: banding with
     # 4x4 must catch most of them
     assert r["recall"] >= 0.8
+
+
+def test_km_survival_is_monotone_and_bounded(spark, sf_dir):
+    from spec_search_spark.operators.behavior import km_survival_curve
+    from spec_search_spark.catalog import load_table
+
+    rows = km_survival_curve(spark, sf_dir).collect()
+    assert rows, "empty curve"
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user appears exactly once across the lifetime groups
+    assert sum(r["n_churned"] + r["n_censored"] for r in rows) == n_users
+    # n_risk at the smallest lifetime is the full cohort
+    assert rows[0]["n_risk"] == n_users
+    last = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= last + 1e-9  # survival never increases
+        last = r["survival"]
+        assert r["n_risk"] >= r["n_churned"] + r["n_censored"] >= 1

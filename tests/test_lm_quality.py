@@ -189,3 +189,30 @@ def test_embedding_outliers_decile_cut(spark, sf_dir):
         assert len(out) == -(-n // OUTLIER_TOP_DENOM)
         if out and inl:
             assert min(r["dist2"] for r in out) >= max(r["dist2"] for r in inl)
+
+
+def test_auc_matches_sklearn_free_reference(spark, sf_dir):
+    """Cross-check the rank-free AUC against a direct O(n²) pair count
+    (ties get half credit) — independent of the shared oracle text."""
+    from spec_search_spark.functions.text import quality_score
+    from spec_search_spark.operators.lm_quality import quality_auc_by_lang
+    from spec_search_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    row = quality_auc_by_lang(spark, sf_dir).first()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            F.round(quality_score(F.col("text")) * 10000).cast("int").alias("q4"),
+            (F.col("lang") == "en").alias("pos"),
+        )
+        .collect()
+    )
+    pos = [r["q4"] for r in docs if r["pos"]]
+    neg = [r["q4"] for r in docs if not r["pos"]]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    wins = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+    auc = wins / (len(pos) * len(neg))
+    assert abs(row["auc"] - auc) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0
