@@ -129,6 +129,8 @@ HEADLINE = [
     "quality_auc_by_lang",
     "bucketed_agg_revenue",
     "km_survival_curve",
+    "ks_test_priority_revenue",
+    "psi_value_drift",
 ]
 
 

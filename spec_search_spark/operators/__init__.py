@@ -13,6 +13,7 @@ def all_queries():
         bm25,
         bucketed,
         dedup,
+        drift,
         extensibility,
         fuzzy,
         graph,
@@ -57,6 +58,7 @@ def all_queries():
         text_analysis,
         lm_quality,
         dedup,
+        drift,
         span_dedup,
         similarity,
         multimodal,

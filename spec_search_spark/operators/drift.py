@@ -1,0 +1,213 @@
+"""Distribution-drift monitoring — the statistical tests an ML-data
+platform runs between cohorts, snapshots, or train/serve windows
+(reference north star: the corpus-curation pipeline needs to know when
+a source's distribution moved, not just its row count; the reference
+itself has no statistics at all — `README.md:12-17` features only).
+
+* `ks_test_priority_revenue` — two-sample Kolmogorov–Smirnov D between
+  the o_totalprice distributions of URGENT and LOW orders, with the
+  large-sample α=0.05 decision. D is computed EXACTLY: with integer
+  cents and integer cumulative counts, D = max|F1−F2| becomes
+  max|cum1·n2 − cum2·n1| / (n1·n2) — pure BIGINT until one final
+  division.
+* `psi_value_drift` — Population Stability Index of `events.value`
+  between the first and second half of the observation window (the
+  standard train/serve drift score; PSI > 0.2 = investigate). Ten
+  equal-width bins over the OBSERVED range, Laplace-smoothed so empty
+  bins are defined; each bin's term is rounded to integer nano-units
+  BEFORE the sum, so the 6dp PSI is order-independent.
+
+Scale notes: both tests collapse the data to a bounded table first —
+KS to the distinct-cents table (distinct-value-sized state, the same
+contract as `percentiles_distributed`), PSI to 10 bins — via one
+partial+final aggregation each; the window/cumulative passes touch
+only those bounded tables. The half-window split and bin edges derive
+from one tiny bounds aggregate, broadcast back (one row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+KS_A, KS_B = "1-URGENT", "5-LOW"
+KS_CRIT = 1.358  # c(alpha) for alpha = 0.05, two-sided, large-sample
+
+PSI_BINS = 10
+PSI_SCALE = 1_000_000_000  # per-bin terms as integer nano-units
+
+
+def ks_test_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: n per sample, the exact KS D statistic (6dp), and the
+    α=0.05 rejection decision via the large-sample critical value."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(KS_A, KS_B)
+    )
+    base = o.select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        (F.col("o_orderpriority") == KS_A).alias("a"),
+    )
+    per_v = base.groupBy("cents").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("c2"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = per_v.groupBy().agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("d_num"),
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("round(cast(d_num as double) / (n1 * n2), 6)").alias("ks_d"),
+        F.expr(
+            f"cast(d_num as double) / (n1 * n2) > {KS_CRIT} * sqrt((n1 + n2) / (cast(n1 as double) * n2))"
+        ).alias("reject_05"),
+    )
+
+
+KS_SQL = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority = '{KS_A}' AS a
+  FROM orders WHERE o_orderpriority IN ('{KS_A}', '{KS_B}')
+), per_v AS (
+  SELECT cents,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS c2
+  FROM base GROUP BY cents
+), cum AS (
+  SELECT sum(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         sum(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+  FROM per_v
+), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM per_v),
+agg AS (
+  SELECT max(t.n1) AS n1, max(t.n2) AS n2,
+         max(abs(c.cum1 * t.n2 - c.cum2 * t.n1)) AS d_num
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+       CAST(d_num AS DOUBLE) / (n1 * n2)
+         > {KS_CRIT} * sqrt((n1 + n2) / (CAST(n1 AS DOUBLE) * n2)) AS reject_05
+FROM agg
+"""
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: PSI of `events.value` between the first and second half
+    of the event-time window, plus both sample sizes and the
+    conventional severity band ('stable' < 0.1 ≤ 'moderate' < 0.2 ≤
+    'shifted')."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    b = ev.groupBy().agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.expr("cast(round(min(value) * 100) as bigint)").alias("vmin"),
+        F.expr("cast(round(max(value) * 100) as bigint)").alias("vmax"),
+    )
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        (
+            F.unix_micros("ts")
+            <= (F.unix_micros("t0") + F.unix_micros("t1")) / F.lit(2)
+        ).alias("first_half"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(
+                f"cast(((cast(round(value * 100) as bigint) - vmin) * {PSI_BINS})"
+                " div (vmax - vmin + 1) as int)"
+            ),
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c2"),
+    )
+    tot = per_bin.groupBy().agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    term = (
+        f"cast(round(((c1 + 1) / cast(n1 + {PSI_BINS} as double)"
+        f" - (c2 + 1) / cast(n2 + {PSI_BINS} as double))"
+        f" * ln(((c1 + 1) * cast(n2 + {PSI_BINS} as double))"
+        f" / ((c2 + 1) * cast(n1 + {PSI_BINS} as double)))"
+        f" * {PSI_SCALE}) as bigint)"
+    )
+    acc = per_bin.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.expr(term)).alias("psi_n"),
+    )
+    return acc.select(
+        "n1",
+        "n2",
+        F.expr(f"round(cast(psi_n as double) / {PSI_SCALE}, 6)").alias("psi"),
+        F.expr(
+            f"CASE WHEN cast(psi_n as double) / {PSI_SCALE} < 0.1 THEN 'stable' "
+            f"WHEN cast(psi_n as double) / {PSI_SCALE} < 0.2 THEN 'moderate' "
+            "ELSE 'shifted' END"
+        ).alias("band"),
+    )
+
+
+PSI_SQL = f"""
+WITH b AS (
+  SELECT min(ts) AS t0, max(ts) AS t1,
+         CAST(round(min(value) * 100) AS BIGINT) AS vmin,
+         CAST(round(max(value) * 100) AS BIGINT) AS vmax
+  FROM events
+), binned AS (
+  SELECT epoch_us(e.ts) <= (epoch_us(b.t0) + epoch_us(b.t1)) / 2 AS first_half,
+         least({PSI_BINS - 1},
+               CAST(((CAST(round(e.value * 100) AS BIGINT) - b.vmin) * {PSI_BINS})
+                    // (b.vmax - b.vmin + 1) AS INT)) AS bin
+  FROM events e CROSS JOIN b
+), per_bin AS (
+  SELECT bin,
+         sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS c2
+  FROM binned GROUP BY bin
+), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM per_bin),
+acc AS (
+  SELECT max(t.n1) AS n1, max(t.n2) AS n2,
+         sum(CAST(round(((p.c1 + 1) / CAST(t.n1 + {PSI_BINS} AS DOUBLE)
+                         - (p.c2 + 1) / CAST(t.n2 + {PSI_BINS} AS DOUBLE))
+                        * ln(((p.c1 + 1) * CAST(t.n2 + {PSI_BINS} AS DOUBLE))
+                             / ((p.c2 + 1) * CAST(t.n1 + {PSI_BINS} AS DOUBLE)))
+                        * {PSI_SCALE}) AS BIGINT)) AS psi_n
+  FROM per_bin p CROSS JOIN tot t
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(psi_n / {PSI_SCALE}.0, 6) AS psi,
+       CASE WHEN psi_n / {PSI_SCALE}.0 < 0.1 THEN 'stable'
+            WHEN psi_n / {PSI_SCALE}.0 < 0.2 THEN 'moderate'
+            ELSE 'shifted' END AS band
+FROM acc
+"""
+
+
+QUERIES = {
+    "ks_test_priority_revenue": ks_test_priority_revenue,
+    "psi_value_drift": psi_value_drift,
+}
+
+ORACLES = {
+    "ks_test_priority_revenue": KS_SQL,
+    "psi_value_drift": PSI_SQL,
+}

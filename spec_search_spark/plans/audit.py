@@ -600,6 +600,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("km_survival_curve",
      ["partial_min", "Window"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin"]),
+    # KS: the two samples collapse to the distinct-cents table by ONE
+    # partial agg; cumulative + max run over that bounded table
+    ("ks_test_priority_revenue",
+     ["partial_sum", "Window"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin"]),
+    # PSI: 10-bin partial agg; the bounds row broadcasts back — no
+    # window at all, no global sort
+    ("psi_value_drift",
+     ["partial_sum"],
+     ["CartesianProduct", "Window", "MapInPandas", "Exchange rangepartitioning"]),
 ]
 
 
