@@ -206,3 +206,20 @@ def test_image_stats_match_direct_decode(spark, sf_dir):
             for c in range(3):
                 sums[c] += px[y * stride + x * 3 + c]
     assert (r["sum_b"], r["sum_g"], r["sum_r"]) == tuple(sums)
+
+
+def test_covariance_memo_is_stable_and_symmetric(spark, sf_dir):
+    # the memoized Gram artifact: repeat calls return the pinned table,
+    # and the matrix is symmetric with nonnegative diagonal (variance)
+    from spec_search_spark.operators.ml import _GRAM_MEMO, _covariance_matrix
+
+    g1 = _covariance_matrix(spark, sf_dir)
+    g2 = _covariance_matrix(spark, sf_dir)
+    assert g2 is g1, "second call must hit the memo, not rebuild"
+    assert (spark.sparkContext.applicationId, sf_dir) in _GRAM_MEMO
+    rows = {(r["i"], r["j"]): r["g"] for r in g1.collect()}
+    assert len(rows) == 64 * 64
+    for (i, j), v in rows.items():
+        assert rows[(j, i)] == v, f"asymmetry at ({i},{j})"
+        if i == j:
+            assert v >= 0

@@ -55,3 +55,26 @@ def test_short_docs_produce_no_windows(spark):
     ).select("doc_id", _tokens(F.col("text")).alias("tk"))
     sizes = {r["doc_id"]: r["n"] for r in df.select("doc_id", F.size("tk").alias("n")).collect()}
     assert sizes == {1: 2, 2: 0}
+
+
+def test_window_hits_memo_is_stable_and_per_corpus(spark, sf_dir):
+    # the memoized postings artifact must return identical hit sets on
+    # repeated calls (same session+corpus key) — downstream consumers
+    # (dup_spans_merged, span_dup_ratio) share it, so instability here
+    # would silently desynchronize the pair
+    from spec_search_spark.operators.span_dedup import _HITS_MEMO, _window_hits
+
+    h1 = _window_hits(spark, sf_dir)
+    h2 = _window_hits(spark, sf_dir)
+    assert h2 is h1, "second call must hit the memo, not rebuild"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _HITS_MEMO
+    n1 = h1.count()
+    assert n1 > 0
+    # the artifact feeds both consumers: their doc coverage must agree
+    docs_with_spans = {
+        r["doc_id"]
+        for r in dup_spans_merged(spark, sf_dir).select("doc_id").distinct().collect()
+    }
+    docs_with_hits = {r["doc_id"] for r in h1.select("doc_id").distinct().collect()}
+    assert docs_with_spans == docs_with_hits
