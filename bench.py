@@ -121,6 +121,7 @@ HEADLINE = [
     "pca_power_iteration",
     "nb_lang_classifier",
     "ols_price_model",
+    "logreg_irls_doc_model",
     "incremental_minhash_delta",
     "join_cardinality_cms",
     "bootstrap_ci_revenue",

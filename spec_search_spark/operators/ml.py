@@ -480,14 +480,231 @@ SELECT {_OLS_OUT} FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# Logistic regression via IRLS (iteratively reweighted least squares)
+# --------------------------------------------------------------------------
+
+LOGREG_ITERS = 4
+LOGREG_RIDGE = 0.001  # diagonal ridge: bounds coefficients under separation
+LOGREG_LABEL_CHARS = 200  # y = 1 iff n_chars >= this (a learnable target)
+
+# Per-row scoring fragments, shared verbatim by both engines so the
+# double expression trees are identical. beta lives as INTEGER
+# micro-units (b?6); features on the 1e-4 grid (x?_4 bigint). The
+# linear predictor's numerator is exact bigint arithmetic; only the
+# sigmoid itself is double, and its output is immediately snapped to
+# the 1e-6 grid (clamped off 0/1 so the IRLS weight never vanishes).
+_LR_P6 = (
+    "least(greatest(CAST(round("
+    "1.0 / (1.0 + exp(-(CAST(b06 * 10000 + b16 * x1_4 + b26 * x2_4 AS DOUBLE) / 1e10)))"
+    " * 1000000) AS BIGINT), 1), 999999)"
+)
+# IRLS weight p(1-p) on the 1e-8 grid: per-row term products then fit
+# BIGINT (max x?_4 * x?_4 * w8 ~ 2.5e17); sums accumulate DECIMAL(38,0)
+_LR_W8 = "CAST(floor((p6 * (1000000.0 - p6)) / 10000.0) AS BIGINT)"
+_LR_R6 = "y * 1000000 - p6"
+
+_LR_MOMS = [
+    ("s00", "sum(CAST(100000000 * w8 AS DECIMAL(38,0)))"),
+    ("s01", "sum(CAST(10000 * x1_4 * w8 AS DECIMAL(38,0)))"),
+    ("s02", "sum(CAST(10000 * x2_4 * w8 AS DECIMAL(38,0)))"),
+    ("s11", "sum(CAST(x1_4 * x1_4 * w8 AS DECIMAL(38,0)))"),
+    ("s12", "sum(CAST(x1_4 * x2_4 * w8 AS DECIMAL(38,0)))"),
+    ("s22", "sum(CAST(x2_4 * x2_4 * w8 AS DECIMAL(38,0)))"),
+    ("g0n", "sum(CAST(10000 * r6 AS DECIMAL(38,0)))"),
+    ("g1n", "sum(CAST(x1_4 * r6 AS DECIMAL(38,0)))"),
+    ("g2n", "sum(CAST(x2_4 * r6 AS DECIMAL(38,0)))"),
+    ("b06", "max(b06)"),
+    ("b16", "max(b16)"),
+    ("b26", "max(b26)"),
+]
+
+# stage A: exact decimal sums -> real-unit normal-equation entries
+# (XtWX is /1e16: two 1e-4 feature grids x the 1e-8 weight grid), ridge
+# on the diagonal; stage B: 3x3 Cramer solve, step snapped to micro-units
+_LR_STAGE_A = [
+    ("a00", f"CAST(s00 AS DOUBLE) / 1e16 + {LOGREG_RIDGE}"),
+    ("a01", "CAST(s01 AS DOUBLE) / 1e16"),
+    ("a02", "CAST(s02 AS DOUBLE) / 1e16"),
+    ("a11", f"CAST(s11 AS DOUBLE) / 1e16 + {LOGREG_RIDGE}"),
+    ("a12", "CAST(s12 AS DOUBLE) / 1e16"),
+    ("a22", f"CAST(s22 AS DOUBLE) / 1e16 + {LOGREG_RIDGE}"),
+    ("g0", "CAST(g0n AS DOUBLE) / 1e10"),
+    ("g1", "CAST(g1n AS DOUBLE) / 1e10"),
+    ("g2", "CAST(g2n AS DOUBLE) / 1e10"),
+    ("b06", "b06"),
+    ("b16", "b16"),
+    ("b26", "b26"),
+]
+
+_LR_DET = (
+    "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)"
+    " + a02 * (a01 * a12 - a11 * a02))"
+)
+_LR_DET0 = (
+    "(g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)"
+    " + a02 * (g1 * a12 - a11 * g2))"
+)
+_LR_DET1 = (
+    "(a00 * (g1 * a22 - a12 * g2) - g0 * (a01 * a22 - a12 * a02)"
+    " + a02 * (a01 * g2 - g1 * a02))"
+)
+_LR_DET2 = (
+    "(a00 * (a11 * g2 - g1 * a12) - a01 * (a01 * g2 - g1 * a02)"
+    " + g0 * (a01 * a12 - a11 * a02))"
+)
+_LR_STAGE_B = [
+    ("b06", f"b06 + CAST(round({_LR_DET0} / {_LR_DET} * 1000000) AS BIGINT)"),
+    ("b16", f"b16 + CAST(round({_LR_DET1} / {_LR_DET} * 1000000) AS BIGINT)"),
+    ("b26", f"b26 + CAST(round({_LR_DET2} / {_LR_DET} * 1000000) AS BIGINT)"),
+]
+
+_LR_OUT = """
+  n AS n_docs,
+  round(CAST(b06 AS DOUBLE) / 1e6, 6) AS b0,
+  round(CAST(b16 AS DOUBLE) / 1e6, 6) AS b1,
+  round(CAST(b26 AS DOUBLE) / 1e6, 6) AS b2,
+  CAST(round(correct * 1000000.0 / n) AS BIGINT) AS accuracy_ppm
+"""
+
+
+def logreg_irls_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression trained in-plan by 4 IRLS steps: the
+    long-document predictor y = [n_chars ≥ 200] ~ sigmoid(b0 + b1·
+    tokens/100 + b2·distinct-token-ratio) — the classifier-shaped
+    quality gate (fastText-style) a training pipeline fits next to the
+    data instead of exporting features to an ML runtime.
+
+    Determinism walk (FIXTURES float rule): features snap to the 1e-4
+    grid in exact integer arithmetic; β lives as integer micro-units;
+    each step's linear predictor is an exact BIGINT dot product; the
+    sigmoid output snaps to the 1e-6 grid (clamped off 0/1) and the
+    IRLS weight to 1e-8, so the XᵀWX / Xᵀ(y−p) moment sums are exact
+    DECIMAL(38,0) aggregations — order-independent at any parallelism.
+    The 3×3 ridge-regularized Cramer solve evaluates the SAME SQL
+    expression text in both engines, and the step re-snaps β, so both
+    engines walk an identical integer β sequence. The only cross-engine
+    float hazard is exp() landing within one ulp of a 1e-6 snap
+    boundary (~1e-10 per evaluation) — the accepted risk class of the
+    lm_quality/drift log-domain operators.
+
+    Plan: one feature pass (partial+final, then localCheckpoint of the
+    few-KB-per-1000-docs feature projection), per step ONE partial+final
+    9-sum aggregation over a broadcast 1-row β, per-iteration state is
+    a pinned 1-row table — at 100 TB: 4 linear scans + 4 one-row
+    shuffles, no collect, no vocabulary state. Reference anchor: the
+    reference has no trained gate at all (its only scoring is Chroma
+    distance, `search.py:24-33`); this is the missing quality-filter
+    trainer of SURVEY §2's V6 pipeline family.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars"), tokens(F.col("text")).alias("t")
+    ).selectExpr(
+        f"CASE WHEN n_chars >= {LOGREG_LABEL_CHARS} THEN 1 ELSE 0 END AS y",
+        "size(t) AS n_tok",
+        "size(array_distinct(t)) AS n_dist",
+    )
+    feats = base.selectExpr(
+        "y",
+        "CAST(n_tok * 100 AS BIGINT) AS x1_4",
+        "CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(floor(n_dist * 10000.0 / n_tok) AS BIGINT) END AS x2_4",
+    ).localCheckpoint(eager=True)
+
+    beta = spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS b06, CAST(0 AS BIGINT) AS b16,"
+        " CAST(0 AS BIGINT) AS b26"
+    )
+    for _ in range(LOGREG_ITERS):
+        per = (
+            feats.crossJoin(F.broadcast(beta))
+            .selectExpr("*", f"{_LR_P6} AS p6")
+            .selectExpr("*", f"{_LR_W8} AS w8", f"{_LR_R6} AS r6")
+        )
+        mom = per.groupBy().agg(
+            *[F.expr(e).alias(n) for n, e in _LR_MOMS]
+        )
+        sa = mom.selectExpr(*[f"{e} AS {n}" for n, e in _LR_STAGE_A])
+        beta = sa.selectExpr(
+            *[f"{e} AS {n}" for n, e in _LR_STAGE_B]
+        ).localCheckpoint(eager=True)
+
+    scored = feats.crossJoin(F.broadcast(beta)).selectExpr("y", f"{_LR_P6} AS p6")
+    agg = scored.groupBy().agg(
+        F.expr("count(*)").alias("n"),
+        F.expr(
+            "sum(CASE WHEN (p6 >= 500000) = (y = 1) THEN 1 ELSE 0 END)"
+        ).alias("correct"),
+    )
+    return agg.crossJoin(F.broadcast(beta)).selectExpr(*_LR_OUT.strip().split(",\n"))
+
+
+def _logreg_sql() -> str:
+    """DuckDB oracle: the identical integer IRLS walk, steps unrolled."""
+    moms = ", ".join(f"{e} AS {n}" for n, e in _LR_MOMS)
+    sa = ", ".join(f"{e} AS {n}" for n, e in _LR_STAGE_A)
+    sb = ", ".join(f"{e} AS {n}" for n, e in _LR_STAGE_B)
+    head = f"""
+WITH tk AS (
+  SELECT n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END AS n_dist
+  FROM documents
+), feats AS MATERIALIZED (
+  SELECT CASE WHEN n_chars >= {LOGREG_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+         CAST(n_tok * 100 AS BIGINT) AS x1_4,
+         CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(n_dist * 10000.0 / n_tok) AS BIGINT) END AS x2_4
+  FROM tk
+), it0 AS (
+  SELECT CAST(0 AS BIGINT) AS b06, CAST(0 AS BIGINT) AS b16, CAST(0 AS BIGINT) AS b26
+)"""
+    cte = ""
+    prev = "it0"
+    for t in range(1, LOGREG_ITERS + 1):
+        cte += f""",
+pa{t} AS (
+  SELECT f.y, f.x1_4, f.x2_4, b.b06, b.b16, b.b26, {_LR_P6} AS p6
+  FROM feats f CROSS JOIN {prev} b
+), pb{t} AS (
+  SELECT *, {_LR_W8} AS w8, {_LR_R6} AS r6 FROM pa{t}
+), mom{t} AS (
+  SELECT {moms} FROM pb{t}
+), sa{t} AS (
+  SELECT {sa} FROM mom{t}
+), it{t} AS MATERIALIZED (
+  SELECT {sb} FROM sa{t}
+)"""
+        prev = f"it{t}"
+    tail = f""",
+score AS (
+  SELECT f.y, {_LR_P6} AS p6 FROM feats f CROSS JOIN {prev} b
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN (p6 >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS correct
+  FROM score
+)
+SELECT {_LR_OUT} FROM agg CROSS JOIN {prev}"""
+    return head + cte + tail
+
+
+LOGREG_SQL = _logreg_sql()
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "nb_lang_classifier": nb_lang_classifier,
     "ols_price_model": ols_price_model,
+    "logreg_irls_doc_model": logreg_irls_doc_model,
 }
 
 ORACLES = {
     "pca_power_iteration": PCA_SQL,
     "nb_lang_classifier": NB_SQL,
     "ols_price_model": OLS_SQL,
+    "logreg_irls_doc_model": LOGREG_SQL,
 }

@@ -558,6 +558,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("ols_price_model",
      ["partial_sum", "HashAggregate"],
      ["CartesianProduct", "Window", "SortMergeJoin", "BroadcastHashJoin"]),
+    # IRLS logreg: the visible plan is the scoring pass over the
+    # checkpointed feature projection against the pinned 1-row beta —
+    # partial+final moment sums, broadcast of the 1-row state, no
+    # Python kernels, no sort/window anywhere in the training walk
+    ("logreg_irls_doc_model",
+     ["partial_sum", "HashAggregate"],
+     ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
     # incremental dedup: band-keyed equi joins only; the verify join is
     # hash-keyed on the 8-byte shingle hash — no quadratic fallback
     ("incremental_minhash_delta",

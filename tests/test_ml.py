@@ -223,3 +223,23 @@ def test_covariance_memo_is_stable_and_symmetric(spark, sf_dir):
         assert rows[(j, i)] == v, f"asymmetry at ({i},{j})"
         if i == j:
             assert v >= 0
+
+
+def test_logreg_learns_the_token_direction(spark, sf_dir):
+    # y = [n_chars >= 200] is driven by token count: the trained model
+    # must orient b1 (tokens/100) positive and beat the majority-class
+    # baseline; and the integer beta walk must be run-to-run identical
+    from spec_search_spark.operators.ml import logreg_irls_doc_model
+
+    r1 = logreg_irls_doc_model(spark, sf_dir).collect()[0]
+    assert r1["b1"] > 0, "more tokens must raise P(long doc)"
+    from spec_search_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_pos = docs.filter(F.col("n_chars") >= 200).count()
+    majority_ppm = max(n_pos, n - n_pos) * 1_000_000 // n
+    assert r1["accuracy_ppm"] > majority_ppm
+    r2 = logreg_irls_doc_model(spark, sf_dir).collect()[0]
+    assert (r1["b0"], r1["b1"], r1["b2"]) == (r2["b0"], r2["b1"], r2["b2"])
