@@ -123,6 +123,7 @@ HEADLINE = [
     "ols_price_model",
     "logreg_irls_doc_model",
     "incremental_minhash_delta",
+    "ivf_delta_upsert",
     "join_cardinality_cms",
     "bootstrap_ci_revenue",
     "label_propagation_communities",

@@ -141,6 +141,14 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c2"),
     )
+    return psi_from_per_bin(per_bin)
+
+
+def psi_from_per_bin(per_bin: DataFrame) -> DataFrame:
+    """The PSI fold over a (bin, c1, c2) count table — shared by the
+    batch operator and the streaming twin (whose streaming state IS
+    this bounded table). Laplace smoothing, per-bin terms rounded to
+    integer nano-units BEFORE the sum, severity banding."""
     tot = per_bin.groupBy().agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     term = (
         f"cast(round(((c1 + 1) / cast(n1 + {PSI_BINS} as double)"

@@ -336,12 +336,100 @@ FROM range({N_PROBES}) t(p), range(1, {TOP_K + 1}) r(rn)
 """
 
 
+DELTA_MOD = 10  # synthetic nightly batch: clones of vec_id % 10 == 3
+DELTA_RESIDUE = 3
+
+
+def ivf_delta_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: upsert a delta batch of vectors
+    into the DEPLOYED IVF index without retraining — the nightly-ingest
+    path whose cost is proportional to the delta, never the corpus
+    (the vector-side analog of `dedup.incremental_minhash_delta`; FAISS
+    `add()` semantics: coarse centroids are a trained artifact, new
+    vectors route through the frozen quantizer).
+
+    The delta is derived deterministically (clones of vec_id %
+    DELTA_MOD == DELTA_RESIDUE under negative ids, the corpus_diff
+    disjoint-id convention) and assigned by the SAME memoized centroids
+    as the base index — the assignment pandas_udf runs over the DELTA
+    ONLY. Self-verifying output over the fixed cluster grid (the
+    ivf_index_build oracle style, since cluster populations of an
+    iterative float training are not SQL-expressible):
+
+    * `clone_follows_base` — an identical vector must land in the same
+      cluster as its base twin (the frozen quantizer is a pure
+      function), so per-cluster delta counts equal the base counts of
+      the cloned residue class;
+    * `all_optimal` — every upserted row's assigned-centroid distance
+      is minimal over all centroids (independent expression-fold path,
+      same ulp slack as ivf_index_build).
+    """
+    from spec_search_spark.functions.vector import l2_squared
+
+    centroids, index = trained_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = F.pmod(F.col("vec_id"), F.lit(DELTA_MOD)) == DELTA_RESIDUE
+    delta = emb.filter(is_delta).select(
+        (-F.col("vec_id") - 1).alias("vec_id"), "label", "embedding"
+    )
+    assign = _assign_udf(centroids)
+    delta_idx = delta.select(
+        "vec_id", "label", "embedding", assign(F.col("embedding")).alias("a")
+    ).select("vec_id", "label", "embedding", F.col("a.cluster").alias("cluster"))
+
+    base_counts = (
+        index.filter(is_delta).groupBy("cluster").agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    delta_counts = delta_idx.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_delta"))
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>",
+    )
+    opt = (
+        delta_idx.crossJoin(F.broadcast(cent_df))
+        .withColumn("cd2", l2_squared(F.col("embedding"), F.col("cvec")))
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.min("cd2").alias("min_d2"),
+            F.min(F.when(F.col("cid") == F.col("cluster"), F.col("cd2"))).alias(
+                "own_d2"
+            ),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.min(F.col("own_d2") <= F.col("min_d2") + F.lit(1e-9)).alias("opt")
+        )
+    )
+    grid = spark.range(K_CLUSTERS).select(F.col("id").cast("int").alias("cluster"))
+    return (
+        grid.join(base_counts, "cluster", "left")
+        .join(delta_counts, "cluster", "left")
+        .join(opt, "cluster", "left")
+        .select(
+            "cluster",
+            (
+                F.coalesce("n_delta", F.lit(0)) == F.coalesce("n_base", F.lit(0))
+            ).alias("clone_follows_base"),
+            F.coalesce("opt", F.lit(True)).alias("all_optimal"),
+        )
+    )
+
+
+IVF_DELTA_SQL = f"""
+SELECT CAST(c AS INT) AS cluster, true AS clone_follows_base, true AS all_optimal
+FROM range({K_CLUSTERS}) t(c)
+"""
+
+
 QUERIES = {
     "ivf_index_build": ivf_index_build_query,
     "ivf_ann_search": ivf_ann_search_check,
+    "ivf_delta_upsert": ivf_delta_upsert_query,
 }
 
 ORACLES = {
     "ivf_index_build": IVF_INDEX_SQL,
     "ivf_ann_search": IVF_SEARCH_SQL,
+    "ivf_delta_upsert": IVF_DELTA_SQL,
 }

@@ -484,6 +484,77 @@ WHERE n_est * {HH_DENOM} >= n_total
 STREAM_CMS_SQL = _stream_cms_sql()
 
 
+def stream_psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Population Stability Index: the train/serve drift
+    monitor run ON the stream. Bin edges and the half-window midpoint
+    are fixed up front from the reference snapshot (a 4-scalar bounded
+    collect — the deployment analog of shipping training-time bin
+    edges into the monitor's config; ML drift monitors never re-derive
+    bins from serving traffic), and the ONLY streaming state is the
+    per-(half, bin) count table — ≤ 2×PSI_BINS rows at any stream
+    volume, the same bounded-state argument as `stream_heavy_users`.
+    After the drain, the shared nano-unit PSI fold
+    (`drift.psi_from_per_bin`) scores the final table.
+
+    Identical output to the batch `psi_value_drift` (same oracle)."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.drift import PSI_BINS, psi_from_per_bin
+
+    name = f"psi_stream_{uuid.uuid4().hex[:8]}"
+    b = (
+        load_table(spark, sf_dir, "events")
+        .groupBy()
+        .agg(
+            F.unix_micros(F.min("ts")).alias("t0us"),
+            F.unix_micros(F.max("ts")).alias("t1us"),
+            F.expr("cast(round(min(value) * 100) as bigint)").alias("vmin"),
+            F.expr("cast(round(max(value) * 100) as bigint)").alias("vmax"),
+        )
+        .collect()[0]
+    )
+    mid = (b["t0us"] + b["t1us"]) / 2  # double, same IEEE division as batch
+    binned = _events_stream(spark, sf_dir).select(
+        (F.unix_micros("ts") <= F.lit(mid)).alias("first_half"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(
+                f"cast(((cast(round(value * 100) as bigint) - {b['vmin']}) * {PSI_BINS})"
+                f" div ({b['vmax']} - {b['vmin']} + 1) as int)"
+            ),
+        ).alias("bin"),
+    )
+    agg = binned.groupBy("first_half", "bin").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_psi_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_bin = (
+        spark.table(name)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("first_half"), F.col("n")).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("first_half"), 0).otherwise(F.col("n"))).alias("c2"),
+        )
+    )
+    return psi_from_per_bin(per_bin)
+
+
+def _import_psi_sql() -> str:
+    # same one-row result as the batch drift score: the stream twin's
+    # oracle IS the batch oracle (stream_hourly_counts precedent)
+    from spec_search_spark.operators.drift import PSI_SQL
+
+    return PSI_SQL
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
@@ -492,6 +563,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich_query,
     "stream_sliding_counts": stream_sliding_counts_query,
     "stream_heavy_users": stream_heavy_users_query,
+    "stream_psi_drift": stream_psi_drift_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -501,6 +573,7 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_sliding_counts": STREAM_SLIDING_SQL,
     "stream_heavy_users": STREAM_CMS_SQL,
+    "stream_psi_drift": _import_psi_sql(),
 }
 
 

@@ -165,3 +165,26 @@ def test_ivf_accepts_distributed_trainer_centroids(spark, sf_dir):
     # everything, and most clusters are populated
     sizes = [r["count"] for r in clusters.collect()]
     assert max(sizes) < n and len(sizes) >= K_CLUSTERS // 2
+
+
+def test_delta_upsert_is_disjoint_and_complete(spark, sf_dir):
+    # the upserted posting set = base ∪ delta with disjoint id spaces,
+    # and every grid row confirms clone-routing + optimality
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.ivf import (
+        DELTA_MOD,
+        DELTA_RESIDUE,
+        ivf_delta_upsert_query,
+        trained_index,
+    )
+    from spec_search_spark.catalog import load_table
+
+    rows = ivf_delta_upsert_query(spark, sf_dir).collect()
+    assert all(r["clone_follows_base"] and r["all_optimal"] for r in rows)
+    _, index = trained_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_delta = emb.filter(F.pmod("vec_id", F.lit(DELTA_MOD)) == DELTA_RESIDUE).count()
+    assert n_delta > 0
+    # negative delta ids can never collide with base vec_ids
+    assert index.filter(F.col("vec_id") < 0).count() == 0
