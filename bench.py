@@ -133,6 +133,10 @@ HEADLINE = [
     "km_survival_curve",
     "ks_test_priority_revenue",
     "psi_value_drift",
+    # round-4 continuation: feature-engineering + Spark-4 VARIANT
+    "target_encoding_oof",
+    "chi2_token_selection",
+    "variant_typed_extract",
 ]
 
 

@@ -1070,9 +1070,89 @@ SELECT source, doc_id, h FROM (
 """
 
 
+# --- leakage-safe (out-of-fold) target encoding -----------------------------
+
+TE_FOLDS = 5
+TE_ALPHA = 20  # Laplace-smoothing pseudo-count toward the global prior
+TE_LABEL_CHARS = 200  # target: y = [n_chars >= 200] (ml.logreg's label)
+
+
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of `source`: the leakage-safe
+    categorical feature encoder (CatBoost-style K-fold scheme). For a
+    row in fold f, the encoding is the smoothed target mean computed
+    over every OTHER fold — (S_src − S_src,f + α·p_global) /
+    (n_src − n_src,f + α) — so a row never sees its own label, the
+    target-leakage failure mode of naive mean encoding.
+
+    Folds are the salted-hash split discipline (reproducible from the
+    key alone); all counts are exact integers, the encoding is one
+    shared-text double expression rounded to 6dp. Plan: ONE
+    partial+final (source, fold) aggregation (cardinality sources×K —
+    broadcast-trivial at any corpus size) + the one-row global prior;
+    per-row application downstream is a broadcast join. Output is the
+    (source, fold) encoding table itself — the artifact a feature
+    pipeline persists."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        _poly_hash(F.concat(F.lit("te:"), F.col("doc_id").cast("string"))),
+        F.lit(TE_FOLDS),
+    )
+    base = docs.select(
+        "source",
+        fold.alias("fold"),
+        F.expr(f"CASE WHEN n_chars >= {TE_LABEL_CHARS} THEN 1 ELSE 0 END").alias("y"),
+    )
+    per = base.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("y").alias("s_f")
+    )
+    per_src = per.groupBy("source").agg(
+        F.sum("n_f").alias("n_s"), F.sum("s_f").alias("s_s")
+    )
+    glob = per.groupBy().agg(
+        F.sum("n_f").alias("n_g"), F.sum("s_f").alias("s_g")
+    )
+    enc = (
+        "round((s_s - s_f + {a} * (s_g / cast(n_g as double)))"
+        " / cast(n_s - n_f + {a} as double), 6)"
+    ).format(a=TE_ALPHA)
+    return (
+        per.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "source",
+            "CAST(fold AS INT) AS fold",
+            "n_f",
+            f"{enc} AS encoding",
+        )
+    )
+
+
+_TE_H = _POLY_SQL.format(s="'te:' || CAST(doc_id AS VARCHAR)")
+TARGET_ENCODING_SQL = f"""
+WITH base AS (
+  SELECT source,
+         (({_TE_H} % {TE_FOLDS}) + {TE_FOLDS}) % {TE_FOLDS} AS fold,
+         CASE WHEN n_chars >= {TE_LABEL_CHARS} THEN 1 ELSE 0 END AS y
+  FROM documents
+), per AS (
+  SELECT source, fold, count(*) AS n_f, sum(y) AS s_f
+  FROM base GROUP BY source, fold
+), per_src AS (
+  SELECT source, sum(n_f) AS n_s, sum(s_f) AS s_s FROM per GROUP BY source
+), gtot AS (SELECT sum(n_f) AS n_g, sum(s_f) AS s_g FROM per)
+SELECT p.source, CAST(p.fold AS INT) AS fold, CAST(p.n_f AS BIGINT) AS n_f,
+       round((s.s_s - p.s_f + {TE_ALPHA} * (g.s_g / CAST(g.n_g AS DOUBLE)))
+             / CAST(s.n_s - p.n_f + {TE_ALPHA} AS DOUBLE), 6) AS encoding
+FROM per p JOIN per_src s USING (source) CROSS JOIN gtot g
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "contamination_containment": contamination_containment,
+    "target_encoding_oof": target_encoding_oof,
     "leakage_safe_split": leakage_safe_split,
     "weighted_reservoir_sample": weighted_reservoir_sample,
     "dedup_survivors": dedup_survivors,
@@ -1093,6 +1173,7 @@ QUERIES = {
 ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "contamination_containment": CONTAINMENT_SQL,
+    "target_encoding_oof": TARGET_ENCODING_SQL,
     "leakage_safe_split": _leakage_safe_split_sql(),
     "weighted_reservoir_sample": WRS_SQL,
     "dedup_survivors": _dedup_survivors_sql(),

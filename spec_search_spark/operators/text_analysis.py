@@ -544,8 +544,87 @@ WHERE n_ab >= {PMI_MIN_COUNT}
 """
 
 
+# --- chi-squared token–label association (feature selection) ---------------
+
+CHI2_MIN_DF = 5  # ignore tokens in fewer docs (unstable chi2)
+CHI2_TOP_K = 20
+
+
+def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection: the TOP_K tokens most associated with the
+    English label at DOC level — the classic filter a text classifier
+    pipeline runs to pick its feature vocabulary before training
+    (scikit-learn's chi2 / fastText preprocessing shape).
+
+    The 2×2 contingency per token is four EXACT integer counts (a =
+    en docs containing it, b = other docs containing it, margins from
+    one one-row broadcast); χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is a
+    single shared-text double expression over those integers, so both
+    engines evaluate the identical IEEE tree. Ties break on token.
+
+    Plan: doc-distinct token explode → ONE partial+final (token) count
+    pass (vocabulary-sized state, the tf-idf/NB contract — shuffle-agg,
+    never broadcast), one-row margins broadcast back, TakeOrdered
+    top-K. No joins on the corpus side, no window."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    pres = docs.select(
+        (F.col("lang") == "en").alias("en"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    per_tok = pres.groupBy("tok").agg(
+        F.sum(F.when(F.col("en"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("en"), 0).otherwise(1)).alias("b"),
+    )
+    marg = docs.groupBy().agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("n_ot"),
+    )
+    chi2 = (
+        "round(((n_en + n_ot) * pow(CAST(a AS DOUBLE) * (n_ot - b)"
+        " - CAST(b AS DOUBLE) * (n_en - a), 2))"
+        " / (CAST(a + b AS DOUBLE) * (n_en + n_ot - a - b)"
+        " * n_en * n_ot), 6)"
+    )
+    return (
+        per_tok.filter(F.col("a") + F.col("b") >= CHI2_MIN_DF)
+        .crossJoin(F.broadcast(marg))
+        .selectExpr("tok", "a AS n_en_docs", "b AS n_other_docs", f"{chi2} AS chi2")
+        .orderBy(F.desc("chi2"), F.asc("tok"))
+        .limit(CHI2_TOP_K)
+    )
+
+
+CHI2_SQL = f"""
+WITH d AS (SELECT lang, text FROM documents WHERE trim(text) <> ''),
+pres AS (
+  SELECT lang = 'en' AS en, unnest(list_distinct(
+           regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM d
+), per_tok AS (
+  SELECT tok,
+         sum(CASE WHEN en THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN en THEN 0 ELSE 1 END) AS b
+  FROM pres GROUP BY tok
+), marg AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_ot
+  FROM d
+)
+SELECT tok, CAST(a AS BIGINT) AS n_en_docs, CAST(b AS BIGINT) AS n_other_docs,
+       round(((n_en + n_ot) * pow(CAST(a AS DOUBLE) * (n_ot - b)
+              - CAST(b AS DOUBLE) * (n_en - a), 2))
+             / (CAST(a + b AS DOUBLE) * (n_en + n_ot - a - b)
+              * n_en * n_ot), 6) AS chi2
+FROM per_tok CROSS JOIN marg
+WHERE a + b >= {CHI2_MIN_DF}
+ORDER BY chi2 DESC, tok ASC
+LIMIT {CHI2_TOP_K}
+"""
+
+
 QUERIES = {
     "chunk_fixed": chunk_fixed,
+    "chi2_token_selection": chi2_token_selection,
     "collocation_pmi": collocation_pmi,
     "chunk_recursive": chunk_recursive_check,
     "token_stats": token_stats,
@@ -561,6 +640,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_fixed": CHUNK_FIXED_SQL,
+    "chi2_token_selection": CHI2_SQL,
     "collocation_pmi": COLLOCATION_SQL,
     "chunk_recursive": CHUNK_RECURSIVE_CHECK_SQL,
     "token_stats": TOKEN_STATS_SQL,

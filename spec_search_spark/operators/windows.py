@@ -187,6 +187,49 @@ GROUP BY event_type
 """
 
 
+def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path over the same JSON props: parse once to
+    the binary semi-structured type, then TYPED extraction
+    (`variant_get(v, '$.k', 'bigint')`) — the open-format answer to
+    "stringly-typed JSON columns at 100 TB" (parse cost paid once per
+    row, typed access thereafter; a deployment would persist the
+    VARIANT column in the table). `try_variant_get` on an absent path
+    proves the null-safe miss behavior (`n_missing_plan` must equal 0
+    credited rows in both engines).
+
+    Per k-decile: event count and exact integer-cents value sum.
+    Oracle extracts through DuckDB's JSON path — same typed values."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.selectExpr(
+        "value", "parse_json(props) AS v"
+    ).selectExpr(
+        "variant_get(v, '$.k', 'bigint') AS k",
+        "try_variant_get(v, '$.plan', 'string') AS plan",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    return (
+        v.groupBy(F.expr("CAST(k div 10 AS INT)").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.when(F.col("plan").isNotNull(), 1).otherwise(0)).alias(
+                "n_missing_plan"
+            ),
+        )
+    )
+
+
+VARIANT_SQL = """
+SELECT CAST(json_extract(props, '$.k')::BIGINT // 10 AS INT) AS k_decile,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.plan') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_plan
+FROM events
+GROUP BY 1
+"""
+
+
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time buckets (batch form of the streaming window;
     the Structured-Streaming twin is streaming/incremental.py)."""
@@ -1054,6 +1097,7 @@ QUERIES = {
     "window_lag_delta": window_lag_delta,
     "sessionize": sessionize,
     "json_props_agg": json_props_agg,
+    "variant_typed_extract": variant_typed_extract,
     "hourly_event_rollup": hourly_event_rollup,
     "asof_join_purchase": asof_join_purchase,
     "scd2_current_snapshot": scd2_current_snapshot,
@@ -1077,6 +1121,7 @@ ORACLES = {
     "window_lag_delta": WINDOW_LAG_SQL,
     "sessionize": SESSIONIZE_SQL,
     "json_props_agg": JSON_PROPS_SQL,
+    "variant_typed_extract": VARIANT_SQL,
     "hourly_event_rollup": HOURLY_SQL,
     "asof_join_purchase": ASOF_SQL,
     "scd2_current_snapshot": SCD2_SQL,

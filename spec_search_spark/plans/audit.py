@@ -565,6 +565,24 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("logreg_irls_doc_model",
      ["partial_sum", "HashAggregate"],
      ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+    # OOF target encoding: one partial+final (source, fold) pass; the
+    # encoding applies over the tiny broadcast table — no corpus join,
+    # no window, no Python
+    ("target_encoding_oof",
+     ["partial_count", "BroadcastHashJoin"],
+     ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+    # chi2 selection: doc-distinct explode -> vocabulary-sized shuffle
+    # agg (never broadcast), one-row margins, TakeOrdered top-K — no
+    # global sort, no corpus-side join
+    ("chi2_token_selection",
+     ["partial_sum", "TakeOrderedAndProject", "Generate"],
+     ["SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+    # VARIANT extraction: parse+typed-get are codegen expressions over
+    # the scan; one partial+final agg, nothing else
+    ("variant_typed_extract",
+     ["partial_count", "HashAggregate"],
+     ["Window", "SortMergeJoin", "MapInPandas", "BroadcastHashJoin",
+      "Exchange rangepartitioning"]),
     # incremental dedup: band-keyed equi joins only; the verify join is
     # hash-keyed on the 8-byte shingle hash — no quadratic fallback
     ("incremental_minhash_delta",
