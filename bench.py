@@ -136,6 +136,7 @@ HEADLINE = [
     # round-4 continuation: feature-engineering + Spark-4 VARIANT
     "target_encoding_oof",
     "chi2_token_selection",
+    "logreg_calibration_report",
     "variant_typed_extract",
 ]
 

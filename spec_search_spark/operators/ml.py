@@ -568,36 +568,22 @@ _LR_OUT = """
 """
 
 
-def logreg_irls_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary logistic regression trained in-plan by 4 IRLS steps: the
-    long-document predictor y = [n_chars ≥ 200] ~ sigmoid(b0 + b1·
-    tokens/100 + b2·distinct-token-ratio) — the classifier-shaped
-    quality gate (fastText-style) a training pipeline fits next to the
-    data instead of exporting features to an ML runtime.
+# Trained (features, beta) per (session, corpus): the IRLS walk is a
+# model-training artifact like the kmeans centroids / IVF quantizer —
+# trained once per session, consumed live by every evaluation pass
+# (accuracy report, calibration report).
+_BETA_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
-    Determinism walk (FIXTURES float rule): features snap to the 1e-4
-    grid in exact integer arithmetic; β lives as integer micro-units;
-    each step's linear predictor is an exact BIGINT dot product; the
-    sigmoid output snaps to the 1e-6 grid (clamped off 0/1) and the
-    IRLS weight to 1e-8, so the XᵀWX / Xᵀ(y−p) moment sums are exact
-    DECIMAL(38,0) aggregations — order-independent at any parallelism.
-    The 3×3 ridge-regularized Cramer solve evaluates the SAME SQL
-    expression text in both engines, and the step re-snaps β, so both
-    engines walk an identical integer β sequence. The only cross-engine
-    float hazard is exp() landing within one ulp of a 1e-6 snap
-    boundary (~1e-10 per evaluation) — the accepted risk class of the
-    lm_quality/drift log-domain operators.
 
-    Plan: one feature pass (partial+final, then localCheckpoint of the
-    few-KB-per-1000-docs feature projection), per step ONE partial+final
-    9-sum aggregation over a broadcast 1-row β, per-iteration state is
-    a pinned 1-row table — at 100 TB: 4 linear scans + 4 one-row
-    shuffles, no collect, no vocabulary state. Reference anchor: the
-    reference has no trained gate at all (its only scoring is Chroma
-    distance, `search.py:24-33`); this is the missing quality-filter
-    trainer of SURVEY §2's V6 pipeline family.
-    """
+def _trained_logreg(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(feature table, 1-row β table) after LOGREG_ITERS IRLS steps;
+    both pinned (localCheckpoint) and memoized per (session, corpus)."""
     tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BETA_MEMO:
+        return _BETA_MEMO[key]
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         F.col("n_chars"), tokens(F.col("text")).alias("t")
@@ -630,7 +616,40 @@ def logreg_irls_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta = sa.selectExpr(
             *[f"{e} AS {n}" for n, e in _LR_STAGE_B]
         ).localCheckpoint(eager=True)
+    _BETA_MEMO[key] = (feats, beta)
+    return _BETA_MEMO[key]
 
+
+def logreg_irls_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression trained in-plan by 4 IRLS steps: the
+    long-document predictor y = [n_chars ≥ 200] ~ sigmoid(b0 + b1·
+    tokens/100 + b2·distinct-token-ratio) — the classifier-shaped
+    quality gate (fastText-style) a training pipeline fits next to the
+    data instead of exporting features to an ML runtime.
+
+    Determinism walk (FIXTURES float rule): features snap to the 1e-4
+    grid in exact integer arithmetic; β lives as integer micro-units;
+    each step's linear predictor is an exact BIGINT dot product; the
+    sigmoid output snaps to the 1e-6 grid (clamped off 0/1) and the
+    IRLS weight to 1e-8, so the XᵀWX / Xᵀ(y−p) moment sums are exact
+    DECIMAL(38,0) aggregations — order-independent at any parallelism.
+    The 3×3 ridge-regularized Cramer solve evaluates the SAME SQL
+    expression text in both engines, and the step re-snaps β, so both
+    engines walk an identical integer β sequence. The only cross-engine
+    float hazard is exp() landing within one ulp of a 1e-6 snap
+    boundary (~1e-10 per evaluation) — the accepted risk class of the
+    lm_quality/drift log-domain operators.
+
+    Plan: one feature pass (partial+final, then localCheckpoint of the
+    few-KB-per-1000-docs feature projection), per step ONE partial+final
+    9-sum aggregation over a broadcast 1-row β, per-iteration state is
+    a pinned 1-row table — at 100 TB: 4 linear scans + 4 one-row
+    shuffles, no collect, no vocabulary state. Reference anchor: the
+    reference has no trained gate at all (its only scoring is Chroma
+    distance, `search.py:24-33`); this is the missing quality-filter
+    trainer of SURVEY §2's V6 pipeline family.
+    """
+    feats, beta = _trained_logreg(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(beta)).selectExpr("y", f"{_LR_P6} AS p6")
     agg = scored.groupBy().agg(
         F.expr("count(*)").alias("n"),
@@ -695,11 +714,70 @@ SELECT {_LR_OUT} FROM agg CROSS JOIN {prev}"""
 LOGREG_SQL = _logreg_sql()
 
 
+# --- calibration (reliability) report over the trained model ----------------
+
+_LR_BIN = "CAST(floor(p6 / 100000.0) AS INT)"
+_LR_CAL_OUT = """
+  bin,
+  n AS n_docs,
+  CAST(round(sum_p6 / CAST(n AS DOUBLE)) AS BIGINT) AS mean_pred_ppm,
+  CAST(round(sum_y * 1000000.0 / n) AS BIGINT) AS obs_rate_ppm,
+  CAST(round(sum_p6 / CAST(n AS DOUBLE)) AS BIGINT)
+    - CAST(round(sum_y * 1000000.0 / n) AS BIGINT) AS gap_ppm
+"""
+
+
+def logreg_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained logistic model: docs bucketed
+    by predicted-probability decile, mean predicted probability vs
+    observed positive rate per bucket (both in exact ppm) and their
+    gap — the calibration check that accompanies accuracy/AUC in a
+    model-evaluation suite (a well-calibrated quality gate can be
+    thresholded by expected precision; a miscalibrated one cannot).
+
+    Consumes the session-trained β artifact (`_trained_logreg`, the
+    kmeans/IVF train-once semantics); the report itself is one
+    partial+final pass over the pinned feature table — grouped into at
+    most 10 rows of bounded state. Oracle: the identical unrolled IRLS
+    walk with the binning tail."""
+    feats, beta = _trained_logreg(spark, sf_dir)
+    scored = feats.crossJoin(F.broadcast(beta)).selectExpr(
+        "y", f"{_LR_P6} AS p6"
+    )
+    per_bin = (
+        scored.selectExpr("y", "p6", f"{_LR_BIN} AS bin")
+        .groupBy("bin")
+        .agg(
+            F.expr("count(*)").alias("n"),
+            F.expr("sum(y)").alias("sum_y"),
+            F.expr("sum(p6)").alias("sum_p6"),
+        )
+    )
+    return per_bin.selectExpr(*_LR_CAL_OUT.strip().split(",\n"))
+
+
+def _logreg_calibration_sql() -> str:
+    walk = _logreg_sql().rsplit(",\nscore AS (", 1)[0]
+    prev = f"it{LOGREG_ITERS}"
+    return f"""{walk},
+score AS (
+  SELECT f.y, {_LR_P6} AS p6 FROM feats f CROSS JOIN {prev} b
+), per_bin AS (
+  SELECT {_LR_BIN} AS bin, count(*) AS n, sum(y) AS sum_y, sum(p6) AS sum_p6
+  FROM score GROUP BY 1
+)
+SELECT {_LR_CAL_OUT} FROM per_bin"""
+
+
+LOGREG_CAL_SQL = _logreg_calibration_sql()
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "nb_lang_classifier": nb_lang_classifier,
     "ols_price_model": ols_price_model,
     "logreg_irls_doc_model": logreg_irls_doc_model,
+    "logreg_calibration_report": logreg_calibration_report,
 }
 
 ORACLES = {
@@ -707,4 +785,5 @@ ORACLES = {
     "nb_lang_classifier": NB_SQL,
     "ols_price_model": OLS_SQL,
     "logreg_irls_doc_model": LOGREG_SQL,
+    "logreg_calibration_report": LOGREG_CAL_SQL,
 }
