@@ -188,17 +188,14 @@ GROUP BY event_type
 
 
 def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark 4 VARIANT path over the same JSON props: parse once to
-    the binary semi-structured type, then TYPED extraction
-    (`variant_get(v, '$.k', 'bigint')`) — the open-format answer to
-    "stringly-typed JSON columns at 100 TB" (parse cost paid once per
-    row, typed access thereafter; a deployment would persist the
-    VARIANT column in the table). `try_variant_get` on an absent path
-    proves the null-safe miss behavior (`n_missing_plan` must equal 0
-    credited rows in both engines).
-
-    Per k-decile: event count and exact integer-cents value sum.
-    Oracle extracts through DuckDB's JSON path — same typed values."""
+    """VARIANT miss-path semantics (the sibling of
+    `scalar_sql.variant_shred_stats`, which covers the happy typed
+    path): `try_variant_get` on an ABSENT field must be null-safe —
+    `n_missing_plan` counts rows where '$.plan' resolved, and both
+    engines must agree it is 0 — while the present field groups into
+    k-deciles with an exact integer-cents value sum. Schema-on-read
+    columns at 100 TB are exactly this: most paths missing from most
+    rows, and the engine's null behavior is load-bearing."""
     ev = _t(spark, sf_dir, "events")
     v = ev.selectExpr(
         "value", "parse_json(props) AS v"
