@@ -137,14 +137,22 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster population and inertia (Σ dist²). Sums of 6dp-rounded
-    doubles are order-sensitive at ~1e-13 — rounded to 4dp on output."""
+    """Per-cluster population and inertia (Σ dist²). dist2 is on the
+    1e-6 grid, so the sum is carried as EXACT integer micro-units —
+    a double sum of the rounded values is order-sensitive at ~1e-13,
+    which flipped the final 4dp round at a .00005 boundary on the
+    sf0.001 corpus; the integer sum is order-independent at any
+    parallelism and the one division afterward is identical IEEE in
+    both engines."""
     return (
         _final_assignment(spark, sf_dir)
         .groupBy(F.col("cid").alias("cluster"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("dist2"), 4).alias("inertia"),
+            F.expr(
+                "round(cast(sum(cast(round(dist2 * 1e6) as bigint)) as double)"
+                " / 1e6, 4)"
+            ).alias("inertia"),
         )
     )
 
@@ -255,7 +263,9 @@ SELECT vec_id, cid AS cluster, dist2 FROM af
 
 KMEANS_SIZES_SQL = f"""
 {_kmeans_ctes()}
-SELECT cid AS cluster, count(*) AS n, round(sum(dist2), 4) AS inertia
+SELECT cid AS cluster, count(*) AS n,
+       round(CAST(sum(CAST(round(dist2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 4)
+         AS inertia
 FROM af GROUP BY cid
 """
 
