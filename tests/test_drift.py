@@ -53,3 +53,20 @@ def test_psi_is_symmetric_zero_on_identical_halves(spark, sf_dir):
         "stable" if row["psi"] < 0.1 else ("moderate" if row["psi"] < 0.2 else "shifted")
     )
     assert row["band"] == expected_band
+
+
+def test_stream_psi_equals_batch_psi(spark, sf_dir):
+    # the streaming twin must reproduce the batch drift score exactly:
+    # same bins, same nano-unit fold, only the count-table construction
+    # differs (streaming state vs one batch aggregation)
+    from spec_search_spark.operators.drift import psi_value_drift
+    from spec_search_spark.streaming.incremental import stream_psi_drift_query
+
+    b = psi_value_drift(spark, sf_dir).collect()[0]
+    s = stream_psi_drift_query(spark, sf_dir).collect()[0]
+    assert (b["n1"], b["n2"], b["psi"], b["band"]) == (
+        s["n1"],
+        s["n2"],
+        s["psi"],
+        s["band"],
+    )

@@ -221,3 +221,49 @@ def test_weighted_reservoir_is_exact_size_and_length_biased(spark, sf_dir):
     )
     sample_mean = sum(r.n_tokens for r in out) / len(out)
     assert sample_mean > corpus_mean
+
+
+def test_target_encoding_is_out_of_fold_exact(spark, sf_dir):
+    # reconstruct each (source, fold) encoding from raw per-fold counts
+    # in exact Python arithmetic: the operator's value must equal the
+    # leave-this-fold-out smoothed mean, proving no own-fold leakage
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.dedup import _poly_hash
+    from spec_search_spark.operators.pipeline_ops import (
+        TE_ALPHA,
+        TE_FOLDS,
+        TE_LABEL_CHARS,
+        target_encoding_oof,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        _poly_hash(F.concat(F.lit("te:"), F.col("doc_id").cast("string"))),
+        F.lit(TE_FOLDS),
+    )
+    raw = (
+        docs.select(
+            "source",
+            fold.alias("fold"),
+            (F.col("n_chars") >= TE_LABEL_CHARS).cast("int").alias("y"),
+        )
+        .groupBy("source", "fold")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+        .collect()
+    )
+    n = {(r["source"], r["fold"]): r["n"] for r in raw}
+    s = {(r["source"], r["fold"]): r["s"] for r in raw}
+    n_src = {}
+    s_src = {}
+    for (src, f), v in n.items():
+        n_src[src] = n_src.get(src, 0) + v
+        s_src[src] = s_src.get(src, 0) + s[(src, f)]
+    n_g, s_g = sum(n_src.values()), sum(s_src.values())
+    for r in target_encoding_oof(spark, sf_dir).collect():
+        key = (r["source"], r["fold"])
+        expect = (
+            s_src[r["source"]] - s[key] + TE_ALPHA * (s_g / n_g)
+        ) / (n_src[r["source"]] - n[key] + TE_ALPHA)
+        assert abs(r["encoding"] - round(expect, 6)) < 1e-9, key
