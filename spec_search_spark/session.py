@@ -37,7 +37,14 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     if shuffle_partitions is None:
         # local mode: shuffle partitions ≈ cores; a real cluster would
         # leave the default high and let AQE coalesce.
-        shuffle_partitions = max(os.cpu_count() or 8, 8)
+        # SPARK_GRAFT_SHUFFLE overrides for determinism sweeps: every
+        # cross-engine contract claims order-independence, and running
+        # the full oracle harness at an adversarial partition count
+        # (prime, ≠ cores) is the direct test of that claim.
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = (
+            int(env) if env else max(os.cpu_count() or 8, 8)
+        )
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
 
