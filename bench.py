@@ -138,6 +138,7 @@ HEADLINE = [
     "chi2_token_selection",
     "logreg_calibration_report",
     "variant_typed_extract",
+    "image_phash_pairs",
 ]
 
 

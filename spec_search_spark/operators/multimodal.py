@@ -519,12 +519,185 @@ FROM px GROUP BY doc_id
 """
 
 
+# --- perceptual-hash image dedup (dHash + banded Hamming pairs) -------------
+
+PHASH_GRID = 8  # 8×8 nearest-neighbor sample grid -> 8 rows × 7 bits
+PHASH_BITS = PHASH_GRID * (PHASH_GRID - 1)  # 56: fits signed BIGINT
+PHASH_BANDS = 4  # 14 bits/band; pigeonhole-lossless for hamming <= 3
+PHASH_HAM_T = 3
+PHASH_QUAD = 8  # re-crawl fixture: evens in the same 8-block share one image
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash — the multimodal sibling of
+    SimHash text dedup and the step a LAION-scale image pipeline runs
+    before training (re-crawled copies of one image under different ids
+    must collapse). The fixture models exactly that: even doc_ids in
+    the same PHASH_QUAD block carry byte-identical BMPs (one logical
+    image, many storage ids).
+
+    dHash: the decoded pixel grid (genuine BITMAPINFOHEADER parse,
+    stride-stripped — the `multimodal_image_stats` machinery) is
+    nearest-neighbor-sampled to an 8×8 integer-gray grid; each of the
+    56 bits is a horizontal brightness comparison. All-integer, so the
+    hash is deterministic and the oracle reproduces it CLOSED-FORM
+    from the pixel-byte formula without parsing anything — agreement
+    proves the real decode.
+
+    Pair search is the SimHash pigeonhole plan, never quadratic: 14-bit
+    bands → same-band candidates → exact `bit_count(xor)` verify at
+    hamming ≤ 3 (4 bands make banding lossless at that radius). The
+    tiny O(n²) path exists only in the DuckDB oracle.
+
+    Output: (doc1, doc2, hamming) over even-doc images, doc1 < doc2."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_bmp(
+                    1 + (int(d) // PHASH_QUAD * PHASH_QUAD) % 31,
+                    1 + (int(d) // PHASH_QUAD * PHASH_QUAD) % 17,
+                    seed=int(d) // PHASH_QUAD * PHASH_QUAD,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        g = PHASH_GRID
+        for pdf in batches:
+            ids, hashes = [], []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w = struct.unpack_from("<i", b, 18)[0]
+                h = struct.unpack_from("<i", b, 22)[0]
+                off = struct.unpack_from("<I", b, 10)[0]
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+                rows = px.reshape(h, stride)
+                hv = 0
+                for y in range(g):
+                    sy = (y * h) // g
+                    for x in range(g - 1):
+                        sx1, sx2 = (x * w) // g, ((x + 1) * w) // g
+                        g1 = int(rows[sy, sx1 * 3 : sx1 * 3 + 3].astype(np.int64).sum()) // 3
+                        g2 = int(rows[sy, sx2 * 3 : sx2 * 3 + 3].astype(np.int64).sum()) // 3
+                        if g1 > g2:
+                            hv |= 1 << (y * (g - 1) + x)
+                ids.append(int(d))
+                hashes.append(hv)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes}).astype(
+                {"doc_id": "int64", "phash": "int64"}
+            )
+
+    media = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    hashed = media.mapInPandas(phash, "doc_id bigint, phash bigint")
+
+    band_bits = PHASH_BITS // PHASH_BANDS
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"(phash div {1 << (i * band_bits)}) % {1 << band_bits}"
+                        ).alias("key"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("doc1"), F.col("phash").alias("h1"),
+    )
+    right = bands.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("doc2"), F.col("phash").alias("h2"),
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "h1", "h2")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc1",
+            "doc2",
+            F.expr("bit_count(h1 ^ h2)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+    )
+
+
+def _phash_sql() -> str:
+    g = PHASH_GRID
+    q = PHASH_QUAD
+    # closed-form gray at a sampled pixel of the quad-base image:
+    # pixel byte i of seed s is (s*31 + i*7) % 251 (make_bmp)
+    gray = (
+        "(((s * 31 + (sy * stride + sx1 * 3 + 0) * 7) % 251)"
+        " + ((s * 31 + (sy * stride + sx1 * 3 + 1) * 7) % 251)"
+        " + ((s * 31 + (sy * stride + sx1 * 3 + 2) * 7) % 251)) // 3"
+    )
+    gray2 = gray.replace("sx1", "sx2")
+    return f"""
+WITH img AS (
+  SELECT doc_id, (doc_id // {q} * {q}) AS s,
+         CAST(1 + (doc_id // {q} * {q}) % 31 AS BIGINT) AS w,
+         CAST(1 + (doc_id // {q} * {q}) % 17 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), grid AS (
+  SELECT doc_id, s, w, h, (w * 3 + 3) // 4 * 4 AS stride,
+         unnest(generate_series(0, {g - 1})) AS y
+  FROM img
+), cells AS (
+  SELECT doc_id, s, w, h, stride, y,
+         unnest(generate_series(0, {g - 2})) AS x
+  FROM grid
+), bits AS (
+  SELECT doc_id, y, x,
+         (y * h) // {g} AS sy,
+         (x * w) // {g} AS sx1,
+         ((x + 1) * w) // {g} AS sx2,
+         s, stride
+  FROM cells
+), hv AS (
+  SELECT doc_id,
+         sum(CASE WHEN ({gray}) > ({gray2})
+                  THEN (1::BIGINT << (y * {g - 1} + x)) ELSE 0 END) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
+"""
+
+
+PHASH_SQL = _phash_sql()
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
     "multimodal_real_codec": multimodal_real_codec,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_image_stats": multimodal_image_stats,
+    "image_phash_pairs": image_phash_pairs,
 }
 
 ORACLES = {
@@ -533,4 +706,5 @@ ORACLES = {
     "multimodal_real_codec": MULTIMODAL_REAL_SQL,
     "multimodal_audio_energy": AUDIO_ENERGY_SQL,
     "multimodal_image_stats": IMAGE_STATS_SQL,
+    "image_phash_pairs": PHASH_SQL,
 }

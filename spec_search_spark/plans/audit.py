@@ -583,6 +583,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "HashAggregate"],
      ["Window", "SortMergeJoin", "MapInPandas", "BroadcastHashJoin",
       "Exchange rangepartitioning"]),
+    # perceptual-hash image dedup: decode + hash kernels (MapInPandas),
+    # then the SimHash pigeonhole plan — band-keyed equi join only,
+    # never a quadratic pair path
+    ("image_phash_pairs",
+     ["MapInPandas", "Generate"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+      "Exchange rangepartitioning"]),
     # incremental dedup: band-keyed equi joins only; the verify join is
     # hash-keyed on the 8-byte shingle hash — no quadratic fallback
     ("incremental_minhash_delta",

@@ -168,3 +168,24 @@ def test_entity_resolution_structure(spark, sf_dir):
     assert per_entity.filter(F.col("n") != F.col("sz")).count() == 0
     # entity id is a member of its own cluster
     assert df.filter(F.col("entity_id") == F.col("name")).count() == per_entity.count()
+
+
+def test_phash_quads_collapse_and_symmetric(spark, sf_dir):
+    # the re-crawl fixture stores one image under every even doc_id of
+    # an 8-block: those pairs MUST appear at hamming 0, and every
+    # reported pair must be ordered and within the radius
+    from spec_search_spark.operators.multimodal import (
+        PHASH_HAM_T,
+        PHASH_QUAD,
+        image_phash_pairs,
+    )
+
+    rows = image_phash_pairs(spark, sf_dir).collect()
+    assert rows
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in rows}
+    for (d1, d2), ham in pairs.items():
+        assert d1 < d2 and 0 <= ham <= PHASH_HAM_T
+        if d1 // PHASH_QUAD == d2 // PHASH_QUAD:
+            assert ham == 0, f"identical images must hash identically {d1},{d2}"
+    # at least one full quad of evens collapses: docs 0,2,4,6
+    assert pairs.get((0, 2)) == 0 and pairs.get((0, 4)) == 0 and pairs.get((2, 6)) == 0
