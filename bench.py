@@ -139,6 +139,7 @@ HEADLINE = [
     "logreg_calibration_report",
     "variant_typed_extract",
     "image_phash_pairs",
+    "seasonal_anomaly_report",
 ]
 
 

@@ -491,6 +491,101 @@ FROM acc ORDER BY t_days
 """
 
 
+# --- seasonal baseline + residual anomalies ---------------------------------
+
+SEASONAL_SIGMA = 3.0  # |value − bucket mean| > 3σ flags an anomaly
+
+
+def seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: events bucketed by
+    (day-of-week, hour-of-day), per-bucket mean/σ of value as the
+    SEASONALITY baseline, and the count of events falling outside
+    mean ± 3σ of their own bucket — the time-structure monitor that
+    catches "normal for 3am Sunday, anomalous for 2pm Tuesday", which
+    a global outlier gate (embedding_outlier_report's value-space
+    cousin) structurally cannot.
+
+    Exactness: moments accumulate as integer cents (Σx, Σx² in
+    DECIMAL(38,0) — order-independent); mean and the unbiased σ are
+    one shared-text double expression on those exact sums; the 3σ flag
+    compares identical doubles, so both engines flag identical rows.
+
+    Plan: ONE partial+final pass builds the ≤168-row bucket-moment
+    table, broadcast back over the scan for the flag pass — the
+    standard two-scan baseline+residual monitoring shape; at 100 TB
+    the baseline table is pinned/persisted and only the flag pass
+    recurs."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    mom = ev.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cast(cents as decimal(38,0)))").alias("s1"),
+        F.expr("sum(cast(cents as decimal(38,0)) * cast(cents as decimal(38,0)))").alias(
+            "s2"
+        ),
+    )
+    stats = mom.selectExpr(
+        "dow",
+        "hod",
+        "n",
+        "cast(s1 as double) / n / 100 AS mu",
+        "CASE WHEN n < 2 THEN 0.0 ELSE"
+        " sqrt((cast(s2 as double) - cast(s1 as double) * cast(s1 as double) / n)"
+        " / (n - 1)) / 100 END AS sigma",
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), ["dow", "hod"])
+        .selectExpr(
+            "dow",
+            "hod",
+            "n",
+            "mu",
+            "sigma",
+            f"CASE WHEN abs(cents / 100.0 - mu) > {SEASONAL_SIGMA} * sigma"
+            " THEN 1 ELSE 0 END AS is_anom",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.expr("max(n)").alias("n"),
+            F.expr("round(max(mu), 4)").alias("mean_value"),
+            F.expr("round(max(sigma), 4)").alias("sigma_value"),
+            F.expr("cast(sum(is_anom) as bigint)").alias("n_anomalies"),
+        )
+    )
+    return flagged
+
+
+SEASONAL_SQL = f"""
+WITH ev AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), mom AS (
+  SELECT dow, hod, count(*) AS n,
+         sum(CAST(cents AS DECIMAL(38,0))) AS s1,
+         sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS s2
+  FROM ev GROUP BY dow, hod
+), stats AS (
+  SELECT dow, hod, n,
+         CAST(s1 AS DOUBLE) / n / 100 AS mu,
+         CASE WHEN n < 2 THEN 0.0 ELSE
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                / (n - 1)) / 100 END AS sigma
+  FROM mom
+)
+SELECT e.dow, e.hod, max(s.n) AS n,
+       round(max(s.mu), 4) AS mean_value,
+       round(max(s.sigma), 4) AS sigma_value,
+       CAST(sum(CASE WHEN abs(e.cents / 100.0 - s.mu) > {SEASONAL_SIGMA} * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM ev e JOIN stats s USING (dow, hod)
+GROUP BY e.dow, e.hod
+"""
+
+
 QUERIES = {
     "activity_streaks": activity_streaks,
     "ewma_user_value": ewma_user_value,
@@ -499,6 +594,7 @@ QUERIES = {
     "cumulative_distinct_parts": cumulative_distinct_parts,
     "ab_test_welch": ab_test_welch,
     "km_survival_curve": km_survival_curve,
+    "seasonal_anomaly_report": seasonal_anomaly_report,
 }
 
 ORACLES = {
@@ -509,4 +605,5 @@ ORACLES = {
     "cumulative_distinct_parts": CUM_DISTINCT_SQL,
     "ab_test_welch": AB_TEST_SQL,
     "km_survival_curve": KM_SQL,
+    "seasonal_anomaly_report": SEASONAL_SQL,
 }

@@ -583,6 +583,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "HashAggregate"],
      ["Window", "SortMergeJoin", "MapInPandas", "BroadcastHashJoin",
       "Exchange rangepartitioning"]),
+    # seasonal baseline: one partial+final moment pass -> broadcast of
+    # the bounded 168-row bucket table over the flag scan; no window,
+    # no sort, no Python
+    ("seasonal_anomaly_report",
+     ["partial_count", "BroadcastHashJoin", "HashAggregate"],
+     ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
     # perceptual-hash image dedup: decode + hash kernels (MapInPandas),
     # then the SimHash pigeonhole plan — band-keyed equi join only,
     # never a quadratic pair path
