@@ -140,6 +140,7 @@ HEADLINE = [
     "variant_typed_extract",
     "image_phash_pairs",
     "seasonal_anomaly_report",
+    "sql_udf_revenue",
 ]
 
 

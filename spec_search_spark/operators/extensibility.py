@@ -173,10 +173,56 @@ FROM events GROUP BY event_type
 """
 
 
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined functions (§2.11's declarative member): a
+    scalar UDF (`disc_price`) and a scalar CASE classifier
+    (`qty_band`) defined in SQL and used inside a grouped aggregation.
+    Unlike Python UDFs, SQL UDFs are INLINED by Catalyst — the audited
+    plan carries partial+final hash aggregation with ZERO
+    Python/Arrow hops, i.e. user-defined abstraction at native codegen
+    speed. This is THE extensibility mechanism to prefer at 100 TB
+    whenever the body is expressible as an expression; the
+    Python/pandas surfaces (`udtf_chunk_explode`,
+    `udaf_label_centroid`, `arrow_group_stats`) exist for bodies that
+    are not."""
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_li")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _ssu_disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _ssu_qty_band(q DOUBLE)"
+        " RETURNS STRING RETURN"
+        " CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT _ssu_qty_band(l_quantity) AS band,
+               count(*) AS n_items,
+               round(sum(_ssu_disc_price(l_extendedprice, l_discount)), 2)
+                 AS revenue
+        FROM _sqludf_li
+        GROUP BY _ssu_qty_band(l_quantity)
+        """
+    )
+
+
+SQL_UDF_SQL = """
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "udtf_chunk_explode": udtf_chunk_explode,
     "udaf_label_centroid": udaf_label_centroid,
     "arrow_group_stats": arrow_group_stats,
+    "sql_udf_revenue": sql_udf_revenue,
 }
 
 ORACLES = {
@@ -199,4 +245,5 @@ SELECT label, string_agg(q::VARCHAR, ',' ORDER BY ord) AS centroid_sig FROM (
 ) GROUP BY label
 """,
     "arrow_group_stats": ARROW_GROUP_STATS_SQL,
+    "sql_udf_revenue": SQL_UDF_SQL,
 }

@@ -583,6 +583,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "HashAggregate"],
      ["Window", "SortMergeJoin", "MapInPandas", "BroadcastHashJoin",
       "Exchange rangepartitioning"]),
+    # SQL UDFs inline into codegen: the plan must be a plain
+    # partial+final hash aggregate with ZERO Python/Arrow evaluation
+    # nodes — the point of the declarative extensibility surface
+    ("sql_udf_revenue",
+     ["partial_sum", "HashAggregate"],
+     ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDTF"]),
     # seasonal baseline: one partial+final moment pass -> broadcast of
     # the bounded 168-row bucket table over the flag scan; no window,
     # no sort, no Python
