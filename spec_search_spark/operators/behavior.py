@@ -533,8 +533,9 @@ def seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "cast(s1 as double) / n / 100 AS mu",
         "CASE WHEN n < 2 THEN 0.0 ELSE"
-        " sqrt((cast(s2 as double) - cast(s1 as double) * cast(s1 as double) / n)"
-        " / (n - 1)) / 100 END AS sigma",
+        " sqrt(greatest(0.0, (cast(s2 as double)"
+        " - cast(s1 as double) * cast(s1 as double) / n) / (n - 1))) / 100"
+        " END AS sigma",
     )
     flagged = (
         ev.join(F.broadcast(stats), ["dow", "hod"])
@@ -572,8 +573,9 @@ WITH ev AS (
   SELECT dow, hod, n,
          CAST(s1 AS DOUBLE) / n / 100 AS mu,
          CASE WHEN n < 2 THEN 0.0 ELSE
-           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                / (n - 1)) / 100 END AS sigma
+           sqrt(greatest(0.0, (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                / (n - 1))) / 100 END AS sigma
   FROM mom
 )
 SELECT e.dow, e.hod, max(s.n) AS n,

@@ -196,12 +196,15 @@ def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         " RETURNS STRING RETURN"
         " CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid' ELSE 'high' END"
     )
+    # integer-cents accumulation (bucketed.py pattern): a raw double
+    # sum under round(,2) is partition-order-sensitive at a .005
+    # boundary — the exact defect class e59cfe7 fixed in kmeans
     return spark.sql(
         """
         SELECT _ssu_qty_band(l_quantity) AS band,
                count(*) AS n_items,
-               round(sum(_ssu_disc_price(l_extendedprice, l_discount)), 2)
-                 AS revenue
+               round(sum(cast(round(_ssu_disc_price(l_extendedprice, l_discount)
+                                    * 100) as bigint)) / 1e2, 2) AS revenue
         FROM _sqludf_li
         GROUP BY _ssu_qty_band(l_quantity)
         """
@@ -212,7 +215,8 @@ SQL_UDF_SQL = """
 SELECT CASE WHEN l_quantity < 10 THEN 'low'
             WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                      AS BIGINT)) / 1e2, 2) AS revenue
 FROM lineitem
 GROUP BY 1
 """

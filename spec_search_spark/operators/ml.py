@@ -757,7 +757,14 @@ def logreg_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logreg_calibration_sql() -> str:
-    walk = _logreg_sql().rsplit(",\nscore AS (", 1)[0]
+    full = _logreg_sql()
+    sep = ",\nscore AS ("
+    if full.count(sep) != 1:  # fail LOUDLY at import if the tail drifts
+        raise AssertionError(
+            "_logreg_sql tail format changed; calibration oracle builder "
+            "must be updated in step"
+        )
+    walk = full.rsplit(sep, 1)[0]
     prev = f"it{LOGREG_ITERS}"
     return f"""{walk},
 score AS (

@@ -191,7 +191,7 @@ def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT miss-path semantics (the sibling of
     `scalar_sql.variant_shred_stats`, which covers the happy typed
     path): `try_variant_get` on an ABSENT field must be null-safe —
-    `n_missing_plan` counts rows where '$.plan' resolved, and both
+    `n_plan_present` counts rows where '$.plan' resolved, and both
     engines must agree it is 0 — while the present field groups into
     k-deciles with an exact integer-cents value sum. Schema-on-read
     columns at 100 TB are exactly this: most paths missing from most
@@ -210,7 +210,7 @@ def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").alias("sum_cents"),
             F.sum(F.when(F.col("plan").isNotNull(), 1).otherwise(0)).alias(
-                "n_missing_plan"
+                "n_plan_present"
             ),
         )
     )
@@ -221,7 +221,7 @@ SELECT CAST(json_extract(props, '$.k')::BIGINT // 10 AS INT) AS k_decile,
        count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        CAST(sum(CASE WHEN json_extract_string(props, '$.plan') IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_plan
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_plan_present
 FROM events
 GROUP BY 1
 """

@@ -42,9 +42,15 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         # the full oracle harness at an adversarial partition count
         # (prime, ≠ cores) is the direct test of that claim.
         env = os.environ.get("SPARK_GRAFT_SHUFFLE")
-        shuffle_partitions = (
-            int(env) if env else max(os.cpu_count() or 8, 8)
-        )
+        if env:
+            try:
+                shuffle_partitions = max(1, int(env))
+            except ValueError as exc:
+                raise ValueError(
+                    f"SPARK_GRAFT_SHUFFLE must be an integer, got {env!r}"
+                ) from exc
+        else:
+            shuffle_partitions = max(os.cpu_count() or 8, 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
 

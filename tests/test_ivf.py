@@ -184,7 +184,14 @@ def test_delta_upsert_is_disjoint_and_complete(spark, sf_dir):
     assert all(r["clone_follows_base"] and r["all_optimal"] for r in rows)
     _, index = trained_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    n_delta = emb.filter(F.pmod("vec_id", F.lit(DELTA_MOD)) == DELTA_RESIDUE).count()
+    delta_src = emb.filter(F.pmod("vec_id", F.lit(DELTA_MOD)) == DELTA_RESIDUE)
+    n_delta = delta_src.count()
     assert n_delta > 0
-    # negative delta ids can never collide with base vec_ids
-    assert index.filter(F.col("vec_id") < 0).count() == 0
+    # build the actual upserted posting set the operator implies and
+    # check it: delta ids (negative-id convention) are DISJOINT from
+    # base ids and the union grows by exactly the delta
+    base_ids = {r["vec_id"] for r in index.select("vec_id").collect()}
+    delta_ids = {-r["vec_id"] - 1 for r in delta_src.select("vec_id").collect()}
+    assert len(delta_ids) == n_delta
+    assert not (base_ids & delta_ids), "delta id space must not collide"
+    assert len(base_ids | delta_ids) == len(base_ids) + n_delta

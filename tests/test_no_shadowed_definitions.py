@@ -21,6 +21,11 @@ def _top_level_bindings(tree: ast.Module):
             for t in node.targets:
                 if isinstance(t, ast.Name):
                     yield t.id, node.lineno
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            # annotated bindings (`_MEMO: dict = {}`) are the memo-dict
+            # idiom this guard most needs to cover
+            if node.value is not None:
+                yield node.target.id, node.lineno
 
 
 def test_no_module_shadows_its_own_definitions():
