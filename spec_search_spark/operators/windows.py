@@ -846,6 +846,13 @@ def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered with the unique custkey tiebreak, so every rank value is a
     deterministic rational both engines compute identically.
 
+    Rounding: percent_rank/cume_dist are DYADIC rationals (denominator
+    often 2^k·m), so their 6dp-scaled values can be EXACTLY .5 —
+    where Spark's round(x, 6) goes half-away but DuckDB's scaled round
+    on doubles goes half-even (found by the sf0.1 sweep: 0.5203125 →
+    0.520313 vs 0.520312). Round-to-INTEGER is half-away in both
+    engines, so both snap via cast(round(x*1e6) as bigint)/1e6.
+
     Output: (c_custkey, c_nationkey, spend, quartile, pr, cd)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -855,13 +862,16 @@ def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     )
     w = W.partitionBy("c_nationkey").orderBy(F.desc("spend"), "c_custkey")
+    snap = lambda c: (  # noqa: E731
+        F.expr(f"cast(round(({c}) * 1e6) as bigint) / 1e6")
+    )
     return spend.select(
         "c_custkey",
         "c_nationkey",
         "spend",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        snap("percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)").alias("pr"),
+        snap("cume_dist() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)").alias("cd"),
     )
 
 
@@ -872,8 +882,8 @@ WITH spend AS (
 )
 SELECT c_custkey, c_nationkey, spend,
        ntile(4) OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd
+       CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) / 1e6 AS pr,
+       CAST(round(cume_dist() OVER w * 1e6) AS BIGINT) / 1e6 AS cd
 FROM spend JOIN customer ON o_custkey = c_custkey
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
 """
