@@ -114,7 +114,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "curr_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+        F.expr(
+            "cast(round(n / sum(n) OVER (PARTITION BY prev_type) * 1e6) as bigint) / 1e6"
+        ).alias("p"),
     )
 
 
@@ -128,7 +130,7 @@ pairs AS (SELECT prev_type, event_type AS curr_type, count(*) AS n
           FROM seq WHERE prev_type IS NOT NULL
           GROUP BY prev_type, event_type)
 SELECT prev_type, curr_type, n,
-       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+       CAST(round(n / sum(n) OVER (PARTITION BY prev_type) * 1e6) AS BIGINT) / 1e6 AS p
 FROM pairs
 """
 

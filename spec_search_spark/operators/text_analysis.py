@@ -188,7 +188,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "guess",
         "n",
-        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share_of_label"),
+        F.expr(
+            "cast(round(n / sum(n) OVER (PARTITION BY lang) * 1e6) as bigint) / 1e6"
+        ).alias("share_of_label"),
     )
 
 
@@ -197,7 +199,7 @@ WITH pairs AS (
   SELECT lang, {lang_guess_sql("text")} AS guess, count(*) AS n
   FROM documents GROUP BY 1, 2)
 SELECT lang, guess, n,
-       round(n / sum(n) OVER (PARTITION BY lang), 6) AS share_of_label
+       CAST(round(n / sum(n) OVER (PARTITION BY lang) * 1e6) AS BIGINT) / 1e6 AS share_of_label
 FROM pairs
 """
 
@@ -354,8 +356,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             "n",
-            F.round(F.col("n") / F.col("n_total"), 8).alias("share"),
-            F.round(F.sum("n").over(w) / F.col("n_total"), 8).alias("cum_share"),
+            F.expr("cast(round(n / n_total * 1e8) as bigint) / 1e8").alias("share"),
+            F.expr(
+                "cast(round(sum(n) OVER (ORDER BY n DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n_total * 1e8) as bigint) / 1e8"
+            ).alias("cum_share"),
         )
     )
 
@@ -373,10 +377,10 @@ top AS (
   ORDER BY n DESC, tok LIMIT {VOCAB_TOP}
 )
 SELECT tok, n,
-       round(n / n_total, 8) AS share,
-       round(sum(n) OVER (ORDER BY n DESC, tok
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / n_total, 8) AS cum_share
+       CAST(round(n / n_total * 1e8) AS BIGINT) / 1e8 AS share,
+       CAST(round(sum(n) OVER (ORDER BY n DESC, tok
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / n_total * 1e8) AS BIGINT) / 1e8 AS cum_share
 FROM top, total
 """
 
