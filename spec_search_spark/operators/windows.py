@@ -846,12 +846,14 @@ def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered with the unique custkey tiebreak, so every rank value is a
     deterministic rational both engines compute identically.
 
-    Rounding: percent_rank/cume_dist are DYADIC rationals (denominator
-    often 2^k·m), so their 6dp-scaled values can be EXACTLY .5 —
-    where Spark's round(x, 6) goes half-away but DuckDB's scaled round
-    on doubles goes half-even (found by the sf0.1 sweep: 0.5203125 →
-    0.520313 vs 0.520312). Round-to-INTEGER is half-away in both
-    engines, so both snap via cast(round(x*1e6) as bigint)/1e6.
+    Rounding: Spark's round(x, 6) rounds the double's SHORTEST-DECIMAL
+    string (BigDecimal.valueOf — double(333/640) prints "0.5203125",
+    HALF_UP → .520313) while DuckDB rounds the scaled PRODUCT
+    (0.5203125·1e6 = 520312.4999… → .520312), so rank-shaped rationals
+    diverge (found by the sf0.1 sweep). The snap
+    cast(round(x*1e6) as bigint)/1e6 forces BOTH engines down the
+    identical scaled-product path; contract pinned in
+    tests/test_rounding_contract.py.
 
     Output: (c_custkey, c_nationkey, spend, quartile, pr, cd)."""
     orders = _t(spark, sf_dir, "orders")
