@@ -498,6 +498,35 @@ FROM acc ORDER BY t_days
 SEASONAL_SIGMA = 3.0  # |value − bucket mean| > 3σ flags an anomaly
 
 
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dow, hod, n, mu, sigma): the ≤168-row seasonality baseline from
+    exact integer-cents DECIMAL(38,0) moments — shared by the batch
+    report and the streaming twin (which broadcasts it as the fixed
+    training-time artifact)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    mom = ev.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cast(cents as decimal(38,0)))").alias("s1"),
+        F.expr("sum(cast(cents as decimal(38,0)) * cast(cents as decimal(38,0)))").alias(
+            "s2"
+        ),
+    )
+    return mom.selectExpr(
+        "dow",
+        "hod",
+        "n",
+        "cast(s1 as double) / n / 100 AS mu",
+        "CASE WHEN n < 2 THEN 0.0 ELSE"
+        " sqrt(greatest(0.0, (cast(s2 as double)"
+        " - cast(s1 as double) * cast(s1 as double) / n) / (n - 1))) / 100"
+        " END AS sigma",
+    )
+
+
 def seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomaly detection: events bucketed by
     (day-of-week, hour-of-day), per-bucket mean/σ of value as the
@@ -522,23 +551,7 @@ def seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hod"),
         F.expr("cast(round(value * 100) as bigint)").alias("cents"),
     )
-    mom = ev.groupBy("dow", "hod").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("sum(cast(cents as decimal(38,0)))").alias("s1"),
-        F.expr("sum(cast(cents as decimal(38,0)) * cast(cents as decimal(38,0)))").alias(
-            "s2"
-        ),
-    )
-    stats = mom.selectExpr(
-        "dow",
-        "hod",
-        "n",
-        "cast(s1 as double) / n / 100 AS mu",
-        "CASE WHEN n < 2 THEN 0.0 ELSE"
-        " sqrt(greatest(0.0, (cast(s2 as double)"
-        " - cast(s1 as double) * cast(s1 as double) / n) / (n - 1))) / 100"
-        " END AS sigma",
-    )
+    stats = seasonal_baseline(spark, sf_dir)
     flagged = (
         ev.join(F.broadcast(stats), ["dow", "hod"])
         .selectExpr(

@@ -547,12 +547,68 @@ def stream_psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_per_bin(per_bin)
 
 
+def stream_seasonal_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `behavior.seasonal_anomaly_report`: the
+    (day-of-week × hour) baseline (mean/σ from exact integer-cents
+    moments) is fixed up front from the reference snapshot — the
+    training-time artifact, exactly like `stream_psi_drift`'s bin
+    edges — and the stream carries ONLY the per-bucket
+    [n, n_anomalies] counts as state: ≤ 168 rows at any stream volume.
+    Same output and oracle as the batch operator."""
+    from spec_search_spark.operators.behavior import SEASONAL_SIGMA, seasonal_baseline
+
+    name = f"seasonal_stream_{uuid.uuid4().hex[:8]}"
+    base = seasonal_baseline(spark, sf_dir)  # bounded: ≤168 rows
+    ev = _events_stream(spark, sf_dir).select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    flagged = ev.join(F.broadcast(base), ["dow", "hod"]).selectExpr(
+        "dow",
+        "hod",
+        f"CASE WHEN abs(cents / 100.0 - mu) > {SEASONAL_SIGMA} * sigma"
+        " THEN 1 ELSE 0 END AS is_anom",
+    )
+    agg = flagged.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum("is_anom").alias("n_anom"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_seasonal_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name)
+    return counts.join(F.broadcast(base), ["dow", "hod"]).selectExpr(
+        "dow",
+        "hod",
+        "n",
+        "round(mu, 4) AS mean_value",
+        "round(sigma, 4) AS sigma_value",
+        "cast(n_anom as bigint) AS n_anomalies",
+    )
+
+
 def _import_psi_sql() -> str:
     # same one-row result as the batch drift score: the stream twin's
     # oracle IS the batch oracle (stream_hourly_counts precedent)
     from spec_search_spark.operators.drift import PSI_SQL
 
     return PSI_SQL
+
+
+def _import_seasonal_sql() -> str:
+    from spec_search_spark.operators.behavior import SEASONAL_SQL
+
+    return SEASONAL_SQL
 
 
 QUERIES = {
@@ -564,6 +620,7 @@ QUERIES = {
     "stream_sliding_counts": stream_sliding_counts_query,
     "stream_heavy_users": stream_heavy_users_query,
     "stream_psi_drift": stream_psi_drift_query,
+    "stream_seasonal_anomaly": stream_seasonal_anomaly_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -574,6 +631,7 @@ ORACLES = {
     "stream_sliding_counts": STREAM_SLIDING_SQL,
     "stream_heavy_users": STREAM_CMS_SQL,
     "stream_psi_drift": _import_psi_sql(),
+    "stream_seasonal_anomaly": _import_seasonal_sql(),
 }
 
 

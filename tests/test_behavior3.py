@@ -219,3 +219,22 @@ def test_km_survival_is_monotone_and_bounded(spark, sf_dir):
         assert r["survival"] <= last + 1e-9  # survival never increases
         last = r["survival"]
         assert r["n_risk"] >= r["n_churned"] + r["n_censored"] >= 1
+
+
+def test_stream_seasonal_equals_batch(spark, sf_dir):
+    # the streaming twin (fixed baseline broadcast + bounded bucket
+    # state) must reproduce the batch report exactly
+    from spec_search_spark.operators.behavior import seasonal_anomaly_report
+    from spec_search_spark.streaming.incremental import (
+        stream_seasonal_anomaly_query,
+    )
+
+    b = {
+        (r["dow"], r["hod"]): (r["n"], r["mean_value"], r["sigma_value"], r["n_anomalies"])
+        for r in seasonal_anomaly_report(spark, sf_dir).collect()
+    }
+    s = {
+        (r["dow"], r["hod"]): (r["n"], r["mean_value"], r["sigma_value"], r["n_anomalies"])
+        for r in stream_seasonal_anomaly_query(spark, sf_dir).collect()
+    }
+    assert b == s and len(b) > 0
