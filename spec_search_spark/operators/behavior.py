@@ -448,7 +448,14 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_churned"),
         F.col("c").alias("n_censored"),
         F.when(F.col("dead_seen") == 1, F.lit(0.0))
-        .otherwise(F.expr(f"round(exp(cum_lf / {KM_LN_SCALE}.0), 6)"))
+        .otherwise(
+            F.expr(
+                # FIXTURES rule 2/5: snap the transcendental output onto the
+                # 1e-6 grid via integer round (half-away-from-zero in both
+                # engines), never round(x, n) on a double.
+                f"cast(round(exp(cum_lf / {KM_LN_SCALE}.0) * 1e6) as bigint) / 1e6"
+            )
+        )
         .alias("survival"),
     ).orderBy("t_days")
 
@@ -464,14 +471,16 @@ users AS (
          date_diff('day', last_day, wend) < {KM_CENSOR_DAYS} AS censored
   FROM per_user CROSS JOIN bounds
 ), per_t AS (
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT; the driver's value-hash is
+  -- type-width-sensitive, so pin every integer aggregate to BIGINT.
   SELECT t,
-         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS d,
-         sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
   FROM users GROUP BY t
 ), at_risk AS (
   SELECT t, d, c,
-         sum(d + c) OVER (ORDER BY t DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+         CAST(sum(d + c) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
   FROM per_t
 ), lf AS (
   SELECT t, d, c, n_risk,
@@ -488,7 +497,8 @@ users AS (
 )
 SELECT t AS t_days, n_risk, d AS n_churned, c AS n_censored,
        CASE WHEN dead_seen = 1 THEN 0.0
-            ELSE round(exp(cum_lf / {KM_LN_SCALE}.0), 6) END AS survival
+            ELSE CAST(round(exp(cum_lf / {KM_LN_SCALE}.0) * 1e6) AS BIGINT) / 1e6
+       END AS survival
 FROM acc ORDER BY t_days
 """
 

@@ -122,7 +122,8 @@ def bucketed_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_AGG_SQL = """
 SELECT l_orderkey AS orderkey,
        count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_c4
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_c4
 FROM lineitem
 GROUP BY l_orderkey
 """

@@ -512,9 +512,9 @@ WITH img AS (
   FROM rows_y
 )
 SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
-       sum((doc_id * 31 + (y * stride + x * 3 + 0) * 7) % 251) AS sum_b,
-       sum((doc_id * 31 + (y * stride + x * 3 + 1) * 7) % 251) AS sum_g,
-       sum((doc_id * 31 + (y * stride + x * 3 + 2) * 7) % 251) AS sum_r
+       CAST(sum((doc_id * 31 + (y * stride + x * 3 + 0) * 7) % 251) AS BIGINT) AS sum_b,
+       CAST(sum((doc_id * 31 + (y * stride + x * 3 + 1) * 7) % 251) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 31 + (y * stride + x * 3 + 2) * 7) % 251) AS BIGINT) AS sum_r
 FROM px GROUP BY doc_id
 """
 

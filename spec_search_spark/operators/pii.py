@@ -125,8 +125,9 @@ c AS (SELECT source,
              length(regexp_extract_all(aug, '{URL_RE}')) AS u
       FROM aug)
 SELECT source, COUNT(*) AS docs,
-       SUM(CASE WHEN e + p + i + u > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-       SUM(e) AS emails, SUM(p) AS phones, SUM(i) AS ipv4s, SUM(u) AS urls
+       CAST(SUM(CASE WHEN e + p + i + u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(e) AS BIGINT) AS emails, CAST(SUM(p) AS BIGINT) AS phones,
+       CAST(SUM(i) AS BIGINT) AS ipv4s, CAST(SUM(u) AS BIGINT) AS urls
 FROM c GROUP BY source ORDER BY source
 """
 
@@ -162,12 +163,12 @@ PII_REDACT_SQL = f"""
 WITH aug AS ({_AUG_SQL}),
 r AS (SELECT source, length(aug) AS raw_len, {_RED_EXPR} AS red FROM aug)
 SELECT source, COUNT(*) AS docs,
-       SUM(raw_len) AS raw_chars,
-       SUM(length(red)) AS redacted_chars,
-       SUM(length(regexp_extract_all(red, '{EMAIL_RE}'))
+       CAST(SUM(raw_len) AS BIGINT) AS raw_chars,
+       CAST(SUM(length(red)) AS BIGINT) AS redacted_chars,
+       CAST(SUM(length(regexp_extract_all(red, '{EMAIL_RE}'))
            + length(regexp_extract_all(red, '{PHONE_RE}'))
            + length(regexp_extract_all(red, '{IPV4_RE}'))
-           + length(regexp_extract_all(red, '{URL_RE}'))) AS residual_pii
+           + length(regexp_extract_all(red, '{URL_RE}'))) AS BIGINT) AS residual_pii
 FROM r GROUP BY source ORDER BY source
 """
 

@@ -382,7 +382,8 @@ SELECT g.probe_id, g.n_exact,
        COALESCE(napp.n_approx, 0) AS n_approx, g.n_hits,
        round(g.n_hits / {float(TOP_K)}, 4) AS recall_at_k
 FROM (SELECT e.probe_id, COUNT(*) AS n_exact,
-             SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+             CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
       FROM exact e LEFT JOIN appx a
         ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
       GROUP BY e.probe_id) g

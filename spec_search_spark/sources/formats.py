@@ -227,7 +227,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 XML_ROUNDTRIP_SQL = """
 SELECT r_name, count(*) AS n_nations,
-       sum(length(n_name)) AS name_chars
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """

@@ -48,3 +48,43 @@ def test_arrays_compare_elementwise():
     c = norm_rows(["v"], [([2.0, 1.0],)])
     assert a != b
     assert a != c  # order inside an array cell is significant
+
+
+def test_risky_type_gate_flags_uncast_hugeint():
+    """The round-4 driver reds: DuckDB sum(BIGINT) returns HUGEINT and the
+    driver's value-hash is type-width-sensitive. The gate must flag it."""
+    import duckdb
+
+    from selfcheck import risky_oracle_types
+
+    con = duckdb.connect()
+    rel = con.sql("SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    assert risky_oracle_types(rel.columns, rel.types) == [("s", "HUGEINT")]
+    ok = con.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    )
+    assert risky_oracle_types(ok.columns, ok.types) == []
+
+
+def test_all_registered_oracles_are_hugeint_free():
+    """Type-scan every oracle_sql() text: binding (not execution) against the
+    sf0.001 views must produce no HUGEINT/DECIMAL/unsigned output column —
+    the class that turned km_survival_curve and bucketed_agg_revenue red in
+    round 4 despite value-identical results."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from selfcheck import risky_oracle_types
+    from spec_search_spark.catalog import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        rel = con.sql(sql)  # lazy: binds types without executing
+        risky = risky_oracle_types(rel.columns, rel.types)
+        if risky:
+            offenders[name] = risky
+    assert not offenders, f"driver-hostile oracle output types: {offenders}"

@@ -20,6 +20,30 @@ from spec_search_spark.catalog import TABLES  # noqa: E402
 from spec_search_spark.session import get_spark  # noqa: E402
 
 
+#: DuckDB output types the driver's value-hash mishandles: HUGEINT (and
+#: friends) leave the int64 lane when fetched (object/float columns), so a
+#: value-identical result still hash-mismatches. Oracles must CAST to BIGINT.
+RISKY_TYPE_KEYWORDS = (
+    "HUGEINT",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "DECIMAL",
+)
+
+
+def risky_oracle_types(columns, types):
+    """(col, type) pairs whose DuckDB type would leave the int64/double
+    lane in the driver's hash — type-width hygiene the value comparison
+    below (which collapses Python int widths) can never see."""
+    return [
+        (c, str(t))
+        for c, t in zip(columns, types)
+        if any(k in str(t).upper() for k in RISKY_TYPE_KEYWORDS)
+    ]
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -75,10 +99,15 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            risky = risky_oracle_types(dcols, rel.types)
             drows = rel.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            continue
+        if risky:
+            failures.append(name)
+            print(f"FAIL {name}: oracle emits driver-hostile types {risky}")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
