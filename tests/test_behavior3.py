@@ -238,3 +238,80 @@ def test_stream_seasonal_equals_batch(spark, sf_dir):
         for r in stream_seasonal_anomaly_query(spark, sf_dir).collect()
     }
     assert b == s and len(b) > 0
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, 'YYYY-MM-DD', user_id). Single-file parquet so both
+    Spark (load_table) and DuckDB (the oracle view) read the same bytes."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime.fromisoformat(r[1] + "T12:00:00") for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_km_survival_with_real_churn(spark, tmp_path):
+    """The shipped testdata censors 100% of users (survival constantly 1.0),
+    so the estimator's churn branch — the nano-nat ln/exp product and the
+    d == n_risk dead cut — never ran on checked data. Synthetic cohort with
+    known lifetimes: churn at t=0/3/10, mixed churn+censor ties, and a
+    lone max-lifetime churner that triggers the dead cut (S -> 0.0).
+
+    Closed form: S(0)=7/9, S(3)=7/9*4/5, S(10)=that*1/3, S(20)=0."""
+    import duckdb
+
+    from spec_search_spark.operators.behavior import KM_SQL, km_survival_curve
+
+    # wend = 2024-02-01 (u8). censored iff wend - last_day < 7.
+    events = [
+        (1, "2024-01-01", 1),                        # t=0  churned
+        (2, "2024-01-02", 2),                        # t=0  churned
+        (3, "2024-01-30", 3),                        # t=0  censored
+        (4, "2024-01-01", 4), (5, "2024-01-04", 4),  # t=3  churned
+        (6, "2024-01-27", 5), (7, "2024-01-30", 5),  # t=3  censored
+        (8, "2024-01-05", 6), (9, "2024-01-15", 6),  # t=10 churned
+        (10, "2024-01-03", 7), (11, "2024-01-13", 7),  # t=10 churned
+        (12, "2024-02-01", 8),                       # t=0  censored, sets wend
+        (13, "2024-01-01", 9), (14, "2024-01-21", 9),  # t=20 churned: dead cut
+    ]
+    sf = _write_events(tmp_path, events)
+    rows = km_survival_curve(spark, sf).collect()
+
+    got = {r["t_days"]: r for r in rows}
+    assert sorted(got) == [0, 3, 10, 20]
+    assert (got[0]["n_risk"], got[0]["n_churned"], got[0]["n_censored"]) == (9, 2, 2)
+    assert (got[3]["n_risk"], got[3]["n_churned"], got[3]["n_censored"]) == (5, 1, 1)
+    assert (got[10]["n_risk"], got[10]["n_churned"], got[10]["n_censored"]) == (3, 2, 0)
+    assert (got[20]["n_risk"], got[20]["n_churned"], got[20]["n_censored"]) == (1, 1, 0)
+
+    s0, s3 = 7 / 9, 7 / 9 * 4 / 5
+    s10 = s3 * (1 / 3)
+    assert abs(got[0]["survival"] - s0) < 1e-5
+    assert abs(got[3]["survival"] - s3) < 1e-5
+    assert abs(got[10]["survival"] - s10) < 1e-5
+    assert got[20]["survival"] == 0.0  # dead cut: d == n_risk
+
+    # cross-engine: the DuckDB oracle must agree bit-exactly on the fixture
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    oracle = con.sql(KM_SQL).fetchall()
+    spark_tuples = [
+        (r["t_days"], r["n_risk"], r["n_churned"], r["n_censored"], r["survival"])
+        for r in rows
+    ]
+    assert spark_tuples == [tuple(o) for o in oracle]
