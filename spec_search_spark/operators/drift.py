@@ -17,11 +17,12 @@ itself has no statistics at all — `README.md:12-17` features only).
   bins are defined; each bin's term is rounded to integer nano-units
   BEFORE the sum, so the 6dp PSI is order-independent.
 
-Scale notes: both tests collapse the data to a bounded table first —
-KS to the distinct-cents table (distinct-value-sized state, the same
-contract as `percentiles_distributed`), PSI to 10 bins — via one
-partial+final aggregation each; the window/cumulative passes touch
-only those bounded tables. The half-window split and bin edges derive
+Scale notes: both tests collapse the data with one partial+final
+aggregation first — KS to the distinct-cents table, PSI to 10 bins.
+Distinct prices are ~order-count, so KS's cumulative counts use a
+two-phase range-bucketed prefix sum (per-bucket windows in parallel +
+a KS_BUCKETS-row global offset table) — no window ever serializes an
+O(n) table through one task. The half-window split and bin edges derive
 from one tiny bounds aggregate, broadcast back (one row).
 """
 
@@ -36,6 +37,7 @@ from spec_search_spark.session import tune
 
 KS_A, KS_B = "1-URGENT", "5-LOW"
 KS_CRIT = 1.358  # c(alpha) for alpha = 0.05, two-sided, large-sample
+KS_BUCKETS = 64  # range buckets for the distributed cumulative counts
 
 PSI_BINS = 10
 PSI_SCALE = 1_000_000_000  # per-bin terms as integer nano-units
@@ -56,10 +58,62 @@ def ks_test_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("c2"),
     )
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
-    cum = per_v.select(
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c2").over(w).alias("cum2"),
+    # Distinct cents ≈ number of orders (prices are nearly unique), so a
+    # global ORDER BY window here would serialize an O(n) table through one
+    # task. Two-phase prefix sum instead (same shape as balanced_shards):
+    # range-bucket the value domain from a one-row bounds aggregate, run the
+    # cumulative window PER BUCKET (parallel), and add each bucket's
+    # exclusive global offset from a KS_BUCKETS-row table — the only global
+    # window runs over those 64 rows by construction.
+    bounds = per_v.groupBy().agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    bucketed = per_v.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        "c1",
+        "c2",
+        F.least(
+            F.lit(KS_BUCKETS - 1),
+            (
+                (F.col("cents") - F.col("lo"))
+                * F.lit(KS_BUCKETS)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+        ).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    # exclusive prefix over the ≤ KS_BUCKETS-row bucket table via a
+    # triangular broadcast self-join (sum of strictly-lower buckets) — the
+    # quadratic term is 64², constant, and it avoids the unpartitioned
+    # global window (the single-task shape this rewrite exists to remove)
+    lo_side = per_bucket.select(
+        F.col("bucket").alias("lb"),
+        F.col("b1").alias("lb1"),
+        F.col("b2").alias("lb2"),
+    )
+    offsets = (
+        per_bucket.join(
+            F.broadcast(lo_side), F.col("lb") < F.col("bucket"), "left"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("lb1"), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("lb2"), F.lit(0)).alias("off2"),
+        )
+    )
+    w_loc = W.partitionBy("bucket").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = (
+        bucketed.withColumn("l1", F.sum("c1").over(w_loc))
+        .withColumn("l2", F.sum("c2").over(w_loc))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            (F.col("off1") + F.col("l1")).alias("cum1"),
+            (F.col("off2") + F.col("l2")).alias("cum2"),
+        )
     )
     tot = per_v.groupBy().agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     agg = (

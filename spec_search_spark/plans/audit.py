@@ -645,9 +645,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_min", "Window"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin"]),
     # KS: the two samples collapse to the distinct-cents table by ONE
-    # partial agg; cumulative + max run over that bounded table
+    # partial agg; the cumulative counts run as per-range-bucket windows
+    # (hashpartitioning(bucket) — parallel) + a 64-row offset table; the
+    # only SinglePartition exchange in the plan is that bounded table's
     ("ks_test_priority_revenue",
-     ["partial_sum", "Window"],
+     ["partial_sum", "Window", "hashpartitioning(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin"]),
     # PSI: 10-bin partial agg; the bounds row broadcasts back — no
     # window at all, no global sort
