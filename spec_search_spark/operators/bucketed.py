@@ -70,7 +70,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per order priority through the bucketed lineitem⋈orders
     join — same answer as the plain join (the oracle runs on the
-    original parquet), but the plan carries no exchange on orderkey."""
+    original parquet), but the plan carries no exchange on orderkey.
+
+    FIXTURES rule 3: the revenue sum accumulates in exact integer
+    cents-4 (like its agg sibling below) and only converts to the 4dp
+    grid at output — a double sum rounded at a coarser 2dp grid would
+    let ~1e-13 accumulation-order noise pick the side of an exact
+    x.xx5 boundary (Spark's partial-agg order ≠ DuckDB's scan order)."""
     tune(spark)
     li_name, ord_name = _bucketed_tables(spark, sf_dir)
     li = spark.table(li_name)
@@ -80,8 +86,9 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * (1.0 - l_discount) * 10000)"
+                " as bigint)) as double) / 1e4"
             ).alias("revenue"),
         )
     )
@@ -90,7 +97,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_JOIN_SQL = """
 SELECT o_orderpriority,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS DOUBLE) / 1e4 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

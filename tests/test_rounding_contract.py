@@ -46,3 +46,37 @@ def test_integer_snap_agrees_on_the_same_value(spark):
     duck = duckdb.sql(f"SELECT {expr}").fetchone()[0]
     sp = spark.sql(f"SELECT {expr}").collect()[0][0]
     assert duck == sp == 0.520312
+
+
+def test_grid_sum_snap_form_is_order_independent(spark):
+    """Rule 3 (the bucketed_join_revenue fix): summing 4dp-grid products
+    as DOUBLES then rounding at a coarser 2dp grid lets accumulation
+    order pick the side of an exact x.xx5 boundary — Spark's partial-agg
+    order differs from DuckDB's scan order, so the flake is cross-engine.
+    The integer cents-4 accumulation is exact, hence order-independent."""
+    # double addition is order-sensitive (ulp(1e16)=2 absorbs the 1.0
+    # in one order and not the other)…
+    vals = [1.0, 1e16, -1e16]
+    assert sum(vals) != sum(reversed(vals))
+    # …integer cents-4 accumulation is not, under ANY partitioning
+    from pyspark.sql import functions as F
+
+    rows = [(float(v),) for v in [2.675, 0.005, 1.115, 3.0, 0.0001] * 20]
+    df = spark.createDataFrame(rows, "p double")
+    form = "cast(sum(cast(round(p * 10000) as bigint)) as double) / 1e4"
+    outs = {
+        df.repartition(n).agg(F.expr(form).alias("r")).collect()[0]["r"]
+        for n in (1, 3, 17)
+    }
+    assert len(outs) == 1
+    # and the snap form is bit-identical across engines on the same rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v, in rows])
+    duck = con.sql(
+        "SELECT CAST(CAST(sum(CAST(round(p * 10000) AS BIGINT)) AS BIGINT)"
+        " AS DOUBLE) / 1e4 FROM t"
+    ).fetchone()[0]
+    assert duck == outs.pop()
