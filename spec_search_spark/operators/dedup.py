@@ -40,7 +40,7 @@ from spec_search_spark.functions.text import (
     RE_TOKEN_SPLIT,
     make_poly_hash_udf,
 )
-from spec_search_spark.session import tune
+from spec_search_spark.session import spread, tune
 
 P = FP_MOD  # 2^31-1, prime
 N_HASHES = 16
@@ -159,13 +159,12 @@ def shingle_postings(
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    # repartition: the docs table arrives as few parquet splits; fan
-    # out BEFORE the explode so every core gets work (at 100 TB the
-    # source has thousands of splits and this is a no-op knob).
-    # cache: every consumer reads these postings 2-3×.
-    par = spark.sparkContext.defaultParallelism
+    # spread: fan out BEFORE the explode so every core gets work when
+    # the docs table arrives as few parquet splits; gated on the scan's
+    # split count, so at 100 TB (thousands of splits) NO shuffle of the
+    # raw text happens. cache: every consumer reads these postings 2-3×.
     postings = _materialize(
-        docs.repartition(par, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", _tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(_shingles_from_toks(F.col("toks"))).alias("shingle"))
     )

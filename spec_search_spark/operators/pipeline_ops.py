@@ -45,7 +45,7 @@ from spec_search_spark.operators.dedup import (
     dedup_clusters,
     hashed_shingle_postings,
 )
-from spec_search_spark.session import tune
+from spec_search_spark.session import spread, tune
 
 # Whitespace token count, inlined for SQL mirrors (same fold as
 # functions.text.token_count / TOKEN_STATS_SQL).
@@ -57,6 +57,9 @@ _TOKCOUNT_SQL = (
 
 def _token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
+
+
+_spread = spread  # session.spread: gate the fan-out on the scan's split count
 
 
 # --- benchmark decontamination ---------------------------------------------
@@ -359,8 +362,7 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    toks_df = docs.repartition(par, "doc_id").select(
+    toks_df = _spread(docs, "doc_id").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
     ratio = toks_df.select(
@@ -488,9 +490,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id partitioning the tf histogram already has."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     tf = _materialize(
-        docs.repartition(par, "doc_id")
+        _spread(docs, "doc_id")
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

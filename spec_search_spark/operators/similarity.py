@@ -48,7 +48,7 @@ from spec_search_spark.functions.vector import (
 from spec_search_spark.operators.text_analysis import CHUNK_OVERLAP, CHUNK_SIZE
 from spec_search_spark.functions.text import chunk_at, chunk_fixed_sql, chunk_indices
 from spec_search_spark.functions.sheets import composite_id
-from spec_search_spark.session import tune
+from spec_search_spark.session import spread, tune
 
 TOP_K = 10          # reference default n_results (app.py:50-52)
 N_PROBES = 5
@@ -615,12 +615,11 @@ def chunked_docs_df(docs: DataFrame) -> DataFrame:
     Fans out to full parallelism before the chunk-explode (and the
     embed pandas_udf downstream) — the local test table arrives as one
     parquet split and would otherwise run the whole stage on one core
-    (at 100 TB the source has thousands of splits and the repartition
-    no-ops cost-wise, while guaranteeing embed-stage parallelism after
-    selective filters)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    (gated on the scan's split count: at 100 TB the source has
+    thousands of splits and NO text shuffle happens, while local
+    single-split scans still fan out for embed-stage parallelism)."""
     return (
-        docs.repartition(par, "doc_id")
+        spread(docs, "doc_id")
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))  # P1
         .select(
             "doc_id",

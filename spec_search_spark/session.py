@@ -78,3 +78,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark, shuffle_partitions)
+
+
+def spread(df, *keys: str):
+    """Repartition on ``keys`` ONLY when the plan is under-parallel
+    (e.g. a single-file local parquet scan). At 100 TB the scan already
+    has thousands of splits, so an unconditional repartition would be a
+    pure extra wide shuffle of the full-width rows (raw text / payload
+    columns) that downstream map-side partial aggregations never
+    needed. Checking ``rdd.getNumPartitions()`` compiles the physical
+    plan but runs no job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys)
