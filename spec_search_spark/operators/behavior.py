@@ -576,8 +576,13 @@ def seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hod")
         .agg(
             F.expr("max(n)").alias("n"),
-            F.expr("round(max(mu), 4)").alias("mean_value"),
-            F.expr("round(max(sigma), 4)").alias("sigma_value"),
+            # snap, don't round: mu = cents_sum/(100·n) terminates exactly on
+            # a 4dp boundary for n = 2^a·5^b, where round(x, 4) diverges
+            # between engines (FIXTURES rule 2)
+            F.expr("cast(round(max(mu) * 1e4) as bigint) / 1e4").alias("mean_value"),
+            F.expr("cast(round(max(sigma) * 1e4) as bigint) / 1e4").alias(
+                "sigma_value"
+            ),
             F.expr("cast(sum(is_anom) as bigint)").alias("n_anomalies"),
         )
     )
@@ -604,8 +609,8 @@ WITH ev AS (
   FROM mom
 )
 SELECT e.dow, e.hod, max(s.n) AS n,
-       round(max(s.mu), 4) AS mean_value,
-       round(max(s.sigma), 4) AS sigma_value,
+       CAST(round(max(s.mu) * 1e4) AS BIGINT) / 1e4 AS mean_value,
+       CAST(round(max(s.sigma) * 1e4) AS BIGINT) / 1e4 AS sigma_value,
        CAST(sum(CASE WHEN abs(e.cents / 100.0 - s.mu) > {SEASONAL_SIGMA} * s.sigma
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM ev e JOIN stats s USING (dow, hod)

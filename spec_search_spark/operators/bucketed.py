@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import tune
+from spec_search_spark.session import prune_memo, tune
 
 N_BUCKETS = 8
 
@@ -63,6 +63,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .mode("overwrite")
             .saveAsTable(ord_name)
         )
+        prune_memo(_BUCKETED, key[0])
         _BUCKETED[key] = (li_name, ord_name)
     return _BUCKETED[key]
 

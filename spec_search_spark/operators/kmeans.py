@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
+from spec_search_spark.session import prune_memo
 from spec_search_spark.functions.vector import (
     dot,
     dot_sql,
@@ -120,6 +121,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(N_ITERS):
             assigned = _assign(emb, cent)
             cent = _update(assigned, cent).localCheckpoint(eager=True)
+        prune_memo(_CENTROID_MEMO, key[0])
         _CENTROID_MEMO[key] = cent
     return _CENTROID_MEMO[key]
 
@@ -142,16 +144,19 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a double sum of the rounded values is order-sensitive at ~1e-13,
     which flipped the final 4dp round at a .00005 boundary on the
     sf0.001 corpus; the integer sum is order-independent at any
-    parallelism and the one division afterward is identical IEEE in
-    both engines."""
+    parallelism. The 4dp output snaps IN INTEGER SPACE
+    (round(micro/100) is round-to-integer — half-away-from-zero in
+    both engines per FIXTURES rule 1) — a round(x, 4) on the scaled
+    double diverges between engines exactly when the micro-sum ends
+    in 50 (the .00005 boundary)."""
     return (
         _final_assignment(spark, sf_dir)
         .groupBy(F.col("cid").alias("cluster"))
         .agg(
             F.count("*").alias("n"),
             F.expr(
-                "round(cast(sum(cast(round(dist2 * 1e6) as bigint)) as double)"
-                " / 1e6, 4)"
+                "cast(round(cast(sum(cast(round(dist2 * 1e6) as bigint)) as double)"
+                " / 100.0) as bigint) / 1e4"
             ).alias("inertia"),
         )
     )
@@ -264,8 +269,8 @@ SELECT vec_id, cid AS cluster, dist2 FROM af
 KMEANS_SIZES_SQL = f"""
 {_kmeans_ctes()}
 SELECT cid AS cluster, count(*) AS n,
-       round(CAST(sum(CAST(round(dist2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 4)
-         AS inertia
+       CAST(round(CAST(sum(CAST(round(dist2 * 1e6) AS BIGINT)) AS DOUBLE) / 100.0)
+            AS BIGINT) / 1e4 AS inertia
 FROM af GROUP BY cid
 """
 

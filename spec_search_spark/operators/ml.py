@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import tokens
 from spec_search_spark.operators.dedup import _POLY_SQL, _poly_hash
-from spec_search_spark.session import tune
+from spec_search_spark.session import prune_memo, tune
 
 # --------------------------------------------------------------------------
 # PCA via power iteration on an exact-integer covariance matrix
@@ -114,6 +114,7 @@ def _covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(sum(p) / max(n)) as bigint)").alias("g")
     )
     g = g.localCheckpoint(eager=True)
+    prune_memo(_GRAM_MEMO, memo_key[0])
     _GRAM_MEMO[memo_key] = g
     return g
 
@@ -504,16 +505,21 @@ _LR_P6 = (
 _LR_W8 = "CAST(floor((p6 * (1000000.0 - p6)) / 10000.0) AS BIGINT)"
 _LR_R6 = "y * 1000000 - p6"
 
+# per-row products run with a DECIMAL(38,0) leading operand so they never
+# pass through int64: x1_4 = n_tok·100, so x1_4·x1_4·w8 overflows BIGINT
+# for docs with n_tok ≳ 5,000 — Spark (non-ANSI) would wrap silently while
+# DuckDB raises, i.e. silent wrong β vs a crash. DECIMAL(38,0)·BIGINT
+# multiplies to DECIMAL(38,0) identically in both engines (tested).
 _LR_MOMS = [
-    ("s00", "sum(CAST(100000000 * w8 AS DECIMAL(38,0)))"),
-    ("s01", "sum(CAST(10000 * x1_4 * w8 AS DECIMAL(38,0)))"),
-    ("s02", "sum(CAST(10000 * x2_4 * w8 AS DECIMAL(38,0)))"),
-    ("s11", "sum(CAST(x1_4 * x1_4 * w8 AS DECIMAL(38,0)))"),
-    ("s12", "sum(CAST(x1_4 * x2_4 * w8 AS DECIMAL(38,0)))"),
-    ("s22", "sum(CAST(x2_4 * x2_4 * w8 AS DECIMAL(38,0)))"),
-    ("g0n", "sum(CAST(10000 * r6 AS DECIMAL(38,0)))"),
-    ("g1n", "sum(CAST(x1_4 * r6 AS DECIMAL(38,0)))"),
-    ("g2n", "sum(CAST(x2_4 * r6 AS DECIMAL(38,0)))"),
+    ("s00", "sum(CAST(CAST(100000000 AS DECIMAL(38,0)) * w8 AS DECIMAL(38,0)))"),
+    ("s01", "sum(CAST(CAST(10000 AS DECIMAL(38,0)) * x1_4 * w8 AS DECIMAL(38,0)))"),
+    ("s02", "sum(CAST(CAST(10000 AS DECIMAL(38,0)) * x2_4 * w8 AS DECIMAL(38,0)))"),
+    ("s11", "sum(CAST(CAST(x1_4 AS DECIMAL(38,0)) * x1_4 * w8 AS DECIMAL(38,0)))"),
+    ("s12", "sum(CAST(CAST(x1_4 AS DECIMAL(38,0)) * x2_4 * w8 AS DECIMAL(38,0)))"),
+    ("s22", "sum(CAST(CAST(x2_4 AS DECIMAL(38,0)) * x2_4 * w8 AS DECIMAL(38,0)))"),
+    ("g0n", "sum(CAST(CAST(10000 AS DECIMAL(38,0)) * r6 AS DECIMAL(38,0)))"),
+    ("g1n", "sum(CAST(CAST(x1_4 AS DECIMAL(38,0)) * r6 AS DECIMAL(38,0)))"),
+    ("g2n", "sum(CAST(CAST(x2_4 AS DECIMAL(38,0)) * r6 AS DECIMAL(38,0)))"),
     ("b06", "max(b06)"),
     ("b16", "max(b16)"),
     ("b26", "max(b26)"),
@@ -616,6 +622,7 @@ def _trained_logreg(
         beta = sa.selectExpr(
             *[f"{e} AS {n}" for n, e in _LR_STAGE_B]
         ).localCheckpoint(eager=True)
+    prune_memo(_BETA_MEMO, key[0])
     _BETA_MEMO[key] = (feats, beta)
     return _BETA_MEMO[key]
 

@@ -1114,9 +1114,12 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = per.groupBy().agg(
         F.sum("n_f").alias("n_g"), F.sum("s_f").alias("s_g")
     )
+    # snap, don't round: the encoding is an arbitrary rational whose
+    # denominator (n_s - n_f + α) can be 2^a·5^b — a terminating decimal
+    # where round(x, 6) diverges between engines (FIXTURES rule 2)
     enc = (
-        "round((s_s - s_f + {a} * (s_g / cast(n_g as double)))"
-        " / cast(n_s - n_f + {a} as double), 6)"
+        "cast(round((s_s - s_f + {a} * (s_g / cast(n_g as double)))"
+        " / cast(n_s - n_f + {a} as double) * 1e6) as bigint) / 1e6"
     ).format(a=TE_ALPHA)
     return (
         per.join(F.broadcast(per_src), "source")
@@ -1144,8 +1147,9 @@ WITH base AS (
   SELECT source, sum(n_f) AS n_s, sum(s_f) AS s_s FROM per GROUP BY source
 ), gtot AS (SELECT sum(n_f) AS n_g, sum(s_f) AS s_g FROM per)
 SELECT p.source, CAST(p.fold AS INT) AS fold, CAST(p.n_f AS BIGINT) AS n_f,
-       round((s.s_s - p.s_f + {TE_ALPHA} * (g.s_g / CAST(g.n_g AS DOUBLE)))
-             / CAST(s.n_s - p.n_f + {TE_ALPHA} AS DOUBLE), 6) AS encoding
+       CAST(round((s.s_s - p.s_f + {TE_ALPHA} * (g.s_g / CAST(g.n_g AS DOUBLE)))
+             / CAST(s.n_s - p.n_f + {TE_ALPHA} AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS encoding
 FROM per p JOIN per_src s USING (source) CROSS JOIN gtot g
 """
 

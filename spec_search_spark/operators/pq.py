@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
+from spec_search_spark.session import prune_memo
 from spec_search_spark.functions.vector import l2_squared, l2_squared_sql
 
 M_SUB = 8          # subspaces
@@ -131,6 +132,7 @@ def _trained_book(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     for _ in range(N_PQ_ITERS):
         assigned = _assign_codes(sv, book)
         book = _update_codebook(assigned, book).localCheckpoint(eager=True)
+    prune_memo(_BOOK_MEMO, key[0])
     _BOOK_MEMO[key] = (sv, book)
     return _BOOK_MEMO[key]
 

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
+from spec_search_spark.session import prune_memo
 from spec_search_spark.functions.text import (
     FP_BASE,
     FP_MOD,
@@ -119,6 +120,7 @@ def _window_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spec_search_spark.operators.dedup import _materialize
 
     hits = _materialize(wins.join(dup, "wh").select("doc_id", "pos"))
+    prune_memo(_HITS_MEMO, memo_key[0])
     _HITS_MEMO[memo_key] = hits
     return hits
 

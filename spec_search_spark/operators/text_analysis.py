@@ -583,11 +583,13 @@ def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
         F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("n_ot"),
     )
+    # snap, don't round: χ² is an arbitrary rational; terminating 7-digit
+    # decimals make round(x, 6) engine-divergent (FIXTURES rule 2)
     chi2 = (
-        "round(((n_en + n_ot) * pow(CAST(a AS DOUBLE) * (n_ot - b)"
+        "cast(round(((n_en + n_ot) * pow(CAST(a AS DOUBLE) * (n_ot - b)"
         " - CAST(b AS DOUBLE) * (n_en - a), 2))"
         " / (CAST(a + b AS DOUBLE) * (n_en + n_ot - a - b)"
-        " * n_en * n_ot), 6)"
+        " * n_en * n_ot) * 1e6) as bigint) / 1e6"
     )
     return (
         per_tok.filter(F.col("a") + F.col("b") >= CHI2_MIN_DF)
@@ -615,10 +617,10 @@ pres AS (
   FROM d
 )
 SELECT tok, CAST(a AS BIGINT) AS n_en_docs, CAST(b AS BIGINT) AS n_other_docs,
-       round(((n_en + n_ot) * pow(CAST(a AS DOUBLE) * (n_ot - b)
+       CAST(round(((n_en + n_ot) * pow(CAST(a AS DOUBLE) * (n_ot - b)
               - CAST(b AS DOUBLE) * (n_en - a), 2))
              / (CAST(a + b AS DOUBLE) * (n_en + n_ot - a - b)
-              * n_en * n_ot), 6) AS chi2
+              * n_en * n_ot) * 1e6) AS BIGINT) / 1e6 AS chi2
 FROM per_tok CROSS JOIN marg
 WHERE a + b >= {CHI2_MIN_DF}
 ORDER BY chi2 DESC, tok ASC

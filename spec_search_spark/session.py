@@ -92,3 +92,17 @@ def spread(df, *keys: str):
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par, *keys)
+
+
+def prune_memo(memo: dict, app_id: str, cap: int = 8) -> None:
+    """Evict module-level memo entries from other (stopped) sessions and
+    cap per-memo size. Memo keys are (applicationId, ...) tuples; a local
+    process has one live session at a time and applicationIds are never
+    reused, so any entry under a different app id belongs to a stopped
+    session — holding it would pin localCheckpoint blocks and cached
+    plans for process lifetime (a slow leak in long-lived multi-corpus
+    harness processes). Call BEFORE inserting a new entry."""
+    for k in [k for k in memo if k[0] != app_id]:
+        memo.pop(k, None)
+    while len(memo) >= cap:
+        memo.pop(next(iter(memo)), None)

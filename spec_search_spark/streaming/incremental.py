@@ -591,8 +591,8 @@ def stream_seasonal_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame
         "dow",
         "hod",
         "n",
-        "round(mu, 4) AS mean_value",
-        "round(sigma, 4) AS sigma_value",
+        "cast(round(mu * 1e4) as bigint) / 1e4 AS mean_value",
+        "cast(round(sigma * 1e4) as bigint) / 1e4 AS sigma_value",
         "cast(n_anom as bigint) AS n_anomalies",
     )
 
