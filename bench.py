@@ -164,9 +164,19 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # min of 3 runs: the VM shows ~3x wall-clock jitter between
-    # identical executions; the minimum is the stable throughput signal.
-    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
+    # min of N runs (VERDICT r4 #7: n >= 5, spread recorded): the VM
+    # shows ~3x wall-clock jitter between identical executions; the
+    # minimum is the stable throughput signal, and the per-query
+    # max-min spread is kept in the ledger so a cross-round swing is
+    # attributable to contention vs code. Must run on an otherwise
+    # idle machine (BASELINE standing rule).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in HEADLINE:
+        samples = [run(name) for _ in range(n_runs)]
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     # Machine calibration: a fixed shuffle-agg microbench (1M rows,
     # groupBy 1000 keys) so per-round numbers can be normalized across
@@ -192,6 +202,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration_shuffle_agg_1m_sec": calib,
+        "run_policy": f"min_of_{n_runs}_exclusive_machine",
+        "spread_max_minus_min": spreads,
     }
     prev_name, prev, this_round = _previous_round()
     regressions: dict[str, float] = {}
@@ -251,6 +263,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration_shuffle_agg_1m_sec": calib,
+        "run_policy": full["run_policy"],
         "full_record": full_name,
     }
     if regressions:
