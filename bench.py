@@ -141,6 +141,15 @@ HEADLINE = [
     "image_phash_pairs",
     "seasonal_anomaly_report",
     "sql_udf_revenue",
+    # round-5: rank statistics (distributed tie-aware rank walks) +
+    # corpus information diagnostics
+    "mannwhitney_priority_revenue",
+    "spearman_qty_price",
+    "mad_outlier_orders",
+    "token_entropy_by_lang",
+    "js_divergence_en_de",
+    "vocab_growth_by_source",
+    "source_shingle_containment",
 ]
 
 

@@ -12,6 +12,7 @@ def all_queries():
         behavior,
         bm25,
         bucketed,
+        corpus_info,
         dedup,
         drift,
         extensibility,
@@ -28,6 +29,7 @@ def all_queries():
         pii,
         pipeline_ops,
         pq,
+        rank_stats,
         relational,
         runtime_filter,
         scalar_sql,
@@ -59,6 +61,8 @@ def all_queries():
         lm_quality,
         dedup,
         drift,
+        rank_stats,
+        corpus_info,
         span_dedup,
         similarity,
         multimodal,

@@ -1,0 +1,327 @@
+"""Corpus information-theoretic diagnostics — the entropy / divergence /
+vocabulary-growth numbers a training-data pipeline tracks per source and
+per language to catch collapsed, duplicated, or drifting text feeds
+(reference north star: corpus curation; the reference ships no corpus
+statistics — `/root/reference/README.md:12-17`).
+
+* `token_entropy_by_lang` — Shannon entropy (nats) of each language's
+  unigram token distribution: H = ln N − (1/N)·Σ c·ln c. Every ln sees
+  an integer count (FIXTURES rule 5); each Σ-term is snapped to integer
+  nano-nats BEFORE the sum and accumulated in DECIMAL(38,0) so the fold
+  is order-independent at any parallelism and any corpus size.
+* `js_divergence_en_de` — generalized (sample-weighted) Jensen–Shannon
+  divergence between the EN and DE token distributions, via the
+  identity JS_π = ln N − (n1·ln n1 + n2·ln n2)/N + T/N with
+  T = Σ_tok [c1·ln c1 + c2·ln c2 − (c1+c2)·ln(c1+c2)] — again every
+  transcendental sees an integer count and every Σ-term is snapped.
+  (JS_π with π = sample shares is exactly the token↔group mutual
+  information, so this doubles as an association score.)
+* `vocab_growth_by_source` — per-source vocabulary report: token count,
+  type count, hapax count (tokens seen once), type-token ratio and
+  hapax share (6dp snap) — the Heaps-law health check that catches a
+  source whose text generator collapsed.
+
+Scale notes: everything reduces to (group, token) count tables —
+partial-agg shuffles keyed by token, no row-level windows, no driver
+collects. The per-term nano-nat snap keeps transcendental sums exact
+across engines AND across partitionings; DECIMAL(38,0) accumulators
+survive 1e12-token groups (c·ln c·1e9 overflows int64 near c ≈ 7e8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import tokens
+from spec_search_spark.session import tune
+
+NAT_SCALE = 1_000_000_000  # per-term snap: integer nano-nats
+
+#: c·ln(c) snapped to nano-nats, as SQL text identical in both engines
+#: (ln of an integer count only — FIXTURES rule 5).
+_CLNC = f"cast(round({{c}} * ln({{c}}) * {NAT_SCALE}) as bigint)"
+
+JS_A, JS_B = "en", "de"
+
+
+def _lang_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per lang: token count, type count, Shannon entropy in
+    nats (6dp snap) of the unigram distribution."""
+    tune(spark)
+    per = _lang_token_counts(spark, sf_dir)
+    acc = per.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.expr(f"cast({_CLNC.format(c='c')} as decimal(38,0))")
+        ).alias("s_clnc"),
+    )
+    return acc.select(
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr(
+            "cast(round((ln(n_tokens)"
+            f" - cast(s_clnc as double) / {NAT_SCALE} / n_tokens) * 1e6)"
+            " as bigint) / 1e6"
+        ).alias("entropy_nats_6"),
+    ).orderBy("lang")
+
+
+ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+), per AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok
+), acc AS (
+  SELECT lang, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(CAST(CAST(round(c * ln(c) * {NAT_SCALE}) AS BIGINT)
+                  AS DECIMAL(38,0))) AS s_clnc
+  FROM per GROUP BY lang
+)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(round((ln(n_tokens)
+            - CAST(s_clnc AS DOUBLE) / {NAT_SCALE} / n_tokens) * 1e6)
+            AS BIGINT) / 1e6 AS entropy_nats_6
+FROM acc ORDER BY lang
+"""
+
+
+def js_divergence_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: token totals for both languages, shared type count, and
+    the sample-weighted Jensen–Shannon divergence in nats (6dp snap).
+
+    Per-token term c1·ln c1 + c2·ln c2 − (c1+c2)·ln(c1+c2) is snapped
+    to nano-nats and summed exactly; the three global ln's combine in
+    one final fixed-arity double expression, snapped."""
+    tune(spark)
+    per = (
+        _lang_token_counts(spark, sf_dir)
+        .filter(F.col("lang").isin(JS_A, JS_B))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("lang") == JS_A, F.col("c")).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(F.when(F.col("lang") == JS_B, F.col("c")).otherwise(0)).alias(
+                "c2"
+            ),
+        )
+    )
+    term = (
+        f"cast(round(((case when c1 > 0 then c1 * ln(c1) else 0.0 end)"
+        f" + (case when c2 > 0 then c2 * ln(c2) else 0.0 end)"
+        f" - (c1 + c2) * ln(c1 + c2)) * {NAT_SCALE}) as bigint)"
+    )
+    acc = per.groupBy().agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.expr("case when c1 > 0 and c2 > 0 then 1 else 0 end")).alias(
+            "shared_types"
+        ),
+        F.sum(F.expr(f"cast({term} as decimal(38,0))")).alias("t_n"),
+    )
+    return acc.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("shared_types").cast("bigint").alias("shared_types"),
+        F.expr(
+            "cast(round((ln(n1 + n2)"
+            " - (n1 * ln(n1) + n2 * ln(n2)) / (n1 + n2)"
+            f" + cast(t_n as double) / {NAT_SCALE} / (n1 + n2)) * 1e6)"
+            " as bigint) / 1e6"
+        ).alias("js_nats_6"),
+    )
+
+
+JS_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents WHERE lang IN ('{JS_A}', '{JS_B}')
+), lt AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok
+), per AS (
+  SELECT tok,
+         sum(CASE WHEN lang = '{JS_A}' THEN c ELSE 0 END) AS c1,
+         sum(CASE WHEN lang = '{JS_B}' THEN c ELSE 0 END) AS c2
+  FROM lt GROUP BY tok
+), acc AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2,
+         sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS shared_types,
+         sum(CAST(CAST(round(((CASE WHEN c1 > 0 THEN c1 * ln(c1) ELSE 0.0 END)
+               + (CASE WHEN c2 > 0 THEN c2 * ln(c2) ELSE 0.0 END)
+               - (c1 + c2) * ln(c1 + c2)) * {NAT_SCALE}) AS BIGINT)
+             AS DECIMAL(38,0))) AS t_n
+  FROM per
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(shared_types AS BIGINT) AS shared_types,
+       CAST(round((ln(n1 + n2)
+            - (n1 * ln(n1) + n2 * ln(n2)) / (n1 + n2)
+            + CAST(t_n AS DOUBLE) / {NAT_SCALE} / (n1 + n2)) * 1e6)
+            AS BIGINT) / 1e6 AS js_nats_6
+FROM acc
+"""
+
+
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per source: n_tokens, n_types, hapax count, type-token
+    ratio and hapax share (6dp snaps) — ordered by source."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    acc = per.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.expr("case when c = 1 then 1 else 0 end")).alias("hapax"),
+    )
+    return acc.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("hapax").cast("bigint").alias("hapax"),
+        F.expr(
+            "cast(round(n_types / cast(n_tokens as double) * 1e6) as bigint) / 1e6"
+        ).alias("ttr_6"),
+        F.expr(
+            "cast(round(hapax / cast(n_types as double) * 1e6) as bigint) / 1e6"
+        ).alias("hapax_share_6"),
+    ).orderBy("source")
+
+
+VOCAB_GROWTH_SQL = """
+WITH toks AS (
+  SELECT source, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+), per AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+), acc AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM per GROUP BY source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types, CAST(hapax AS BIGINT) AS hapax,
+       CAST(round(n_types / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS ttr_6,
+       CAST(round(hapax / CAST(n_types AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS hapax_share_6
+FROM acc ORDER BY source
+"""
+
+
+def source_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram containment matrix: for each ordered source
+    pair (a, b) sharing at least one distinct word-3-gram,
+    containment(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    (6dp snap) — the cheap "is source A a subset of source B" probe a
+    feed-dedup pass runs before committing to MinHash.
+
+    Plan: distinct (source, shingle) → self-join keyed on shingle
+    (shuffle ∝ postings, never all-pairs of documents) → per-pair
+    counts joined to the broadcast per-source totals (≤ #sources rows).
+    """
+    tune(spark)
+    from spec_search_spark.operators.dedup import _shingles_from_toks
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        docs.select("source", tokens(F.col("text")).alias("toks"))
+        .select(
+            "source", F.explode(_shingles_from_toks(F.col("toks"))).alias("sh")
+        )
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_sh").cast("bigint").alias("n_sh_a"),
+            F.expr(
+                "cast(round(n_common / cast(n_sh as double) * 1e6) as bigint)"
+                " / 1e6"
+            ).alias("containment_6"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS sh
+  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - 2, 0))) AS t(i)
+), totals AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_sh AS BIGINT) AS n_sh_a,
+       CAST(round(n_common / CAST(n_sh AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS containment_6
+FROM pairs JOIN totals ON totals.source = pairs.src_a
+ORDER BY src_a, src_b
+"""
+
+
+QUERIES = {
+    "token_entropy_by_lang": token_entropy_by_lang,
+    "js_divergence_en_de": js_divergence_en_de,
+    "vocab_growth_by_source": vocab_growth_by_source,
+    "source_shingle_containment": source_shingle_containment,
+}
+
+ORACLES = {
+    "token_entropy_by_lang": ENTROPY_SQL,
+    "js_divergence_en_de": JS_SQL,
+    "vocab_growth_by_source": VOCAB_GROWTH_SQL,
+    "source_shingle_containment": CONTAINMENT_SQL,
+}

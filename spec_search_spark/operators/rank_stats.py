@@ -1,0 +1,373 @@
+"""Rank-based statistics — the nonparametric drift/association tests a
+corpus-curation platform runs when distributions are heavy-tailed and a
+mean-based test (Welch, `behavior.ab_test_welch`) is the wrong tool
+(reference north star: the pipeline's quality monitors; the reference
+itself ships no statistics — `/root/reference/README.md:12-17`).
+
+* `mannwhitney_priority_revenue` — two-sample Mann–Whitney U (rank-sum)
+  between URGENT and LOW `o_totalprice`, tie-aware with the standard
+  tie-corrected normal approximation. The rank machinery is EXACT:
+  with integer cents, tied groups share the integer "double average
+  rank" 2·cum_before + c + 1, so 2·R1 is a pure integer sum.
+* `spearman_qty_price` — Spearman rank correlation between
+  `l_quantity` and `l_extendedprice` over lineitem: Pearson on
+  tie-averaged ranks, with every rank and every moment an exact
+  integer (double-ranks; DECIMAL(38,0) moment sums per the _LR_MOMS
+  width rule) until one final fixed-arity double expression, snapped.
+* `mad_outlier_orders` — robust outlier gate on `o_totalprice`:
+  lower-median + MAD (both exact integer cents via the distributed
+  rank walk), outliers at |x − med| > round(3·1.4826·MAD).
+
+Scale notes: all three collapse to distinct-value count tables first
+(distinct cents ≈ row count), then compute cumulative counts with the
+range-bucketed two-phase prefix sum from `drift.ks_test_priority_revenue`
+— per-bucket windows in parallel plus a ≤64-row broadcast offset table;
+no window ever serializes an O(n) table through one task. Rank-sum and
+moment accumulators are DECIMAL(38,0) so the arithmetic survives
+n ~ 1e10 rows without int64 overflow (ADVICE r4 on _LR_MOMS). The only
+doubles are final fixed-arity expressions over exact integers,
+evaluated from identical SQL text in both engines and snapped to the
+1e-6 grid (FIXTURES rules 1/2/5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.session import tune
+
+MW_A, MW_B = "1-URGENT", "5-LOW"
+Z_CRIT = 1.959964  # two-sided alpha = 0.05
+RANK_BUCKETS = 64  # range buckets for the distributed prefix sums
+MAD_K = 3.0 * 1.4826  # 3 robust sigmas (normal-consistency constant)
+
+
+def _bucketed_cum(per_v: DataFrame, val: str, counts: list[str]) -> DataFrame:
+    """Inclusive global cumulative sums of `counts` ordered by `val`,
+    without a global single-task window: range-bucket the value domain
+    from a one-row bounds aggregate, run the cumulative window PER
+    BUCKET (parallel), and add each bucket's exclusive offset from a
+    ≤RANK_BUCKETS-row broadcast table (triangular self-join, 64² max).
+
+    Input: one row per distinct `val` with integer count columns.
+    Output: input columns plus `cum_<c>` (inclusive) per count column.
+    """
+    bounds = per_v.groupBy().agg(
+        F.min(val).alias("lo"), F.max(val).alias("hi")
+    )
+    bucketed = per_v.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(RANK_BUCKETS - 1),
+            (
+                (F.col(val) - F.col("lo"))
+                * F.lit(RANK_BUCKETS)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+        ),
+    ).drop("lo", "hi")
+    per_bucket = bucketed.groupBy("bucket").agg(
+        *[F.sum(c).alias(f"b_{c}") for c in counts]
+    )
+    lo_side = per_bucket.select(
+        F.col("bucket").alias("lb"),
+        *[F.col(f"b_{c}").alias(f"lb_{c}") for c in counts],
+    )
+    offsets = (
+        per_bucket.join(F.broadcast(lo_side), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"lb_{c}"), F.lit(0)).alias(f"off_{c}")
+                for c in counts
+            ]
+        )
+    )
+    w_loc = W.partitionBy("bucket").orderBy(val).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = bucketed
+    for c in counts:
+        out = out.withColumn(f"l_{c}", F.sum(c).over(w_loc))
+    out = out.join(F.broadcast(offsets), "bucket")
+    for c in counts:
+        out = out.withColumn(f"cum_{c}", F.col(f"off_{c}") + F.col(f"l_{c}"))
+    return out.drop(
+        "bucket", *[f"l_{c}" for c in counts], *[f"off_{c}" for c in counts]
+    )
+
+
+def mannwhitney_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: n per sample, the exact DOUBLED U statistic for the
+    URGENT side (2·U1 — integer even under tie-averaged half-ranks),
+    the tie-corrected z (6dp snap), and the α=0.05 two-sided
+    decision."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(MW_A, MW_B)
+    )
+    per_v = (
+        o.select(
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+            (F.col("o_orderpriority") == MW_A).alias("a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("c2"),
+        )
+        .withColumn("c", F.col("c1") + F.col("c2"))
+    )
+    cum = _bucketed_cum(per_v, "cents", ["c"])
+    # 2·avg-rank of a tied group = 2·(cum-before) + c + 1 — integer.
+    # 2·R1 = Σ c1·(2·cum_before + c + 1); tie term Σ (c³ − c).
+    acc = cum.groupBy().agg(
+        F.sum(
+            F.expr("cast(c1 as decimal(38,0)) * (2 * (cum_c - c) + c + 1)")
+        ).alias("r1x2"),
+        F.sum(
+            F.expr("cast(c as decimal(38,0)) * c * c - c")
+        ).alias("tie3"),
+    )
+    tot = per_v.groupBy().agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    z_expr = (
+        "(cast(r1x2 as double) - n1 * (cast(n1 as double) + n2 + 1))"
+        " / (2 * sqrt((cast(n1 as double) * n2 / 12)"
+        " * ((n1 + n2 + 1)"
+        "    - cast(tie3 as double) / ((cast(n1 as double) + n2) * (n1 + n2 - 1)))))"
+    )
+    return acc.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.expr(
+            "cast(r1x2 - cast(n1 as decimal(38,0)) * (n1 + 1) as bigint)"
+        ).alias("u1x2"),
+        F.expr(f"cast(round(({z_expr}) * 1e6) as bigint) / 1e6").alias("z_6"),
+        F.expr(f"abs({z_expr}) > {Z_CRIT}").alias("reject_05"),
+    )
+
+
+MW_SQL = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority = '{MW_A}' AS a
+  FROM orders WHERE o_orderpriority IN ('{MW_A}', '{MW_B}')
+), per_v AS (
+  SELECT cents,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS c2,
+         count(*) AS c
+  FROM base GROUP BY cents
+), cum AS (
+  SELECT c1, c, coalesce(sum(c) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM per_v
+), acc AS (
+  SELECT sum(CAST(c1 AS DECIMAL(38,0)) * (2 * cumb + c + 1)) AS r1x2,
+         sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+  FROM cum
+), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM per_v)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT) AS u1x2,
+       CAST(round(((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + n2 + 1))
+         / (2 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+             * ((n1 + n2 + 1)
+                - CAST(tie3 AS DOUBLE) / ((CAST(n1 AS DOUBLE) + n2) * (n1 + n2 - 1))))))
+         * 1e6) AS BIGINT) / 1e6 AS z_6,
+       abs((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + n2 + 1))
+         / (2 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+             * ((n1 + n2 + 1)
+                - CAST(tie3 AS DOUBLE) / ((CAST(n1 AS DOUBLE) + n2) * (n1 + n2 - 1))))))
+         > {Z_CRIT} AS reject_05
+FROM acc CROSS JOIN tot
+"""
+
+
+def _double_ranks(per_v: DataFrame, val: str) -> DataFrame:
+    """(val, dr) where dr = 2·tie-averaged-rank (exact integer):
+    dr = 2·cum_before + c + 1 over the distinct-value count table."""
+    cum = _bucketed_cum(per_v, val, ["c"])
+    return cum.select(
+        val, (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("dr")
+    )
+
+
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: n, Spearman rho (6dp snap) between l_quantity and
+    l_extendedprice — Pearson over exact integer double-ranks."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_quantity) as bigint)").alias("q"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p"),
+    )
+    q_ranks = _double_ranks(
+        li.groupBy(F.col("q").alias("v")).agg(F.count("*").alias("c")), "v"
+    ).withColumnRenamed("dr", "rx")
+    p_ranks = _double_ranks(
+        li.groupBy(F.col("p").alias("v")).agg(F.count("*").alias("c")), "v"
+    ).withColumnRenamed("dr", "ry")
+    # l_quantity has ~50 distinct values → its rank table broadcasts;
+    # the price rank table joins on its value key (shuffle ∝ distinct
+    # prices, the same key the groupBy already shuffled on).
+    ranked = (
+        li.join(F.broadcast(q_ranks.withColumnRenamed("v", "q")), "q")
+        .join(p_ranks.withColumnRenamed("v", "p"), "p")
+        .select("rx", "ry")
+    )
+    moms = ranked.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(rx as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(ry as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(rx as decimal(38,0)) * rx")).alias("sxx"),
+        F.sum(F.expr("cast(ry as decimal(38,0)) * ry")).alias("syy"),
+        F.sum(F.expr("cast(rx as decimal(38,0)) * ry")).alias("sxy"),
+    )
+    rho = (
+        "(n * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+        " / sqrt((n * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+        "      * (n * cast(syy as double) - cast(sy as double) * cast(sy as double)))"
+    )
+    return moms.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"cast(round(({rho}) * 1e6) as bigint) / 1e6").alias("rho_6"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH li AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+), qr AS (
+  SELECT q, 2 * coalesce(sum(c) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx
+  FROM (SELECT q, count(*) AS c FROM li GROUP BY q)
+), pr AS (
+  SELECT p, 2 * coalesce(sum(c) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry
+  FROM (SELECT p, count(*) AS c FROM li GROUP BY p)
+), ranked AS (
+  SELECT qr.rx, pr.ry FROM li JOIN qr USING (q) JOIN pr USING (p)
+), moms AS (
+  SELECT count(*) AS n,
+         sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+         sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+         sum(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+         sum(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+         sum(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         * 1e6) AS BIGINT) / 1e6 AS rho_6
+FROM moms
+"""
+
+
+def _lower_median(per_v: DataFrame, val: str) -> DataFrame:
+    """One-row DataFrame (med BIGINT): smallest `val` whose inclusive
+    cumulative count reaches ceil(n/2) — the type-1 (lower) median,
+    integer-exact and identical in both engines (no interpolation)."""
+    cum = _bucketed_cum(per_v, val, ["c"])
+    tot = per_v.groupBy().agg(F.sum("c").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum_c >= (n + 1) div 2"))
+        .groupBy()
+        .agg(F.min(val).alias("med"))
+    )
+
+
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: n, median cents, MAD cents (both exact lower-medians),
+    the integer outlier threshold round(3·1.4826·MAD), the outlier
+    count, and the outlier share (6dp snap)."""
+    tune(spark)
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v")
+    )
+    per_v = cents.groupBy("v").agg(F.count("*").alias("c"))
+    med = _lower_median(per_v, "v")
+    dev = cents.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    per_d = dev.groupBy(F.col("d").alias("v")).agg(F.count("*").alias("c"))
+    mad = _lower_median(per_d, "v").withColumnRenamed("med", "mad")
+    gate = (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            "mad",
+            F.expr(f"cast(round({MAD_K} * mad) as bigint)").alias("thr"),
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mad").alias("mad_cents"),
+            F.max("thr").alias("thr_cents"),
+            F.sum(F.expr("case when d > thr then 1 else 0 end")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+    return gate.crossJoin(F.broadcast(med)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("med").alias("med_cents"),
+        "mad_cents",
+        "thr_cents",
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        F.expr(
+            "cast(round(n_outliers / cast(n as double) * 1e6) as bigint) / 1e6"
+        ).alias("outlier_share_6"),
+    )
+
+
+MAD_SQL = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM (SELECT v, count(*) AS c FROM cents GROUP BY v)
+), tot AS (SELECT count(*) AS n FROM cents),
+med AS (
+  SELECT min(v) AS med FROM cum CROSS JOIN tot WHERE cc >= (n + 1) // 2
+), dev AS (
+  SELECT abs(v - med) AS d FROM cents CROSS JOIN med
+), dcum AS (
+  SELECT d, sum(c) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM (SELECT d, count(*) AS c FROM dev GROUP BY d)
+), mad AS (
+  SELECT min(d) AS mad FROM dcum CROSS JOIN tot WHERE cc >= (n + 1) // 2
+), gate AS (
+  SELECT count(*) AS n, max(mad) AS mad_cents,
+         max(CAST(round({MAD_K} * mad) AS BIGINT)) AS thr_cents,
+         sum(CASE WHEN d > CAST(round({MAD_K} * mad) AS BIGINT)
+                  THEN 1 ELSE 0 END) AS n_outliers
+  FROM dev CROSS JOIN mad
+)
+SELECT CAST(n AS BIGINT) AS n, med AS med_cents, mad_cents, thr_cents,
+       CAST(n_outliers AS BIGINT) AS n_outliers,
+       CAST(round(n_outliers / CAST(n AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS outlier_share_6
+FROM gate CROSS JOIN med
+"""
+
+
+QUERIES = {
+    "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
+    "spearman_qty_price": spearman_qty_price,
+    "mad_outlier_orders": mad_outlier_orders,
+}
+
+ORACLES = {
+    "mannwhitney_priority_revenue": MW_SQL,
+    "spearman_qty_price": SPEARMAN_SQL,
+    "mad_outlier_orders": MAD_SQL,
+}

@@ -656,6 +656,38 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("psi_value_drift",
      ["partial_sum"],
      ["CartesianProduct", "Window", "MapInPandas", "Exchange rangepartitioning"]),
+    # Mann-Whitney: same bucketed rank walk as KS — cumulative windows
+    # run per range bucket, never over one global partition
+    ("mannwhitney_priority_revenue",
+     ["partial_sum", "hashpartitioning(bucket"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
+    # Spearman: both rank tables come from bucketed walks; the small
+    # quantity rank table broadcasts back onto the fact rows
+    ("spearman_qty_price",
+     ["partial_count", "BroadcastHashJoin", "hashpartitioning(bucket"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # MAD: two lower-median rank walks; medians broadcast back as
+    # one-row tables (BroadcastNestedLoopJoin is the bounded crossJoin)
+    ("mad_outlier_orders",
+     ["partial_count", "hashpartitioning(bucket"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # corpus entropy/JS/vocab: pure partial+final agg chains keyed by
+    # (group, token) — no windows, no joins, no Python workers
+    ("token_entropy_by_lang",
+     ["partial_count"],
+     ["CartesianProduct", "Window", "MapInPandas", "SortMergeJoin"]),
+    ("js_divergence_en_de",
+     ["partial_sum"],
+     ["CartesianProduct", "Window", "MapInPandas", "SortMergeJoin"]),
+    ("vocab_growth_by_source",
+     ["partial_count"],
+     ["CartesianProduct", "Window", "MapInPandas", "SortMergeJoin"]),
+    # containment: postings self-join keyed on the shingle; per-source
+    # totals broadcast back; never an all-pairs document product
+    ("source_shingle_containment",
+     ["partial_count", "BroadcastHashJoin"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
 ]
 
 

@@ -1,0 +1,218 @@
+"""Rank-stats + corpus-info invariants (value parity vs DuckDB is
+selfcheck's job) — each statistic is re-derived from the collected raw
+sample with an independent pure-Python reference implementation."""
+
+from __future__ import annotations
+
+import math
+
+
+def _collect_cents(spark, sf_dir, priority):
+    from spec_search_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    return [
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == priority)
+        .select(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .collect()
+    ]
+
+
+def test_mannwhitney_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.operators.rank_stats import (
+        MW_A,
+        MW_B,
+        mannwhitney_priority_revenue,
+    )
+
+    row = mannwhitney_priority_revenue(spark, sf_dir).first()
+    a = _collect_cents(spark, sf_dir, MW_A)
+    b = _collect_cents(spark, sf_dir, MW_B)
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+
+    # direct tie-averaged rank-sum over the merged sample
+    merged = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    r1x2 = 0  # doubled rank-sum of sample A
+    tie3 = 0
+    i = 0
+    while i < len(merged):
+        j = i
+        while j < len(merged) and merged[j][0] == merged[i][0]:
+            j += 1
+        c = j - i
+        dr = 2 * i + c + 1  # doubled average rank (ranks are 1-based)
+        r1x2 += dr * sum(1 for k in range(i, j) if merged[k][1] == 0)
+        tie3 += c**3 - c
+        i = j
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    assert row["u1x2"] == u1x2
+
+    n = n1 + n2
+    mu2 = n1 * n2  # doubled mean of U
+    var = (n1 * n2 / 12) * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u1x2 - mu2) / (2 * math.sqrt(var))
+    assert abs(row["z_6"] - z) < 2e-6
+    assert row["reject_05"] == (abs(z) > 1.959964)
+
+
+def _avg_ranks(values):
+    """value -> tie-averaged rank (float), 1-based."""
+    out = {}
+    s = sorted(values)
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        out[s[i]] = (i + 1 + j) / 2
+        i = j
+    return out
+
+
+def test_spearman_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.rank_stats import spearman_qty_price
+    from pyspark.sql import functions as F
+
+    row = spearman_qty_price(spark, sf_dir).first()
+    pairs = [
+        (r[0], r[1])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr("cast(round(l_quantity) as bigint)"),
+            F.expr("cast(round(l_extendedprice * 100) as bigint)"),
+        )
+        .collect()
+    ]
+    assert row["n"] == len(pairs)
+    rx = _avg_ranks([p[0] for p in pairs])
+    ry = _avg_ranks([p[1] for p in pairs])
+    xs = [rx[p[0]] for p in pairs]
+    ys = [ry[p[1]] for p in pairs]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(row["rho_6"] - rho) < 2e-6
+    assert -1.0 <= row["rho_6"] <= 1.0
+
+
+def test_mad_outliers_match_direct_reference(spark, sf_dir):
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.rank_stats import (
+        MAD_K,
+        mad_outlier_orders,
+    )
+    from pyspark.sql import functions as F
+
+    row = mad_outlier_orders(spark, sf_dir).first()
+    xs = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .collect()
+    )
+    n = len(xs)
+    med = xs[(n + 1) // 2 - 1]  # lower median
+    devs = sorted(abs(x - med) for x in xs)
+    mad = devs[(n + 1) // 2 - 1]
+    thr = round(MAD_K * mad)
+    n_out = sum(1 for d in devs if d > thr)
+    assert (row["n"], row["med_cents"], row["mad_cents"]) == (n, med, mad)
+    assert (row["thr_cents"], row["n_outliers"]) == (thr, n_out)
+    assert abs(row["outlier_share_6"] - n_out / n) < 2e-6
+
+
+def _lang_counts(spark, sf_dir, langs=None):
+    from spec_search_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    if langs:
+        docs = docs.filter(F.col("lang").isin(*langs))
+    counts: dict = {}
+    for lang, text in docs.collect():
+        for tok in text.strip().split():
+            counts.setdefault(lang, {})
+            counts[lang][tok] = counts[lang].get(tok, 0) + 1
+    return counts
+
+
+def test_entropy_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.operators.corpus_info import token_entropy_by_lang
+
+    rows = {r["lang"]: r for r in token_entropy_by_lang(spark, sf_dir).collect()}
+    counts = _lang_counts(spark, sf_dir)
+    assert set(rows) == set(counts)
+    for lang, cs in counts.items():
+        n = sum(cs.values())
+        h = -sum((c / n) * math.log(c / n) for c in cs.values())
+        r = rows[lang]
+        assert (r["n_tokens"], r["n_types"]) == (n, len(cs))
+        assert abs(r["entropy_nats_6"] - h) < 2e-6
+        assert 0.0 <= r["entropy_nats_6"] <= math.log(n) + 1e-9
+
+
+def test_js_divergence_matches_direct_pooled_reference(spark, sf_dir):
+    """The ln-identity form must equal the textbook sample-weighted JS:
+    JS_pi = H(pooled) - pi1*H(P) - pi2*H(Q)."""
+    from spec_search_spark.operators.corpus_info import (
+        JS_A,
+        JS_B,
+        js_divergence_en_de,
+    )
+
+    row = js_divergence_en_de(spark, sf_dir).first()
+    counts = _lang_counts(spark, sf_dir, [JS_A, JS_B])
+    c1, c2 = counts[JS_A], counts[JS_B]
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["shared_types"] == len(set(c1) & set(c2))
+
+    def h(cs):
+        n = sum(cs.values())
+        return -sum((c / n) * math.log(c / n) for c in cs.values())
+
+    pooled: dict = {}
+    for t, c in list(c1.items()) + list(c2.items()):
+        pooled[t] = pooled.get(t, 0) + c
+    n = n1 + n2
+    js = h(pooled) - (n1 / n) * h(c1) - (n2 / n) * h(c2)
+    assert abs(row["js_nats_6"] - js) < 2e-6
+    # bounded by the entropy of the weights (<= ln 2)
+    assert -1e-9 <= row["js_nats_6"] <= math.log(2) + 1e-9
+
+
+def test_vocab_growth_invariants(spark, sf_dir):
+    from spec_search_spark.operators.corpus_info import vocab_growth_by_source
+
+    rows = vocab_growth_by_source(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["hapax"] or r["hapax"] == 0
+        assert r["hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 < r["ttr_6"] <= 1.0
+        assert 0.0 <= r["hapax_share_6"] <= 1.0
+
+
+def test_containment_is_pair_symmetric_in_counts(spark, sf_dir):
+    """n_common must be symmetric (it's an intersection size); the
+    ratio is directional by design."""
+    from spec_search_spark.operators.corpus_info import (
+        source_shingle_containment,
+    )
+
+    rows = source_shingle_containment(spark, sf_dir).collect()
+    common = {(r["src_a"], r["src_b"]): r["n_common"] for r in rows}
+    for (a, b), c in common.items():
+        assert common.get((b, a)) == c
+    for r in rows:
+        assert 0 < r["n_common"] <= r["n_sh_a"]
+        assert 0.0 < r["containment_6"] <= 1.0
