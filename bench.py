@@ -150,6 +150,9 @@ HEADLINE = [
     "js_divergence_en_de",
     "vocab_growth_by_source",
     "source_shingle_containment",
+    "token_gini_by_source",
+    "zipf_slope_by_source",
+    "decision_stump_lang",
 ]
 
 

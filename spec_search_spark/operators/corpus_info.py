@@ -312,11 +312,190 @@ ORDER BY src_a, src_b
 """
 
 
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of token mass across types — how
+    concentrated a source's vocabulary usage is (0 = uniform, → 1 =
+    a few types carry all the mass; a spiking Gini flags a generator
+    loop or boilerplate flood).
+
+    Exact arithmetic: with type-multiplicities m per distinct count c,
+    the ascending-sort rank sum Σ i·x_i is tie-order-invariant and
+    2·Σ i·x_i = Σ c·m·(2·cum_before + m + 1) — pure integers through
+    the group-wise bucketed rank walk; one final snapped double."""
+    tune(spark)
+    from spec_search_spark.operators.rank_stats import _bucketed_cum_by
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_c = per_tok.groupBy("source", "c").agg(F.count(F.lit(1)).alias("m"))
+    cum = _bucketed_cum_by(per_c, "source", "c", ["m"])
+    acc = cum.groupBy("source").agg(
+        F.sum("m").alias("v"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * m")).alias("t"),
+        F.sum(
+            F.expr(
+                "cast(c as decimal(38,0)) * m * (2 * (cum_m - m) + m + 1)"
+            )
+        ).alias("s2"),
+    )
+    return acc.select(
+        "source",
+        F.col("v").cast("bigint").alias("n_types"),
+        F.expr("cast(t as bigint)").alias("n_tokens"),
+        F.expr(
+            "cast(round((cast(s2 as double) / v / cast(t as double)"
+            " - (v + 1.0) / v) * 1e6) as bigint) / 1e6"
+        ).alias("gini_6"),
+    ).orderBy("source")
+
+
+GINI_SQL = """
+WITH toks AS (
+  SELECT source, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+), per_c AS (
+  SELECT source, c, count(*) AS m FROM per_tok GROUP BY source, c
+), cum AS (
+  SELECT source, c, m,
+         sum(m) OVER (PARTITION BY source ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+  FROM per_c
+), acc AS (
+  SELECT source, sum(m) AS v,
+         sum(CAST(c AS DECIMAL(38,0)) * m) AS t,
+         sum(CAST(c AS DECIMAL(38,0)) * m
+             * (2 * coalesce(cumb, 0) + m + 1)) AS s2
+  FROM cum GROUP BY source
+)
+SELECT source, CAST(v AS BIGINT) AS n_types, CAST(t AS BIGINT) AS n_tokens,
+       CAST(round((CAST(s2 AS DOUBLE) / v / CAST(t AS DOUBLE)
+            - (v + 1.0) / v) * 1e6) AS BIGINT) / 1e6 AS gini_6
+FROM acc ORDER BY source
+"""
+
+ZIPF_SCALE = 1_000_000_000  # ln values snapped to integer nano-units
+
+
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: weighted OLS slope of ln(frequency) on
+    ln(rank) over the type-frequency spectrum (natural text ≈ −1; a
+    flat slope flags near-uniform synthetic text, a cliff flags
+    boilerplate). Ranks are tie-averaged DESCENDING frequency ranks
+    from the group-wise bucketed walk; both regression coordinates are
+    transcendentals of integers snapped to nano-units, and every
+    moment accumulates in DECIMAL(38,0) (FIXTURES rules 1/5). Sources
+    with fewer than two distinct frequencies are excluded (slope
+    undefined)."""
+    tune(spark)
+    from spec_search_spark.operators.rank_stats import _bucketed_cum_by
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_c = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", "c")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    # descending-frequency ranks: walk the negated count
+    cum = _bucketed_cum_by(
+        per_c.withColumn("negc", -F.col("c")), "source", "negc", ["m"]
+    )
+    pts = cum.select(
+        "source",
+        "m",
+        # doubled tie-averaged descending rank
+        (2 * (F.col("cum_m") - F.col("m")) + F.col("m") + 1).alias("dr"),
+        "c",
+    ).select(
+        "source",
+        "m",
+        F.expr(f"cast(round((ln(dr) - ln(2)) * {ZIPF_SCALE}) as bigint)").alias(
+            "x_n"
+        ),
+        F.expr(f"cast(round(ln(c) * {ZIPF_SCALE}) as bigint)").alias("y_n"),
+    )
+    acc = pts.groupBy("source").agg(
+        F.sum("m").alias("w"),
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(F.expr("cast(x_n as decimal(38,0)) * m")).alias("sx"),
+        F.sum(F.expr("cast(y_n as decimal(38,0)) * m")).alias("sy"),
+        F.sum(F.expr("cast(x_n as decimal(38,0)) * x_n * m")).alias("sxx"),
+        F.sum(F.expr("cast(x_n as decimal(38,0)) * y_n * m")).alias("sxy"),
+    )
+    return (
+        acc.filter(F.col("n_pts") >= 2)
+        .select(
+            "source",
+            F.col("w").cast("bigint").alias("n_types"),
+            F.col("n_pts").cast("bigint").alias("n_freq_levels"),
+            F.expr(
+                "cast(round(((cast(w as double) * cast(sxy as double)"
+                " - cast(sx as double) * cast(sy as double))"
+                " / (cast(w as double) * cast(sxx as double)"
+                " - cast(sx as double) * cast(sx as double))) * 1e6)"
+                " as bigint) / 1e6"
+            ).alias("zipf_slope_6"),
+        )
+        .orderBy("source")
+    )
+
+
+ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+), per_c AS (
+  SELECT source, c, count(*) AS m FROM (
+    SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+  ) GROUP BY source, c
+), cum AS (
+  SELECT source, c, m,
+         coalesce(sum(m) OVER (PARTITION BY source ORDER BY c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM per_c
+), pts AS (
+  SELECT source, m,
+         CAST(round((ln(2 * cumb + m + 1) - ln(2)) * {ZIPF_SCALE}) AS BIGINT)
+           AS x_n,
+         CAST(round(ln(c) * {ZIPF_SCALE}) AS BIGINT) AS y_n
+  FROM cum
+), acc AS (
+  SELECT source, sum(m) AS w, count(*) AS n_pts,
+         sum(CAST(x_n AS DECIMAL(38,0)) * m) AS sx,
+         sum(CAST(y_n AS DECIMAL(38,0)) * m) AS sy,
+         sum(CAST(x_n AS DECIMAL(38,0)) * x_n * m) AS sxx,
+         sum(CAST(x_n AS DECIMAL(38,0)) * y_n * m) AS sxy
+  FROM pts GROUP BY source
+)
+SELECT source, CAST(w AS BIGINT) AS n_types,
+       CAST(n_pts AS BIGINT) AS n_freq_levels,
+       CAST(round(((CAST(w AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(w AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6)
+            AS BIGINT) / 1e6 AS zipf_slope_6
+FROM acc WHERE n_pts >= 2 ORDER BY source
+"""
+
+
 QUERIES = {
     "token_entropy_by_lang": token_entropy_by_lang,
     "js_divergence_en_de": js_divergence_en_de,
     "vocab_growth_by_source": vocab_growth_by_source,
     "source_shingle_containment": source_shingle_containment,
+    "token_gini_by_source": token_gini_by_source,
+    "zipf_slope_by_source": zipf_slope_by_source,
 }
 
 ORACLES = {
@@ -324,4 +503,6 @@ ORACLES = {
     "js_divergence_en_de": JS_SQL,
     "vocab_growth_by_source": VOCAB_GROWTH_SQL,
     "source_shingle_containment": CONTAINMENT_SQL,
+    "token_gini_by_source": GINI_SQL,
+    "zipf_slope_by_source": ZIPF_SQL,
 }

@@ -786,12 +786,213 @@ SELECT {_LR_CAL_OUT} FROM per_bin"""
 LOGREG_CAL_SQL = _logreg_calibration_sql()
 
 
+# ---------------------------------------------------------------------------
+# Decision stump (depth-1 CART) — exhaustive in-plan split search
+# ---------------------------------------------------------------------------
+
+STUMP_BINS = 16
+STUMP_LANG = "en"
+STUMP_SCALE = 1_000_000_000  # Gini snapped to integer nano-units for argmin
+
+
+def decision_stump_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 CART trained fully in-plan: the best (feature, threshold)
+    split predicting `lang == 'en'` from three integer document
+    features (n_chars, token count, stopword hits), chosen by minimum
+    weighted Gini impurity over all {feature} × {bin-edge} candidates.
+
+    The search space is BOUNDED BY CONSTRUCTION: each feature quantizes
+    to STUMP_BINS equal-width bins from a 3-row broadcast bounds table,
+    so candidate statistics are one partial+final aggregation into
+    ≤ 3·16 groups + a triangular broadcast self-join (16² per feature)
+    — the xgboost-histogram trick as a plain DataFrame plan; no sort,
+    no per-row window, no driver collect. Split counts are exact
+    integers; the Gini expression is one fixed-arity double tree from
+    identical SQL text, snapped to nano-units before the argmin
+    (rounded-then-argmax determinism, as triplet_mining); the final
+    ORDER BY carries the unique (feature, bin) tiebreaker."""
+    tune(spark)
+    from spec_search_spark.functions.text import STOPWORDS, token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text", "n_chars"
+    )
+    stop_hits = " + ".join(
+        f"size(regexp_extract_all(lower(text), '\\\\b{w}\\\\b', 0))"
+        for w in STOPWORDS
+    )
+    feats = docs.select(
+        (F.col("lang") == STUMP_LANG).cast("int").alias("y"),
+        F.col("n_chars").alias("f_chars"),
+        token_count(F.col("text")).alias("f_tok"),
+        F.expr(f"cast({stop_hits} as bigint)").alias("f_stop"),
+    )
+    long = feats.select(
+        "y",
+        F.expr(
+            "stack(3, 'n_chars', f_chars, 'n_tok', f_tok, 'n_stop', f_stop)"
+            " as (feature, v)"
+        ),
+    )
+    bounds = long.groupBy("feature").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = long.join(F.broadcast(bounds), "feature").select(
+        "feature",
+        "y",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(STUMP_BINS - 1),
+            F.expr(f"(v - lo) * {STUMP_BINS} div (hi - lo + 1)"),
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    tot = per_bin.groupBy("feature").agg(
+        F.sum("n").alias("nn"), F.sum("p").alias("pp")
+    )
+    lo_side = per_bin.select(
+        F.col("feature").alias("lf"),
+        F.col("bin").alias("lb"),
+        F.col("n").alias("ln"),
+        F.col("p").alias("lp"),
+    )
+    cand = (
+        per_bin.join(
+            F.broadcast(lo_side),
+            (F.col("lf") == F.col("feature")) & (F.col("lb") <= F.col("bin")),
+        )
+        .groupBy("feature", "bin")
+        .agg(
+            F.sum("ln").alias("nl"),
+            F.sum("lp").alias("pl"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+        .join(F.broadcast(tot), "feature")
+        .filter(F.expr("nl > 0 and nn - nl > 0"))
+    )
+    gini = (
+        "(nl - (cast(pl as double) * pl + cast(nl - pl as double) * (nl - pl)) / nl"
+        " + (nn - nl)"
+        " - (cast(pp - pl as double) * (pp - pl)"
+        "    + cast((nn - nl) - (pp - pl) as double) * ((nn - nl) - (pp - pl)))"
+        "   / (nn - nl)) / nn"
+    )
+    return (
+        cand.select(
+            "feature",
+            "bin",
+            F.expr(
+                f"lo + ((bin + 1) * (hi - lo + 1) + {STUMP_BINS - 1})"
+                f" div {STUMP_BINS}"
+            ).alias("thr_lt"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("pl").cast("bigint").alias("pos_left"),
+            (F.col("nn") - F.col("nl")).cast("bigint").alias("n_right"),
+            (F.col("pp") - F.col("pl")).cast("bigint").alias("pos_right"),
+            F.expr(f"cast(round(({gini}) * {STUMP_SCALE}) as bigint)").alias(
+                "g_n"
+            ),
+        )
+        .select(
+            "feature",
+            "bin",
+            "thr_lt",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.expr(f"cast(g_n div 1000 as bigint) / 1e6").alias("gini_6"),
+            "g_n",
+        )
+        .orderBy("g_n", "feature", "bin")
+        .limit(1)
+        .drop("g_n")
+    )
+
+
+def _stump_sql() -> str:
+    from spec_search_spark.functions.text import STOPWORDS
+
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in STOPWORDS
+    )
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    gini = (
+        "(nl - (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl"
+        " + (nn - nl)"
+        " - (CAST(pp - pl AS DOUBLE) * (pp - pl)"
+        "    + CAST((nn - nl) - (pp - pl) AS DOUBLE) * ((nn - nl) - (pp - pl)))"
+        "   / (nn - nl)) / nn"
+    )
+    return f"""
+WITH feats AS (
+  SELECT CAST(lang = '{STUMP_LANG}' AS INT) AS y,
+         n_chars AS f_chars,
+         CAST({ntok} AS BIGINT) AS f_tok,
+         CAST({stop_hits} AS BIGINT) AS f_stop
+  FROM documents
+), long AS (
+  SELECT y, 'n_chars' AS feature, f_chars AS v FROM feats
+  UNION ALL SELECT y, 'n_tok', f_tok FROM feats
+  UNION ALL SELECT y, 'n_stop', f_stop FROM feats
+), bounds AS (
+  SELECT feature, min(v) AS lo, max(v) AS hi FROM long GROUP BY feature
+), binned AS (
+  SELECT l.feature, l.y, b.lo, b.hi,
+         least({STUMP_BINS - 1},
+               (l.v - b.lo) * {STUMP_BINS} // (b.hi - b.lo + 1)) AS bin
+  FROM long l JOIN bounds b ON b.feature = l.feature
+), per_bin AS (
+  SELECT feature, bin, count(*) AS n, sum(y) AS p,
+         max(lo) AS lo, max(hi) AS hi
+  FROM binned GROUP BY feature, bin
+), tot AS (
+  SELECT feature, sum(n) AS nn, sum(p) AS pp FROM per_bin GROUP BY feature
+), cand AS (
+  SELECT a.feature, a.bin, sum(b.n) AS nl, sum(b.p) AS pl,
+         max(a.lo) AS lo, max(a.hi) AS hi
+  FROM per_bin a JOIN per_bin b
+    ON b.feature = a.feature AND b.bin <= a.bin
+  GROUP BY a.feature, a.bin
+), scored AS (
+  SELECT c.feature, c.bin,
+         lo + ((c.bin + 1) * (hi - lo + 1) + {STUMP_BINS - 1})
+           // {STUMP_BINS} AS thr_lt,
+         nl AS n_left, pl AS pos_left,
+         nn - nl AS n_right, pp - pl AS pos_right,
+         CAST(round(({gini}) * {STUMP_SCALE}) AS BIGINT) AS g_n
+  FROM cand c JOIN tot t ON t.feature = c.feature
+  WHERE nl > 0 AND nn - nl > 0
+)
+SELECT feature, CAST(bin AS BIGINT) AS bin, CAST(thr_lt AS BIGINT) AS thr_lt,
+       CAST(n_left AS BIGINT) AS n_left, CAST(pos_left AS BIGINT) AS pos_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(pos_right AS BIGINT) AS pos_right,
+       CAST(g_n // 1000 AS BIGINT) / 1e6 AS gini_6
+FROM scored ORDER BY g_n, feature, bin LIMIT 1
+"""
+
+
+STUMP_SQL = _stump_sql()
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "nb_lang_classifier": nb_lang_classifier,
     "ols_price_model": ols_price_model,
     "logreg_irls_doc_model": logreg_irls_doc_model,
     "logreg_calibration_report": logreg_calibration_report,
+    "decision_stump_lang": decision_stump_lang,
 }
 
 ORACLES = {
@@ -800,4 +1001,5 @@ ORACLES = {
     "ols_price_model": OLS_SQL,
     "logreg_irls_doc_model": LOGREG_SQL,
     "logreg_calibration_report": LOGREG_CAL_SQL,
+    "decision_stump_lang": STUMP_SQL,
 }

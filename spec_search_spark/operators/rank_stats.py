@@ -100,6 +100,67 @@ def _bucketed_cum(per_v: DataFrame, val: str, counts: list[str]) -> DataFrame:
     )
 
 
+def _bucketed_cum_by(
+    per_v: DataFrame, grp: str, val: str, counts: list[str]
+) -> DataFrame:
+    """Group-wise variant of :func:`_bucketed_cum`: inclusive cumulative
+    sums of `counts` ordered by `val` WITHIN each `grp` — per-group
+    range buckets from a per-group bounds aggregate (≤ #groups rows,
+    broadcast), windows partitioned by (grp, bucket), per-group offset
+    tables from the same triangular self-join. No window ever spans
+    more than one bucket of one group, so per-group exact order
+    statistics parallelize even when one group holds most of the data.
+    """
+    bounds = per_v.groupBy(grp).agg(
+        F.min(val).alias("lo"), F.max(val).alias("hi")
+    )
+    bucketed = per_v.join(F.broadcast(bounds), grp).withColumn(
+        "bucket",
+        F.least(
+            F.lit(RANK_BUCKETS - 1),
+            (
+                (F.col(val) - F.col("lo"))
+                * F.lit(RANK_BUCKETS)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+        ),
+    ).drop("lo", "hi")
+    per_bucket = bucketed.groupBy(grp, "bucket").agg(
+        *[F.sum(c).alias(f"b_{c}") for c in counts]
+    )
+    lo_side = per_bucket.select(
+        F.col(grp).alias("lg"),
+        F.col("bucket").alias("lb"),
+        *[F.col(f"b_{c}").alias(f"lb_{c}") for c in counts],
+    )
+    offsets = (
+        per_bucket.join(
+            F.broadcast(lo_side),
+            (F.col("lg") == F.col(grp)) & (F.col("lb") < F.col("bucket")),
+            "left",
+        )
+        .groupBy(grp, "bucket")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"lb_{c}"), F.lit(0)).alias(f"off_{c}")
+                for c in counts
+            ]
+        )
+    )
+    w_loc = W.partitionBy(grp, "bucket").orderBy(val).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = bucketed
+    for c in counts:
+        out = out.withColumn(f"l_{c}", F.sum(c).over(w_loc))
+    out = out.join(F.broadcast(offsets), [grp, "bucket"])
+    for c in counts:
+        out = out.withColumn(f"cum_{c}", F.col(f"off_{c}") + F.col(f"l_{c}"))
+    return out.drop(
+        "bucket", *[f"l_{c}" for c in counts], *[f"off_{c}" for c in counts]
+    )
+
+
 def mannwhitney_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: n per sample, the exact DOUBLED U statistic for the
     URGENT side (2·U1 — integer even under tie-averaged half-ranks),

@@ -688,6 +688,20 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("source_shingle_containment",
      ["partial_count", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # Gini/Zipf: group-wise bucketed rank walks — windows partitioned by
+    # (source, bucket), bounds/offsets broadcast, no global sort
+    ("token_gini_by_source",
+     ["partial_count", "hashpartitioning(source"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    ("zipf_slope_by_source",
+     ["partial_count", "hashpartitioning(source"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # stump: histogram-candidate search — one partial+final agg into
+    # ≤48 groups, broadcast triangular candidate join, TakeOrdered(1)
+    ("decision_stump_lang",
+     ["partial_count", "TakeOrderedAndProject", "BroadcastHashJoin"],
+     ["CartesianProduct", "MapInPandas", "Window",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -216,3 +216,136 @@ def test_containment_is_pair_symmetric_in_counts(spark, sf_dir):
     for r in rows:
         assert 0 < r["n_common"] <= r["n_sh_a"]
         assert 0.0 < r["containment_6"] <= 1.0
+
+
+def test_gini_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.operators.corpus_info import token_gini_by_source
+
+    rows = {r["source"]: r for r in token_gini_by_source(spark, sf_dir).collect()}
+    from spec_search_spark.catalog import load_table
+
+    counts: dict = {}
+    for source, text in (
+        load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    ):
+        for tok in text.strip().split():
+            counts.setdefault(source, {})
+            counts[source][tok] = counts[source].get(tok, 0) + 1
+    assert set(rows) == set(counts)
+    for source, cs in counts.items():
+        xs = sorted(cs.values())
+        n = len(xs)
+        t = sum(xs)
+        g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * t) - (n + 1) / n
+        r = rows[source]
+        assert (r["n_types"], r["n_tokens"]) == (n, t)
+        assert abs(r["gini_6"] - g) < 2e-6
+        assert 0.0 <= r["gini_6"] < 1.0
+
+
+def test_zipf_slope_matches_direct_reference(spark, sf_dir):
+    import math
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.corpus_info import zipf_slope_by_source
+
+    rows = {r["source"]: r for r in zipf_slope_by_source(spark, sf_dir).collect()}
+    counts: dict = {}
+    for source, text in (
+        load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    ):
+        for tok in text.strip().split():
+            counts.setdefault(source, {})
+            counts[source][tok] = counts[source].get(tok, 0) + 1
+    for source, cs in counts.items():
+        # frequency spectrum: m types at count c; descending avg ranks
+        spec: dict = {}
+        for c in cs.values():
+            spec[c] = spec.get(c, 0) + 1
+        if len(spec) < 2:
+            assert source not in rows
+            continue
+        pts = []
+        cumb = 0
+        for c in sorted(spec, reverse=True):
+            m = spec[c]
+            avg_rank = (2 * cumb + m + 1) / 2
+            pts.append((m, math.log(avg_rank), math.log(c)))
+            cumb += m
+        w = sum(m for m, _, _ in pts)
+        sx = sum(m * x for m, x, _ in pts)
+        sy = sum(m * y for m, _, y in pts)
+        sxx = sum(m * x * x for m, x, _ in pts)
+        sxy = sum(m * x * y for m, x, y in pts)
+        slope = (w * sxy - sx * sy) / (w * sxx - sx * sx)
+        r = rows[source]
+        assert r["n_types"] == w
+        assert r["n_freq_levels"] == len(spec)
+        assert abs(r["zipf_slope_6"] - slope) < 5e-6
+        assert r["zipf_slope_6"] < 0  # frequency falls with rank
+
+
+def test_decision_stump_is_the_true_argmin(spark, sf_dir):
+    """Exhaustive pure-Python re-search over the identical binned
+    candidate space must reproduce the chosen split and its counts."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.functions.text import STOPWORDS
+    from spec_search_spark.operators.ml import (
+        STUMP_BINS,
+        STUMP_LANG,
+        decision_stump_lang,
+    )
+    import re
+
+    row = decision_stump_lang(spark, sf_dir).first()
+
+    feats = []
+    for lang, text, n_chars in (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "text", "n_chars")
+        .collect()
+    ):
+        y = 1 if lang == STUMP_LANG else 0
+        n_tok = len(text.strip().split()) if text.strip() else 0
+        low = text.lower()
+        n_stop = sum(len(re.findall(rf"\b{w}\b", low)) for w in STOPWORDS)
+        feats.append((y, {"n_chars": n_chars, "n_tok": n_tok, "n_stop": n_stop}))
+
+    best = None
+    for feature in ("n_chars", "n_tok", "n_stop"):
+        vs = [f[feature] for _, f in feats]
+        lo, hi = min(vs), max(vs)
+        bins = [[0, 0] for _ in range(STUMP_BINS)]
+        for y, f in feats:
+            b = min(STUMP_BINS - 1, (f[feature] - lo) * STUMP_BINS // (hi - lo + 1))
+            bins[b][0] += 1
+            bins[b][1] += y
+        nn = sum(b[0] for b in bins)
+        pp = sum(b[1] for b in bins)
+        nl = pl = 0
+        for b in range(STUMP_BINS):
+            nl += bins[b][0]
+            pl += bins[b][1]
+            nr, pr = nn - nl, pp - pl
+            if nl == 0 or nr == 0:
+                continue
+            gini = (
+                nl
+                - (pl * pl + (nl - pl) * (nl - pl)) / nl
+                + nr
+                - (pr * pr + (nr - pr) * (nr - pr)) / nr
+            ) / nn
+            g_n = round(gini * 1_000_000_000)
+            key = (g_n, feature, b)
+            if best is None or key < best[0]:
+                best = (key, nl, pl, nr, pr)
+    (g_n, feature, b), nl, pl, nr, pr = best
+    assert (row["feature"], row["bin"]) == (feature, b)
+    assert (row["n_left"], row["pos_left"]) == (nl, pl)
+    assert (row["n_right"], row["pos_right"]) == (nr, pr)
+    assert abs(row["gini_6"] - g_n / 1e9) < 2e-6
+    # a split must beat or match the root's impurity on training data
+    n_all = nl + nr
+    p_all = pl + pr
+    root = 1 - (p_all / n_all) ** 2 - ((n_all - p_all) / n_all) ** 2
+    assert row["gini_6"] <= root + 1e-9
