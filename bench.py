@@ -153,6 +153,7 @@ HEADLINE = [
     "token_gini_by_source",
     "zipf_slope_by_source",
     "decision_stump_lang",
+    "partitioned_scan_prune",
 ]
 
 

@@ -139,10 +139,73 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Hive-style partition pruning — the directory-level skip
+# ---------------------------------------------------------------------------
+
+PRUNE_LANG = "en"
+
+_PARTITIONED: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_docs_path(spark: SparkSession, sf_dir: str) -> str:
+    """documents re-written hive-partitioned by lang (lang=en/...),
+    once per (session, corpus) — the write-side half of partition
+    pruning, memoized like bucketed's tables."""
+    import tempfile
+
+    from spec_search_spark.session import prune_memo
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARTITIONED:
+        base = tempfile.mkdtemp(prefix="spec_search_partitioned_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.partitionBy("lang")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        prune_memo(_PARTITIONED, key[0])
+        _PARTITIONED[key] = base
+    return _PARTITIONED[key]
+
+
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: per-language stats read through a lang-partitioned
+    copy of documents with a partition-pruned scan — at 100 TB the
+    `lang = 'en'` predicate never touches the other languages' FILES
+    (directory-level skip, before row groups or pages), which is the
+    single cheapest filter the storage layout can buy.
+
+    Plan invariant (audited): the predicate lands in the scan's
+    PartitionFilters — NOT as a post-scan Filter over all rows. The
+    oracle reads the original un-partitioned parquet; values must be
+    identical because partitioning is a pure layout change."""
+    tune(spark)
+    path = _partitioned_docs_path(spark, sf_dir)
+    docs = spark.read.parquet(path).filter(F.col("lang") == PRUNE_LANG)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+PRUNE_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       count(DISTINCT source) AS n_sources
+FROM documents WHERE lang = '{PRUNE_LANG}'
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "zorder_layout": zorder_layout,
+    "partitioned_scan_prune": partitioned_scan_prune,
 }
 
 ORACLES = {
     "zorder_layout": ZORDER_SQL,
+    "partitioned_scan_prune": PRUNE_SQL,
 }

@@ -702,6 +702,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "TakeOrderedAndProject", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Window",
       "Exchange rangepartitioning"]),
+    # partition pruning: the lang predicate must land in the scan's
+    # PartitionFilters (directory-level skip), never a post-scan Filter
+    ("partitioned_scan_prune",
+     ["PartitionFilters: [isnotnull(lang", "= en)", "partial_count"],
+     ["CartesianProduct", "Window", "MapInPandas"]),
 ]
 
 

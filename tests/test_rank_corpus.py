@@ -349,3 +349,31 @@ def test_decision_stump_is_the_true_argmin(spark, sf_dir):
     p_all = pl + pr
     root = 1 - (p_all / n_all) ** 2 - ((n_all - p_all) / n_all) ** 2
     assert row["gini_6"] <= root + 1e-9
+
+
+def test_partitioned_scan_prunes_at_the_directory_level(spark, sf_dir):
+    """The partitioned copy must answer identically to the raw table
+    AND carry the predicate as a PartitionFilter (no full-table read)."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.layout import (
+        PRUNE_LANG,
+        partitioned_scan_prune,
+    )
+    from spec_search_spark.plans.audit import plan_of
+    from pyspark.sql import functions as F
+
+    df = partitioned_scan_prune(spark, sf_dir)
+    row = df.first()
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == PRUNE_LANG)
+        .agg(
+            F.count(F.lit(1)),
+            F.sum("n_chars"),
+            F.countDistinct("source"),
+        )
+        .first()
+    )
+    assert (row["n_docs"], row["n_chars_total"], row["n_sources"]) == tuple(raw)
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan
