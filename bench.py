@@ -154,6 +154,8 @@ HEADLINE = [
     "zipf_slope_by_source",
     "decision_stump_lang",
     "partitioned_scan_prune",
+    "benford_first_digit",
+    "hourly_autocorrelation",
 ]
 
 

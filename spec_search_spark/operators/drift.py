@@ -264,12 +264,207 @@ FROM acc
 """
 
 
+BENFORD_SCALE = 1_000_000_000  # chi-square terms as integer nano-units
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of o_totalprice: one row per leading digit
+    with the observed count/share, the Benford expectation, and the
+    global chi-square statistic (6dp snap) against the log10(1+1/d)
+    distribution — the classic synthetic-/fabricated-data screen.
+
+    Exact shape: digits come from the integer cents' decimal string
+    (no float log10 near a power-of-ten boundary); the chi-square sums
+    nine per-digit terms snapped to nano-units, so the fold is
+    order-independent; expectations are fixed-arity ln-ratio doubles
+    from identical SQL text. One partial+final agg into 9 groups."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(substring(cast(cast(round(o_totalprice * 100) as bigint)"
+            " as string), 1, 1) as int)"
+        ).alias("d")
+    )
+    per_d = o.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_d.groupBy().agg(F.sum("n").alias("nn"))
+    exp_p = "(ln(1.0 + 1.0 / d) / ln(10.0))"
+    term = (
+        f"cast(round((n - nn * {exp_p}) * (n - nn * {exp_p})"
+        f" / (nn * {exp_p}) * {BENFORD_SCALE}) as bigint)"
+    )
+    with_tot = per_d.crossJoin(F.broadcast(tot))
+    chi2 = with_tot.groupBy().agg(
+        F.sum(F.expr(f"cast({term} as decimal(38,0))")).alias("chi2_n")
+    )
+    return (
+        with_tot.crossJoin(F.broadcast(chi2))
+        .select(
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "cast(round(n / cast(nn as double) * 1e6) as bigint) / 1e6"
+            ).alias("obs_share_6"),
+            F.expr(
+                f"cast(round({exp_p} * 1e6) as bigint) / 1e6"
+            ).alias("benford_share_6"),
+            F.expr(
+                f"cast(round(cast(chi2_n as double) / {BENFORD_SCALE} * 1e6)"
+                " as bigint) / 1e6"
+            ).alias("chi2_6"),
+        )
+        .orderBy("d")
+    )
+
+
+BENFORD_SQL = f"""
+WITH per_d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+           AS VARCHAR), 1, 1) AS INT) AS d,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(n) AS nn FROM per_d),
+wt AS (SELECT d, n, nn FROM per_d CROSS JOIN tot),
+chi2 AS (
+  SELECT sum(CAST(CAST(round((n - nn * (ln(1.0 + 1.0 / d) / ln(10.0)))
+        * (n - nn * (ln(1.0 + 1.0 / d) / ln(10.0)))
+        / (nn * (ln(1.0 + 1.0 / d) / ln(10.0))) * {BENFORD_SCALE}) AS BIGINT)
+        AS DECIMAL(38,0))) AS chi2_n
+  FROM wt
+)
+SELECT d, CAST(n AS BIGINT) AS n,
+       CAST(round(n / CAST(nn AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS obs_share_6,
+       CAST(round((ln(1.0 + 1.0 / d) / ln(10.0)) * 1e6) AS BIGINT) / 1e6
+         AS benford_share_6,
+       CAST(round(CAST(chi2_n AS DOUBLE) / {BENFORD_SCALE} * 1e6)
+         AS BIGINT) / 1e6 AS chi2_6
+FROM wt CROSS JOIN chi2
+ORDER BY d
+"""
+
+ACF_LAGS = (1, 24)  # hourly adjacency + daily seasonality
+
+
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of the gap-filled hourly
+    event-value series — the seasonality/trend sanity probe next to
+    `seasonal_anomaly_report`. One row per lag.
+
+    Exact shape: the stream collapses to the BOUNDED hourly table
+    (#hours is fixed by the observation window, not data volume);
+    hours with no events are zero-filled from a one-row bounds
+    sequence so lags cross gaps correctly. Mean-centering is exact:
+    multiplying through by n makes every centered product the integer
+    (n·x_t − S)(n·x_{t+k} − S), accumulated in DECIMAL(38,0); one
+    final snapped double ratio per lag."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    per_h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    filled = grid.join(per_h, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    tot = filled.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    base = filled.crossJoin(F.broadcast(tot))
+    lag_rows = []
+    for k in ACF_LAGS:
+        a = base.select(
+            F.col("h").alias("ha"),
+            F.expr("cast(n as decimal(38,0)) * x - s").alias("ca"),
+            "n",
+        )
+        b = filled.select(
+            (F.col("h") - F.expr(f"interval {k} hours")).alias("ha"),
+            F.col("x").alias("xb"),
+        )
+        num = (
+            a.join(b, "ha")
+            .crossJoin(F.broadcast(tot.select(F.col("s").alias("s2"))))
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    F.expr(
+                        "ca * (cast(n as decimal(38,0)) * xb - s2)"
+                    )
+                ).alias("num"),
+            )
+        )
+        den = base.groupBy().agg(
+            F.sum(F.expr("(cast(n as decimal(38,0)) * x - s)"
+                         " * (cast(n as decimal(38,0)) * x - s)")).alias("den")
+        )
+        lag_rows.append(
+            num.crossJoin(F.broadcast(den)).select(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                F.expr(
+                    "cast(round(cast(num as double) / cast(den as double)"
+                    " * 1e6) as bigint) / 1e6"
+                ).alias("acf_6"),
+            )
+        )
+    out = lag_rows[0]
+    for r in lag_rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _acf_sql() -> str:
+    per_lag = []
+    for k in ACF_LAGS:
+        per_lag.append(f"""
+SELECT CAST({k} AS BIGINT) AS lag,
+       CAST((SELECT count(*) FROM filled a JOIN filled b
+             ON b.h = a.h + INTERVAL {k} HOUR) AS BIGINT) AS n_pairs,
+       CAST(round(CAST((SELECT sum((CAST(t.n AS DECIMAL(38,0)) * a.x - t.s)
+                    * (CAST(t.n AS DECIMAL(38,0)) * b.x - t.s))
+               FROM filled a JOIN filled b ON b.h = a.h + INTERVAL {k} HOUR
+               CROSS JOIN tot t) AS DOUBLE)
+           / CAST((SELECT sum((CAST(t.n AS DECIMAL(38,0)) * f.x - t.s)
+                    * (CAST(t.n AS DECIMAL(38,0)) * f.x - t.s))
+               FROM filled f CROSS JOIN tot t) AS DOUBLE) * 1e6) AS BIGINT)
+         / 1e6 AS acf_6""")
+    body = "\nUNION ALL\n".join(per_lag)
+    return f"""
+WITH per_h AS (
+  SELECT date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1
+), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM per_h),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), filled AS (
+  SELECT g.h, coalesce(p.x, 0) AS x FROM grid g LEFT JOIN per_h p ON p.h = g.h
+), tot AS (SELECT count(*) AS n, sum(x) AS s FROM filled)
+{body}
+"""
+
+
+ACF_SQL = _acf_sql()
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "psi_value_drift": psi_value_drift,
+    "benford_first_digit": benford_first_digit,
+    "hourly_autocorrelation": hourly_autocorrelation,
 }
 
 ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
     "psi_value_drift": PSI_SQL,
+    "benford_first_digit": BENFORD_SQL,
+    "hourly_autocorrelation": ACF_SQL,
 }

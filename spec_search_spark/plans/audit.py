@@ -707,6 +707,18 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("partitioned_scan_prune",
      ["PartitionFilters: [isnotnull(lang", "= en)", "partial_count"],
      ["CartesianProduct", "Window", "MapInPandas"]),
+    # Benford: one partial+final agg into 9 digit groups; the chi-2 and
+    # total rows broadcast back (bounded BNLJ crossJoins only)
+    ("benford_first_digit",
+     ["partial_count"],
+     ["Window", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
+    # ACF: stream collapses to the bounded hourly table; lag joins are
+    # hash joins on the hour key; no per-row window, no global sort
+    ("hourly_autocorrelation",
+     ["partial_sum"],
+     ["Window", "MapInPandas", "CartesianProduct",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -70,3 +70,74 @@ def test_stream_psi_equals_batch_psi(spark, sf_dir):
         s["psi"],
         s["band"],
     )
+
+
+def test_benford_matches_direct_reference(spark, sf_dir):
+    import math
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.drift import benford_first_digit
+    from pyspark.sql import functions as F
+
+    rows = benford_first_digit(spark, sf_dir).collect()
+    cents = [
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .collect()
+    ]
+    counts: dict = {}
+    for v in cents:
+        d = int(str(v)[0])
+        counts[d] = counts.get(d, 0) + 1
+    nn = len(cents)
+    chi2 = 0.0
+    for d in sorted(counts):
+        e = nn * math.log10(1 + 1 / d)
+        chi2 += round((counts[d] - e) ** 2 / e * 1e9) / 1e9
+    got = {r["d"]: r for r in rows}
+    assert set(got) == set(counts)
+    for d, c in counts.items():
+        r = got[d]
+        assert r["n"] == c
+        assert abs(r["obs_share_6"] - c / nn) < 2e-6
+        assert abs(r["benford_share_6"] - math.log10(1 + 1 / d)) < 2e-6
+        assert abs(r["chi2_6"] - chi2) < 5e-6
+    # shares sum to ~1 on both sides
+    assert abs(sum(r["obs_share_6"] for r in rows) - 1.0) < 1e-4
+
+
+def test_hourly_autocorrelation_matches_direct_reference(spark, sf_dir):
+    from datetime import timedelta
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.drift import (
+        ACF_LAGS,
+        hourly_autocorrelation,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r["lag"]: r for r in hourly_autocorrelation(spark, sf_dir).collect()}
+    per_h: dict = {}
+    for h, cents in (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x"))
+        .collect()
+    ):
+        per_h[h] = cents
+    h0, h1 = min(per_h), max(per_h)
+    xs = []
+    h = h0
+    while h <= h1:
+        xs.append(per_h.get(h, 0))
+        h = h + timedelta(hours=1)
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    for k in ACF_LAGS:
+        num = sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k))
+        r = rows[k]
+        assert r["n_pairs"] == n - k
+        assert abs(r["acf_6"] - num / den) < 2e-6
+        assert -1.0 - 1e-9 <= r["acf_6"] <= 1.0 + 1e-9
