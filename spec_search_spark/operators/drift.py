@@ -286,6 +286,13 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d")
     )
     per_d = o.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    return benford_from_per_digit(per_d)
+
+
+def benford_from_per_digit(per_d: DataFrame) -> DataFrame:
+    """The Benford chi-square fold over a (d, n) leading-digit count
+    table — shared by the batch operator and the streaming twin (whose
+    entire streaming state IS this ≤9-row table)."""
     tot = per_d.groupBy().agg(F.sum("n").alias("nn"))
     exp_p = "(ln(1.0 + 1.0 / d) / ln(10.0))"
     term = (

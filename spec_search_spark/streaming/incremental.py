@@ -597,6 +597,48 @@ def stream_seasonal_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def stream_benford_digits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford first-digit monitor over `events.value`: the
+    fabricated-feed screen run ON the stream. The ONLY streaming state
+    is the per-digit count table — ≤ 9 rows at any stream volume (the
+    same bounded-state argument as `stream_psi_drift`); after the
+    drain, the shared chi-square fold (`drift.benford_from_per_digit`)
+    scores the final table against log10(1+1/d)."""
+    from spec_search_spark.operators.drift import benford_from_per_digit
+
+    name = f"benford_stream_{uuid.uuid4().hex[:8]}"
+    digits = _events_stream(spark, sf_dir).select(
+        F.expr(
+            "cast(substring(cast(cast(round(value * 100) as bigint)"
+            " as string), 1, 1) as int)"
+        ).alias("d")
+    )
+    agg = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_benford_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return benford_from_per_digit(spark.table(name).select("d", "n"))
+
+
+def _stream_benford_sql() -> str:
+    # the batch Benford oracle retargeted at the stream's source column
+    from spec_search_spark.operators.drift import BENFORD_SQL
+
+    return BENFORD_SQL.replace(
+        "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "CAST(round(value * 100) AS BIGINT)",
+    ).replace("FROM orders GROUP BY 1", "FROM events GROUP BY 1")
+
+
 def _import_psi_sql() -> str:
     # same one-row result as the batch drift score: the stream twin's
     # oracle IS the batch oracle (stream_hourly_counts precedent)
@@ -621,6 +663,7 @@ QUERIES = {
     "stream_heavy_users": stream_heavy_users_query,
     "stream_psi_drift": stream_psi_drift_query,
     "stream_seasonal_anomaly": stream_seasonal_anomaly_query,
+    "stream_benford_digits": stream_benford_digits_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -632,6 +675,7 @@ ORACLES = {
     "stream_heavy_users": STREAM_CMS_SQL,
     "stream_psi_drift": _import_psi_sql(),
     "stream_seasonal_anomaly": _import_seasonal_sql(),
+    "stream_benford_digits": _stream_benford_sql(),
 }
 
 

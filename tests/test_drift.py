@@ -141,3 +141,41 @@ def test_hourly_autocorrelation_matches_direct_reference(spark, sf_dir):
         assert r["n_pairs"] == n - k
         assert abs(r["acf_6"] - num / den) < 2e-6
         assert -1.0 - 1e-9 <= r["acf_6"] <= 1.0 + 1e-9
+
+
+def test_stream_benford_equals_direct_event_reference(spark, sf_dir):
+    """The streaming twin's 9-row state table must score exactly like a
+    direct batch count over the same stream source column."""
+    import math
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.streaming.incremental import (
+        stream_benford_digits_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r["d"]: r for r in stream_benford_digits_query(spark, sf_dir).collect()}
+    cents = [
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.expr("cast(round(value * 100) as bigint)"))
+        .collect()
+    ]
+    counts: dict = {}
+    for v in cents:
+        d = int(str(v)[0])
+        counts[d] = counts.get(d, 0) + 1
+    assert set(rows) == set(counts)
+    nn = len(cents)
+    chi2 = sum(
+        round(
+            (counts[d] - nn * math.log10(1 + 1 / d)) ** 2
+            / (nn * math.log10(1 + 1 / d))
+            * 1e9
+        )
+        / 1e9
+        for d in counts
+    )
+    for d, c in counts.items():
+        assert rows[d]["n"] == c
+        assert abs(rows[d]["chi2_6"] - chi2) < 5e-6
