@@ -156,6 +156,7 @@ HEADLINE = [
     "partitioned_scan_prune",
     "benford_first_digit",
     "hourly_autocorrelation",
+    "ols_cv_rmse",
 ]
 
 

@@ -482,6 +482,121 @@ SELECT {_OLS_OUT} FROM m
 
 
 # --------------------------------------------------------------------------
+# K-fold cross-validated OLS — train moments by SUBTRACTION
+# --------------------------------------------------------------------------
+
+OLS_CV_FOLDS = 5
+
+#: shared CTE body: per-fold raw DECIMAL moment sums → each fold's
+#: TRAINING moments by exact subtraction (total − fold; the K models
+#: cost ONE aggregation pass, not K) → micro-snapped Cramer β per fold
+#: → held-out residuals as exact integers (r8 = 1e-8-dollar units) →
+#: per-fold RMSE. `{src}` provides (fold, q100, d100, p100).
+_OLS_CV_BODY = f"""
+WITH pf AS (
+  SELECT fold, count(*) AS fn,
+         sum(CAST(q100 AS DECIMAL(38,0))) AS fsq,
+         sum(CAST(d100 AS DECIMAL(38,0))) AS fsd,
+         sum(CAST(p100 AS DECIMAL(38,0))) AS fsp,
+         sum(CAST(q100 * q100 AS DECIMAL(38,0))) AS fsqq,
+         sum(CAST(q100 * d100 AS DECIMAL(38,0))) AS fsqd,
+         sum(CAST(d100 * d100 AS DECIMAL(38,0))) AS fsdd,
+         sum(CAST(q100 * p100 AS DECIMAL(38,0))) AS fsqp,
+         sum(CAST(d100 * p100 AS DECIMAL(38,0))) AS fsdp,
+         sum(CAST(p100 * p100 AS DECIMAL(38,0))) AS fspp
+  FROM {{src}} GROUP BY fold
+), tt AS (
+  SELECT sum(fn) AS n_all, sum(fsq) AS tsq, sum(fsd) AS tsd,
+         sum(fsp) AS tsp, sum(fsqq) AS tsqq, sum(fsqd) AS tsqd,
+         sum(fsdd) AS tsdd, sum(fsqp) AS tsqp, sum(fsdp) AS tsdp,
+         sum(fspp) AS tspp
+  FROM pf
+), tm AS (
+  SELECT f.fold,
+         CAST(t.n_all - f.fn AS DOUBLE) AS n,
+         CAST(t.tsq - f.fsq AS DOUBLE) / 1e2 AS sq,
+         CAST(t.tsd - f.fsd AS DOUBLE) / 1e2 AS sd,
+         CAST(t.tsp - f.fsp AS DOUBLE) / 1e2 AS sp,
+         CAST(t.tsqq - f.fsqq AS DOUBLE) / 1e4 AS sqq,
+         CAST(t.tsqd - f.fsqd AS DOUBLE) / 1e4 AS sqd,
+         CAST(t.tsdd - f.fsdd AS DOUBLE) / 1e4 AS sdd,
+         CAST(t.tsqp - f.fsqp AS DOUBLE) / 1e4 AS sqp,
+         CAST(t.tsdp - f.fsdp AS DOUBLE) / 1e4 AS sdp,
+         CAST(t.tspp - f.fspp AS DOUBLE) / 1e4 AS spp
+  FROM pf f CROSS JOIN tt t
+), beta AS (
+  SELECT fold,
+         CAST(round({_OLS_B0} / {_OLS_DET} * 1e6) AS BIGINT) AS b0m,
+         CAST(round({_OLS_B1} / {_OLS_DET} * 1e6) AS BIGINT) AS b1m,
+         CAST(round({_OLS_B2} / {_OLS_DET} * 1e6) AS BIGINT) AS b2m
+  FROM tm
+), ev AS (
+  SELECT s.fold, count(*) AS n_test,
+         sum(CAST(r8 AS DECIMAL(38,0)) * r8) AS ss
+  FROM (SELECT c.fold,
+               c.p100 * 1000000 - b.b0m * 100
+               - b.b1m * c.q100 - b.b2m * c.d100 AS r8
+        FROM {{src}} c JOIN beta b ON b.fold = c.fold) s
+  GROUP BY s.fold
+)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(n_test AS BIGINT) AS n_test,
+       CAST(round(sqrt(CAST(ss AS DOUBLE) / n_test) / 1e8 * 1e6) AS BIGINT)
+         / 1e6 AS rmse_6
+FROM ev ORDER BY fold
+"""
+
+
+def ols_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated OLS of l_extendedprice on quantity and
+    discount: one row per fold with the held-out RMSE — the honest
+    generalization number next to `ols_price_model`'s in-sample R².
+
+    The trick that makes CV free at scale: each fold's TRAINING moment
+    matrix is total − fold (exact DECIMAL subtraction), so all K models
+    come from the SAME single partial+final moment pass the plain fit
+    uses; β is micro-snapped so held-out residuals are exact integers
+    (1e-8-dollar units) and the squared-error sums are
+    order-independent. Folds are the salted poly-hash of the row key
+    (leakage-free, engine-identical)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod(
+            _poly_hash(
+                F.concat(
+                    F.lit("cv:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            F.lit(OLS_CV_FOLDS),
+        ).alias("fold"),
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("q100"),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("d100"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
+    )
+    li.createOrReplaceTempView("_ols_cv_cents")
+    return spark.sql(_OLS_CV_BODY.format(src="_ols_cv_cents"))
+
+
+_CV_H = _POLY_SQL.format(
+    s="'cv:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)
+
+OLS_CV_SQL = (
+    f"""
+WITH _cv_src AS (
+  SELECT (({_CV_H} % {OLS_CV_FOLDS}) + {OLS_CV_FOLDS}) % {OLS_CV_FOLDS} AS fold,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100
+  FROM lineitem
+), """
+    + _OLS_CV_BODY.format(src="_cv_src").replace("\nWITH ", "", 1)
+)
+
+
+# --------------------------------------------------------------------------
 # Logistic regression via IRLS (iteratively reweighted least squares)
 # --------------------------------------------------------------------------
 
@@ -993,6 +1108,7 @@ QUERIES = {
     "logreg_irls_doc_model": logreg_irls_doc_model,
     "logreg_calibration_report": logreg_calibration_report,
     "decision_stump_lang": decision_stump_lang,
+    "ols_cv_rmse": ols_cv_rmse,
 }
 
 ORACLES = {
@@ -1002,4 +1118,5 @@ ORACLES = {
     "logreg_irls_doc_model": LOGREG_SQL,
     "logreg_calibration_report": LOGREG_CAL_SQL,
     "decision_stump_lang": STUMP_SQL,
+    "ols_cv_rmse": OLS_CV_SQL,
 }

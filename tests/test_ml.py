@@ -243,3 +243,55 @@ def test_logreg_learns_the_token_direction(spark, sf_dir):
     assert r1["accuracy_ppm"] > majority_ppm
     r2 = logreg_irls_doc_model(spark, sf_dir).collect()[0]
     assert (r1["b0"], r1["b1"], r1["b2"]) == (r2["b0"], r2["b1"], r2["b2"])
+
+
+def test_ols_cv_matches_numpy_per_fold(spark, sf_dir):
+    """Each fold's held-out RMSE must match a direct numpy refit on the
+    complement (train = all rows minus the fold), with the same
+    micro-snapped beta applied to the held-out rows."""
+    import numpy as np
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.ml import OLS_CV_FOLDS, ols_cv_rmse
+    from spec_search_spark.functions.text import FP_BASE, FP_MOD
+    from pyspark.sql import functions as F
+
+    def poly_hash_py(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+        return acc
+
+    rows = {r["fold"]: r for r in ols_cv_rmse(spark, sf_dir).collect()}
+    assert set(rows) == set(range(OLS_CV_FOLDS))
+
+    data = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("cast(round(l_quantity * 100) as bigint)").alias("q"),
+            F.expr("cast(round(l_discount * 100) as bigint)").alias("d"),
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p"),
+        )
+        .collect()
+    )
+    folds = [
+        poly_hash_py(f"cv:{r['l_orderkey']}:{r['l_linenumber']}") % OLS_CV_FOLDS
+        for r in data
+    ]
+    q = np.array([r["q"] for r in data], dtype=np.float64) / 100
+    d = np.array([r["d"] for r in data], dtype=np.float64) / 100
+    p = np.array([r["p"] for r in data], dtype=np.float64) / 100
+    fold_arr = np.array(folds)
+    for f in range(OLS_CV_FOLDS):
+        tr = fold_arr != f
+        te = fold_arr == f
+        X = np.column_stack([np.ones(tr.sum()), q[tr], d[tr]])
+        beta, *_ = np.linalg.lstsq(X, p[tr], rcond=None)
+        bm = np.round(beta * 1e6)  # the operator's micro snap
+        resid = p[te] - (bm[0] + bm[1] * q[te] + bm[2] * d[te]) / 1e6
+        rmse = float(np.sqrt(np.mean(resid**2)))
+        r = rows[f]
+        assert r["n_test"] == int(te.sum())
+        assert abs(r["rmse_6"] - rmse) < 1e-4  # lstsq vs Cramer tolerance
