@@ -719,6 +719,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum"],
      ["Window", "MapInPandas", "CartesianProduct",
       "Exchange rangepartitioning"]),
+    # CV OLS: one moment pass (partial+final) + the 5-row beta table
+    # broadcast back onto the fact rows; bounded one-row BNLJ crossJoins
+    ("ols_cv_rmse",
+     ["partial_sum", "BroadcastHashJoin"],
+     ["CartesianProduct", "SortMergeJoin", "Window", "MapInPandas",
+      "Exchange rangepartitioning"]),
 ]
 
 
