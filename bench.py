@@ -157,6 +157,8 @@ HEADLINE = [
     "benford_first_digit",
     "hourly_autocorrelation",
     "ols_cv_rmse",
+    "token_lang_mi",
+    "label_centroid_similarity",
 ]
 
 

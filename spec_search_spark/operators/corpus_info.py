@@ -489,6 +489,150 @@ FROM acc WHERE n_pts >= 2 ORDER BY source
 """
 
 
+def token_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: mutual information I(token; lang) in nats (6dp snap) —
+    how much the token distribution identifies the language (the
+    all-groups generalization of `js_divergence_en_de`: sample-weighted
+    multi-way JS IS this MI). High MI = cleanly separated languages;
+    collapsing MI flags cross-lingual contamination.
+
+    Every transcendental sees an integer count: the per-(token, lang)
+    cell term c·(ln c + ln N − ln c_tok − ln c_lang) is snapped to
+    nano-nats before the DECIMAL(38,0) sum. Cell counts join their
+    token marginal on the token key (shuffle ∝ vocabulary, the same
+    key the groupBy already shuffled on); the ≤#langs marginal and the
+    one-row total broadcast."""
+    tune(spark)
+    lt = _lang_token_counts(spark, sf_dir)
+    ct = lt.groupBy("tok").agg(F.sum("c").alias("c_tok"))
+    cg = lt.groupBy("lang").agg(F.sum("c").alias("c_lang"))
+    nn = lt.groupBy().agg(F.sum("c").alias("nn"))
+    term = (
+        "cast(round(c * (ln(c) + ln(nn) - ln(c_tok) - ln(c_lang))"
+        f" * {NAT_SCALE}) as bigint)"
+    )
+    acc = (
+        lt.join(ct, "tok")
+        .join(F.broadcast(cg), "lang")
+        .crossJoin(F.broadcast(nn))
+        .groupBy()
+        .agg(
+            F.max("nn").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.expr(f"cast({term} as decimal(38,0))")).alias("t_n"),
+        )
+    )
+    return acc.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.expr(
+            f"cast(round(cast(t_n as double) / {NAT_SCALE} / n_tokens * 1e6)"
+            " as bigint) / 1e6"
+        ).alias("mi_nats_6"),
+    )
+
+
+MI_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+), lt AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok
+), ct AS (SELECT tok, sum(c) AS c_tok FROM lt GROUP BY tok),
+cg AS (SELECT lang, sum(c) AS c_lang FROM lt GROUP BY lang),
+nn AS (SELECT sum(c) AS nn FROM lt),
+acc AS (
+  SELECT max(nn.nn) AS n_tokens, count(*) AS n_cells,
+         sum(CAST(CAST(round(c * (ln(c) + ln(nn.nn) - ln(c_tok) - ln(c_lang))
+                 * {NAT_SCALE}) AS BIGINT) AS DECIMAL(38,0))) AS t_n
+  FROM lt JOIN ct USING (tok) JOIN cg USING (lang) CROSS JOIN nn
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(round(CAST(t_n AS DOUBLE) / {NAT_SCALE} / n_tokens * 1e6)
+         AS BIGINT) / 1e6 AS mi_nats_6
+FROM acc
+"""
+
+CENTROID_SCALE = 10_000  # embedding elements snapped to the 1e-4 grid
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids (one row per unordered label pair) — the class-confusion
+    geometry probe: two labels whose centroids sit near cos=1 are
+    candidates for merging or for mislabeled data.
+
+    Exact shape: elements snap to the 1e-4 integer grid FIRST, so the
+    per-(label, dim) sums are order-independent BIGINTs; centroids are
+    the PCA-style round(s/n) integers; dot products and norms are
+    DECIMAL(38,0) sums over the 64-dim centroid table (≤ labels×64
+    rows — broadcast self-join); one final snapped double per pair."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "posexplode(transform(embedding,"
+            f" x -> cast(round(cast(x as double) * {CENTROID_SCALE}) as bigint)))"
+        ).alias("dim", "xi"),
+    )
+    cent = emb.groupBy("label", "dim").agg(
+        F.expr("cast(round(sum(xi) / count(*)) as bigint)").alias("m")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.expr("cast(ma as decimal(38,0)) * mb")).alias("dot"),
+            F.sum(F.expr("cast(ma as decimal(38,0)) * ma")).alias("na2"),
+            F.sum(F.expr("cast(mb as decimal(38,0)) * mb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        F.col("la").cast("bigint").alias("la"),
+        F.col("lb").cast("bigint").alias("lb"),
+        F.expr(
+            "cast(round(cast(dot as double)"
+            " / sqrt(cast(na2 as double) * cast(nb2 as double)) * 1e6)"
+            " as bigint) / 1e6"
+        ).alias("cos_6"),
+    ).orderBy("la", "lb")
+
+
+CENTROID_SIM_SQL = f"""
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(unnest(embedding)::DOUBLE * {CENTROID_SCALE}) AS BIGINT)
+           AS xi
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, CAST(round(sum(xi) / count(*)) AS BIGINT) AS m
+  FROM x GROUP BY label, dim
+), pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         sum(CAST(a.m AS DECIMAL(38,0)) * b.m) AS dot,
+         sum(CAST(a.m AS DECIMAL(38,0)) * a.m) AS na2,
+         sum(CAST(b.m AS DECIMAL(38,0)) * b.m) AS nb2
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+       CAST(round(CAST(dot AS DOUBLE)
+            / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) * 1e6)
+            AS BIGINT) / 1e6 AS cos_6
+FROM pairs ORDER BY la, lb
+"""
+
+
 QUERIES = {
     "token_entropy_by_lang": token_entropy_by_lang,
     "js_divergence_en_de": js_divergence_en_de,
@@ -496,6 +640,8 @@ QUERIES = {
     "source_shingle_containment": source_shingle_containment,
     "token_gini_by_source": token_gini_by_source,
     "zipf_slope_by_source": zipf_slope_by_source,
+    "token_lang_mi": token_lang_mi,
+    "label_centroid_similarity": label_centroid_similarity,
 }
 
 ORACLES = {
@@ -505,4 +651,6 @@ ORACLES = {
     "source_shingle_containment": CONTAINMENT_SQL,
     "token_gini_by_source": GINI_SQL,
     "zipf_slope_by_source": ZIPF_SQL,
+    "token_lang_mi": MI_SQL,
+    "label_centroid_similarity": CENTROID_SIM_SQL,
 }

@@ -377,3 +377,71 @@ def test_partitioned_scan_prunes_at_the_directory_level(spark, sf_dir):
     assert (row["n_docs"], row["n_chars_total"], row["n_sources"]) == tuple(raw)
     plan = plan_of(df)
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_token_lang_mi_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.operators.corpus_info import token_lang_mi
+
+    row = token_lang_mi(spark, sf_dir).first()
+    counts = _lang_counts(spark, sf_dir)
+    ct: dict = {}
+    cg: dict = {}
+    nn = 0
+    cells = 0
+    for lang, cs in counts.items():
+        for t, c in cs.items():
+            ct[t] = ct.get(t, 0) + c
+            cg[lang] = cg.get(lang, 0) + c
+            nn += c
+            cells += 1
+    mi = sum(
+        (c / nn) * math.log(c * nn / (ct[t] * cg[lang]))
+        for lang, cs in counts.items()
+        for t, c in cs.items()
+    )
+    assert (row["n_tokens"], row["n_cells"]) == (nn, cells)
+    assert abs(row["mi_nats_6"] - mi) < 2e-6
+    # MI is bounded by the lang-marginal entropy
+    hg = -sum((c / nn) * math.log(c / nn) for c in cg.values())
+    assert -1e-9 <= row["mi_nats_6"] <= hg + 1e-9
+
+
+def test_label_centroid_similarity_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.corpus_info import (
+        CENTROID_SCALE,
+        label_centroid_similarity,
+    )
+
+    rows = {
+        (r["la"], r["lb"]): r["cos_6"]
+        for r in label_centroid_similarity(spark, sf_dir).collect()
+    }
+
+    def round_half_away(x):  # SQL round, not Python's banker's round
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    sums: dict = {}
+    ns: dict = {}
+    for label, emb in (
+        load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    ):
+        xi = [round_half_away(float(x) * CENTROID_SCALE) for x in emb]
+        if label not in sums:
+            sums[label] = [0] * len(xi)
+        ns[label] = ns.get(label, 0) + 1
+        for i, v in enumerate(xi):
+            sums[label][i] += v
+    cent = {
+        lb: [round_half_away(s / ns[lb]) for s in arr] for lb, arr in sums.items()
+    }
+    labels = sorted(cent)
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            dot = sum(a * b for a, b in zip(cent[la], cent[lb]))
+            na2 = sum(a * a for a in cent[la])
+            nb2 = sum(b * b for b in cent[lb])
+            cos = dot / math.sqrt(na2 * nb2)
+            assert abs(rows[(la, lb)] - cos) < 2e-6
+            assert -1.0 <= rows[(la, lb)] <= 1.0
