@@ -725,6 +725,15 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "SortMergeJoin", "Window", "MapInPandas",
       "Exchange rangepartitioning"]),
+    # MI: cell counts join the token marginal on the token key; the
+    # lang marginal and the total broadcast; no windows, no Python
+    ("token_lang_mi",
+     ["partial_sum"],
+     ["CartesianProduct", "Window", "MapInPandas"]),
+    # centroid cosine: bounded centroid table self-joins via broadcast
+    ("label_centroid_similarity",
+     ["partial_sum", "BroadcastHashJoin"],
+     ["CartesianProduct", "Window", "MapInPandas", "SortMergeJoin"]),
 ]
 
 
