@@ -629,6 +629,85 @@ def stream_benford_digits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_from_per_digit(spark.table(name).select("d", "n"))
 
 
+def stream_mad_outlier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming robust-outlier monitor over `events.value`: the
+    median/MAD gate (batch: `rank_stats.mad_outlier_orders`) run ON the
+    stream. The med/MAD/threshold artifact is fixed up front from the
+    reference snapshot via the distributed rank walk (a 2-scalar
+    bounded collect — the training-time robust baseline, exactly like
+    `stream_psi_drift`'s bin edges), and the ONLY streaming state is
+    the single global [n, n_outliers] aggregate row."""
+    from spec_search_spark.operators.rank_stats import (
+        MAD_K,
+        _lower_median,
+    )
+
+    tune(spark)
+    from spec_search_spark.catalog import load_table
+
+    cents = load_table(spark, sf_dir, "events").select(
+        F.expr("cast(round(value * 100) as bigint)").alias("v")
+    )
+    per_v = cents.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    med = _lower_median(per_v, "v").collect()[0]["med"]
+    per_d = (
+        cents.select(F.abs(F.col("v") - F.lit(int(med))).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mad = _lower_median(per_d, "v").collect()[0]["med"]
+    thr = round(MAD_K * int(mad))
+
+    name = f"mad_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.expr(
+                f"abs(cast(round(value * 100) as bigint) - {int(med)})"
+            ).alias("d")
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"case when d > {thr} then 1 else 0 end")).alias(
+                "n_out"
+            ),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_mad_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(int(med)).cast("bigint").alias("med_cents"),
+        F.lit(int(mad)).cast("bigint").alias("mad_cents"),
+        F.lit(thr).cast("bigint").alias("thr_cents"),
+        F.col("n_out").cast("bigint").alias("n_outliers"),
+        F.expr(
+            "cast(round(n_out / cast(n as double) * 1e6) as bigint) / 1e6"
+        ).alias("outlier_share_6"),
+    )
+
+
+def _stream_mad_sql() -> str:
+    # the batch MAD oracle retargeted at the stream's source column
+    from spec_search_spark.operators.rank_stats import MAD_SQL
+
+    return MAD_SQL.replace(
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders",
+        "CAST(round(value * 100) AS BIGINT) AS v FROM events",
+    )
+
+
 def _stream_benford_sql() -> str:
     # the batch Benford oracle retargeted at the stream's source column
     from spec_search_spark.operators.drift import BENFORD_SQL
@@ -664,6 +743,7 @@ QUERIES = {
     "stream_psi_drift": stream_psi_drift_query,
     "stream_seasonal_anomaly": stream_seasonal_anomaly_query,
     "stream_benford_digits": stream_benford_digits_query,
+    "stream_mad_outlier": stream_mad_outlier_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -676,6 +756,7 @@ ORACLES = {
     "stream_psi_drift": _import_psi_sql(),
     "stream_seasonal_anomaly": _import_seasonal_sql(),
     "stream_benford_digits": _stream_benford_sql(),
+    "stream_mad_outlier": _stream_mad_sql(),
 }
 
 

@@ -179,3 +179,28 @@ def test_stream_benford_equals_direct_event_reference(spark, sf_dir):
     for d, c in counts.items():
         assert rows[d]["n"] == c
         assert abs(rows[d]["chi2_6"] - chi2) < 5e-6
+
+
+def test_stream_mad_outlier_matches_direct_reference(spark, sf_dir):
+    """One-row stream state: n/outlier counts must equal a direct batch
+    recomputation with the same snapshot-derived med/MAD/threshold."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.rank_stats import MAD_K
+    from spec_search_spark.streaming.incremental import stream_mad_outlier_query
+    from pyspark.sql import functions as F
+
+    row = stream_mad_outlier_query(spark, sf_dir).first()
+    xs = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.expr("cast(round(value * 100) as bigint)"))
+        .collect()
+    )
+    n = len(xs)
+    med = xs[(n + 1) // 2 - 1]
+    devs = sorted(abs(x - med) for x in xs)
+    mad = devs[(n + 1) // 2 - 1]
+    thr = round(MAD_K * mad)
+    n_out = sum(1 for d in devs if d > thr)
+    assert (row["n"], row["med_cents"], row["mad_cents"]) == (n, med, mad)
+    assert (row["thr_cents"], row["n_outliers"]) == (thr, n_out)
