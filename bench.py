@@ -159,6 +159,7 @@ HEADLINE = [
     "ols_cv_rmse",
     "token_lang_mi",
     "label_centroid_similarity",
+    "multimodal_image_resize",
 ]
 
 

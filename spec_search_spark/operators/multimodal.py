@@ -691,12 +691,132 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
 PHASH_SQL = _phash_sql()
 
 
+RESIZE_GRID = 4  # nearest-neighbor target: 4×4 thumbnails
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image nearest-neighbor RESIZE to a fixed RESIZE_GRID² grid
+    from the decoded pixel bytes — the thumbnail/downsample step of an
+    image-training pipeline (the preprocessing between decode and
+    feature-extract; CLIP-style pipelines resize before embedding).
+
+    The kernel genuinely parses each BMP (header offset, row stride)
+    and samples yy = ty·h // R, xx = tx·w // R — the same arithmetic
+    torchvision's NEAREST mode uses. Outputs are exact integers: the
+    resized per-channel sums plus a POSITION-WEIGHTED checksum
+    Σ (b+g+r)·(ty·R + tx + 1) that pins every sample to its target
+    cell, so a transposed or off-by-one-stride resize cannot pass.
+
+    Oracle: pixels are (doc_id·31 + byteoff·7) % 251 by construction,
+    so DuckDB reproduces all sums closed-form from grid coordinates
+    without parsing bytes. Plan: two chained MapInPandas, no exchange;
+    payload bytes never shuffle."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_bmp(1 + int(d) % 31, 1 + int(d) % 17, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        r = RESIZE_GRID
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "rs_b": [], "rs_g": [], "rs_r": [], "pos_checksum": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w = struct.unpack_from("<i", b, 18)[0]
+                h = struct.unpack_from("<i", b, 22)[0]
+                off = struct.unpack_from("<I", b, 10)[0]
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=off
+                ).reshape(h, stride)
+                yy = (np.arange(r) * h) // r
+                xx = (np.arange(r) * w) // r
+                # (r, r, 3) nearest-neighbor thumbnail, exact integers
+                thumb = np.stack(
+                    [px[y, xx * 3 + c].astype(np.int64) for y in yy for c in (0, 1, 2)]
+                ).reshape(r, 3, r).transpose(0, 2, 1)
+                sums = thumb.reshape(-1, 3).sum(axis=0)
+                gray = thumb.sum(axis=2)  # b+g+r per cell
+                pos = np.arange(1, r * r + 1).reshape(r, r)
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["rs_b"].append(int(sums[0]))
+                out["rs_g"].append(int(sums[1]))
+                out["rs_r"].append(int(sums[2]))
+                out["pos_checksum"].append(int((gray * pos).sum()))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "rs_b": "int64", "rs_g": "int64", "rs_r": "int64",
+                 "pos_checksum": "int64"}
+            )
+
+    media = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return media.mapInPandas(
+        resize,
+        "doc_id bigint, width int, height int, rs_b bigint, rs_g bigint,"
+        " rs_r bigint, pos_checksum bigint",
+    )
+
+
+IMAGE_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id, CAST(1 + doc_id % 31 AS INT) AS w,
+         CAST(1 + doc_id % 17 AS INT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), cells AS (
+  SELECT doc_id, w, h, (w * 3 + 3) // 4 * 4 AS stride,
+         unnest(generate_series(0, {RESIZE_GRID - 1})) AS ty
+  FROM img
+), grid AS (
+  SELECT doc_id, w, h, stride, ty,
+         unnest(generate_series(0, {RESIZE_GRID - 1})) AS tx
+  FROM cells
+), sampled AS (
+  SELECT doc_id, w, h, ty, tx,
+         (ty * h) // {RESIZE_GRID} AS yy,
+         (tx * w) // {RESIZE_GRID} AS xx,
+         stride
+  FROM grid
+), vals AS (
+  SELECT doc_id, w, h, ty, tx,
+         (doc_id * 31 + (yy * stride + xx * 3 + 0) * 7) % 251 AS b,
+         (doc_id * 31 + (yy * stride + xx * 3 + 1) * 7) % 251 AS g,
+         (doc_id * 31 + (yy * stride + xx * 3 + 2) * 7) % 251 AS r
+  FROM sampled
+)
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       CAST(sum(b) AS BIGINT) AS rs_b,
+       CAST(sum(g) AS BIGINT) AS rs_g,
+       CAST(sum(r) AS BIGINT) AS rs_r,
+       CAST(sum((b + g + r) * (ty * {RESIZE_GRID} + tx + 1)) AS BIGINT)
+         AS pos_checksum
+FROM vals GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
     "multimodal_real_codec": multimodal_real_codec,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_image_stats": multimodal_image_stats,
+    "multimodal_image_resize": multimodal_image_resize,
     "image_phash_pairs": image_phash_pairs,
 }
 
@@ -706,5 +826,6 @@ ORACLES = {
     "multimodal_real_codec": MULTIMODAL_REAL_SQL,
     "multimodal_audio_energy": AUDIO_ENERGY_SQL,
     "multimodal_image_stats": IMAGE_STATS_SQL,
+    "multimodal_image_resize": IMAGE_RESIZE_SQL,
     "image_phash_pairs": PHASH_SQL,
 }

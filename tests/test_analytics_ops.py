@@ -189,3 +189,35 @@ def test_phash_quads_collapse_and_symmetric(spark, sf_dir):
             assert ham == 0, f"identical images must hash identically {d1},{d2}"
     # at least one full quad of evens collapses: docs 0,2,4,6
     assert pairs.get((0, 2)) == 0 and pairs.get((0, 4)) == 0 and pairs.get((2, 6)) == 0
+
+
+def test_image_resize_matches_pure_python_nearest(spark, sf_dir):
+    """The mapInPandas resize must equal a per-image pure-Python
+    nearest-neighbor resample of the same genuinely-built BMP bytes."""
+    import struct
+
+    from spec_search_spark.operators.multimodal import (
+        RESIZE_GRID,
+        make_bmp,
+        multimodal_image_resize,
+    )
+
+    rows = {r["doc_id"]: r for r in multimodal_image_resize(spark, sf_dir).collect()}
+    assert rows  # even doc_ids exist
+    for doc_id, r in list(rows.items())[:25]:
+        w, h = 1 + doc_id % 31, 1 + doc_id % 17
+        b = make_bmp(w, h, seed=doc_id)
+        off = struct.unpack_from("<I", b, 10)[0]
+        stride = (w * 3 + 3) // 4 * 4
+        sums = [0, 0, 0]
+        checksum = 0
+        for ty in range(RESIZE_GRID):
+            for tx in range(RESIZE_GRID):
+                yy, xx = (ty * h) // RESIZE_GRID, (tx * w) // RESIZE_GRID
+                px = [b[off + yy * stride + xx * 3 + c] for c in range(3)]
+                for c in range(3):
+                    sums[c] += px[c]
+                checksum += sum(px) * (ty * RESIZE_GRID + tx + 1)
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["rs_b"], r["rs_g"], r["rs_r"]) == tuple(sums)
+        assert r["pos_checksum"] == checksum
