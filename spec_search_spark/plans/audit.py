@@ -628,6 +628,10 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("multimodal_image_stats",
      ["MapInPandas"],
      ["Exchange", "CartesianProduct", "Window"]),
+    # resize: same chained-kernel shape — payload bytes never shuffle
+    ("multimodal_image_resize",
+     ["MapInPandas"],
+     ["Exchange", "CartesianProduct", "Window"]),
     # AUC: corpus collapses to the distinct-score table by partial agg
     # FIRST; the rank window runs over that bounded table only (its
     # range exchange is score-grid-sized, like balanced_shards' 64 rows)
