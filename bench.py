@@ -160,6 +160,7 @@ HEADLINE = [
     "token_lang_mi",
     "label_centroid_similarity",
     "multimodal_image_resize",
+    "kmeans_silhouette",
 ]
 
 

@@ -162,6 +162,59 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIL_SCALE = 1_000_000_000  # per-point silhouette snapped to nano-units
+
+
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified (centroid) silhouette — the clustering
+    quality score that tells a SemDeDup pipeline whether its clusters
+    are real structure or noise: s = 1 − √(a²/b²) with a = distance to
+    the OWN centroid, b = distance to the SECOND-nearest (so s ∈ [0,1];
+    s ≈ 0 = boundary point, s ≈ 1 = deep inside its cluster).
+
+    Exactness: a², b² are the rank-1/rank-2 rows of the same 6dp-grid
+    distance table the assignment uses; each point's s snaps to
+    nano-units before the per-cluster integer mean. Plan: ONE broadcast
+    nested-loop over the k-row centroid table + one vec_id window —
+    the corpus never shuffles on anything wider than its own id."""
+    from spec_search_spark.session import tune as _tune
+
+    _tune(spark)
+    emb = _emb(spark, sf_dir)
+    cent = _trained_centroids(spark, sf_dir)
+    d = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(l2_squared(F.col("e"), F.col("c")), 6).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    a = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cid", F.col("dist2").alias("a2")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("dist2").alias("b2")
+    )
+    s = a.join(b, "vec_id").select(
+        "cid",
+        F.expr(
+            "cast(round((case when b2 = 0 then 0.0"
+            f" else 1.0 - sqrt(a2 / b2) end) * {SIL_SCALE}) as bigint)"
+        ).alias("s_n"),
+    )
+    return (
+        s.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"cast(round(cast(sum(s_n) as double) / {SIL_SCALE} / count(*)"
+                " * 1e6) as bigint) / 1e6"
+            ).alias("mean_silhouette_6"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: within each k-means cluster, a vector is a semantic
     duplicate if an EARLIER (lower vec_id) cluster member has cosine
@@ -292,14 +345,37 @@ SELECT af.vec_id, af.cid AS cluster,
 FROM af LEFT JOIN pairs p ON af.vec_id = p.vec_id
 """
 
+
+KMEANS_SIL_SQL = f"""
+{_kmeans_ctes()},
+ranked AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM df
+), s AS (
+  SELECT a.cid,
+         CAST(round((CASE WHEN b.dist2 = 0 THEN 0.0
+                ELSE 1.0 - sqrt(a.dist2 / b.dist2) END) * {SIL_SCALE})
+              AS BIGINT) AS s_n
+  FROM (SELECT vec_id, cid, dist2 FROM ranked WHERE rn = 1) a
+  JOIN (SELECT vec_id, dist2 FROM ranked WHERE rn = 2) b USING (vec_id)
+)
+SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n,
+       CAST(round(CAST(sum(s_n) AS DOUBLE) / {SIL_SCALE} / count(*) * 1e6)
+            AS BIGINT) / 1e6 AS mean_silhouette_6
+FROM s GROUP BY cid ORDER BY cluster
+"""
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
     "kmeans_cluster_sizes": kmeans_cluster_sizes,
     "semantic_dedup": semantic_dedup,
+    "kmeans_silhouette": kmeans_silhouette,
 }
 
 ORACLES = {
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "kmeans_cluster_sizes": KMEANS_SIZES_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "kmeans_silhouette": KMEANS_SIL_SQL,
 }

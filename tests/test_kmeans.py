@@ -65,3 +65,35 @@ def test_semdedup_keeps_earliest_member(spark, sf_dir):
     )
     assert firsts.filter(~F.col("keep")).count() == 0
     assert 0.5 < SEMDEDUP_TAU < 1.0
+
+
+def test_silhouette_matches_direct_reference(spark, sf_dir):
+    """Per-point s = 1 - sqrt(a2/b2) recomputed from the collected
+    assignment's own distance table (trained centroids reused)."""
+    import math
+
+    from spec_search_spark.operators.kmeans import (
+        _emb,
+        _trained_centroids,
+        kmeans_silhouette,
+    )
+
+    rows = {r["cluster"]: r for r in kmeans_silhouette(spark, sf_dir).collect()}
+    cents = {r["cid"]: r["c"] for r in _trained_centroids(spark, sf_dir).collect()}
+    per_cluster: dict = {}
+    for r in _emb(spark, sf_dir).collect():
+        dists = sorted(
+            (
+                round(sum((e - c) ** 2 for e, c in zip(r["e"], cv)), 6),
+                cid,
+            )
+            for cid, cv in cents.items()
+        )
+        (a2, cid), (b2, _) = dists[0], dists[1]
+        s = 0.0 if b2 == 0 else 1.0 - math.sqrt(a2 / b2)
+        per_cluster.setdefault(cid, []).append(round(s * 1e9) / 1e9)
+    for cid, ss in per_cluster.items():
+        r = rows[cid]
+        assert r["n"] == len(ss)
+        assert abs(r["mean_silhouette_6"] - sum(ss) / len(ss)) < 2e-6
+        assert 0.0 <= r["mean_silhouette_6"] <= 1.0
