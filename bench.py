@@ -161,6 +161,7 @@ HEADLINE = [
     "label_centroid_similarity",
     "multimodal_image_resize",
     "kmeans_silhouette",
+    "cramers_v_priority_status",
 ]
 
 

@@ -462,11 +462,98 @@ grid AS (
 ACF_SQL = _acf_sql()
 
 
+CRAMER_SCALE = 1_000_000_000  # chi-square cell terms as integer nano-units
+
+
+def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: Cramér's V association between o_orderpriority and
+    o_orderstatus (with the chi-square statistic and the contingency
+    shape) — the categorical-pair dependence screen a feature audit
+    runs before one-hot-encoding two columns that encode the same
+    thing (V → 1 = redundant features, V ≈ 0 = independent).
+
+    Exact shape: one partial+final agg into the r×c contingency cells;
+    marginals re-aggregate from the cell table (≤ r·c rows); each
+    cell's (o−e)²/e term computes from exact integer counts in one
+    fixed-arity double expression snapped to nano-units before the
+    DECIMAL(38,0) sum; V = √(χ²/(n·(min(r,c)−1))) snaps at 6dp."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    )
+    cells = o.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    ma = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = cells.groupBy().agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    term = (
+        "cast(round((n - cast(na as double) * nb / nn)"
+        " * (n - cast(na as double) * nb / nn)"
+        f" / (cast(na as double) * nb / nn) * {CRAMER_SCALE}) as bigint)"
+    )
+    acc = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.max("nn").alias("nn"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+            F.sum(F.expr(f"cast({term} as decimal(38,0))")).alias("chi2_n"),
+        )
+    )
+    return acc.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("n_rows_dim"),
+        F.col("c").cast("bigint").alias("n_cols_dim"),
+        F.expr(
+            f"cast(round(cast(chi2_n as double) / {CRAMER_SCALE} * 1e6)"
+            " as bigint) / 1e6"
+        ).alias("chi2_6"),
+        F.expr(
+            f"cast(round(sqrt(cast(chi2_n as double) / {CRAMER_SCALE}"
+            " / (nn * (least(r, c) - 1))) * 1e6) as bigint) / 1e6"
+        ).alias("cramers_v_6"),
+    )
+
+
+CRAMERS_SQL = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+tot AS (SELECT sum(n) AS nn, count(DISTINCT a) AS r, count(DISTINCT b) AS c
+        FROM cells),
+acc AS (
+  SELECT max(nn) AS nn, max(r) AS r, max(c) AS c,
+         sum(CAST(CAST(round((n - CAST(na AS DOUBLE) * nb / nn)
+               * (n - CAST(na AS DOUBLE) * nb / nn)
+               / (CAST(na AS DOUBLE) * nb / nn) * {CRAMER_SCALE}) AS BIGINT)
+             AS DECIMAL(38,0))) AS chi2_n
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows_dim,
+       CAST(c AS BIGINT) AS n_cols_dim,
+       CAST(round(CAST(chi2_n AS DOUBLE) / {CRAMER_SCALE} * 1e6) AS BIGINT)
+         / 1e6 AS chi2_6,
+       CAST(round(sqrt(CAST(chi2_n AS DOUBLE) / {CRAMER_SCALE}
+            / (nn * (least(r, c) - 1))) * 1e6) AS BIGINT) / 1e6
+         AS cramers_v_6
+FROM acc
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "psi_value_drift": psi_value_drift,
     "benford_first_digit": benford_first_digit,
     "hourly_autocorrelation": hourly_autocorrelation,
+    "cramers_v_priority_status": cramers_v_priority_status,
 }
 
 ORACLES = {
@@ -474,4 +561,5 @@ ORACLES = {
     "psi_value_drift": PSI_SQL,
     "benford_first_digit": BENFORD_SQL,
     "hourly_autocorrelation": ACF_SQL,
+    "cramers_v_priority_status": CRAMERS_SQL,
 }

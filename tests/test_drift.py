@@ -204,3 +204,38 @@ def test_stream_mad_outlier_matches_direct_reference(spark, sf_dir):
     n_out = sum(1 for d in devs if d > thr)
     assert (row["n"], row["med_cents"], row["mad_cents"]) == (n, med, mad)
     assert (row["thr_cents"], row["n_outliers"]) == (thr, n_out)
+
+
+def test_cramers_v_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.drift import cramers_v_priority_status
+
+    row = cramers_v_priority_status(spark, sf_dir).first()
+    cells: dict = {}
+    for a, b in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    ):
+        cells[(a, b)] = cells.get((a, b), 0) + 1
+    nn = sum(cells.values())
+    ma: dict = {}
+    mb: dict = {}
+    for (a, b), n in cells.items():
+        ma[a] = ma.get(a, 0) + n
+        mb[b] = mb.get(b, 0) + n
+    chi2 = 0.0
+    for (a, b), n in cells.items():
+        e = ma[a] * mb[b] / nn
+        chi2 += round((n - e) ** 2 / e * 1e9) / 1e9
+    import math
+
+    v = math.sqrt(chi2 / (nn * (min(len(ma), len(mb)) - 1)))
+    assert (row["n"], row["n_rows_dim"], row["n_cols_dim"]) == (
+        nn,
+        len(ma),
+        len(mb),
+    )
+    assert abs(row["chi2_6"] - chi2) < 5e-6
+    assert abs(row["cramers_v_6"] - v) < 2e-6
+    assert 0.0 <= row["cramers_v_6"] <= 1.0
