@@ -16,7 +16,13 @@ itself ships no statistics — `/root/reference/README.md:12-17`).
   width rule) until one final fixed-arity double expression, snapped.
 * `mad_outlier_orders` — robust outlier gate on `o_totalprice`:
   lower-median + MAD (both exact integer cents via the distributed
-  rank walk), outliers at |x − med| > round(3·1.4826·MAD).
+  rank walk), outliers at |x − med| > round(3·1.4826·MAD). Distinct
+  from `scalar_sql.robust_outlier_report` (per-returnflag lineitem
+  bands at ±3·raw-MAD with interpolated medians): this one is the
+  GLOBAL gate with the 1.4826 normal-consistency constant (so the
+  threshold is 3 estimated σ̂, comparable across columns), uses the
+  strictly-integer lower-median (no .5 fractions anywhere), and is
+  the training-time artifact the `stream_mad_outlier` twin ships.
 
 Scale notes: all three collapse to distinct-value count tables first
 (distinct cents ≈ row count), then compute cumulative counts with the

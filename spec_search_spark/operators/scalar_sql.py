@@ -764,10 +764,31 @@ GROUP BY n_name
 """
 
 
+#: identical text runs in BOTH engines: Spark 4 and DuckDB implement
+#: the same `GROUP BY ALL` inference (group on every non-aggregate
+#: select item) — the de-boilerplate surface analysts actually use.
+SQL_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ALL
+"""
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: `GROUP BY ALL` — grouping keys inferred from the
+    non-aggregated projection. The oracle is the LITERAL same text
+    (both engines implement the inference), so parity here proves the
+    inference rule itself agrees, not just the aggregation."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_GROUP_BY_ALL)
+
+
 QUERIES = {
     "scalar_date_math": scalar_date_math,
     "sql_lateral_topk": sql_lateral_topk,
     "sql_pipe_syntax": sql_pipe_syntax,
+    "sql_group_by_all": sql_group_by_all,
     "listagg_top_customers": listagg_top_customers,
     "percentiles_exact": percentiles_exact,
     "sql_correlated_subquery": sql_correlated_subquery,
@@ -787,6 +808,7 @@ ORACLES = {
     "scalar_date_math": SCALAR_DATE_MATH_SQL,
     "sql_lateral_topk": _LATERAL_SQL,
     "sql_pipe_syntax": SQL_PIPE_SQL,
+    "sql_group_by_all": SQL_GROUP_BY_ALL,
     "listagg_top_customers": LISTAGG_SQL,
     "percentiles_exact": PERCENTILES_SQL,
     "sql_correlated_subquery": _CORRELATED_SQL,
