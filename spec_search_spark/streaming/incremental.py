@@ -607,11 +607,17 @@ def stream_benford_digits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spec_search_spark.operators.drift import benford_from_per_digit
 
     name = f"benford_stream_{uuid.uuid4().hex[:8]}"
-    digits = _events_stream(spark, sf_dir).select(
-        F.expr(
-            "cast(substring(cast(cast(round(value * 100) as bigint)"
-            " as string), 1, 1) as int)"
-        ).alias("d")
+    # Benford is defined on nonzero amounts: values rounding to 0 cents
+    # have leading digit 0 (1/d blows up) — drop them in BOTH engines.
+    digits = (
+        _events_stream(spark, sf_dir)
+        .filter(F.expr("cast(round(value * 100) as bigint) >= 1"))
+        .select(
+            F.expr(
+                "cast(substring(cast(cast(round(value * 100) as bigint)"
+                " as string), 1, 1) as int)"
+            ).alias("d")
+        )
     )
     agg = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     ckpt = tempfile.mkdtemp(prefix="ckpt_benford_")
@@ -715,7 +721,10 @@ def _stream_benford_sql() -> str:
     return BENFORD_SQL.replace(
         "CAST(round(o_totalprice * 100) AS BIGINT)",
         "CAST(round(value * 100) AS BIGINT)",
-    ).replace("FROM orders GROUP BY 1", "FROM events GROUP BY 1")
+    ).replace(
+        "FROM orders GROUP BY 1",
+        "FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1 GROUP BY 1",
+    )
 
 
 def _import_psi_sql() -> str:

@@ -160,6 +160,7 @@ def test_stream_benford_equals_direct_event_reference(spark, sf_dir):
         for r in load_table(spark, sf_dir, "events")
         .select(F.expr("cast(round(value * 100) as bigint)"))
         .collect()
+        if r[0] >= 1  # Benford is defined on nonzero amounts
     ]
     counts: dict = {}
     for v in cents:
