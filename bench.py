@@ -162,6 +162,8 @@ HEADLINE = [
     "multimodal_image_resize",
     "kmeans_silhouette",
     "cramers_v_priority_status",
+    "mann_kendall_hourly",
+    "theil_sen_hourly",
 ]
 
 

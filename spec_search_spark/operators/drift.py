@@ -352,6 +352,41 @@ ORDER BY d
 ACF_LAGS = (1, 24)  # hourly adjacency + daily seasonality
 
 
+def _hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, x): the gap-filled hourly integer-cents series — BOUNDED by
+    the observation window (hours, not rows); missing hours zero-fill
+    from a one-row bounds sequence. Shared by the ACF / Mann-Kendall /
+    Theil-Sen time-series probes."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    per_h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    return grid.join(per_h, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+
+
+_HOURLY_FILLED_SQL = """
+per_h AS (
+  SELECT date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1
+), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM per_h),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), filled AS (
+  SELECT g.h, coalesce(p.x, 0) AS x FROM grid g LEFT JOIN per_h p ON p.h = g.h
+)"""
+
+
 def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 and lag-24 autocorrelation of the gap-filled hourly
     event-value series — the seasonality/trend sanity probe next to
@@ -365,21 +400,7 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·x_t − S)(n·x_{t+k} − S), accumulated in DECIMAL(38,0); one
     final snapped double ratio per lag."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events").select("ts", "value")
-    per_h = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
-    )
-    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = bounds.select(
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("h")
-    )
-    filled = grid.join(per_h, "h", "left").select(
-        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
-    )
+    filled = _hourly_filled(spark, sf_dir)
     tot = filled.groupBy().agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
@@ -460,6 +481,142 @@ grid AS (
 
 
 ACF_SQL = _acf_sql()
+
+
+def mann_kendall_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the Mann-Kendall monotonic-trend test over the
+    gap-filled hourly value series — S = Σ_{i<j} sign(x_j − x_i), the
+    tie-corrected variance, the continuity-corrected z (6dp snap), and
+    the α=0.05 decision. The nonparametric "is this metric drifting
+    up" answer a monitor wants when the series is nothing like normal.
+
+    Exact shape: the ENTIRE computation runs on the bounded hours
+    table — the all-pairs comparison is hours², a constant fixed by
+    the observation window, never by data volume (at a year of hours
+    that is ~4e7 sign comparisons, one broadcast nested-loop over a
+    9k-row table). S and the tie term are exact integers; z is one
+    fixed-arity double from identical SQL text, snapped."""
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir)
+    a = filled.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = filled.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    s_row = (
+        a.join(F.broadcast(b), F.col("ha") < F.col("hb"))
+        .groupBy()
+        .agg(
+            F.sum(F.expr("sign(xb - xa)")).cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    ties = (
+        filled.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy()
+        .agg(
+            F.sum(F.expr("cast(t as decimal(38,0)) * (t - 1) * (2 * t + 5)")).alias(
+                "tie_term"
+            ),
+            F.sum("t").alias("n"),
+        )
+    )
+    z = (
+        "(case when s > 0 then s - 1 when s < 0 then s + 1 else 0 end)"
+        " / sqrt((cast(n as double) * (n - 1) * (2 * n + 5)"
+        "         - cast(tie_term as double)) / 18)"
+    )
+    return s_row.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "s",
+        F.expr(f"cast(round(({z}) * 1e6) as bigint) / 1e6").alias("z_6"),
+        F.expr(f"abs({z}) > {Z_CRIT}").alias("reject_05"),
+    )
+
+
+Z_CRIT = 1.959964  # two-sided alpha = 0.05
+
+
+MANN_KENDALL_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+s_row AS (
+  SELECT CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s, count(*) AS n_pairs
+  FROM filled a JOIN filled b ON a.h < b.h
+), ties AS (
+  SELECT sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_term,
+         sum(t) AS n
+  FROM (SELECT x, count(*) AS t FROM filled GROUP BY x)
+)
+SELECT CAST(n AS BIGINT) AS n_hours, CAST(n_pairs AS BIGINT) AS n_pairs, s,
+       CAST(round(((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1
+                     ELSE 0 END)
+         / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                 - CAST(tie_term AS DOUBLE)) / 18)) * 1e6) AS BIGINT) / 1e6
+         AS z_6,
+       abs((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END)
+         / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                 - CAST(tie_term AS DOUBLE)) / 18)) > {Z_CRIT} AS reject_05
+FROM s_row CROSS JOIN ties
+"""
+
+SEN_SCALE = 1_000_000_000  # pairwise slopes snapped to nano-cents/hour
+
+
+def theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the Theil-Sen robust trend estimate over the
+    gap-filled hourly series — the lower-median of all pairwise slopes
+    (x_j − x_i)/Δhours, each snapped to integer nano-cents-per-hour —
+    plus the pair count. Resistant to 29% outliers where OLS's slope
+    is dragged by one bad hour; the robust sibling of
+    `mann_kendall_hourly`'s significance call.
+
+    Exact shape: pair slopes live on the bounded hours² table;
+    snapping each slope to the 1e-9 grid makes the median selection a
+    pure integer rank walk (`rank_stats._lower_median` — per-bucket
+    windows, never one global task)."""
+    from spec_search_spark.operators.rank_stats import _lower_median
+
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir)
+    a = filled.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = filled.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    slopes = a.join(F.broadcast(b), F.col("ha") < F.col("hb")).select(
+        F.expr(
+            "cast(round((xb - xa) / ((unix_micros(hb) - unix_micros(ha))"
+            f" / 3.6e9) * {SEN_SCALE}) as bigint)"
+        ).alias("v")
+    )
+    per_v = slopes.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    med = _lower_median(per_v, "v")
+    tot = per_v.groupBy().agg(F.sum("c").alias("n_pairs"))
+    return med.crossJoin(F.broadcast(tot)).select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("med").alias("sen_slope_nano"),
+        # NOT an integer div: med can be negative and Spark `div`
+        # truncates while DuckDB `//` floors — snap via round instead
+        F.expr("cast(round(med / 1000.0) as bigint) / 1e6").alias(
+            "sen_slope_6"
+        ),
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+slopes AS (
+  SELECT CAST(round((b.x - a.x) / ((epoch_us(b.h) - epoch_us(a.h)) / 3.6e9)
+           * {SEN_SCALE}) AS BIGINT) AS v
+  FROM filled a JOIN filled b ON a.h < b.h
+), per_v AS (SELECT v, count(*) AS c FROM slopes GROUP BY v),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM per_v
+), tot AS (SELECT sum(c) AS n_pairs FROM per_v),
+med AS (SELECT min(v) AS med FROM cum CROSS JOIN tot
+        WHERE cc >= (n_pairs + 1) // 2)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs, med AS sen_slope_nano,
+       CAST(round(med / 1000.0) AS BIGINT) / 1e6 AS sen_slope_6
+FROM med CROSS JOIN tot
+"""
 
 
 CRAMER_SCALE = 1_000_000_000  # chi-square cell terms as integer nano-units
@@ -554,6 +711,8 @@ QUERIES = {
     "benford_first_digit": benford_first_digit,
     "hourly_autocorrelation": hourly_autocorrelation,
     "cramers_v_priority_status": cramers_v_priority_status,
+    "mann_kendall_hourly": mann_kendall_hourly,
+    "theil_sen_hourly": theil_sen_hourly,
 }
 
 ORACLES = {
@@ -562,4 +721,6 @@ ORACLES = {
     "benford_first_digit": BENFORD_SQL,
     "hourly_autocorrelation": ACF_SQL,
     "cramers_v_priority_status": CRAMERS_SQL,
+    "mann_kendall_hourly": MANN_KENDALL_SQL,
+    "theil_sen_hourly": THEIL_SEN_SQL,
 }

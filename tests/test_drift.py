@@ -240,3 +240,71 @@ def test_cramers_v_matches_direct_reference(spark, sf_dir):
     assert abs(row["chi2_6"] - chi2) < 5e-6
     assert abs(row["cramers_v_6"] - v) < 2e-6
     assert 0.0 <= row["cramers_v_6"] <= 1.0
+
+
+def _hourly_series(spark, sf_dir):
+    from datetime import timedelta
+
+    from spec_search_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    per_h: dict = {}
+    for h, cents in (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x"))
+        .collect()
+    ):
+        per_h[h] = cents
+    h0, h1 = min(per_h), max(per_h)
+    xs = []
+    h = h0
+    while h <= h1:
+        xs.append(per_h.get(h, 0))
+        h = h + timedelta(hours=1)
+    return xs
+
+
+def test_mann_kendall_matches_direct_reference(spark, sf_dir):
+    import math
+
+    from spec_search_spark.operators.drift import Z_CRIT, mann_kendall_hourly
+
+    row = mann_kendall_hourly(spark, sf_dir).first()
+    xs = _hourly_series(spark, sf_dir)
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties: dict = {}
+    for x in xs:
+        ties[x] = ties.get(x, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18
+    z = (s - 1 if s > 0 else s + 1 if s < 0 else 0) / math.sqrt(var)
+    assert (row["n_hours"], row["n_pairs"], row["s"]) == (n, n * (n - 1) // 2, s)
+    assert abs(row["z_6"] - z) < 2e-6
+    assert row["reject_05"] == (abs(z) > Z_CRIT)
+
+
+def test_theil_sen_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.operators.drift import SEN_SCALE, theil_sen_hourly
+
+    row = theil_sen_hourly(spark, sf_dir).first()
+    xs = _hourly_series(spark, sf_dir)
+    n = len(xs)
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            v = (xs[j] - xs[i]) / (j - i)
+            # SQL round: half away from zero
+            import math as m
+
+            slopes.append(int(m.copysign(m.floor(abs(v * SEN_SCALE) + 0.5), v)))
+    slopes.sort()
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert row["n_pairs"] == len(slopes)
+    assert row["sen_slope_nano"] == med
+    assert abs(row["sen_slope_6"] - med / 1e9) < 1e-6
