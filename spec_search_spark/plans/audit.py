@@ -729,6 +729,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "SortMergeJoin", "Window", "MapInPandas",
       "Exchange rangepartitioning"]),
+    # trend pair: the all-pairs comparison rides a broadcast
+    # nested-loop over the BOUNDED hours table — never a cartesian of
+    # data-sized inputs, no global sort
+    ("mann_kendall_hourly",
+     ["partial_sum", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "MapInPandas", "Window",
+      "Exchange rangepartitioning"]),
+    ("theil_sen_hourly",
+     ["partial_count", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # GROUP BY ALL: inference must still plan as a plain partial+final
+    ("sql_group_by_all",
+     ["partial_count"],
+     ["CartesianProduct", "Window", "MapInPandas",
+      "Exchange rangepartitioning"]),
     # MI: cell counts join the token marginal on the token key; the
     # lang marginal and the total broadcast; no windows, no Python
     ("token_lang_mi",
