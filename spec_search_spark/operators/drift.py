@@ -401,6 +401,13 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     final snapped double ratio per lag."""
     tune(spark)
     filled = _hourly_filled(spark, sf_dir)
+    return acf_from_filled(filled)
+
+
+def acf_from_filled(filled: DataFrame) -> DataFrame:
+    """The ACF fold over a gap-filled (h, x) hourly table — shared by
+    the batch operator and the streaming twin (whose streaming state
+    IS the bounded per-hour sum table)."""
     tot = filled.groupBy().agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )

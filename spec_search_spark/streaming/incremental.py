@@ -704,6 +704,54 @@ def stream_mad_outlier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hourly_acf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lag-1/lag-24 autocorrelation monitor: the
+    seasonality probe run ON the stream. The ONLY streaming state is
+    the per-hour sum table — bounded by the observation window's hour
+    count at any stream volume (the tumbling-aggregate state
+    `stream_hourly_counts` already carries). After the drain, the
+    gap-fill + exact mean-centered fold (`drift.acf_from_filled`)
+    scores the final table; identical output and oracle as the batch
+    `hourly_autocorrelation`."""
+    from spec_search_spark.operators.drift import acf_from_filled
+
+    name = f"acf_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_acf_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_h = spark.table(name).select("h", "x")
+    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = grid.join(per_h, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    return acf_from_filled(filled)
+
+
+def _stream_acf_sql() -> str:
+    from spec_search_spark.operators.drift import ACF_SQL
+
+    return ACF_SQL
+
+
 def _stream_mad_sql() -> str:
     # the batch MAD oracle retargeted at the stream's source column
     from spec_search_spark.operators.rank_stats import MAD_SQL
@@ -753,6 +801,7 @@ QUERIES = {
     "stream_seasonal_anomaly": stream_seasonal_anomaly_query,
     "stream_benford_digits": stream_benford_digits_query,
     "stream_mad_outlier": stream_mad_outlier_query,
+    "stream_hourly_acf": stream_hourly_acf_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -766,6 +815,7 @@ ORACLES = {
     "stream_seasonal_anomaly": _import_seasonal_sql(),
     "stream_benford_digits": _stream_benford_sql(),
     "stream_mad_outlier": _stream_mad_sql(),
+    "stream_hourly_acf": _stream_acf_sql(),
 }
 
 

@@ -308,3 +308,14 @@ def test_theil_sen_matches_direct_reference(spark, sf_dir):
     assert row["n_pairs"] == len(slopes)
     assert row["sen_slope_nano"] == med
     assert abs(row["sen_slope_6"] - med / 1e9) < 1e-6
+
+
+def test_stream_acf_equals_batch_acf(spark, sf_dir):
+    from spec_search_spark.operators.drift import hourly_autocorrelation
+    from spec_search_spark.streaming.incremental import stream_hourly_acf_query
+
+    b = {r["lag"]: r for r in hourly_autocorrelation(spark, sf_dir).collect()}
+    s = {r["lag"]: r for r in stream_hourly_acf_query(spark, sf_dir).collect()}
+    assert set(b) == set(s)
+    for k in b:
+        assert (b[k]["n_pairs"], b[k]["acf_6"]) == (s[k]["n_pairs"], s[k]["acf_6"])
