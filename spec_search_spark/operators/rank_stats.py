@@ -427,14 +427,153 @@ FROM gate CROSS JOIN med
 """
 
 
+KW_GROUPS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+CHI2_CRIT_DF4 = 9.487729  # alpha = 0.05, df = k - 1 = 4
+
+
+def _kw_h_expr() -> str:
+    """The tie-corrected Kruskal–Wallis H as ONE fixed-arity double
+    expression over the pivoted integer columns (r1..r5 = doubled
+    rank-sums, n1..n5, tie3, n) — k is pinned by KW_GROUPS, so the
+    5-term sum is explicit SQL text, identical in both engines (no
+    engine-ordered float accumulation; FIXTURES rule 1)."""
+    terms = " + ".join(
+        f"cast(r{j} as double) * r{j} / (4e0 * n{j})"
+        for j in range(1, len(KW_GROUPS) + 1)
+    )
+    h_raw = (
+        f"(12e0 / (cast(n as double) * (n + 1)) * ({terms})"
+        " - 3e0 * (n + 1))"
+    )
+    return (
+        f"({h_raw} / (1e0 - cast(tie3 as double)"
+        " / (cast(n as double) * n * n - n)))"
+    )
+
+
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: tie-corrected Kruskal–Wallis H across the five order
+    priorities on `o_totalprice`, with the α=0.05 χ²(df=4) decision —
+    the k-group generalization of `mannwhitney_priority_revenue` for
+    "does revenue differ by class at all" before any pairwise test.
+
+    Exact shape: the shared rank machinery — distinct-cents count
+    table, `_bucketed_cum` prefix sums (per-bucket parallel windows,
+    never one global task), doubled tie-averaged ranks so every
+    rank-sum is a pure DECIMAL(38,0) integer. k is fixed by the
+    priority domain, so the per-group terms pivot into ONE row and H
+    is one fixed-arity double expression from identical SQL text in
+    both engines, snapped to 1e-6."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    per_v = (
+        o.select(
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+            F.col("o_orderpriority").alias("g"),
+        )
+        .groupBy("cents")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == grp, 1).otherwise(0)).alias(
+                    f"c{j}"
+                )
+                for j, grp in enumerate(KW_GROUPS, start=1)
+            ],
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    cum = _bucketed_cum(per_v, "cents", ["c"])
+    acc = cum.groupBy().agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"cast(c{j} as decimal(38,0))"
+                    " * (2 * (cum_c - c) + c + 1)"
+                )
+            ).alias(f"r{j}")
+            for j in range(1, len(KW_GROUPS) + 1)
+        ],
+        *[
+            F.sum(f"c{j}").alias(f"n{j}")
+            for j in range(1, len(KW_GROUPS) + 1)
+        ],
+        F.sum(F.expr("cast(c as decimal(38,0)) * c * c - c")).alias("tie3"),
+        F.sum("c").alias("n"),
+    )
+    h = _kw_h_expr()
+    return acc.select(
+        F.col("n").cast("bigint").alias("n"),
+        *[
+            F.col(f"n{j}").cast("bigint").alias(f"n{j}")
+            for j in range(1, len(KW_GROUPS) + 1)
+        ],
+        F.expr(f"cast(round(({h}) * 1e6) as bigint) / 1e6").alias("h_6"),
+        F.expr(f"({h}) > {CHI2_CRIT_DF4}").alias("reject_05"),
+    )
+
+
+def _kw_sql() -> str:
+    k = len(KW_GROUPS)
+    cj = ",\n         ".join(
+        f"sum(CASE WHEN g = '{grp}' THEN 1 ELSE 0 END) AS c{j}"
+        for j, grp in enumerate(KW_GROUPS, start=1)
+    )
+    rj = ",\n         ".join(
+        f"sum(CAST(c{j} AS DECIMAL(38,0)) * (2 * cumb + c + 1)) AS r{j}"
+        for j in range(1, k + 1)
+    )
+    nj = ",\n         ".join(
+        f"sum(c{j}) AS n{j}" for j in range(1, k + 1)
+    )
+    nj_out = ", ".join(f"CAST(n{j} AS BIGINT) AS n{j}" for j in range(1, k + 1))
+    h = _kw_h_expr()
+    return f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS g
+  FROM orders
+), per_v AS (
+  SELECT cents,
+         {cj},
+         count(*) AS c
+  FROM base GROUP BY cents
+), cum AS (
+  SELECT *, coalesce(sum(c) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM per_v
+), acc AS (
+  SELECT {rj},
+         {nj},
+         sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3,
+         sum(c) AS n
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n, {nj_out},
+       CAST(round(({h}) * 1e6) AS BIGINT) / 1e6 AS h_6,
+       ({h}) > {CHI2_CRIT_DF4} AS reject_05
+FROM acc
+"""
+
+
+KW_SQL = _kw_sql()
+
+
 QUERIES = {
     "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
     "spearman_qty_price": spearman_qty_price,
     "mad_outlier_orders": mad_outlier_orders,
+    "kruskal_wallis_priority": kruskal_wallis_priority,
 }
 
 ORACLES = {
     "mannwhitney_priority_revenue": MW_SQL,
     "spearman_qty_price": SPEARMAN_SQL,
     "mad_outlier_orders": MAD_SQL,
+    "kruskal_wallis_priority": KW_SQL,
 }

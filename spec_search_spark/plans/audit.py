@@ -753,6 +753,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("label_centroid_similarity",
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "Window", "MapInPandas", "SortMergeJoin"]),
+    # Kruskal-Wallis: same bucketed rank walk as Mann-Whitney — the
+    # cumulative window is partitioned by range bucket (parallel), the
+    # k-group pivot is one partial+final agg into one row
+    ("kruskal_wallis_priority",
+     ["partial_sum", "hashpartitioning(bucket"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 

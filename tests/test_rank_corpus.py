@@ -445,3 +445,35 @@ def test_label_centroid_similarity_matches_direct_reference(spark, sf_dir):
             cos = dot / math.sqrt(na2 * nb2)
             assert abs(rows[(la, lb)] - cos) < 2e-6
             assert -1.0 <= rows[(la, lb)] <= 1.0
+
+
+def test_kruskal_wallis_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.operators.rank_stats import (
+        CHI2_CRIT_DF4,
+        KW_GROUPS,
+        kruskal_wallis_priority,
+    )
+
+    row = kruskal_wallis_priority(spark, sf_dir).first()
+    samples = {g: _collect_cents(spark, sf_dir, g) for g in KW_GROUPS}
+    n = sum(len(s) for s in samples.values())
+    assert row["n"] == n
+    for j, g in enumerate(KW_GROUPS, start=1):
+        assert row[f"n{j}"] == len(samples[g])
+
+    ranks = _avg_ranks([v for s in samples.values() for v in s])
+    # tie term over the pooled sample
+    from collections import Counter
+
+    cnt = Counter(v for s in samples.values() for v in s)
+    tie3 = sum(c**3 - c for c in cnt.values())
+    h = (
+        12 / (n * (n + 1))
+        * sum(
+            sum(ranks[v] for v in s) ** 2 / len(s)
+            for s in samples.values()
+        )
+        - 3 * (n + 1)
+    ) / (1 - tie3 / (n**3 - n))
+    assert abs(row["h_6"] - h) < 2e-6
+    assert row["reject_05"] == (h > CHI2_CRIT_DF4)
