@@ -712,12 +712,113 @@ FROM acc
 """
 
 
+KOLMOGOROV_CRIT = 1.358102  # sup|Brownian bridge|, alpha = 0.05
+
+
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the CUSUM changepoint scan over the gap-filled hourly
+    value series — the hour k* maximizing |Σ_{t≤k}(x_t − x̄)|, the
+    scaled max deviation, and the Brownian-bridge-normalized statistic
+    with the α=0.05 decision (same sup-|bridge| law as KS). The "did
+    this metric shift level, and when" monitor next to
+    `mann_kendall_hourly`'s monotone-trend call.
+
+    Exact shape: everything runs on the BOUNDED hours table (window
+    size fixes it, not data volume). Cumulative sums ride the
+    `rank_stats._bucketed_cum` walk (per-bucket parallel windows, no
+    single-task window); the deviation n·c_k − k·S is a pure
+    DECIMAL(38,0) integer so max and argmax are exact; the normalized
+    statistic is one fixed-arity double from identical SQL text,
+    snapped. Argmax ties break to the earliest hour."""
+    from spec_search_spark.operators.rank_stats import _bucketed_cum
+
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir)
+    per_v = filled.select(
+        F.expr("cast(unix_micros(h) div 3600000000 as bigint)").alias("hh"),
+        "x",
+    ).withColumn("one", F.lit(1))
+    cum = _bucketed_cum(per_v, "hh", ["x", "one"])
+    tot = per_v.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "hh",
+        F.expr(
+            "abs(cast(n as decimal(38,0)) * cum_x"
+            " - cast(cum_one as decimal(38,0)) * s)"
+        ).alias("ad"),
+    )
+    mx = d.groupBy().agg(F.max("ad").alias("mx"))
+    cp = (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("ad") == F.col("mx"))
+        .groupBy()
+        .agg(F.min("hh").alias("cp_hh"), F.max("mx").alias("mx"))
+    )
+    q = (
+        "(cast(mx as double) / n)"
+        " / (sqrt(cast(sxx as double) / n"
+        "         - (cast(s as double) / n) * (cast(s as double) / n))"
+        "    * sqrt(cast(n as double)))"
+    )
+    return cp.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("cp_hh").alias("cp_epoch_hour"),
+        F.expr("cast(mx as decimal(38,0))").cast("bigint").alias(
+            "cusum_abs_scaled"
+        ),
+        F.expr(f"cast(round(({q}) * 1e6) as bigint) / 1e6").alias("stat_6"),
+        F.expr(f"({q}) > {KOLMOGOROV_CRIT}").alias("reject_05"),
+    )
+
+
+CUSUM_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+pv AS (
+  SELECT CAST(epoch_us(h) // 3600000000 AS BIGINT) AS hh, x FROM filled
+), tot AS (
+  SELECT count(*) AS n, sum(CAST(x AS BIGINT)) AS s,
+         sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM pv
+), cum AS (
+  SELECT hh,
+         sum(x) OVER (ORDER BY hh
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         row_number() OVER (ORDER BY hh) AS k
+  FROM pv
+), d AS (
+  SELECT hh, abs(CAST(n AS DECIMAL(38,0)) * cx
+                 - CAST(k AS DECIMAL(38,0)) * s) AS ad
+  FROM cum CROSS JOIN tot
+), mx AS (SELECT max(ad) AS mx FROM d),
+cp AS (
+  SELECT min(hh) AS cp_hh, max(mx) AS mx FROM d CROSS JOIN mx
+  WHERE ad = mx
+)
+SELECT CAST(n AS BIGINT) AS n_hours, cp_hh AS cp_epoch_hour,
+       CAST(mx AS BIGINT) AS cusum_abs_scaled,
+       CAST(round(((CAST(mx AS DOUBLE) / n)
+         / (sqrt(CAST(sxx AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+            * sqrt(CAST(n AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS stat_6,
+       ((CAST(mx AS DOUBLE) / n)
+         / (sqrt(CAST(sxx AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+            * sqrt(CAST(n AS DOUBLE)))) > {KOLMOGOROV_CRIT} AS reject_05
+FROM cp CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "psi_value_drift": psi_value_drift,
     "benford_first_digit": benford_first_digit,
     "hourly_autocorrelation": hourly_autocorrelation,
     "cramers_v_priority_status": cramers_v_priority_status,
+    "cusum_changepoint_hourly": cusum_changepoint_hourly,
     "mann_kendall_hourly": mann_kendall_hourly,
     "theil_sen_hourly": theil_sen_hourly,
 }
@@ -730,4 +831,5 @@ ORACLES = {
     "cramers_v_priority_status": CRAMERS_SQL,
     "mann_kendall_hourly": MANN_KENDALL_SQL,
     "theil_sen_hourly": THEIL_SEN_SQL,
+    "cusum_changepoint_hourly": CUSUM_SQL,
 }

@@ -760,6 +760,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # CUSUM: cumulative sums ride the bucketed walk over the bounded
+    # hours table (the window MUST be bucket-partitioned, never
+    # global); max/argmax and moments are partial+final aggs with
+    # one-row broadcast crossJoins only
+    ("cusum_changepoint_hourly",
+     ["partial_sum", "windowspecdefinition(bucket"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -319,3 +319,44 @@ def test_stream_acf_equals_batch_acf(spark, sf_dir):
     assert set(b) == set(s)
     for k in b:
         assert (b[k]["n_pairs"], b[k]["acf_6"]) == (s[k]["n_pairs"], s[k]["acf_6"])
+
+
+def test_cusum_changepoint_matches_direct_reference(spark, sf_dir):
+    import math
+
+    from spec_search_spark.operators.drift import (
+        KOLMOGOROV_CRIT,
+        cusum_changepoint_hourly,
+    )
+
+    row = cusum_changepoint_hourly(spark, sf_dir).first()
+    xs = _hourly_series(spark, sf_dir)
+    n = len(xs)
+    s = sum(xs)
+    sxx = sum(x * x for x in xs)
+    best_ad, best_k = -1, None
+    cx = 0
+    for k, x in enumerate(xs, start=1):
+        cx += x
+        ad = abs(n * cx - k * s)
+        if ad > best_ad:
+            best_ad, best_k = ad, k
+    assert row["n_hours"] == n
+    assert row["cusum_abs_scaled"] == best_ad
+    sigma = math.sqrt(sxx / n - (s / n) ** 2)
+    q = (best_ad / n) / (sigma * math.sqrt(n))
+    assert abs(row["stat_6"] - q) < 2e-6
+    assert row["reject_05"] == (q > KOLMOGOROV_CRIT)
+    # the argmax hour is the (best_k)-th hour of the filled grid
+    first_hh = None
+    from spec_search_spark.operators.drift import _hourly_filled
+    from pyspark.sql import functions as F
+
+    first_hh = (
+        _hourly_filled(spark, sf_dir)
+        .select(F.expr("cast(unix_micros(h) div 3600000000 as bigint)").alias("hh"))
+        .groupBy()
+        .agg(F.min("hh").alias("m"))
+        .first()["m"]
+    )
+    assert row["cp_epoch_hour"] == first_hh + best_k - 1
