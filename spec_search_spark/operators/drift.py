@@ -730,10 +730,16 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) integer so max and argmax are exact; the normalized
     statistic is one fixed-arity double from identical SQL text,
     snapped. Argmax ties break to the earliest hour."""
+    tune(spark)
+    return cusum_from_filled(_hourly_filled(spark, sf_dir))
+
+
+def cusum_from_filled(filled: DataFrame) -> DataFrame:
+    """The CUSUM fold over a gap-filled (h, x) hourly table — shared
+    by the batch operator and the streaming twin (whose streaming
+    state IS the bounded per-hour sum table)."""
     from spec_search_spark.operators.rank_stats import _bucketed_cum
 
-    tune(spark)
-    filled = _hourly_filled(spark, sf_dir)
     per_v = filled.select(
         F.expr("cast(unix_micros(h) div 3600000000 as bigint)").alias("hh"),
         "x",

@@ -746,10 +746,56 @@ def stream_hourly_acf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_from_filled(filled)
 
 
+def stream_cusum_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM level-shift monitor: the changepoint scan run
+    ON the stream. Streaming state is the same bounded per-hour sum
+    table as `stream_hourly_acf` (hour count fixes it, not stream
+    volume); after the drain, the gap-fill + exact integer CUSUM fold
+    (`drift.cusum_from_filled`) scores the final table — identical
+    output and oracle as the batch `cusum_changepoint_hourly`."""
+    from spec_search_spark.operators.drift import cusum_from_filled
+
+    name = f"cusum_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cusum_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_h = spark.table(name).select("h", "x")
+    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = grid.join(per_h, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    return cusum_from_filled(filled)
+
+
 def _stream_acf_sql() -> str:
     from spec_search_spark.operators.drift import ACF_SQL
 
     return ACF_SQL
+
+
+def _stream_cusum_sql() -> str:
+    from spec_search_spark.operators.drift import CUSUM_SQL
+
+    return CUSUM_SQL
 
 
 def _stream_mad_sql() -> str:
@@ -802,6 +848,7 @@ QUERIES = {
     "stream_benford_digits": stream_benford_digits_query,
     "stream_mad_outlier": stream_mad_outlier_query,
     "stream_hourly_acf": stream_hourly_acf_query,
+    "stream_cusum_changepoint": stream_cusum_changepoint_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -816,6 +863,7 @@ ORACLES = {
     "stream_benford_digits": _stream_benford_sql(),
     "stream_mad_outlier": _stream_mad_sql(),
     "stream_hourly_acf": _stream_acf_sql(),
+    "stream_cusum_changepoint": _stream_cusum_sql(),
 }
 
 

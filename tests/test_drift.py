@@ -360,3 +360,14 @@ def test_cusum_changepoint_matches_direct_reference(spark, sf_dir):
         .first()["m"]
     )
     assert row["cp_epoch_hour"] == first_hh + best_k - 1
+
+
+def test_stream_cusum_equals_batch_cusum(spark, sf_dir):
+    from spec_search_spark.operators.drift import cusum_changepoint_hourly
+    from spec_search_spark.streaming.incremental import (
+        stream_cusum_changepoint_query,
+    )
+
+    b = cusum_changepoint_hourly(spark, sf_dir).first()
+    s = stream_cusum_changepoint_query(spark, sf_dir).first()
+    assert b.asDict() == s.asDict()
