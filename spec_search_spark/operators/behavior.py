@@ -618,6 +618,183 @@ GROUP BY e.dow, e.hod
 """
 
 
+SEQ3_TOP_K = 20
+
+
+def event_seq3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} most frequent length-3 CONTIGUOUS event-type sequences
+    across user timelines — the depth-3 sequential-pattern miner
+    (PrefixSpan's contiguous special case) behind "what three-step
+    flows dominate the product". Extends `event_transition_matrix`
+    (first-order pairs) one step deeper.
+
+    Plan: ONE window shuffle on user_id (two leads over the total
+    per-user order ts,event_id — same single shuffle, both leads share
+    the frame), then partial+final count into ≤|types|³ groups, then
+    TakeOrdered(K). n_users is an exact distinct per trigram (count
+    ∝ |types|³ groups, never corpus-sized). Output order is total:
+    (n_occurrences desc, trigram) — the trigram is the group key, so
+    the tiebreak is unique (FIXTURES rule 5)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("e1"), "e2", "e3"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return tri.orderBy(
+        F.desc("n_occurrences"), "e1", "e2", "e3"
+    ).limit(SEQ3_TOP_K)
+
+
+SEQ3_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_occurrences DESC, e1, e2, e3
+LIMIT {SEQ3_TOP_K}
+"""
+
+
+def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers — recency (days since last
+    order), frequency (order count), monetary (lifetime cents) — each
+    scored into value-based quintile buckets, reported as segment
+    cells (r_b, f_b, m_b) with customer counts and exact monetary
+    totals. The classic marketing/training-cohort stratifier.
+
+    Exact shape: quintile CUTS (not per-row ntile — ntile's tie
+    behavior is order-dependent at equal values) come from the
+    distributed rank walk (`rank_stats._bucketed_cum`) over each
+    metric's distinct-value count table: cut_q = smallest v with
+    cum ≥ ceil(q·n). Each customer's bucket = 1 + #cuts strictly
+    below its value — deterministic under ties in both engines, and
+    the 4 cuts broadcast as ONE row. Per-segment monetary stays an
+    exact integer-cents sum; the average snaps at 2dp-on-cents (one
+    fixed-arity division)."""
+    from spec_search_spark.operators.rank_stats import _bucketed_cum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    anchor = o.groupBy().agg(F.max("o_orderdate").alias("d1"))
+    per_c = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.expr("datediff(d1, o_orderdate)")).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum("cents").alias("m"),
+        )
+    )
+
+    def cuts_of(metric: str) -> DataFrame:
+        per_v = per_c.groupBy(F.col(metric).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        cum = _bucketed_cum(per_v, "v", ["c"])
+        tot = per_v.groupBy().agg(F.sum("c").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .groupBy()
+            .agg(
+                *[
+                    F.min(
+                        F.expr(f"case when cum_c >= ({j} * n + 4) div 5 then v end")
+                    ).alias(f"{metric}q{j}")
+                    for j in (1, 2, 3, 4)
+                ]
+            )
+        )
+
+    cut_r, cut_f, cut_m = cuts_of("r"), cuts_of("f"), cuts_of("m")
+    scored = (
+        per_c.crossJoin(F.broadcast(cut_r))
+        .crossJoin(F.broadcast(cut_f))
+        .crossJoin(F.broadcast(cut_m))
+        .select(
+            F.expr(
+                "1 + cast(r > rq1 as int) + cast(r > rq2 as int)"
+                " + cast(r > rq3 as int) + cast(r > rq4 as int)"
+            ).alias("r_b"),
+            F.expr(
+                "1 + cast(f > fq1 as int) + cast(f > fq2 as int)"
+                " + cast(f > fq3 as int) + cast(f > fq4 as int)"
+            ).alias("f_b"),
+            F.expr(
+                "1 + cast(m > mq1 as int) + cast(m > mq2 as int)"
+                " + cast(m > mq3 as int) + cast(m > mq4 as int)"
+            ).alias("m_b"),
+            "m",
+        )
+    )
+    return scored.groupBy("r_b", "f_b", "m_b").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m").alias("monetary_cents"),
+        F.expr(
+            "cast(round(sum(m) / count(*) ) as bigint)"
+        ).alias("avg_monetary_cents"),
+    )
+
+
+def _rfm_cut_sql(metric: str) -> str:
+    return f"""cut_{metric} AS (
+  SELECT {", ".join(f"min(CASE WHEN cc >= ({j} * n + 4) // 5 THEN v END) AS {metric}q{j}" for j in (1, 2, 3, 4))}
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+    FROM (SELECT {metric} AS v, count(*) AS c FROM per_c GROUP BY 1)
+  ) CROSS JOIN (SELECT count(*) AS n FROM per_c)
+)"""
+
+
+RFM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), anchor AS (SELECT max(o_orderdate) AS d1 FROM o),
+per_c AS (
+  SELECT o_custkey,
+         min(datediff('day', o_orderdate, d1)) AS r,
+         count(*) AS f,
+         sum(cents) AS m
+  FROM o CROSS JOIN anchor GROUP BY o_custkey
+), {_rfm_cut_sql("r")}, {_rfm_cut_sql("f")}, {_rfm_cut_sql("m")},
+scored AS (
+  SELECT 1 + CAST(r > rq1 AS INT) + CAST(r > rq2 AS INT)
+           + CAST(r > rq3 AS INT) + CAST(r > rq4 AS INT) AS r_b,
+         1 + CAST(f > fq1 AS INT) + CAST(f > fq2 AS INT)
+           + CAST(f > fq3 AS INT) + CAST(f > fq4 AS INT) AS f_b,
+         1 + CAST(m > mq1 AS INT) + CAST(m > mq2 AS INT)
+           + CAST(m > mq3 AS INT) + CAST(m > mq4 AS INT) AS m_b,
+         m
+  FROM per_c CROSS JOIN cut_r CROSS JOIN cut_f CROSS JOIN cut_m
+)
+SELECT r_b, f_b, m_b, count(*) AS n_customers,
+       CAST(sum(m) AS BIGINT) AS monetary_cents,
+       CAST(round(CAST(sum(m) AS BIGINT) / count(*)) AS BIGINT)
+         AS avg_monetary_cents
+FROM scored GROUP BY r_b, f_b, m_b
+"""
+
+
 QUERIES = {
     "activity_streaks": activity_streaks,
     "ewma_user_value": ewma_user_value,
@@ -627,6 +804,8 @@ QUERIES = {
     "ab_test_welch": ab_test_welch,
     "km_survival_curve": km_survival_curve,
     "seasonal_anomaly_report": seasonal_anomaly_report,
+    "event_seq3_support": event_seq3_support,
+    "rfm_quintile_segments": rfm_quintile_segments,
 }
 
 ORACLES = {
@@ -638,4 +817,6 @@ ORACLES = {
     "ab_test_welch": AB_TEST_SQL,
     "km_survival_curve": KM_SQL,
     "seasonal_anomaly_report": SEASONAL_SQL,
+    "event_seq3_support": SEQ3_SQL,
+    "rfm_quintile_segments": RFM_SQL,
 }

@@ -768,6 +768,19 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "windowspecdefinition(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # seq3 mining: both leads share ONE user_id window shuffle, the
+    # trigram count collapses partial+final, top-K is TakeOrdered —
+    # never a global sort
+    ("event_seq3_support",
+     ["TakeOrderedAndProject", "hashpartitioning(user_id"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # RFM: quintile cuts ride the bucketed rank walk (bucket-partitioned
+    # windows only); the three one-row cut tables broadcast back onto
+    # the per-customer table; segment rollup is partial+final
+    ("rfm_quintile_segments",
+     ["partial_count", "windowspecdefinition(bucket"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 

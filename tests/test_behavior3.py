@@ -315,3 +315,92 @@ def test_km_survival_with_real_churn(spark, tmp_path):
         for r in rows
     ]
     assert spark_tuples == [tuple(o) for o in oracle]
+
+
+def test_event_seq3_support_matches_direct_reference(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.behavior import (
+        SEQ3_TOP_K,
+        event_seq3_support,
+    )
+
+    rows = event_seq3_support(spark, sf_dir).collect()
+    assert len(rows) <= SEQ3_TOP_K
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        per_user[r[0]].append((r[1], r[2], r[3]))
+    occ = Counter()
+    users = defaultdict(set)
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs) - 2):
+            tri = (evs[i][2], evs[i + 1][2], evs[i + 2][2])
+            occ[tri] += 1
+            users[tri].add(uid)
+    expected = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:SEQ3_TOP_K]
+    got = [((r["e1"], r["e2"], r["e3"]), r["n_occurrences"]) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["n_users"] == len(users[(r["e1"], r["e2"], r["e3"])])
+
+
+def test_rfm_quintile_segments_matches_direct_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.behavior import rfm_quintile_segments
+
+    rows = rfm_quintile_segments(spark, sf_dir).collect()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey",
+            "cast(o_orderdate as date) as d",
+            "cast(round(o_totalprice * 100) as bigint) as cents",
+        )
+        .collect()
+    )
+    d1 = max(r["d"] for r in orders)
+    per_c = defaultdict(lambda: [10**9, 0, 0])
+    for r in orders:
+        m = per_c[r["o_custkey"]]
+        m[0] = min(m[0], (d1 - r["d"]).days)
+        m[1] += 1
+        m[2] += r["cents"]
+
+    def cuts(vals):
+        s = sorted(vals)
+        n = len(s)
+        out = []
+        for j in (1, 2, 3, 4):
+            t = (j * n + 4) // 5  # ceil(j*n/5)
+            # smallest value whose inclusive cum count reaches t
+            out.append(s[t - 1])
+        return out
+
+    rc = cuts([v[0] for v in per_c.values()])
+    fc = cuts([v[1] for v in per_c.values()])
+    mc = cuts([v[2] for v in per_c.values()])
+
+    seg = defaultdict(lambda: [0, 0])
+    for r_, f_, m_ in per_c.values():
+        key = (
+            1 + sum(r_ > c for c in rc),
+            1 + sum(f_ > c for c in fc),
+            1 + sum(m_ > c for c in mc),
+        )
+        seg[key][0] += 1
+        seg[key][1] += m_
+    got = {
+        (r["r_b"], r["f_b"], r["m_b"]): (r["n_customers"], r["monetary_cents"])
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in seg.items()}
+    for r in rows:
+        assert 1 <= r["r_b"] <= 5 and 1 <= r["f_b"] <= 5 and 1 <= r["m_b"] <= 5
