@@ -564,11 +564,85 @@ FROM acc
 KW_SQL = _kw_sql()
 
 
+def _ca_w_case() -> str:
+    """Priority → integer trend score 1..k (the natural ordering the
+    '1-URGENT'..'5-LOW' domain encodes)."""
+    arms = " ".join(
+        f"when o_orderpriority = '{g}' then {j}"
+        for j, g in enumerate(KW_GROUPS, start=1)
+    )
+    return f"(case {arms} end)"
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the Cochran–Armitage trend test — is the proportion of
+    fulfilled orders (o_orderstatus = 'F') monotonically associated
+    with the ORDERED priority classes? The categorical sibling of
+    `mann_kendall_hourly`: Kruskal–Wallis/χ² ask "any difference",
+    this asks "a directional trend along the class order", which is
+    the question a triage policy audit actually has.
+
+    Exact shape: ONE partial+final aggregation over orders into five
+    integer moments (N, ΣwN, Σw²N, R, ΣwR — w the 1..k class score);
+    z = T/√Var(T) is one fixed-arity double expression from identical
+    SQL text, snapped at 6dp. No joins, no windows, no second scan."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(_ca_w_case()).alias("w"),
+        F.expr("cast(o_orderstatus = 'F' as int)").alias("y"),
+    )
+    acc = o.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("rr"),
+        F.sum("w").alias("swn"),
+        F.sum(F.expr("w * y")).alias("swr"),
+        F.sum(F.expr("w * w")).alias("sww"),
+    )
+    z = (
+        "(swr - cast(rr as double) * swn / n)"
+        " / sqrt((cast(rr as double) / n) * (1 - cast(rr as double) / n)"
+        "        * (sww - cast(swn as double) * swn / n))"
+    )
+    return acc.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rr").cast("bigint").alias("n_events"),
+        F.expr(f"cast(round(({z}) * 1e6) as bigint) / 1e6").alias("z_6"),
+        F.expr(f"abs({z}) > {Z_CRIT}").alias("reject_05"),
+    )
+
+
+COCHRAN_ARMITAGE_SQL = f"""
+WITH base AS (
+  SELECT {_ca_w_case()} AS w,
+         CAST(o_orderstatus = 'F' AS INT) AS y
+  FROM orders
+), acc AS (
+  SELECT count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS rr,
+         CAST(sum(w) AS BIGINT) AS swn,
+         CAST(sum(w * y) AS BIGINT) AS swr,
+         CAST(sum(w * w) AS BIGINT) AS sww
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n, rr AS n_events,
+       CAST(round(((swr - CAST(rr AS DOUBLE) * swn / n)
+         / sqrt((CAST(rr AS DOUBLE) / n) * (1 - CAST(rr AS DOUBLE) / n)
+                * (sww - CAST(swn AS DOUBLE) * swn / n))) * 1e6) AS BIGINT)
+         / 1e6 AS z_6,
+       abs((swr - CAST(rr AS DOUBLE) * swn / n)
+         / sqrt((CAST(rr AS DOUBLE) / n) * (1 - CAST(rr AS DOUBLE) / n)
+                * (sww - CAST(swn AS DOUBLE) * swn / n))) > {Z_CRIT}
+         AS reject_05
+FROM acc
+"""
+
+
 QUERIES = {
     "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
     "spearman_qty_price": spearman_qty_price,
     "mad_outlier_orders": mad_outlier_orders,
     "kruskal_wallis_priority": kruskal_wallis_priority,
+    "cochran_armitage_trend": cochran_armitage_trend,
 }
 
 ORACLES = {
@@ -576,4 +650,5 @@ ORACLES = {
     "spearman_qty_price": SPEARMAN_SQL,
     "mad_outlier_orders": MAD_SQL,
     "kruskal_wallis_priority": KW_SQL,
+    "cochran_armitage_trend": COCHRAN_ARMITAGE_SQL,
 }

@@ -781,6 +781,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "windowspecdefinition(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # Cochran-Armitage: ONE partial+final moment aggregation over the
+    # scan — no joins, no windows, no exchanges beyond the final gather
+    ("cochran_armitage_trend",
+     ["partial_count", "partial_sum"],
+     ["CartesianProduct", "MapInPandas", "Window", "SortMergeJoin",
+      "BroadcastHashJoin", "Exchange rangepartitioning"]),
 ]
 
 

@@ -477,3 +477,30 @@ def test_kruskal_wallis_matches_direct_reference(spark, sf_dir):
     ) / (1 - tie3 / (n**3 - n))
     assert abs(row["h_6"] - h) < 2e-6
     assert row["reject_05"] == (h > CHI2_CRIT_DF4)
+
+
+def test_cochran_armitage_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.rank_stats import (
+        KW_GROUPS,
+        cochran_armitage_trend,
+    )
+
+    row = cochran_armitage_trend(spark, sf_dir).first()
+    data = [
+        (KW_GROUPS.index(r[0]) + 1, 1 if r[1] == "F" else 0)
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    ]
+    n = len(data)
+    rr = sum(y for _, y in data)
+    swn = sum(w for w, _ in data)
+    swr = sum(w * y for w, y in data)
+    sww = sum(w * w for w, _ in data)
+    assert (row["n"], row["n_events"]) == (n, rr)
+    t = swr - rr * swn / n
+    var = (rr / n) * (1 - rr / n) * (sww - swn * swn / n)
+    z = t / math.sqrt(var)
+    assert abs(row["z_6"] - z) < 2e-6
+    assert row["reject_05"] == (abs(z) > 1.959964)
