@@ -200,12 +200,101 @@ GROUP BY lang
 """
 
 
+DPP_SHARDS = 16  # hash-shard layout width for the DPP fact
+DPP_MIN_CHARS = 530  # "oversize document" gate driving the dim
+
+_SHARDED: dict[tuple[str, str], str] = {}
+
+
+def _sharded_docs_path(spark: SparkSession, sf_dir: str) -> str:
+    """documents re-written hive-partitioned by the hash shard
+    `doc_id % {N}` — the layout a bulk store actually uses when no
+    single column is the natural partition key. Memoized once per
+    (session, corpus) like the lang-partitioned copy."""
+    import tempfile
+
+    from spec_search_spark.session import prune_memo
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHARDED:
+        base = tempfile.mkdtemp(prefix="spec_search_sharded_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .withColumn(
+                "shard", F.expr(f"cast(doc_id % {DPP_SHARDS} as int)")
+            )
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        prune_memo(_SHARDED, key[0])
+        _SHARDED[key] = base
+    return _SHARDED[key]
+
+
+def dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: per-shard stats of every shard that
+    holds an OVERSIZE document (n_chars > {T}) — the shard list is
+    only known after the dim side runs, and Spark pushes the dim's
+    build-side values into the fact scan's PartitionFilters as a
+    dynamicpruning subquery, skipping the other shards' files
+    entirely. The static sibling (`partitioned_scan_prune`) skips
+    directories from a literal predicate; THIS is the skip when the
+    predicate is data — at 100 TB a star-join probes exactly the
+    partitions the dimension names. (Note: the dim needs a genuine
+    selective Filter — a LIMIT- or aggregate-derived dim does not
+    pass the planner's DPP benefit test; verified empirically.)
+
+    Plan invariant (audited): `dynamicpruningexpression` inside the
+    fact scan's PartitionFilters, dim joined broadcast. The oracle
+    runs the identical join on the un-partitioned original; values
+    must match because partitioning is pure layout."""
+    tune(spark)
+    path = _sharded_docs_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > DPP_MIN_CHARS)
+        .select(
+            F.expr(f"cast(doc_id % {DPP_SHARDS} as int)").alias("shard")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "shard")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+DPP_SQL = f"""
+WITH fact AS (
+  SELECT CAST(doc_id % {DPP_SHARDS} AS INT) AS shard, lang, n_chars
+  FROM documents
+), dim AS (
+  SELECT DISTINCT CAST(doc_id % {DPP_SHARDS} AS INT) AS shard
+  FROM documents WHERE n_chars > {DPP_MIN_CHARS}
+)
+SELECT f.shard, count(*) AS n_docs,
+       CAST(sum(f.n_chars) AS BIGINT) AS n_chars_total,
+       count(DISTINCT f.lang) AS n_langs
+FROM fact f JOIN dim USING (shard)
+GROUP BY f.shard
+"""
+
+
 QUERIES = {
     "zorder_layout": zorder_layout,
     "partitioned_scan_prune": partitioned_scan_prune,
+    "dpp_join_prune": dpp_join_prune,
 }
 
 ORACLES = {
     "zorder_layout": ZORDER_SQL,
     "partitioned_scan_prune": PRUNE_SQL,
+    "dpp_join_prune": DPP_SQL,
 }

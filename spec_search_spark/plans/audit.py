@@ -787,6 +787,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "Window", "SortMergeJoin",
       "BroadcastHashJoin", "Exchange rangepartitioning"]),
+    # dynamic partition pruning: the runtime-derived shard dim MUST
+    # land in the fact scan's PartitionFilters as a dynamicpruning
+    # subquery (directory skip decided at run time), dim broadcast
+    ("dpp_join_prune",
+     ["dynamicpruningexpression", "BroadcastHashJoin"],
+     ["CartesianProduct", "MapInPandas", "Window", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 
