@@ -164,6 +164,15 @@ HEADLINE = [
     "cramers_v_priority_status",
     "mann_kendall_hourly",
     "theil_sen_hourly",
+    # round-5 continuation: k-group/ordered-category tests, changepoint,
+    # sequence mining, RFM segmentation, dynamic partition pruning
+    "kruskal_wallis_priority",
+    "cochran_armitage_trend",
+    "cusum_changepoint_hourly",
+    "event_seq3_support",
+    "rfm_quintile_segments",
+    "dpp_join_prune",
+    "grouped_mad_doclen",
 ]
 
 

@@ -637,12 +637,113 @@ FROM acc
 """
 
 
+def _grouped_lower_median(
+    per_v: DataFrame, grp: str, out: str
+) -> DataFrame:
+    """(grp, <out> BIGINT): per-group type-1 (lower) median over a
+    (grp, v, c) distinct-value count table — the group-wise rank walk
+    (`_bucketed_cum_by`), so per-group exact order statistics
+    parallelize even when one group holds most of the rows."""
+    cum = _bucketed_cum_by(per_v, grp, "v", ["c"])
+    tot = per_v.groupBy(grp).agg(F.sum("c").alias("n"))
+    return (
+        cum.join(F.broadcast(tot), grp)
+        .filter(F.expr("cum_c >= (n + 1) div 2"))
+        .groupBy(grp)
+        .agg(F.min("v").alias(out))
+    )
+
+
+def grouped_mad_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust document-length profile: exact lower-median
+    and MAD of `n_chars` within each lang, the 3σ̂-equivalent outlier
+    threshold (round({K}·MAD)), outlier count and share — the
+    per-group form of `mad_outlier_orders`, i.e. the quality gate a
+    multilingual corpus actually needs (a 2k-char doc is ordinary in
+    one language's distribution and an outlier in another's).
+
+    Exact shape: BOTH order statistics ride the group-wise rank walk
+    (`_bucketed_cum_by` — per-(group, bucket) windows, per-group
+    offset tables), so no group ever serializes through one task; the
+    ≤|langs|-row median/MAD tables broadcast back onto the scan. All
+    integers until the one snapped share ratio."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").alias("x")
+    )
+    per_v = docs.groupBy("lang", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    med = _grouped_lower_median(per_v, "lang", "med")
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", "med", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    per_d = dev.groupBy("lang", F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mad = _grouped_lower_median(per_d, "lang", "mad")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .withColumn("thr", F.expr(f"cast(round({MAD_K} * mad) as bigint)"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med").alias("med_chars"),
+            F.max("mad").alias("mad_chars"),
+            F.max("thr").alias("thr_chars"),
+            F.sum(F.expr("case when d > thr then 1 else 0 end"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.expr(
+                "cast(round(sum(case when d > thr then 1 else 0 end)"
+                " / cast(count(*) as double) * 1e6) as bigint) / 1e6"
+            ).alias("outlier_share_6"),
+        )
+    )
+
+
+GROUPED_MAD_SQL = f"""
+WITH docs AS (SELECT lang, n_chars AS x FROM documents),
+cum AS (
+  SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM (SELECT lang, x AS v, count(*) AS c FROM docs GROUP BY 1, 2)
+), tot AS (SELECT lang, count(*) AS n FROM docs GROUP BY lang),
+med AS (
+  SELECT cum.lang, min(v) AS med FROM cum JOIN tot ON tot.lang = cum.lang
+  WHERE cc >= (n + 1) // 2 GROUP BY cum.lang
+), dev AS (
+  SELECT docs.lang, med, abs(x - med) AS d
+  FROM docs JOIN med ON med.lang = docs.lang
+), dcum AS (
+  SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM (SELECT lang, d AS v, count(*) AS c FROM dev GROUP BY 1, 2)
+), mad AS (
+  SELECT dcum.lang, min(v) AS mad FROM dcum JOIN tot ON tot.lang = dcum.lang
+  WHERE cc >= (n + 1) // 2 GROUP BY dcum.lang
+)
+SELECT dev.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       max(med) AS med_chars, max(mad) AS mad_chars,
+       max(CAST(round({MAD_K} * mad) AS BIGINT)) AS thr_chars,
+       CAST(sum(CASE WHEN d > CAST(round({MAD_K} * mad) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(round(sum(CASE WHEN d > CAST(round({MAD_K} * mad) AS BIGINT)
+                THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS outlier_share_6
+FROM dev JOIN mad ON mad.lang = dev.lang
+GROUP BY dev.lang
+"""
+
+
 QUERIES = {
     "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
     "spearman_qty_price": spearman_qty_price,
     "mad_outlier_orders": mad_outlier_orders,
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "cochran_armitage_trend": cochran_armitage_trend,
+    "grouped_mad_doclen": grouped_mad_doclen,
 }
 
 ORACLES = {
@@ -651,4 +752,5 @@ ORACLES = {
     "mad_outlier_orders": MAD_SQL,
     "kruskal_wallis_priority": KW_SQL,
     "cochran_armitage_trend": COCHRAN_ARMITAGE_SQL,
+    "grouped_mad_doclen": GROUPED_MAD_SQL,
 }

@@ -794,6 +794,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["dynamicpruningexpression", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Window", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # per-group MAD: both order statistics ride the GROUP-WISE rank
+    # walk — every window is (lang, bucket)-partitioned, the ≤|langs|
+    # median/MAD tables broadcast back; no global or per-group
+    # single-task window
+    ("grouped_mad_doclen",
+     ["partial_count", "windowspecdefinition(lang"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -504,3 +504,37 @@ def test_cochran_armitage_matches_direct_reference(spark, sf_dir):
     z = t / math.sqrt(var)
     assert abs(row["z_6"] - z) < 2e-6
     assert row["reject_05"] == (abs(z) > 1.959964)
+
+
+def test_grouped_mad_doclen_matches_direct_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.rank_stats import (
+        MAD_K,
+        grouped_mad_doclen,
+    )
+
+    rows = {r["lang"]: r for r in grouped_mad_doclen(spark, sf_dir).collect()}
+    per_lang = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    ):
+        per_lang[r[0]].append(r[1])
+    assert set(rows) == set(per_lang)
+
+    def lower_median(xs):
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for lang, xs in per_lang.items():
+        r = rows[lang]
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        thr = int(math.copysign(math.floor(abs(MAD_K * mad) + 0.5), 1))
+        n_out = sum(1 for x in xs if abs(x - med) > thr)
+        assert (r["n_docs"], r["med_chars"], r["mad_chars"]) == (
+            len(xs), med, mad,
+        )
+        assert (r["thr_chars"], r["n_outliers"]) == (thr, n_out)
+        assert abs(r["outlier_share_6"] - n_out / len(xs)) < 1e-6
