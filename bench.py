@@ -173,6 +173,8 @@ HEADLINE = [
     "rfm_quintile_segments",
     "dpp_join_prune",
     "grouped_mad_doclen",
+    "wilcoxon_ampm_hourly",
+    "burstiness_by_type",
 ]
 
 

@@ -618,6 +618,85 @@ GROUP BY e.dow, e.hod
 """
 
 
+def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the Fano factor (variance/mean) of hourly event
+    counts over the full gap-filled hour grid — the burstiness monitor
+    (Fano ≈ 1 = Poisson-like arrivals, >> 1 = bursty/clumped, << 1 =
+    regular) that tells a capacity planner whether load is smooth or
+    spiky per traffic class.
+
+    Exact shape: counts collapse to the BOUNDED (type, hour) table;
+    missing hours are zero-filled from the one-row bounds sequence
+    crossed with the ≤|types|-row type list (both broadcast). Moments
+    are exact integers (n, Σc, Σc²); mean and Fano are fixed-arity
+    doubles from identical SQL text, snapped at 6dp."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    per_th = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.groupBy().agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    filled = (
+        grid.crossJoin(F.broadcast(types))
+        .join(per_th, ["event_type", "h"], "left")
+        .select(
+            "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    acc = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("sxx"),
+    )
+    fano = (
+        "(cast(n_hours as double) * cast(sxx as double) - cast(s as double) * s)"
+        " / (cast(n_hours as double) * s)"
+    )
+    return acc.select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.expr(
+            "cast(round(s / cast(n_hours as double) * 1e6) as bigint) / 1e6"
+        ).alias("mean_per_hour_6"),
+        F.expr(f"cast(round(({fano}) * 1e6) as bigint) / 1e6").alias("fano_6"),
+    )
+
+
+BURSTINESS_SQL = """
+WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+per_th AS (
+  SELECT event_type, h, count(*) AS c FROM ev GROUP BY 1, 2
+), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (SELECT DISTINCT event_type FROM ev),
+filled AS (
+  SELECT t.event_type, coalesce(p.c, 0) AS c
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN per_th p ON p.h = g.h AND p.event_type = t.event_type
+), acc AS (
+  SELECT event_type, count(*) AS n_hours, sum(c) AS s,
+         sum(CAST(c AS DECIMAL(38,0)) * c) AS sxx
+  FROM filled GROUP BY event_type
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(s AS BIGINT) AS n_events,
+       CAST(round(s / CAST(n_hours AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS mean_per_hour_6,
+       CAST(round(((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s)
+         / (CAST(n_hours AS DOUBLE) * s)) * 1e6) AS BIGINT) / 1e6 AS fano_6
+FROM acc
+"""
+
+
 SEQ3_TOP_K = 20
 
 
@@ -805,6 +884,7 @@ QUERIES = {
     "km_survival_curve": km_survival_curve,
     "seasonal_anomaly_report": seasonal_anomaly_report,
     "event_seq3_support": event_seq3_support,
+    "burstiness_by_type": burstiness_by_type,
     "rfm_quintile_segments": rfm_quintile_segments,
 }
 
@@ -818,5 +898,6 @@ ORACLES = {
     "km_survival_curve": KM_SQL,
     "seasonal_anomaly_report": SEASONAL_SQL,
     "event_seq3_support": SEQ3_SQL,
+    "burstiness_by_type": BURSTINESS_SQL,
     "rfm_quintile_segments": RFM_SQL,
 }

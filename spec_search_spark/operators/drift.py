@@ -818,6 +818,105 @@ FROM cp CROSS JOIN tot
 """
 
 
+def wilcoxon_ampm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the Wilcoxon signed-rank test on PAIRED hourly values —
+    each day's hour h (AM, h<12) paired with hour h+12 (PM), d = PM −
+    AM per (day, slot); zeros dropped per the classic procedure. The
+    paired complement to `mannwhitney_priority_revenue`'s independent
+    two-sample test: "is the PM half of the day systematically heavier
+    than the AM half, matching on day and slot".
+
+    Exact shape: pairs live on the BOUNDED gap-filled hour grid
+    (non-overlapping by construction); |d| ranks are tie-averaged
+    doubled integers via the bucketed walk, so 2·W⁺ is a pure
+    DECIMAL(38,0) sum; z is one fixed-arity double with the standard
+    tie-corrected variance, snapped."""
+    from spec_search_spark.operators.rank_stats import _bucketed_cum
+
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir).select(
+        F.expr("cast(unix_micros(h) div 3600000000 as bigint)").alias("hh"),
+        "x",
+    )
+    keyed = filled.select(
+        F.expr("hh div 24").alias("day"),
+        F.expr("hh % 24").alias("hod"),
+        "x",
+    )
+    am = keyed.filter("hod < 12").select(
+        "day", F.col("hod").alias("slot"), F.col("x").alias("xa")
+    )
+    pm = keyed.filter("hod >= 12").select(
+        "day", (F.col("hod") - 12).alias("slot"), F.col("x").alias("xp")
+    )
+    d = (
+        am.join(pm, ["day", "slot"])
+        .select((F.col("xp") - F.col("xa")).alias("d"))
+        .filter("d != 0")
+    )
+    per_v = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.expr("case when d > 0 then 1 else 0 end")).alias("cp"),
+    )
+    cum = _bucketed_cum(per_v, "ad", ["c"])
+    acc = cum.groupBy().agg(
+        F.sum(
+            F.expr("cast(cp as decimal(38,0)) * (2 * (cum_c - c) + c + 1)")
+        ).alias("w2"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c * c - c")).alias("tie3"),
+        F.sum("c").alias("n"),
+    )
+    z = (
+        "(cast(w2 as double) - cast(n as double) * (n + 1) / 2)"
+        " / sqrt(cast(n as double) * (n + 1) * (2 * n + 1) / 6"
+        "        - cast(tie3 as double) / 12)"
+    )
+    return acc.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr("cast(w2 as decimal(38,0))").cast("bigint").alias("w_plus_x2"),
+        F.expr(f"cast(round(({z}) * 1e6) as bigint) / 1e6").alias("z_6"),
+        F.expr(f"abs({z}) > {Z_CRIT}").alias("reject_05"),
+    )
+
+
+WILCOXON_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+keyed AS (
+  SELECT CAST(epoch_us(h) // 3600000000 AS BIGINT) // 24 AS day,
+         CAST(epoch_us(h) // 3600000000 AS BIGINT) % 24 AS hod,
+         x
+  FROM filled
+), d AS (
+  SELECT p.x - a.x AS d
+  FROM (SELECT day, hod AS slot, x FROM keyed WHERE hod < 12) a
+  JOIN (SELECT day, hod - 12 AS slot, x FROM keyed WHERE hod >= 12) p
+    USING (day, slot)
+  WHERE p.x - a.x != 0
+), per_v AS (
+  SELECT abs(d) AS ad, count(*) AS c,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp
+  FROM d GROUP BY abs(d)
+), cum AS (
+  SELECT cp, c, coalesce(sum(c) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM per_v
+), acc AS (
+  SELECT sum(CAST(cp AS DECIMAL(38,0)) * (2 * cumb + c + 1)) AS w2,
+         sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3,
+         sum(c) AS n
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, CAST(w2 AS BIGINT) AS w_plus_x2,
+       CAST(round(((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+         / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6
+                - CAST(tie3 AS DOUBLE) / 12)) * 1e6) AS BIGINT) / 1e6 AS z_6,
+       abs((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+         / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6
+                - CAST(tie3 AS DOUBLE) / 12)) > {Z_CRIT} AS reject_05
+FROM acc
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "psi_value_drift": psi_value_drift,
@@ -825,6 +924,7 @@ QUERIES = {
     "hourly_autocorrelation": hourly_autocorrelation,
     "cramers_v_priority_status": cramers_v_priority_status,
     "cusum_changepoint_hourly": cusum_changepoint_hourly,
+    "wilcoxon_ampm_hourly": wilcoxon_ampm_hourly,
     "mann_kendall_hourly": mann_kendall_hourly,
     "theil_sen_hourly": theil_sen_hourly,
 }
@@ -838,4 +938,5 @@ ORACLES = {
     "mann_kendall_hourly": MANN_KENDALL_SQL,
     "theil_sen_hourly": THEIL_SEN_SQL,
     "cusum_changepoint_hourly": CUSUM_SQL,
+    "wilcoxon_ampm_hourly": WILCOXON_SQL,
 }

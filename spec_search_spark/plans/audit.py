@@ -802,6 +802,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "windowspecdefinition(lang"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # Wilcoxon: AM/PM pairing is a hash join on (day, slot) over the
+    # bounded hour grid; |d| ranks ride the bucketed walk
+    ("wilcoxon_ampm_hourly",
+     ["partial_sum", "windowspecdefinition(bucket"],
+     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+    # burstiness: bounded (type, hour) grid from broadcast bounds×types;
+    # exact integer moments partial+final — no windows, no Python
+    ("burstiness_by_type",
+     ["partial_count", "partial_sum"],
+     ["CartesianProduct", "MapInPandas", "Window",
+      "Exchange rangepartitioning"]),
 ]
 
 

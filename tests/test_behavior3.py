@@ -404,3 +404,36 @@ def test_rfm_quintile_segments_matches_direct_reference(spark, sf_dir):
     assert got == {k: tuple(v) for k, v in seg.items()}
     for r in rows:
         assert 1 <= r["r_b"] <= 5 and 1 <= r["f_b"] <= 5 and 1 <= r["m_b"] <= 5
+
+
+def test_burstiness_by_type_matches_direct_reference(spark, sf_dir):
+    from collections import Counter
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.behavior import burstiness_by_type
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in burstiness_by_type(spark, sf_dir).collect()}
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .collect()
+    )
+    h0 = min(r["h"] for r in evs)
+    h1 = max(r["h"] for r in evs)
+    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
+    per = Counter((r["event_type"], r["h"]) for r in evs)
+    types = {r["event_type"] for r in evs}
+    assert set(rows) == types
+    for t in types:
+        counts = [v for (tt, _), v in per.items() if tt == t]
+        counts += [0] * (n_hours - len(counts))
+        n = len(counts)
+        s = sum(counts)
+        sxx = sum(c * c for c in counts)
+        mean = s / n
+        fano = (n * sxx - s * s) / (n * s)
+        r = rows[t]
+        assert (r["n_hours"], r["n_events"]) == (n, s)
+        assert abs(r["mean_per_hour_6"] - mean) < 1e-6
+        assert abs(r["fano_6"] - fano) < 2e-6

@@ -371,3 +371,56 @@ def test_stream_cusum_equals_batch_cusum(spark, sf_dir):
     b = cusum_changepoint_hourly(spark, sf_dir).first()
     s = stream_cusum_changepoint_query(spark, sf_dir).first()
     assert b.asDict() == s.asDict()
+
+
+def test_wilcoxon_ampm_matches_direct_reference(spark, sf_dir):
+    import math
+
+    from spec_search_spark.operators.drift import (
+        Z_CRIT,
+        wilcoxon_ampm_hourly,
+        _hourly_filled,
+    )
+    from pyspark.sql import functions as F
+
+    row = wilcoxon_ampm_hourly(spark, sf_dir).first()
+    hh_x = {
+        r[0]: r[1]
+        for r in _hourly_filled(spark, sf_dir)
+        .select(
+            F.expr("cast(unix_micros(h) div 3600000000 as bigint)"), "x"
+        )
+        .collect()
+    }
+    ds = []
+    for hh, x in hh_x.items():
+        if hh % 24 < 12 and (hh + 12) in hh_x:
+            d = hh_x[hh + 12] - x
+            if d != 0:
+                ds.append(d)
+    n = len(ds)
+    assert row["n_pairs"] == n
+
+    def _avg_ranks(values):
+        out = {}
+        srt = sorted(values)
+        i = 0
+        while i < len(srt):
+            j = i
+            while j < len(srt) and srt[j] == srt[i]:
+                j += 1
+            out[srt[i]] = (i + 1 + j) / 2
+            i = j
+        return out
+
+    ranks = _avg_ranks([abs(d) for d in ds])
+    w2 = round(2 * sum(ranks[abs(d)] for d in ds if d > 0))
+    assert row["w_plus_x2"] == w2
+    from collections import Counter
+
+    tie3 = sum(c**3 - c for c in Counter(abs(d) for d in ds).values())
+    z = (w2 - n * (n + 1) / 2) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 6 - tie3 / 12
+    )
+    assert abs(row["z_6"] - z) < 2e-6
+    assert row["reject_05"] == (abs(z) > Z_CRIT)
