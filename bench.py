@@ -175,6 +175,7 @@ HEADLINE = [
     "grouped_mad_doclen",
     "wilcoxon_ampm_hourly",
     "burstiness_by_type",
+    "median_ci_orders",
 ]
 
 

@@ -737,6 +737,76 @@ GROUP BY dev.lang
 """
 
 
+def median_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the exact lower-median of o_totalprice cents plus its
+    distribution-free 95% confidence interval from ORDER STATISTICS
+    (binomial/normal-approx bounds: the interval [v_(l), v_(u)] with
+    l = max(1, floor((n − z·√n)/2)), u = min(n, ceil((n + z·√n)/2) + 1))
+    — the uncertainty attachment `mad_outlier_orders`'s point estimate
+    lacks, with no bootstrap and no distributional assumption.
+
+    Exact shape: ONE bucketed cumulative walk serves all three order
+    statistics (median and both CI endpoints select from the same cum
+    table against a broadcast one-row index bound); indices are
+    floor/ceil of the identical fixed-arity double in both engines."""
+    tune(spark)
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v")
+    )
+    per_v = cents.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = _bucketed_cum(per_v, "v", ["c"])
+    idx = per_v.groupBy().agg(F.sum("c").alias("n")).select(
+        "n",
+        F.expr("(n + 1) div 2").alias("k_med"),
+        F.expr(
+            f"greatest(1, cast(floor((n - {Z_CRIT} * sqrt(n)) / 2) as bigint))"
+        ).alias("k_lo"),
+        F.expr(
+            f"least(n, cast(ceil((n + {Z_CRIT} * sqrt(n)) / 2) as bigint) + 1)"
+        ).alias("k_hi"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(idx))
+        .groupBy()
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min(F.expr("case when cum_c >= k_med then v end")).alias(
+                "median_cents"
+            ),
+            F.min(F.expr("case when cum_c >= k_lo then v end")).alias(
+                "ci_lo_cents"
+            ),
+            F.min(F.expr("case when cum_c >= k_hi then v end")).alias(
+                "ci_hi_cents"
+            ),
+        )
+    )
+
+
+MEDIAN_CI_SQL = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), per_v AS (SELECT v, count(*) AS c FROM cents GROUP BY v),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM per_v
+), idx AS (
+  SELECT n, (n + 1) // 2 AS k_med,
+         greatest(1, CAST(floor((n - {Z_CRIT} * sqrt(n)) / 2) AS BIGINT))
+           AS k_lo,
+         least(n, CAST(ceil((n + {Z_CRIT} * sqrt(n)) / 2) AS BIGINT) + 1)
+           AS k_hi
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM cents)
+)
+SELECT max(n) AS n,
+       min(CASE WHEN cum_c >= k_med THEN v END) AS median_cents,
+       min(CASE WHEN cum_c >= k_lo THEN v END) AS ci_lo_cents,
+       min(CASE WHEN cum_c >= k_hi THEN v END) AS ci_hi_cents
+FROM cum CROSS JOIN idx
+"""
+
+
 QUERIES = {
     "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
     "spearman_qty_price": spearman_qty_price,
@@ -744,6 +814,7 @@ QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "cochran_armitage_trend": cochran_armitage_trend,
     "grouped_mad_doclen": grouped_mad_doclen,
+    "median_ci_orders": median_ci_orders,
 }
 
 ORACLES = {
@@ -753,4 +824,5 @@ ORACLES = {
     "kruskal_wallis_priority": KW_SQL,
     "cochran_armitage_trend": COCHRAN_ARMITAGE_SQL,
     "grouped_mad_doclen": GROUPED_MAD_SQL,
+    "median_ci_orders": MEDIAN_CI_SQL,
 }

@@ -813,6 +813,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "Window",
       "Exchange rangepartitioning"]),
+    # median CI: ONE bucketed walk serves median and both CI order
+    # statistics (broadcast one-row index bounds)
+    ("median_ci_orders",
+     ["partial_count", "windowspecdefinition(bucket"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 

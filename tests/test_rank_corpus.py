@@ -538,3 +538,28 @@ def test_grouped_mad_doclen_matches_direct_reference(spark, sf_dir):
         )
         assert (r["thr_chars"], r["n_outliers"]) == (thr, n_out)
         assert abs(r["outlier_share_6"] - n_out / len(xs)) < 1e-6
+
+
+def test_median_ci_matches_direct_reference(spark, sf_dir):
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.rank_stats import (
+        Z_CRIT,
+        median_ci_orders,
+    )
+    from pyspark.sql import functions as F
+
+    row = median_ci_orders(spark, sf_dir).first()
+    xs = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .collect()
+    )
+    n = len(xs)
+    assert row["n"] == n
+    assert row["median_cents"] == xs[(n + 1) // 2 - 1]
+    k_lo = max(1, math.floor((n - Z_CRIT * math.sqrt(n)) / 2))
+    k_hi = min(n, math.ceil((n + Z_CRIT * math.sqrt(n)) / 2) + 1)
+    assert row["ci_lo_cents"] == xs[k_lo - 1]
+    assert row["ci_hi_cents"] == xs[k_hi - 1]
+    assert row["ci_lo_cents"] <= row["median_cents"] <= row["ci_hi_cents"]
