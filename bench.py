@@ -176,6 +176,7 @@ HEADLINE = [
     "wilcoxon_ampm_hourly",
     "burstiness_by_type",
     "median_ci_orders",
+    "bitext_mining_pairs",
 ]
 
 

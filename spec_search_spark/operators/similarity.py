@@ -1185,6 +1185,116 @@ FROM nch JOIN pooled USING (doc_id)
 """
 
 
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext mining (the LASER/CCMatrix alignment
+    shape): mutual-nearest-neighbor pairs between the EN embeddings
+    and every other language's — candidate translation / parallel-text
+    pairs for multilingual training. A pair (a, b) survives only if b
+    is a's top cross-lingual cosine neighbor AND a is b's; mutuality
+    is the standard precision filter before any margin scoring.
+
+    Plan: the non-EN side broadcasts (knn_exact precedent; the 100 TB
+    path swaps the exact cross for the IVF/LSH bucketed candidate join
+    in `ivf`/`ann_lsh_bucketed` — identical downstream mutuality
+    logic). Cosines snap to integer micro-units BEFORE the per-side
+    argmax, so top-1 is an exact (cu, id)-ordered integer comparison
+    in both engines, computed as max(struct) — partial+final agg, no
+    corpus-wide window. Output: one row per mutual pair."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = (
+        _emb(spark, sf_dir)
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "lang", "embedding")
+    )
+    a = e.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+    )
+    b = e.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("embedding").alias("bv"),
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        "b_lang",
+        F.round(
+            cosine_similarity(F.col("av"), F.col("bv")) * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("cu"),
+    )
+    best_a = (
+        scored.groupBy("a_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cu"), (-F.col("b_id")).alias("nb"), F.col("b_lang")
+                )
+            ).alias("m")
+        )
+        .select(
+            "a_id",
+            (-F.col("m.nb")).alias("b_id"),
+            F.col("m.b_lang").alias("b_lang"),
+            F.col("m.cu").alias("cu"),
+        )
+    )
+    best_b = (
+        scored.groupBy("b_id")
+        .agg(
+            F.max(F.struct(F.col("cu"), (-F.col("a_id")).alias("na"))).alias(
+                "m"
+            )
+        )
+        .select(F.col("b_id").alias("bb_id"), (-F.col("m.na")).alias("ba_id"))
+    )
+    return (
+        best_a.join(
+            F.broadcast(best_b),
+            (F.col("bb_id") == F.col("b_id"))
+            & (F.col("ba_id") == F.col("a_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "b_lang",
+            (F.col("cu") / F.lit(1e6)).alias("cos_6"),
+        )
+    )
+
+
+BITEXT_SQL = f"""
+WITH e AS (
+  SELECT vec_id, lang, embedding
+  FROM embeddings JOIN documents ON doc_id = vec_id
+), a AS (
+  SELECT vec_id AS a_id, embedding AS av FROM e WHERE lang = 'en'
+), b AS (
+  SELECT vec_id AS b_id, lang AS b_lang, embedding AS bv
+  FROM e WHERE lang <> 'en'
+), scored AS (
+  SELECT a_id, b_id, b_lang,
+         CAST(round(({cosine_similarity_sql('av', 'bv')}) * 1e6) AS BIGINT)
+           AS cu
+  FROM a CROSS JOIN b
+), best_a AS (
+  SELECT a_id, b_id, b_lang, cu FROM (
+    SELECT *, row_number() OVER (PARTITION BY a_id
+             ORDER BY cu DESC, b_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+), best_b AS (
+  SELECT b_id, a_id AS ba_id FROM (
+    SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+             ORDER BY cu DESC, a_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT best_a.a_id, best_a.b_id, b_lang, cu / 1e6 AS cos_6
+FROM best_a JOIN best_b
+  ON best_b.b_id = best_a.b_id AND best_b.ba_id = best_a.a_id
+"""
+
+
 QUERIES = {
     "knn_exact": knn_exact,
     "knn_multi_probe": knn_multi_probe,
@@ -1200,6 +1310,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "filtered_ann_search": filtered_ann_search,
     "semantic_search_reranked": semantic_search_reranked,
+    "bitext_mining_pairs": bitext_mining_pairs,
 }
 
 ORACLES = {
@@ -1217,4 +1328,5 @@ ORACLES = {
     "hybrid_search_rrf": _hybrid_search_sql(),
     "filtered_ann_search": FILTERED_ANN_SQL,
     "semantic_search_reranked": _semantic_search_reranked_sql(),
+    "bitext_mining_pairs": BITEXT_SQL,
 }

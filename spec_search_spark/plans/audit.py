@@ -819,6 +819,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "windowspecdefinition(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # bitext mining: non-EN side broadcast (BNLJ cross is the bounded
+    # knn_exact shape), both argmaxes are partial+final max(struct)
+    # aggs — no corpus-wide window, no sort
+    ("bitext_mining_pairs",
+     ["BroadcastNestedLoopJoin", "partial_max"],
+     ["CartesianProduct", "MapInPandas", "Window",
+      "Exchange rangepartitioning"]),
 ]
 
 

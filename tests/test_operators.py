@@ -480,3 +480,58 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         members.setdefault(c, []).append(doc)
     for c, docs in members.items():
         assert c == min(docs), (c, min(docs))
+
+
+def test_bitext_mining_matches_direct_reference(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.similarity import bitext_mining_pairs
+    from pyspark.sql import functions as F
+
+    rows = bitext_mining_pairs(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    embs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+        if r["vec_id"] in docs
+    }
+    a_ids = sorted(i for i in embs if docs[i] == "en")
+    b_ids = sorted(i for i in embs if docs[i] != "en")
+
+    def cu(i, j):
+        x, y = embs[i], embs[j]
+        c = float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))
+        import math
+
+        return int(math.copysign(math.floor(abs(c * 1e6) + 0.5), c))
+
+    best_a = {
+        i: max(((cu(i, j), -j) for j in b_ids))
+        for i in a_ids
+    }
+    best_b = {
+        j: max(((cu(i, j), -i) for i in a_ids))
+        for j in b_ids
+    }
+    expected = {
+        (i, -nb): c / 1e6
+        for i, (c, nb) in best_a.items()
+        if -best_b[-nb][1] == i
+    }
+    got = {(r["a_id"], r["b_id"]): r["cos_6"] for r in rows}
+    assert set(got) == set(expected)
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 1.5e-6
+    # mutuality => each side appears at most once
+    assert len({a for a, _ in got}) == len(got)
+    assert len({b for _, b in got}) == len(got)
+    for r in rows:
+        assert r["b_lang"] != "en" and r["b_lang"] == docs[r["b_id"]]
