@@ -634,17 +634,34 @@ def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_th = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("c"))
-    bounds = ev.groupBy().agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    return burstiness_from_counts(per_th)
+
+
+def burstiness_from_counts(per_th: DataFrame) -> DataFrame:
+    """The Fano fold over a (event_type, h, c) hourly count table —
+    shared by the batch operator and the streaming twin (whose
+    streaming state IS this bounded table). Bounds, grid, and the type
+    list all derive from the count table itself."""
+    bounds = per_th.groupBy().agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
     )
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = per_th.select("event_type").distinct()
+    # the probe side re-joins the same lineage the grid/type subtrees
+    # derive from — re-alias its join keys so the attribute ids differ
+    probe = per_th.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"), "c"
+    )
     filled = (
         grid.crossJoin(F.broadcast(types))
-        .join(per_th, ["event_type", "h"], "left")
+        .join(
+            probe,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("h") == F.col("h2")),
+            "left",
+        )
         .select(
             "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
         )

@@ -798,6 +798,45 @@ def _stream_cusum_sql() -> str:
     return CUSUM_SQL
 
 
+def stream_burstiness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Fano-factor burstiness monitor: per event type, is
+    arrival load Poisson-like or bursty — computed ON the stream.
+    Streaming state is the bounded per-(type, hour) count table (the
+    per-type refinement of the hourly-sum state the ACF/CUSUM twins
+    carry); after the drain, the shared exact-moment fold
+    (`behavior.burstiness_from_counts`) scores the final table —
+    identical output and oracle as the batch `burstiness_by_type`."""
+    from spec_search_spark.operators.behavior import burstiness_from_counts
+
+    name = f"burst_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_burst_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return burstiness_from_counts(spark.table(name).select("event_type", "h", "c"))
+
+
+def _stream_burstiness_sql() -> str:
+    from spec_search_spark.operators.behavior import BURSTINESS_SQL
+
+    return BURSTINESS_SQL
+
+
 def _stream_mad_sql() -> str:
     # the batch MAD oracle retargeted at the stream's source column
     from spec_search_spark.operators.rank_stats import MAD_SQL
@@ -849,6 +888,7 @@ QUERIES = {
     "stream_mad_outlier": stream_mad_outlier_query,
     "stream_hourly_acf": stream_hourly_acf_query,
     "stream_cusum_changepoint": stream_cusum_changepoint_query,
+    "stream_burstiness": stream_burstiness_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -864,6 +904,7 @@ ORACLES = {
     "stream_mad_outlier": _stream_mad_sql(),
     "stream_hourly_acf": _stream_acf_sql(),
     "stream_cusum_changepoint": _stream_cusum_sql(),
+    "stream_burstiness": _stream_burstiness_sql(),
 }
 
 

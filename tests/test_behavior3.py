@@ -437,3 +437,12 @@ def test_burstiness_by_type_matches_direct_reference(spark, sf_dir):
         assert (r["n_hours"], r["n_events"]) == (n, s)
         assert abs(r["mean_per_hour_6"] - mean) < 1e-6
         assert abs(r["fano_6"] - fano) < 2e-6
+
+
+def test_stream_burstiness_equals_batch(spark, sf_dir):
+    from spec_search_spark.operators.behavior import burstiness_by_type
+    from spec_search_spark.streaming.incremental import stream_burstiness_query
+
+    b = {r["event_type"]: r.asDict() for r in burstiness_by_type(spark, sf_dir).collect()}
+    s = {r["event_type"]: r.asDict() for r in stream_burstiness_query(spark, sf_dir).collect()}
+    assert b == s
