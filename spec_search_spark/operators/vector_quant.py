@@ -259,12 +259,128 @@ WHERE rn <= {TOP_K}
 """
 
 
+MRL_DIMS = (16, 32, 64)  # prefix dims; 64 = full (self-check row)
+
+
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of PREFIX-truncated embeddings vs the full-dimension
+    ground truth, per (prefix_dim, probe) — the evaluation behind
+    Matryoshka-style dimension-adaptive retrieval: score with the
+    first 16/32 dims (4×/2× fewer FLOPs and bytes moved at 100 TB) and
+    measure exactly how much neighborhood structure survives. The
+    full-dim row is recall 1.0 by construction (pinned self-check).
+
+    Plan: one scored pass per prefix dim (probes broadcast; slice() is
+    codegen'd, no Python in scoring); per-probe top-k via the same
+    snapped (dist, id) window over the tiny probe-keyed table; recall
+    is a count join of the truncated lists against the full-dim list.
+    All selections use round(dist², 4) + vec_id tiebreaks, so both
+    engines pick identical lists."""
+    from spec_search_spark.functions.vector import l2_squared
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    per_dim = []
+    for d in MRL_DIMS:
+        scored = emb.join(
+            F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+        ).select(
+            F.lit(d).alias("dim"),
+            "probe_id",
+            "vec_id",
+            F.round(
+                l2_squared(
+                    F.slice(F.col("embedding"), 1, d),
+                    F.slice(F.col("probe_vec"), 1, d),
+                ),
+                4,
+            ).alias("dist2"),
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.asc("dist2"), F.asc("vec_id")
+        )
+        per_dim.append(
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("dim", "probe_id", "vec_id")
+        )
+    ranked = per_dim[0]
+    for more in per_dim[1:]:
+        ranked = ranked.unionAll(more)
+    truth = ranked.filter(F.col("dim") == MRL_DIMS[-1]).select(
+        F.col("probe_id").alias("tp"), F.col("vec_id").alias("tv")
+    )
+    return (
+        ranked.join(
+            F.broadcast(truth),
+            (F.col("probe_id") == F.col("tp"))
+            & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("dim", "probe_id")
+        .agg(
+            F.sum(
+                F.expr("case when tv is not null then 1 else 0 end")
+            )
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .select(
+            "dim",
+            "probe_id",
+            "n_hits",
+            F.expr(
+                f"cast(round(n_hits / {float(TOP_K)} * 1e6) as bigint) / 1e6"
+            ).alias("recall_6"),
+        )
+    )
+
+
+def _mrl_sql() -> str:
+    from spec_search_spark.functions.vector import l2_squared_sql
+
+    per_dim = []
+    for d in MRL_DIMS:
+        per_dim.append(f"""
+SELECT {d} AS dim, probe_id, vec_id FROM (
+  SELECT p.probe_id, e.vec_id,
+         row_number() OVER (PARTITION BY p.probe_id ORDER BY
+           round({l2_squared_sql(f'e.embedding[1:{d}]', f'p.probe_vec[1:{d}]')}, 4) ASC,
+           e.vec_id ASC) AS rn
+  FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id) t
+WHERE rn <= {TOP_K}""")
+    union = "\nUNION ALL\n".join(per_dim)
+    return f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec
+                FROM embeddings WHERE vec_id < {N_PROBES}),
+ranked AS ({union}),
+truth AS (SELECT probe_id AS tp, vec_id AS tv FROM ranked
+          WHERE dim = {MRL_DIMS[-1]})
+SELECT dim, probe_id,
+       CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(round(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
+         / {float(TOP_K)} * 1e6) AS BIGINT) / 1e6 AS recall_6
+FROM ranked LEFT JOIN truth ON probe_id = tp AND vec_id = tv
+GROUP BY dim, probe_id
+"""
+
+
+MRL_SQL = _mrl_sql()
+
+
 QUERIES = {
     "quantize_int8": quantize_int8,
     "ann_int8_rerank": ann_int8_rerank,
+    "matryoshka_recall_report": matryoshka_recall_report,
 }
 
 ORACLES = {
     "quantize_int8": QUANTIZE_SQL,
     "ann_int8_rerank": ANN_INT8_SQL,
+    "matryoshka_recall_report": MRL_SQL,
 }

@@ -826,6 +826,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["BroadcastNestedLoopJoin", "partial_max"],
      ["CartesianProduct", "MapInPandas", "Window",
       "Exchange rangepartitioning"]),
+    # matryoshka eval: probes broadcast, slice() scored JVM-side, the
+    # per-probe windows run on probe-keyed survivor tables only
+    ("matryoshka_recall_report",
+     ["BroadcastNestedLoopJoin", "hashpartitioning(probe_id"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -60,3 +60,30 @@ def test_ann_int8_recall_vs_exact(spark, sf_dir):
         len(got & exact),
         len(exact),
     )
+
+
+def test_matryoshka_recall_properties(spark, sf_dir):
+    from spec_search_spark.operators.vector_quant import (
+        MRL_DIMS,
+        matryoshka_recall_report,
+    )
+    from spec_search_spark.operators.similarity import N_PROBES, TOP_K
+
+    rows = matryoshka_recall_report(spark, sf_dir).collect()
+    # every (dim, probe) cell present — zero-recall cells must not drop
+    assert len(rows) == len(MRL_DIMS) * N_PROBES
+    by = {(r["dim"], r["probe_id"]): r for r in rows}
+    for (d, p), r in by.items():
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall_6"] - r["n_hits"] / TOP_K) < 1e-6
+    # the full-dim rows are the ground truth against itself
+    for p in range(N_PROBES):
+        assert by[(MRL_DIMS[-1], p)]["n_hits"] == TOP_K
+    # monotone on average: longer prefixes can't be worse overall
+    import statistics
+
+    means = [
+        statistics.mean(by[(d, p)]["n_hits"] for p in range(N_PROBES))
+        for d in MRL_DIMS
+    ]
+    assert means[-1] == max(means)
