@@ -177,7 +177,6 @@ HEADLINE = [
     "burstiness_by_type",
     "median_ci_orders",
     "bitext_mining_pairs",
-    "stream_cusum_changepoint",
     "matryoshka_recall_report",
 ]
 
