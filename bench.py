@@ -178,6 +178,7 @@ HEADLINE = [
     "median_ci_orders",
     "bitext_mining_pairs",
     "matryoshka_recall_report",
+    "mann_kendall_daily_by_priority",
 ]
 
 

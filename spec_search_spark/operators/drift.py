@@ -917,6 +917,122 @@ FROM acc
 """
 
 
+def mann_kendall_daily_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mann-Kendall panel: one tie-corrected trend test PER
+    priority class over its zero-filled daily order-count series — the
+    "which segments are drifting, not just whether the total is"
+    monitor a fleet dashboard actually renders. One row per priority.
+
+    Exact shape: the grid is bounded (#days × #priorities — fixed by
+    the calendar window and the class domain, never by order volume);
+    the all-pairs sign comparison joins the bounded grid to itself per
+    group via broadcast; S and tie terms are exact integers; z is the
+    same fixed-arity snapped expression as `mann_kendall_hourly`."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    per_gd = o.groupBy("g", "d").agg(F.count(F.lit(1)).alias("c"))
+    bounds = o.groupBy().agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    groups = o.select("g").distinct()
+    probe = per_gd.select(
+        F.col("g").alias("g2"), F.col("d").alias("d2"), "c"
+    )
+    filled = (
+        grid.crossJoin(F.broadcast(groups))
+        .join(
+            probe,
+            (F.col("g") == F.col("g2")) & (F.col("d") == F.col("d2")),
+            "left",
+        )
+        .select("g", "d", F.coalesce(F.col("c"), F.lit(0)).alias("x"))
+    )
+    a = filled.select(
+        F.col("g").alias("ga"), F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = filled.select(
+        F.col("g").alias("gb"), F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    s_rows = (
+        a.join(
+            F.broadcast(b),
+            (F.col("ga") == F.col("gb")) & (F.col("da") < F.col("db")),
+        )
+        .groupBy(F.col("ga").alias("g"))
+        .agg(
+            F.sum(F.expr("sign(xb - xa)")).cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    ties = (
+        filled.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.expr("cast(t as decimal(38,0)) * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    z = (
+        "(case when s > 0 then s - 1 when s < 0 then s + 1 else 0 end)"
+        " / sqrt((cast(n as double) * (n - 1) * (2 * n + 5)"
+        "         - cast(tie_term as double)) / 18)"
+    )
+    return s_rows.join(F.broadcast(ties), "g").select(
+        F.col("g").alias("priority"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "s",
+        F.expr(f"cast(round(({z}) * 1e6) as bigint) / 1e6").alias("z_6"),
+        F.expr(f"abs({z}) > {Z_CRIT}").alias("reject_05"),
+    )
+
+
+MK_PANEL_SQL = f"""
+WITH o AS (
+  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d FROM orders
+), per_gd AS (SELECT g, d, count(*) AS c FROM o GROUP BY g, d),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+grid AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+), groups AS (SELECT DISTINCT g FROM o),
+filled AS (
+  SELECT gr.g, gd.d, coalesce(p.c, 0) AS x
+  FROM grid gd CROSS JOIN groups gr
+  LEFT JOIN per_gd p ON p.g = gr.g AND p.d = gd.d
+), s_rows AS (
+  SELECT a.g, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s,
+         count(*) AS n_pairs
+  FROM filled a JOIN filled b ON a.g = b.g AND a.d < b.d
+  GROUP BY a.g
+), ties AS (
+  SELECT g, sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+           AS tie_term,
+         sum(t) AS n
+  FROM (SELECT g, x, count(*) AS t FROM filled GROUP BY g, x)
+  GROUP BY g
+)
+SELECT s_rows.g AS priority, CAST(n AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs, s,
+       CAST(round(((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1
+                     ELSE 0 END)
+         / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                 - CAST(tie_term AS DOUBLE)) / 18)) * 1e6) AS BIGINT) / 1e6
+         AS z_6,
+       abs((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END)
+         / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                 - CAST(tie_term AS DOUBLE)) / 18)) > {Z_CRIT} AS reject_05
+FROM s_rows JOIN ties ON ties.g = s_rows.g
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "psi_value_drift": psi_value_drift,
@@ -925,6 +1041,7 @@ QUERIES = {
     "cramers_v_priority_status": cramers_v_priority_status,
     "cusum_changepoint_hourly": cusum_changepoint_hourly,
     "wilcoxon_ampm_hourly": wilcoxon_ampm_hourly,
+    "mann_kendall_daily_by_priority": mann_kendall_daily_by_priority,
     "mann_kendall_hourly": mann_kendall_hourly,
     "theil_sen_hourly": theil_sen_hourly,
 }
@@ -939,4 +1056,5 @@ ORACLES = {
     "theil_sen_hourly": THEIL_SEN_SQL,
     "cusum_changepoint_hourly": CUSUM_SQL,
     "wilcoxon_ampm_hourly": WILCOXON_SQL,
+    "mann_kendall_daily_by_priority": MK_PANEL_SQL,
 }

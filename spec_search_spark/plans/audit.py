@@ -832,6 +832,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["BroadcastNestedLoopJoin", "hashpartitioning(probe_id"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
       "Exchange rangepartitioning"]),
+    # MK panel: the per-group all-pairs comparison is a HASH join on
+    # the group key over the bounded day grid (da<db residual), never
+    # a cartesian of data-sized inputs; S and ties are partial+final
+    ("mann_kendall_daily_by_priority",
+     ["partial_sum", "BroadcastHashJoin"],
+     ["CartesianProduct", "MapInPandas", "Window",
+      "Exchange rangepartitioning"]),
 ]
 
 

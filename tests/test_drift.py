@@ -424,3 +424,46 @@ def test_wilcoxon_ampm_matches_direct_reference(spark, sf_dir):
     )
     assert abs(row["z_6"] - z) < 2e-6
     assert row["reject_05"] == (abs(z) > Z_CRIT)
+
+
+def test_mk_panel_matches_direct_reference(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+    from datetime import timedelta
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.drift import (
+        Z_CRIT,
+        mann_kendall_daily_by_priority,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r["priority"]: r for r in mann_kendall_daily_by_priority(spark, sf_dir).collect()}
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.col("o_orderdate").cast("date").alias("d"))
+        .collect()
+    )
+    d0 = min(r["d"] for r in orders)
+    d1 = max(r["d"] for r in orders)
+    n_days = (d1 - d0).days + 1
+    per = Counter((r["o_orderpriority"], r["d"]) for r in orders)
+    groups = {r["o_orderpriority"] for r in orders}
+    assert set(rows) == groups
+    for g in groups:
+        xs = [per.get((g, d0 + timedelta(days=i)), 0) for i in range(n_days)]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18
+        z = (s - 1 if s > 0 else s + 1 if s < 0 else 0) / math.sqrt(var)
+        r = rows[g]
+        assert (r["n_days"], r["n_pairs"], r["s"]) == (n, n * (n - 1) // 2, s)
+        assert abs(r["z_6"] - z) < 2e-6
+        assert r["reject_05"] == (abs(z) > Z_CRIT)
