@@ -179,6 +179,9 @@ HEADLINE = [
     "bitext_mining_pairs",
     "matryoshka_recall_report",
     "mann_kendall_daily_by_priority",
+    # round-5 third batch: gate funnel + MERGE apply
+    "quality_funnel_report",
+    "merge_upsert_cdc",
 ]
 
 

@@ -457,8 +457,111 @@ FROM lineitem
 """
 
 
+# --- MERGE INTO (CDC upsert apply) -------------------------------------------
+
+# Deterministic CDC batch carved from orders itself: the base snapshot
+# is 90% of the table; the change stream touches every key ≡ 0 (mod 3),
+# deleting those ≡ 0 (mod 12) and upserting the rest at a new price.
+MERGE_BASE_SKIP_MOD, MERGE_BASE_SKIP_REM = 10, 7   # base := key % 10 != 7
+MERGE_DELTA_MOD = 3                                 # delta := key % 3 == 0
+MERGE_DELETE_MOD = 12                               # of those, % 12 == 0 → D
+MERGE_PRICE_BUMP_CENTS = 500                        # upsert rewrites price
+
+
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg CDC apply): a change
+    batch of upserts and deletes lands on a base snapshot via ONE full
+    outer join on the key — WHEN MATCHED AND op='D' THEN DELETE, WHEN
+    MATCHED THEN UPDATE, WHEN NOT MATCHED [AND op!='D'] THEN INSERT,
+    ELSE keep the base row. `corpus_diff` classifies two snapshots
+    after the fact; THIS is the operator that produces the next
+    snapshot from a stream of row-level changes.
+
+    At 100 TB the join is the whole cost: it shuffles on the merge key
+    unless both sides are bucketed on it (operators/bucketed.py shows
+    the zero-exchange layout) — and the delta side is a day of CDC, so
+    AQE picks a broadcast when it fits. Prices are exact integer
+    cents; the verification output is the per-action audit row a MERGE
+    command returns (n rows, key checksum, cents total), so the result
+    is small and order-free while pinning every merged row.
+
+    Output: (action ∈ insert/update/delete/unchanged, n, key_sum,
+    cents_total) — deleted rows are counted but contribute no cents."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    base = orders.filter(
+        F.expr(
+            f"o_orderkey % {MERGE_BASE_SKIP_MOD} != {MERGE_BASE_SKIP_REM}"
+        )
+    )
+    delta = orders.filter(F.expr(f"o_orderkey % {MERGE_DELTA_MOD} = 0")).select(
+        "o_orderkey",
+        F.expr(
+            f"CASE WHEN o_orderkey % {MERGE_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END"
+        ).alias("op"),
+        (F.col("cents") + MERGE_PRICE_BUMP_CENTS).alias("new_cents"),
+    )
+    merged = base.join(delta, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.expr(
+            """CASE
+              WHEN op = 'D' AND cents IS NOT NULL THEN 'delete'
+              WHEN op = 'D' THEN NULL            -- delete of absent key: no-op
+              WHEN op = 'U' AND cents IS NOT NULL THEN 'update'
+              WHEN op = 'U' THEN 'insert'
+              ELSE 'unchanged' END"""
+        ).alias("action"),
+        F.expr(
+            "CASE WHEN op = 'U' THEN new_cents"
+            "     WHEN op = 'D' THEN cast(0 as bigint)"
+            "     ELSE cents END"
+        ).alias("out_cents"),
+    ).filter(F.col("action").isNotNull())
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum("out_cents").cast("bigint").alias("cents_total"),
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), base AS (
+  SELECT * FROM o
+  WHERE o_orderkey % {MERGE_BASE_SKIP_MOD} != {MERGE_BASE_SKIP_REM}
+), delta AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {MERGE_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op,
+         cents + {MERGE_PRICE_BUMP_CENTS} AS new_cents
+  FROM o WHERE o_orderkey % {MERGE_DELTA_MOD} = 0
+), merged AS (
+  SELECT coalesce(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+         CASE WHEN d.op = 'D' AND b.cents IS NOT NULL THEN 'delete'
+              WHEN d.op = 'D' THEN NULL
+              WHEN d.op = 'U' AND b.cents IS NOT NULL THEN 'update'
+              WHEN d.op = 'U' THEN 'insert'
+              ELSE 'unchanged' END AS action,
+         CASE WHEN d.op = 'U' THEN d.new_cents
+              WHEN d.op = 'D' THEN 0
+              ELSE b.cents END AS out_cents
+  FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT action, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(out_cents) AS BIGINT) AS cents_total
+FROM merged WHERE action IS NOT NULL
+GROUP BY action
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
+    "merge_upsert_cdc": merge_upsert_cdc,
     "observed_write_metrics": observed_write_metrics,
     "multi_granularity_rollup": multi_granularity_rollup,
     "constraint_check_report": constraint_check_report,
@@ -469,6 +572,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_agg_merge": INCREMENTAL_MERGE_SQL,
+    "merge_upsert_cdc": MERGE_UPSERT_SQL,
     "observed_write_metrics": OBSERVED_METRICS_SQL,
     "multi_granularity_rollup": MULTI_ROLLUP_SQL,
     "constraint_check_report": CONSTRAINT_SQL,

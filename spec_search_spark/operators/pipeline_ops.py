@@ -1154,8 +1154,128 @@ FROM per p JOIN per_src s USING (source) CROSS JOIN gtot g
 """
 
 
+# --- quality-gate funnel -----------------------------------------------------
+
+FUNNEL_MIN_CHARS = 100   # gate 1: document length floor
+FUNNEL_MIN_TOKS = 20     # gate 2: token-count floor
+FUNNEL_WLEN_LO = 3       # gate 3: mean word length in [3, 10] — integer
+FUNNEL_WLEN_HI = 10      #         cross-multiplied, never a float divide
+FUNNEL_STOP_MIN = 2      # gate 4: ≥2 stop-marker tokens ('a'/'the') — the
+FUNNEL_STOPS = ("a", "the")  # C4 "natural prose" signal
+# gate 5: distinct-token ratio ≥ 1/2 (2·distinct ≥ n) — loop catcher
+
+
+def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered quality-gate funnel with first-fail attribution — the
+    acceptance report every published corpus pipeline (C4, CCNet,
+    Gopher, RefinedWeb) ships: each document flows through the gate
+    sequence (length → token count → mean word length → stopword
+    signal → repetition) and is charged to the FIRST gate it fails, so
+    per-gate rejection counts sum to the corpus and the marginal cost
+    of each rule is visible (a rule that rejects nothing new is free
+    to drop).
+
+    Every decision is exact-integer (counts and cross-multiplied
+    ratios — no float thresholds), so both engines agree on every
+    document. Plan: one scan, pure per-row array/regex codegen (no
+    join, no window), one partial+final (source, stage) aggregate —
+    cardinality sources × 6, broadcast-trivial at 100 TB; the shares
+    are snapped per FIXTURES rule 2.
+
+    Output: (source, stage, n_docs, share) — stage ∈ gate names ∪
+    'pass'; share = n_docs / source total on the 1e-6 grid."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = funnel_staged(docs).groupBy("source", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return funnel_report_from_counts(per)
+
+
+def funnel_staged(docs: DataFrame) -> DataFrame:
+    """(source, stage) per document — the per-row gate cascade, pure
+    codegen; shared verbatim by the streaming twin so batch and stream
+    charge every document to the identical gate."""
+    toks = tokens(F.col("text"))
+    stops = ", ".join(f"'{w}'" for w in FUNNEL_STOPS)
+    return docs.select(
+        "source",
+        F.col("n_chars").alias("nc"),
+        F.size(toks).cast("bigint").alias("nt"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("sl"),
+        F.expr(
+            f"cast(size(filter({_TOKS_EXPR}, x -> x IN ({stops}))) as bigint)"
+        ).alias("nstop"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+    ).select(
+        "source",
+        F.expr(
+            f"""CASE
+              WHEN nc < {FUNNEL_MIN_CHARS} THEN 'len'
+              WHEN nt < {FUNNEL_MIN_TOKS} THEN 'ntok'
+              WHEN sl < {FUNNEL_WLEN_LO} * nt
+                OR sl > {FUNNEL_WLEN_HI} * nt THEN 'wordlen'
+              WHEN nstop < {FUNNEL_STOP_MIN} THEN 'stop'
+              WHEN 2 * nd < nt THEN 'rep'
+              ELSE 'pass' END"""
+        ).alias("stage"),
+    )
+
+
+def funnel_report_from_counts(per: DataFrame) -> DataFrame:
+    """Presentation fold over a (source, stage, n_docs) count table —
+    shares snapped per FIXTURES rule 2; shared by the streaming twin
+    (whose count table IS its drained state)."""
+    share = F.expr(
+        "cast(round(n_docs / sum(n_docs) OVER (PARTITION BY source) * 1e6)"
+        " as bigint) / 1e6"
+    )
+    return per.select("source", "stage", "n_docs", share.alias("share"))
+
+
+# Spark-side tokens() inlined for the filter() lambda above (same fold
+# as functions.text.tokens).
+_TOKS_EXPR = (
+    "CASE WHEN trim(text) = '' THEN cast(array() as array<string>) "
+    "ELSE split(trim(text), '\\\\s+') END"
+)
+
+_FUNNEL_TOKS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+_FUNNEL_STOPS = ", ".join(f"'{w}'" for w in FUNNEL_STOPS)
+QUALITY_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT source, n_chars AS nc,
+         len({_FUNNEL_TOKS}) AS nt,
+         len(regexp_replace(text, '\\s', '', 'g')) AS sl,
+         len(list_filter({_FUNNEL_TOKS}, x -> x IN ({_FUNNEL_STOPS}))) AS nstop,
+         len(list_distinct({_FUNNEL_TOKS})) AS nd
+  FROM documents
+), staged AS (
+  SELECT source,
+         CASE WHEN nc < {FUNNEL_MIN_CHARS} THEN 'len'
+              WHEN nt < {FUNNEL_MIN_TOKS} THEN 'ntok'
+              WHEN sl < {FUNNEL_WLEN_LO} * nt
+                OR sl > {FUNNEL_WLEN_HI} * nt THEN 'wordlen'
+              WHEN nstop < {FUNNEL_STOP_MIN} THEN 'stop'
+              WHEN 2 * nd < nt THEN 'rep'
+              ELSE 'pass' END AS stage
+  FROM t
+), per AS (
+  SELECT source, stage, count(*) AS n_docs FROM staged GROUP BY 1, 2
+)
+SELECT source, stage, n_docs,
+       CAST(round(n_docs / sum(n_docs) OVER (PARTITION BY source) * 1e6)
+            AS BIGINT) / 1e6 AS share
+FROM per
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
+    "quality_funnel_report": quality_funnel_report,
     "contamination_containment": contamination_containment,
     "target_encoding_oof": target_encoding_oof,
     "leakage_safe_split": leakage_safe_split,
@@ -1177,6 +1297,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
+    "quality_funnel_report": QUALITY_FUNNEL_SQL,
     "contamination_containment": CONTAINMENT_SQL,
     "target_encoding_oof": TARGET_ENCODING_SQL,
     "leakage_safe_split": _leakage_safe_split_sql(),

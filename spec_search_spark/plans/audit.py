@@ -839,6 +839,18 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Window",
       "Exchange rangepartitioning"]),
+    # quality funnel: one scan, pure per-row codegen into a partial+final
+    # (source, stage) agg — no join, no per-doc window, nothing Python
+    ("quality_funnel_report",
+     ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "MapInPandas", "SortMergeJoin", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # MERGE apply: ONE full outer join on the merge key, partial+final
+    # audit agg — no cartesian, no python, no sort
+    ("merge_upsert_cdc",
+     ["FullOuter", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

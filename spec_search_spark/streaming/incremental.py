@@ -860,6 +860,57 @@ def _stream_benford_sql() -> str:
     )
 
 
+def stream_quality_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-gate funnel over the documents feed: the
+    ingest-time acceptance monitor (batch: `pipeline_ops.
+    quality_funnel_report`). Every document is charged to its FIRST
+    failing gate by the identical shared per-row cascade
+    (`funnel_staged`), and the ONLY streaming state is the
+    (source, stage) count table — ≤ sources × 6 rows at any stream
+    volume, the same bounded-state argument as `stream_psi_drift`.
+    After the drain, the shared presentation fold snaps the per-source
+    shares; the oracle is the batch funnel's SQL verbatim."""
+    from spec_search_spark.operators.pipeline_ops import (
+        funnel_report_from_counts,
+        funnel_staged,
+    )
+
+    tune(spark)
+    name = f"funnel_stream_{uuid.uuid4().hex[:8]}"
+    static_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    docs = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    per = funnel_staged(docs).groupBy("source", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_funnel_")
+    q = (
+        per.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return funnel_report_from_counts(
+        spark.table(name).select("source", "stage", "n_docs")
+    )
+
+
+def _import_funnel_sql() -> str:
+    from spec_search_spark.operators.pipeline_ops import QUALITY_FUNNEL_SQL
+
+    return QUALITY_FUNNEL_SQL
+
+
 def _import_psi_sql() -> str:
     # same one-row result as the batch drift score: the stream twin's
     # oracle IS the batch oracle (stream_hourly_counts precedent)
@@ -889,6 +940,7 @@ QUERIES = {
     "stream_hourly_acf": stream_hourly_acf_query,
     "stream_cusum_changepoint": stream_cusum_changepoint_query,
     "stream_burstiness": stream_burstiness_query,
+    "stream_quality_funnel": stream_quality_funnel_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -905,6 +957,7 @@ ORACLES = {
     "stream_hourly_acf": _stream_acf_sql(),
     "stream_cusum_changepoint": _stream_cusum_sql(),
     "stream_burstiness": _stream_burstiness_sql(),
+    "stream_quality_funnel": _import_funnel_sql(),
 }
 
 

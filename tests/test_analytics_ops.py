@@ -221,3 +221,30 @@ def test_image_resize_matches_pure_python_nearest(spark, sf_dir):
         assert (r["width"], r["height"]) == (w, h)
         assert (r["rs_b"], r["rs_g"], r["rs_r"]) == tuple(sums)
         assert r["pos_checksum"] == checksum
+
+
+def test_merge_upsert_cdc_action_algebra(spark, sf_dir):
+    from spec_search_spark.operators import maintenance as mt
+
+    out = {r.action: r for r in mt.merge_upsert_cdc(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    in_base = F.expr(
+        f"o_orderkey % {mt.MERGE_BASE_SKIP_MOD} != {mt.MERGE_BASE_SKIP_REM}"
+    )
+    in_delta = F.expr(f"o_orderkey % {mt.MERGE_DELTA_MOD} = 0")
+    is_del = F.expr(f"o_orderkey % {mt.MERGE_DELETE_MOD} = 0")
+    # every MERGE action count reproduces from the set algebra directly
+    assert out["delete"].n == orders.filter(in_base & in_delta & is_del).count()
+    assert out["update"].n == orders.filter(in_base & in_delta & ~is_del).count()
+    assert out["insert"].n == orders.filter(~in_base & in_delta & ~is_del).count()
+    assert out["unchanged"].n == orders.filter(in_base & ~in_delta).count()
+    # the next snapshot's size: base - deletes + inserts
+    n_base = orders.filter(in_base).count()
+    next_rows = out["update"].n + out["insert"].n + out["unchanged"].n
+    assert next_rows == n_base - out["delete"].n + out["insert"].n
+    # upserts carry the bumped price: cents_total ≡ raw cents + bump·n
+    raw_upd = orders.filter(in_base & in_delta & ~is_del).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+    ).first()[0]
+    assert out["update"].cents_total == raw_upd + mt.MERGE_PRICE_BUMP_CENTS * out["update"].n

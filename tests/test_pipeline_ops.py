@@ -267,3 +267,44 @@ def test_target_encoding_is_out_of_fold_exact(spark, sf_dir):
             s_src[r["source"]] - s[key] + TE_ALPHA * (s_g / n_g)
         ) / (n_src[r["source"]] - n[key] + TE_ALPHA)
         assert abs(r["encoding"] - round(expect, 6)) < 1e-9, key
+
+
+def test_quality_funnel_first_fail_partitions_corpus(spark, sf_dir):
+    out = po.quality_funnel_report(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # first-fail attribution: per-gate counts partition every document
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    stages = {r.stage for r in out.select("stage").distinct().collect()}
+    assert stages <= {"len", "ntok", "wordlen", "stop", "rep", "pass"}
+    assert "pass" in stages  # the funnel keeps something
+    assert stages - {"pass"}  # ... and rejects something
+    # shares sum to ~1 per source (snapped to the 1e-6 grid)
+    per_src = out.groupBy("source").agg(F.sum("share").alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 5e-6 for r in per_src)
+
+
+def test_quality_funnel_stage_order_is_first_fail(spark, sf_dir):
+    # a doc failing the length gate must never be charged downstream:
+    # recompute gate 1 directly and compare the 'len' count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_short = docs.filter(F.col("n_chars") < po.FUNNEL_MIN_CHARS).count()
+    out = po.quality_funnel_report(spark, sf_dir)
+    got = (
+        out.filter(F.col("stage") == "len").agg(F.sum("n_docs")).first()[0] or 0
+    )
+    assert got == n_short
+
+
+def test_stream_quality_funnel_equals_batch(spark, sf_dir):
+    from spec_search_spark.streaming.incremental import stream_quality_funnel_query
+
+    batch = {
+        (r.source, r.stage): (r.n_docs, r.share)
+        for r in po.quality_funnel_report(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.source, r.stage): (r.n_docs, r.share)
+        for r in stream_quality_funnel_query(spark, sf_dir).collect()
+    }
+    # the drained (source, stage) state scores identically to batch
+    assert stream == batch
