@@ -179,9 +179,12 @@ HEADLINE = [
     "bitext_mining_pairs",
     "matryoshka_recall_report",
     "mann_kendall_daily_by_priority",
-    # round-5 third batch: gate funnel + MERGE apply
+    # round-5 third batch: gate funnel + MERGE apply + one-pass corr
+    # matrix + held-out trigram backoff LM
     "quality_funnel_report",
     "merge_upsert_cdc",
+    "feature_corr_matrix",
+    "trigram_backoff_scores",
 ]
 
 

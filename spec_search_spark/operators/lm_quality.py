@@ -590,6 +590,193 @@ FROM acc
 """
 
 
+# --------------------------------------------------------------------------
+# Trigram stupid-backoff LM — held-out scoring so the backoff fires
+# --------------------------------------------------------------------------
+
+TRI_FOLDS = 5       # hash folds; fold 0 is the held-out test split
+TRI_BACKOFF_NUM, TRI_BACKOFF_DEN = 2, 5  # α = 0.4 as an exact rational
+
+
+def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a trigram LM with stupid
+    backoff (Brants et al., the web-scale smoothing that needs no
+    discount tuning): S(w3|w1w2) = c3/ctx3 if the trigram was seen in
+    TRAINING, else α·c2/ctx2, else α²·c1/T, else α³/V — each level an
+    exact integer ratio. Unlike `lm_perplexity_scores` (trained and
+    scored on the same corpus, so every n-gram is seen), this trains
+    on the 80% hash-fold split and scores the held-out 20%, so the
+    backoff chain genuinely fires and the per-level hit counts in the
+    output prove it.
+
+    Determinism: every scored occurrence snaps ln(level ratio) to
+    integer nano-nats BEFORE the per-doc sum (FIXTURES rule 5), so the
+    sum is order-independent BIGINT; cross-entropy and perplexity are
+    fixed-arity snapped doubles from shared SQL text.
+
+    Plan shape: n-grams built JVM-side (slice+zip_with, no shuffle);
+    model tables are vocabulary-keyed and join the test occurrences as
+    plain shuffle joins (the vocabulary grows with the corpus — never
+    broadcast); the (V, T) scalars ride a one-row broadcast. Scoring
+    cost ∝ held-out size; training cost is the two count aggs."""
+    tune(spark)
+    base = _tok_arrays(_docs(spark, sf_dir), 3).withColumn(
+        "fold",
+        F.pmod(
+            _poly_hash(F.concat(F.lit("lm3:"), F.col("doc_id").cast("string"))),
+            F.lit(TRI_FOLDS),
+        ),
+    )
+    n = F.size("t")
+    tri = F.zip_with(
+        F.slice("t", 1, n - 2),
+        F.zip_with(
+            F.slice("t", 2, n - 2),
+            F.slice("t", 3, n - 2),
+            lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+        ),
+        lambda a, bc: F.struct(
+            a.alias("w1"), bc.w2.alias("w2"), bc.w3.alias("w3")
+        ),
+    )
+    grams = base.select("doc_id", "fold", F.explode(tri).alias("g")).select(
+        "doc_id", "fold", "g.w1", "g.w2", "g.w3"
+    )
+    train = grams.filter(F.col("fold") != 0)
+    test = grams.filter(F.col("fold") == 0)
+    c3 = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx3 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("ctx3"))
+    c2 = train.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c2"))
+    ctx2 = train.groupBy("w2").agg(F.count(F.lit(1)).alias("ctx2"))
+    toks_train = base.filter(F.col("fold") != 0).select(
+        F.explode("t").alias("tok")
+    )
+    c1 = toks_train.groupBy(F.col("tok").alias("w3")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    scal = toks_train.agg(
+        F.count(F.lit(1)).alias("t_total"),
+        F.countDistinct("tok").alias("v"),
+    )
+    a_num, a_den = TRI_BACKOFF_NUM, TRI_BACKOFF_DEN
+    joined = (
+        test.join(c3.join(ctx3, ["w1", "w2"]), ["w1", "w2", "w3"], "left")
+        .join(c2.join(ctx2, ["w2"]), ["w2", "w3"], "left")
+        .join(c1, ["w3"], "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    nn = F.expr(
+        f"""cast(round(CASE
+          WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / ctx3)
+          WHEN c2 IS NOT NULL THEN
+            ln(CAST({a_num} * c2 AS DOUBLE) / ({a_den} * ctx2))
+          WHEN c1 IS NOT NULL THEN
+            ln(CAST({a_num} * {a_num} * c1 AS DOUBLE)
+               / ({a_den} * {a_den} * t_total))
+          ELSE ln(CAST({a_num} * {a_num} * {a_num} AS DOUBLE)
+                  / ({a_den} * {a_den} * {a_den} * v))
+        END * 1e9) as bigint)"""
+    )
+    lvl = F.expr(
+        "CASE WHEN c3 IS NOT NULL THEN 'tri' WHEN c2 IS NOT NULL THEN 'big'"
+        " WHEN c1 IS NOT NULL THEN 'uni' ELSE 'oov' END"
+    )
+    per = joined.select("doc_id", nn.alias("nn"), lvl.alias("lvl")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.expr("CASE WHEN lvl = 'big' THEN 1 ELSE 0 END")).cast(
+            "bigint"
+        ).alias("n_backoff_bigram"),
+        F.sum(F.expr("CASE WHEN lvl = 'uni' THEN 1 ELSE 0 END")).cast(
+            "bigint"
+        ).alias("n_backoff_unigram"),
+        F.sum(F.expr("CASE WHEN lvl = 'oov' THEN 1 ELSE 0 END")).cast(
+            "bigint"
+        ).alias("n_oov"),
+        F.sum("nn").cast("bigint").alias("sum_nn"),
+    )
+    return per.selectExpr(
+        "doc_id",
+        "n_trigrams",
+        "n_backoff_bigram",
+        "n_backoff_unigram",
+        "n_oov",
+        "cast(round(-sum_nn / (n_trigrams * 1e9) * 1e6) as bigint) / 1e6"
+        " AS cross_entropy",
+        "cast(round(exp(cast(round(-sum_nn / (n_trigrams * 1e9) * 1e6)"
+        " as bigint) / 1e6) * 1e3) as bigint) / 1e3 AS perplexity",
+    )
+
+
+_TRI_H = _POLY_SQL.format(s="'lm3:' || CAST(doc_id AS VARCHAR)")
+TRIGRAM_BACKOFF_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         ((({_TRI_H}) % {TRI_FOLDS}) + {TRI_FOLDS}) % {TRI_FOLDS} AS fold,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+  WHERE trim(text) <> ''
+    AND len(regexp_split_to_array(trim(text), '\s+')) >= 3
+), grams AS (
+  SELECT doc_id, fold, t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+  FROM (SELECT doc_id, fold, t, unnest(range(0, len(t) - 2)) AS i FROM base) x
+), train AS (SELECT * FROM grams WHERE fold <> 0),
+test AS (SELECT * FROM grams WHERE fold = 0),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM train GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, count(*) AS ctx3 FROM train GROUP BY 1, 2),
+c2 AS (SELECT w2, w3, count(*) AS c2 FROM train GROUP BY 1, 2),
+ctx2 AS (SELECT w2, count(*) AS ctx2 FROM train GROUP BY 1),
+toks AS (
+  SELECT unnest(t) AS tok FROM base WHERE fold <> 0
+), c1 AS (SELECT tok AS w3, count(*) AS c1 FROM toks GROUP BY 1),
+scal AS (SELECT count(*) AS t_total, count(DISTINCT tok) AS v FROM toks),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN x3.c3 IS NOT NULL THEN 'tri'
+              WHEN x2.c2 IS NOT NULL THEN 'big'
+              WHEN x1.c1 IS NOT NULL THEN 'uni' ELSE 'oov' END AS lvl,
+         CAST(round(CASE
+           WHEN x3.c3 IS NOT NULL THEN ln(CAST(x3.c3 AS DOUBLE) / x3.ctx3)
+           WHEN x2.c2 IS NOT NULL THEN
+             ln(CAST({TRI_BACKOFF_NUM} * x2.c2 AS DOUBLE)
+                / ({TRI_BACKOFF_DEN} * x2.ctx2))
+           WHEN x1.c1 IS NOT NULL THEN
+             ln(CAST({TRI_BACKOFF_NUM} * {TRI_BACKOFF_NUM} * x1.c1 AS DOUBLE)
+                / ({TRI_BACKOFF_DEN} * {TRI_BACKOFF_DEN} * s.t_total))
+           ELSE ln(CAST({TRI_BACKOFF_NUM} * {TRI_BACKOFF_NUM} * {TRI_BACKOFF_NUM} AS DOUBLE)
+                   / ({TRI_BACKOFF_DEN} * {TRI_BACKOFF_DEN} * {TRI_BACKOFF_DEN} * s.v))
+         END * 1e9) AS BIGINT) AS nn
+  FROM test t
+  LEFT JOIN (SELECT a.w1, a.w2, a.w3, a.c3, b.ctx3
+             FROM c3 a JOIN ctx3 b USING (w1, w2)) x3
+    ON t.w1 = x3.w1 AND t.w2 = x3.w2 AND t.w3 = x3.w3
+  LEFT JOIN (SELECT a.w2, a.w3, a.c2, b.ctx2
+             FROM c2 a JOIN ctx2 b USING (w2)) x2
+    ON t.w2 = x2.w2 AND t.w3 = x2.w3
+  LEFT JOIN c1 x1 ON t.w3 = x1.w3
+  CROSS JOIN scal s
+), per AS (
+  SELECT doc_id, count(*) AS n_trigrams,
+         sum(CASE WHEN lvl = 'big' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN lvl = 'uni' THEN 1 ELSE 0 END) AS nu,
+         sum(CASE WHEN lvl = 'oov' THEN 1 ELSE 0 END) AS no,
+         sum(nn) AS sum_nn
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams,
+       CAST(nb AS BIGINT) AS n_backoff_bigram,
+       CAST(nu AS BIGINT) AS n_backoff_unigram,
+       CAST(no AS BIGINT) AS n_oov,
+       CAST(round(-CAST(sum_nn AS BIGINT) / (n_trigrams * 1e9) * 1e6)
+            AS BIGINT) / 1e6 AS cross_entropy,
+       CAST(round(exp(CAST(round(-CAST(sum_nn AS BIGINT)
+              / (n_trigrams * 1e9) * 1e6) AS BIGINT) / 1e6) * 1e3)
+            AS BIGINT) / 1e3 AS perplexity
+FROM per
+"""
+
+
 QUERIES = {
     "lm_perplexity_scores": lm_perplexity_scores,
     "dsir_importance_report": dsir_importance_report,
@@ -597,6 +784,7 @@ QUERIES = {
     "heavy_hitters_cms": heavy_hitters_cms,
     "embedding_outlier_report": embedding_outlier_report,
     "quality_auc_by_lang": quality_auc_by_lang,
+    "trigram_backoff_scores": trigram_backoff_scores,
 }
 
 ORACLES = {
@@ -606,4 +794,5 @@ ORACLES = {
     "heavy_hitters_cms": HEAVY_HITTERS_SQL,
     "embedding_outlier_report": EMBEDDING_OUTLIER_SQL,
     "quality_auc_by_lang": _auc_sql(),
+    "trigram_backoff_scores": TRIGRAM_BACKOFF_SQL,
 }

@@ -1101,8 +1101,82 @@ FROM scored ORDER BY g_n, feature, bin LIMIT 1
 STUMP_SQL = _stump_sql()
 
 
+# --------------------------------------------------------------------------
+# Pearson correlation matrix — every pair from ONE moment pass
+# --------------------------------------------------------------------------
+
+#: (name, integer-cents expression) per feature column
+_CORR_VARS = [
+    ("quantity", "CAST(round(l_quantity * 100) AS BIGINT)"),
+    ("discount", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+]
+
+
+def _corr_matrix_body(src: str) -> str:
+    """Shared CTE text: one partial+final aggregation accumulates every
+    first and second moment of the 4 features in DECIMAL(38,0) (exact
+    at any parallelism; headroom to ~1e10 rows since n·Σx² stays under
+    1e35), then each pairwise Pearson r is a fixed-arity double
+    expression over those exact integers — numerators/variances
+    subtracted in DECIMAL, cast to double once, snapped to 1e-6. Both
+    engines evaluate the IDENTICAL text, so the IEEE tree matches."""
+    names = [n for n, _ in _CORR_VARS]
+    sums = ", ".join(
+        [f"count(*) AS n"]
+        + [f"sum(CAST(v_{n} AS DECIMAL(38,0))) AS s_{n}" for n in names]
+        + [
+            f"sum(CAST(v_{a} * v_{b} AS DECIMAL(38,0))) AS s_{a}_{b}"
+            for i, a in enumerate(names)
+            for b in names[i:]
+        ]
+    )
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            va = f"CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+            vb = f"CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)"
+            rows.append(
+                f"SELECT '{a}' AS var_x, '{b}' AS var_y, "
+                f"CAST(round(({num}) / sqrt(({va}) * ({vb})) * 1e6) AS BIGINT)"
+                f" / 1e6 AS corr FROM m"
+            )
+        rows.append(
+            f"SELECT '{a}' AS var_x, '{a}' AS var_y, CAST(1.0 AS DOUBLE)"
+            f" AS corr FROM m"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH m AS (SELECT {sums} FROM {src})\n{union}"
+
+
+def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix of the lineitem numeric features
+    (quantity, discount, tax, extendedprice) from ONE aggregation pass
+    — the redundant-feature screen a feature pipeline runs before
+    training (Cramér's V is its categorical sibling; Spearman its rank
+    sibling). The scan shuffles 15 partial sums per partition and
+    nothing else; the matrix itself is a fixed 10-row expression over
+    the one moment row, so the cost is a single corpus scan at any n.
+    """
+    tune(spark)
+    cents = ", ".join(f"{expr} AS v_{n}" for n, expr in _CORR_VARS)
+    load_table(spark, sf_dir, "lineitem").selectExpr(
+        cents.split(", ")
+    ).createOrReplaceTempView("_corr_cents")
+    return spark.sql(_corr_matrix_body("_corr_cents"))
+
+
+_CORR_CENTS_SQL = ", ".join(f"{expr} AS v_{n}" for n, expr in _CORR_VARS)
+CORR_MATRIX_SQL = _corr_matrix_body(
+    f"(SELECT {_CORR_CENTS_SQL} FROM lineitem)"
+)
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
+    "feature_corr_matrix": feature_corr_matrix,
     "nb_lang_classifier": nb_lang_classifier,
     "ols_price_model": ols_price_model,
     "logreg_irls_doc_model": logreg_irls_doc_model,
@@ -1113,6 +1187,7 @@ QUERIES = {
 
 ORACLES = {
     "pca_power_iteration": PCA_SQL,
+    "feature_corr_matrix": CORR_MATRIX_SQL,
     "nb_lang_classifier": NB_SQL,
     "ols_price_model": OLS_SQL,
     "logreg_irls_doc_model": LOGREG_SQL,

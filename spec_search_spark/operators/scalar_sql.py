@@ -774,6 +774,28 @@ FROM lineitem GROUP BY ALL
 """
 
 
+#: identical text in BOTH engines; the LIMIT makes ORDER BY ALL
+#: load-bearing (the driver re-sorts rows, so without a LIMIT the
+#: clause would be decorative) — totality holds because the leading
+#: sort columns are the distinct group keys.
+SQL_ORDER_BY_ALL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY ALL ORDER BY ALL LIMIT 7
+"""
+
+
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: `ORDER BY ALL` — sort keys inferred as every select
+    item left-to-right (Spark 4 and DuckDB share the rule). Paired
+    with GROUP BY ALL and a LIMIT, the inferred ordering decides which
+    rows survive, so parity proves the inference, not just the agg."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ORDER_BY_ALL)
+
+
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL API: `GROUP BY ALL` — grouping keys inferred from the
     non-aggregated projection. The oracle is the LITERAL same text
@@ -789,6 +811,7 @@ QUERIES = {
     "sql_lateral_topk": sql_lateral_topk,
     "sql_pipe_syntax": sql_pipe_syntax,
     "sql_group_by_all": sql_group_by_all,
+    "sql_order_by_all": sql_order_by_all,
     "listagg_top_customers": listagg_top_customers,
     "percentiles_exact": percentiles_exact,
     "sql_correlated_subquery": sql_correlated_subquery,
@@ -809,6 +832,7 @@ ORACLES = {
     "sql_lateral_topk": _LATERAL_SQL,
     "sql_pipe_syntax": SQL_PIPE_SQL,
     "sql_group_by_all": SQL_GROUP_BY_ALL,
+    "sql_order_by_all": SQL_ORDER_BY_ALL,
     "listagg_top_customers": LISTAGG_SQL,
     "percentiles_exact": PERCENTILES_SQL,
     "sql_correlated_subquery": _CORRELATED_SQL,

@@ -851,6 +851,19 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["FullOuter", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # corr matrix: every pairwise r from ONE moment aggregation —
+    # partial+final DECIMAL sums, zero joins over data, zero python
+    ("feature_corr_matrix",
+     ["partial_sum"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "SortMergeJoin", "Exchange rangepartitioning"]),
+    # trigram backoff: model tables join the held-out occurrences on
+    # token keys (strategy is AQE's size call — not pinned); the (V,T)
+    # scalars ride a one-row broadcast; no python, no range shuffle
+    ("trigram_backoff_scores",
+     ["partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

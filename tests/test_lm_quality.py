@@ -216,3 +216,16 @@ def test_auc_matches_sklearn_free_reference(spark, sf_dir):
     auc = wins / (len(pos) * len(neg))
     assert abs(row["auc"] - auc) < 1e-6
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_trigram_backoff_chain_genuinely_fires(spark, sf_dir):
+    from spec_search_spark.operators.lm_quality import trigram_backoff_scores
+
+    rows = trigram_backoff_scores(spark, sf_dir).collect()
+    assert rows
+    # held-out scoring: some trigram misses back off to lower orders
+    assert sum(r.n_backoff_bigram for r in rows) > 0
+    # per-level counts never exceed the doc's trigram total
+    for r in rows:
+        assert r.n_backoff_bigram + r.n_backoff_unigram + r.n_oov <= r.n_trigrams
+        assert r.cross_entropy > 0 and r.perplexity > 1.0

@@ -295,3 +295,30 @@ def test_ols_cv_matches_numpy_per_fold(spark, sf_dir):
         r = rows[f]
         assert r["n_test"] == int(te.sum())
         assert abs(r["rmse_6"] - rmse) < 1e-4  # lstsq vs Cramer tolerance
+
+
+def test_feature_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators.ml import feature_corr_matrix
+
+    got = {
+        (r.var_x, r.var_y): r.corr
+        for r in feature_corr_matrix(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "cast(round(l_quantity * 100) as bigint) as q",
+            "cast(round(l_discount * 100) as bigint) as d",
+            "cast(round(l_tax * 100) as bigint) as t",
+            "cast(round(l_extendedprice * 100) as bigint) as p",
+        )
+        .toPandas()
+    )
+    ref = np.corrcoef(li[["q", "d", "t", "p"]].to_numpy().T)
+    names = ["quantity", "discount", "tax", "price"]
+    for i, a in enumerate(names):
+        assert got[(a, a)] == 1.0
+        for j in range(i + 1, 4):
+            assert abs(got[(a, names[j])] - ref[i, j]) < 2e-6, (a, names[j])
