@@ -185,6 +185,9 @@ HEADLINE = [
     "merge_upsert_cdc",
     "feature_corr_matrix",
     "trigram_backoff_scores",
+    "rolling_active_users",
+    "holt_forecast_hourly",
+    "quantile_normalize_scores",
 ]
 
 

@@ -891,8 +891,79 @@ FROM scored GROUP BY r_b, f_b, m_b
 """
 
 
+# --- rolling 7-day active users (DAU / WAU / stickiness) --------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
+    calendar day — the engagement triple every product dashboard runs.
+    A sliding COUNT(DISTINCT) cannot be expressed as a window frame
+    (each frame would rescan its members), so the scalable plan is the
+    contribution explode: collapse events to distinct (user, day)
+    pairs, explode each pair onto the ≤7 target days it makes the user
+    week-active for, and de-duplicate (user, target_day) — shuffle
+    cost is W × |user-days|, linear in data with a fixed factor, and
+    every aggregate is a partial+final count.
+
+    Output: (day, dau, wau, stickiness) for days inside the observed
+    grid; stickiness snapped on the 1e-6 grid (FIXTURES rule 2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct()
+    bounds = user_days.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(WAU_WINDOW_DAYS - 1))
+            ).alias("off"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, off)").alias("day"))
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .join(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("dmin")) & (F.col("day") <= F.col("dmax")))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr(
+                "cast(round(dau / cast(wau as double) * 1e6) as bigint) / 1e6"
+            ).alias("stickiness"),
+        )
+    )
+
+
+ROLLING_ACTIVE_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ud),
+contrib AS (
+  SELECT DISTINCT user_id, day + CAST(off AS INT) AS day
+  FROM ud, unnest(range(0, {WAU_WINDOW_DAYS})) AS t(off)
+), wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+SELECT d.day, d.dau, w.wau,
+       CAST(round(d.dau / CAST(w.wau AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS stickiness
+FROM dau d JOIN wau w USING (day) CROSS JOIN b
+WHERE d.day BETWEEN b.dmin AND b.dmax
+"""
+
+
 QUERIES = {
     "activity_streaks": activity_streaks,
+    "rolling_active_users": rolling_active_users,
     "ewma_user_value": ewma_user_value,
     "event_transition_matrix": event_transition_matrix,
     "attribution_last_touch": attribution_last_touch,
@@ -907,6 +978,7 @@ QUERIES = {
 
 ORACLES = {
     "activity_streaks": ACTIVITY_STREAKS_SQL,
+    "rolling_active_users": ROLLING_ACTIVE_SQL,
     "ewma_user_value": EWMA_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,

@@ -1033,8 +1033,93 @@ FROM s_rows JOIN ties ON ties.g = s_rows.g
 """
 
 
+# --- Holt double-exponential smoothing forecast ------------------------------
+
+HOLT_ALPHA = 0.25   # level gain — dyadic, exactly representable
+HOLT_BETA = 0.125   # trend gain — dyadic, exactly representable
+HOLT_HORIZON = 24   # forecast h hours past the window end
+
+
+def holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the
+    gap-filled hourly series, with the h=24 linear forecast — the
+    capacity-planning projection one step up from `ewma_user_value`'s
+    flat smoother (a trending series saturates an EWMA; Holt tracks
+    it).
+
+    The recursion l' = αx + (1−α)(l+b), b' = β(l'−l) + (1−β)b cannot
+    be a window frame, so it runs as an ordered JVM `aggregate` fold
+    over the BOUNDED hourly table (hours in the window, never data
+    volume — the same bound as the ACF/CUSUM probes; at 100 TB the
+    per-hour pre-aggregation is the only data-sized pass). Seeds
+    l=x₁, b=x₂−x₁; α/β are dyadic so every step is exact IEEE from
+    shared arithmetic; the DuckDB oracle walks the identical
+    recursion as a bounded recursive CTE.
+
+    Output: one row (n_hours, level, trend, forecast_24h), snapped."""
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("h", "x")))
+    one = filled.groupBy().agg(
+        F.count(F.lit(1)).alias("n_hours"), arr.alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s["x"].cast("double"))
+    x1 = F.element_at(vals, 1)
+    x2 = F.element_at(vals, 2)
+    rest = F.slice(vals, F.lit(3), F.greatest(F.size(vals) - 2, F.lit(0)))
+    a, b = HOLT_ALPHA, HOLT_BETA
+
+    def step(acc, x):
+        lnew = F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])
+        bnew = (
+            F.lit(b) * ((F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(1 - b) * acc["b"]
+        )
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    state = F.aggregate(
+        rest, F.struct(x1.alias("l"), (x2 - x1).alias("b")), step
+    )
+    return one.select(
+        "n_hours", state["l"].alias("l"), state["b"].alias("b")
+    ).selectExpr(
+        "n_hours",
+        "cast(round(l * 1e6) as bigint) / 1e6 AS level",
+        "cast(round(b * 1e6) as bigint) / 1e6 AS trend",
+        f"cast(round((l + {HOLT_HORIZON} * b) * 1e6) as bigint) / 1e6"
+        " AS forecast_24h",
+    )
+
+
+HOLT_SQL = f"""
+WITH RECURSIVE {_HOURLY_FILLED_SQL.lstrip().rstrip()},
+idx AS (
+  SELECT row_number() OVER (ORDER BY h) AS i, CAST(x AS DOUBLE) AS x
+  FROM filled
+), nn AS (SELECT count(*) AS n FROM idx),
+rec(t, l, b) AS (
+  SELECT 2,
+         (SELECT x FROM idx WHERE i = 1),
+         (SELECT x FROM idx WHERE i = 2) - (SELECT x FROM idx WHERE i = 1)
+  UNION ALL
+  SELECT r.t + 1,
+         {HOLT_ALPHA} * i.x + {1 - HOLT_ALPHA} * (r.l + r.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * i.x + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+           + {1 - HOLT_BETA} * r.b
+  FROM rec r JOIN idx i ON i.i = r.t + 1
+)
+SELECT n.n AS n_hours,
+       CAST(round(r.l * 1e6) AS BIGINT) / 1e6 AS level,
+       CAST(round(r.b * 1e6) AS BIGINT) / 1e6 AS trend,
+       CAST(round((r.l + {HOLT_HORIZON} * r.b) * 1e6) AS BIGINT) / 1e6
+         AS forecast_24h
+FROM rec r CROSS JOIN nn n WHERE r.t = n.n
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
+    "holt_forecast_hourly": holt_forecast_hourly,
     "psi_value_drift": psi_value_drift,
     "benford_first_digit": benford_first_digit,
     "hourly_autocorrelation": hourly_autocorrelation,
@@ -1048,6 +1133,7 @@ QUERIES = {
 
 ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
+    "holt_forecast_hourly": HOLT_SQL,
     "psi_value_drift": PSI_SQL,
     "benford_first_digit": BENFORD_SQL,
     "hourly_autocorrelation": ACF_SQL,

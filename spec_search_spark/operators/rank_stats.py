@@ -807,8 +807,108 @@ FROM cum CROSS JOIN idx
 """
 
 
+# --- per-source quantile normalization ---------------------------------------
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the per-document quality score ACROSS
+    sources: each doc's score is replaced by the POOLED distribution's
+    value at the doc's within-source quantile position — the
+    batch-effect correction (microarray quantile normalization /
+    sklearn QuantileTransformer) that makes one threshold comparable
+    across domains whose raw score scales differ.
+
+    Exactness: within-source position is an integer row_number (score,
+    doc_id total order), the pooled target index j = ⌈r·N/n_s⌉ is pure
+    integer arithmetic, and the pooled j-th order statistic comes from
+    an interval-exploded (j → value) mapping table — the explode emits
+    exactly N rows total (each pooled cumulative interval once), so
+    the lookup is a plain equi-join on j, never a range join. The
+    pooled cumulative counts ride the distributed `_bucketed_cum`
+    walk; the per-source window is the per_source_cap shape (a domain
+    is a partition).
+
+    Output: (doc_id, source, score, norm_score) on the 1e-4 grid."""
+    from spec_search_spark.functions.text import quality_score
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("q"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("cast(round(q * 1e4) as bigint)").alias("s4"),
+    )
+    n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("nn"))
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    r = F.row_number().over(
+        W.partitionBy("source").orderBy("s4", "doc_id")
+    )
+    ranked = (
+        docs.withColumn("r", r)
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("j", F.expr("(r * nn + ns - 1) div ns"))
+    )
+    per_v = docs.groupBy("s4").agg(F.count(F.lit(1)).alias("c"))
+    cum = _bucketed_cum(per_v, "s4", ["c"])
+    mapping = cum.select(
+        F.col("s4").alias("pool_s4"),
+        F.explode(
+            F.sequence(F.col("cum_c") - F.col("c") + 1, F.col("cum_c"))
+        ).alias("j"),
+    )
+    return ranked.join(mapping, "j").select(
+        "doc_id",
+        "source",
+        F.expr("s4 / 1e4").alias("score"),
+        F.expr("pool_s4 / 1e4").alias("norm_score"),
+    )
+
+
+def _qnorm_sql() -> str:
+    from spec_search_spark.functions.text import quality_score_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(round(({quality_score_sql("text")}) * 1e4) AS BIGINT) AS s4
+  FROM documents
+), nt AS (SELECT count(*) AS nn FROM d),
+ps AS (SELECT source, count(*) AS ns FROM d GROUP BY source),
+ranked AS (
+  SELECT d.doc_id, d.source, d.s4,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.s4, d.doc_id)
+           AS r,
+         ps.ns, nt.nn
+  FROM d JOIN ps USING (source) CROSS JOIN nt
+), withj AS (
+  SELECT *, (r * nn + ns - 1) // ns AS j FROM ranked
+), per_v AS (
+  SELECT s4, count(*) AS c FROM d GROUP BY s4
+), cum AS (
+  SELECT s4, c, CAST(sum(c) OVER (ORDER BY s4
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c
+  FROM per_v
+), mapping AS (
+  SELECT s4 AS pool_s4, unnest(range(cum_c - c + 1, cum_c + 1)) AS j
+  FROM cum
+)
+SELECT w.doc_id, w.source, w.s4 / 1e4 AS score,
+       m.pool_s4 / 1e4 AS norm_score
+FROM withj w JOIN mapping m USING (j)
+"""
+
+
+QUANTILE_NORM_SQL = _qnorm_sql()
+
+
 QUERIES = {
     "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
+    "quantile_normalize_scores": quantile_normalize_scores,
     "spearman_qty_price": spearman_qty_price,
     "mad_outlier_orders": mad_outlier_orders,
     "kruskal_wallis_priority": kruskal_wallis_priority,
@@ -819,6 +919,7 @@ QUERIES = {
 
 ORACLES = {
     "mannwhitney_priority_revenue": MW_SQL,
+    "quantile_normalize_scores": QUANTILE_NORM_SQL,
     "spearman_qty_price": SPEARMAN_SQL,
     "mad_outlier_orders": MAD_SQL,
     "kruskal_wallis_priority": KW_SQL,

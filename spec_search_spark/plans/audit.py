@@ -864,6 +864,24 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # DAU/WAU: contribution explode + partial+final distinct counts —
+    # never a per-frame distinct window, no python, no range shuffle
+    ("rolling_active_users",
+     ["partial_count", "Generate"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning", "Window"]),
+    # Holt: per-hour pre-agg is the only data-sized pass; the fold runs
+    # on the one collected-array row; no python anywhere
+    ("holt_forecast_hourly",
+     ["partial_sum"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # quantile normalization: per-source window + integer-j equi-join
+    # against the interval-exploded mapping — NEVER a range/theta join
+    # (the only BNLJ is the one-row N-total broadcast)
+    ("quantile_normalize_scores",
+     ["Window", "Generate"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython"]),
 ]
 
 

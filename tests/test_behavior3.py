@@ -446,3 +446,31 @@ def test_stream_burstiness_equals_batch(spark, sf_dir):
     b = {r["event_type"]: r.asDict() for r in burstiness_by_type(spark, sf_dir).collect()}
     s = {r["event_type"]: r.asDict() for r in stream_burstiness_query(spark, sf_dir).collect()}
     assert b == s
+
+
+def test_rolling_active_users_matches_brute_force(spark, sf_dir):
+    from spec_search_spark.operators.behavior import (
+        WAU_WINDOW_DAYS,
+        rolling_active_users,
+    )
+
+    got = {r.day: r for r in rolling_active_users(spark, sf_dir).collect()}
+    ud = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "cast(ts as date) as day")
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ud:
+        by_day.setdefault(r.day, set()).add(r.user_id)
+    days = sorted(by_day)
+    import datetime
+
+    for d in days:
+        week = set()
+        for k in range(WAU_WINDOW_DAYS):
+            week |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert got[d].dau == len(by_day[d]), d
+        assert got[d].wau == len(week), d
+        assert got[d].wau >= got[d].dau

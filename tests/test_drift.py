@@ -467,3 +467,28 @@ def test_mk_panel_matches_direct_reference(spark, sf_dir):
         assert (r["n_days"], r["n_pairs"], r["s"]) == (n, n * (n - 1) // 2, s)
         assert abs(r["z_6"] - z) < 2e-6
         assert r["reject_05"] == (abs(z) > Z_CRIT)
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_dir):
+    from spec_search_spark.operators.drift import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_HORIZON,
+        _hourly_filled,
+        holt_forecast_hourly,
+    )
+
+    xs = [
+        float(r.x)
+        for r in _hourly_filled(spark, sf_dir).orderBy("h").collect()
+    ]
+    level, trend = xs[0], xs[1] - xs[0]
+    for x in xs[2:]:
+        lnew = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (lnew - level) + (1 - HOLT_BETA) * trend
+        level = lnew
+    row = holt_forecast_hourly(spark, sf_dir).first()
+    assert row.n_hours == len(xs)
+    assert abs(row.level - level) < 1e-5
+    assert abs(row.trend - trend) < 1e-5
+    assert abs(row.forecast_24h - (level + HOLT_HORIZON * trend)) < 1e-4

@@ -563,3 +563,26 @@ def test_median_ci_matches_direct_reference(spark, sf_dir):
     assert row["ci_lo_cents"] == xs[k_lo - 1]
     assert row["ci_hi_cents"] == xs[k_hi - 1]
     assert row["ci_lo_cents"] <= row["median_cents"] <= row["ci_hi_cents"]
+
+
+def test_quantile_normalize_is_rank_preserving_and_pooled(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.rank_stats import quantile_normalize_scores
+
+    out = quantile_normalize_scores(spark, sf_dir)
+    rows = out.collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs_n
+    # within a source, normalization preserves the score order
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.score, r.doc_id))
+        norms = [r.norm_score for r in rs]
+        assert norms == sorted(norms), src
+    # the top-ranked doc of every source maps to the pooled maximum
+    pooled_max = max(r.score for r in rows)
+    for src, rs in by_src.items():
+        assert rs[-1].norm_score == pooled_max, src
