@@ -188,6 +188,9 @@ HEADLINE = [
     "rolling_active_users",
     "holt_forecast_hourly",
     "quantile_normalize_scores",
+    "association_rules",
+    "mahalanobis_outlier_report",
+    "cdc_chunk_dedup",
 ]
 
 

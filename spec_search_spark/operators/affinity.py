@@ -71,5 +71,118 @@ SELECT p1, p2, n_orders FROM pairs
 ORDER BY n_orders DESC, p1, p2 LIMIT {TOP_PAIRS}
 """
 
-QUERIES = {"copurchase_pairs": copurchase_pairs}
-ORACLES = {"copurchase_pairs": COPURCHASE_SQL}
+RULE_MIN_SUPPORT = 3  # pair must appear in >= this many baskets
+TOP_RULES = 20
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules p1 → p2 from the co-occurrence pass:
+    support, confidence = n(p1,p2)/n(p1), and lift =
+    N·n(p1,p2)/(n(p1)·n(p2)) — the Apriori level-2 output a
+    recommender actually consumes (`copurchase_pairs` is its counting
+    core; this adds the per-item margins and the rule quality
+    measures, both exact integer ratios snapped on the 1e-6 grid).
+
+    Plan: the pair table (min-support pruned — Apriori's antimonotone
+    cut) joins the item-margin table TWICE on the item key; margins
+    are item-cardinality-sized so at 100 TB both joins stay key-local
+    shuffles; one TakeOrdered emits the top rules by (lift, rule id).
+
+    Output: (p1, p2, n_both, confidence, lift) for both directions of
+    each surviving pair, top-{K} by lift with a unique tiebreak."""
+    tune(spark)
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    items = items.join(
+        sized.filter(F.col("k") <= MAX_BASKET).select("l_orderkey"),
+        "l_orderkey",
+    )
+    no = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    margin = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= RULE_MIN_SUPPORT)
+    )
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "n_both"
+        )
+    )
+    out = (
+        directed.join(
+            margin.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1")),
+            "p1",
+        )
+        .join(
+            margin.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(no))
+        .selectExpr(
+            "p1",
+            "p2",
+            "n_both",
+            "cast(round(n_both / cast(n1 as double) * 1e6) as bigint) / 1e6"
+            " AS confidence",
+            "cast(round(n * n_both / (cast(n1 as double) * n2)"
+            " * 1e6) as bigint) / 1e6 AS lift",
+        )
+    )
+    return out.orderBy(F.desc("lift"), "p1", "p2").limit(TOP_RULES)
+
+
+def _rules_sql() -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+kept AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING count(*) <= {MAX_BASKET}
+),
+it AS (SELECT i.* FROM items i JOIN kept USING (l_orderkey)),
+no AS (SELECT count(DISTINCT l_orderkey) AS n FROM it),
+margin AS (SELECT l_partkey, count(*) AS n_item FROM it GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {RULE_MIN_SUPPORT}
+),
+directed AS (
+  SELECT p1, p2, n_both FROM pairs
+  UNION ALL SELECT p2, p1, n_both FROM pairs
+)
+SELECT d.p1, d.p2, d.n_both,
+       CAST(round(d.n_both / CAST(m1.n_item AS DOUBLE) * 1e6) AS BIGINT)
+         / 1e6 AS confidence,
+       CAST(round(no.n * d.n_both / (CAST(m1.n_item AS DOUBLE) * m2.n_item)
+            * 1e6) AS BIGINT) / 1e6 AS lift
+FROM directed d
+JOIN margin m1 ON m1.l_partkey = d.p1
+JOIN margin m2 ON m2.l_partkey = d.p2
+CROSS JOIN no
+ORDER BY lift DESC, d.p1, d.p2 LIMIT {TOP_RULES}
+"""
+
+
+ASSOCIATION_RULES_SQL = _rules_sql()
+
+QUERIES = {
+    "copurchase_pairs": copurchase_pairs,
+    "association_rules": association_rules,
+}
+ORACLES = {
+    "copurchase_pairs": COPURCHASE_SQL,
+    "association_rules": ASSOCIATION_RULES_SQL,
+}

@@ -1174,9 +1174,96 @@ CORR_MATRIX_SQL = _corr_matrix_body(
 )
 
 
+# --------------------------------------------------------------------------
+# Mahalanobis outlier gate — multivariate, from the same one-pass moments
+# --------------------------------------------------------------------------
+
+MAHAL_CHI2_999 = 13.8155  # chi-square(2 df) 0.999 quantile
+
+#: shared per-row quadratic form (identical text in both engines):
+#: moments arrive as exactly-rounded doubles of exact DECIMAL sums,
+#: u/v are the multiply-through-by-n centered coordinates.
+_MAHAL_D2 = (
+    "cast(round(((n * syy - sy * sy) * (n * x - sx) * (n * x - sx)"
+    " - 2 * (n * sxy - sx * sy) * (n * x - sx) * (n * y - sy)"
+    " + (n * sxx - sx * sx) * (n * y - sy) * (n * y - sy))"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)"
+    " - (n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1e6) as bigint) / 1e6"
+)
+
+
+def mahalanobis_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional Mahalanobis outlier gate over (l_quantity,
+    l_extendedprice): d² = (Bu² − 2Cuv + Av²)/(AB − C²) with
+    u = n·x − Sx, v = n·y − Sy, A = n·Sxx − Sx², B = n·Syy − Sy²,
+    C = n·Sxy − SxSy — the multiply-through-by-n trick makes every
+    centering an exact DECIMAL(38,0) integer, so Σ⁻¹ never exists as a
+    float matrix and the only doubles are one fixed-arity expression
+    per row from shared SQL text, snapped. The covariance-aware screen
+    `mad_outlier_orders` (univariate) cannot do: a point can be 3σ
+    inside BOTH margins yet far off the correlation ridge.
+
+    Plan: one moment pass (partial+final, 6 sums) broadcast as one
+    row; the per-row quadratic form is pure codegen; the report is a
+    per-returnflag partial+final agg. Two scans total at any n.
+
+    Output: (l_returnflag, n, n_out, max_d2) with the χ²₂(0.999) gate."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("x"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("y"),
+    )
+    m = li.selectExpr(
+        "cast(count(*) as double) as n",
+        "cast(sum(cast(x as decimal(38,0))) as double) as sx",
+        "cast(sum(cast(y as decimal(38,0))) as double) as sy",
+        "cast(sum(cast(x as decimal(38,0)) * x) as double) as sxx",
+        "cast(sum(cast(y as decimal(38,0)) * y) as double) as syy",
+        "cast(sum(cast(x as decimal(38,0)) * y) as double) as sxy",
+    )
+    scored = li.crossJoin(F.broadcast(m)).selectExpr(
+        "l_returnflag", f"{_MAHAL_D2} AS d2"
+    )
+    return scored.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(f"CASE WHEN d2 > {MAHAL_CHI2_999} THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_out"),
+        F.max("d2").alias("max_d2"),
+    )
+
+
+MAHALANOBIS_SQL = f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM c
+), scored AS (
+  SELECT l_returnflag, {_MAHAL_D2} AS d2
+  FROM c CROSS JOIN m
+)
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN d2 > {MAHAL_CHI2_999} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out,
+       max(d2) AS max_d2
+FROM scored GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "feature_corr_matrix": feature_corr_matrix,
+    "mahalanobis_outlier_report": mahalanobis_outlier_report,
     "nb_lang_classifier": nb_lang_classifier,
     "ols_price_model": ols_price_model,
     "logreg_irls_doc_model": logreg_irls_doc_model,
@@ -1188,6 +1275,7 @@ QUERIES = {
 ORACLES = {
     "pca_power_iteration": PCA_SQL,
     "feature_corr_matrix": CORR_MATRIX_SQL,
+    "mahalanobis_outlier_report": MAHALANOBIS_SQL,
     "nb_lang_classifier": NB_SQL,
     "ols_price_model": OLS_SQL,
     "logreg_irls_doc_model": LOGREG_SQL,

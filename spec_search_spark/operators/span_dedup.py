@@ -256,12 +256,130 @@ SELECT n.doc_id, n.n_tok,
 FROM ntok n LEFT JOIN per_doc p ON n.doc_id = p.doc_id
 """
 
+# --- content-defined chunking dedup (FastCDC/LBFS shape on tokens) ----------
+
+CDC_DIVISOR = 8  # boundary where token-hash % D == 0 → ~D-token chunks
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup economics (the rsync/LBFS/FastCDC
+    storage-side dedup, on tokens): chunk boundaries fall where a
+    token's content hash ≡ 0 (mod D) — insertion-stable, unlike
+    fixed-size blocks, because boundaries move WITH the content — each
+    chunk gets an order-sensitive fingerprint, and the report prices
+    storing every DISTINCT chunk once. `span_dedup` finds what
+    training should drop; THIS prices what a content store can share.
+
+    All-integer plan: per-token hashes come from the vocabulary-sized
+    Arrow pass (the `_window_hits` pattern); chunk assignment is an
+    exclusive running count of boundary tokens per doc (doc-partitioned
+    window — scales with the largest document); chunk fingerprints are
+    the COMBINE_B fold of token hashes in position order; the economics
+    are two partial+final aggregations over (fingerprint).
+
+    Output: one row — n_chunks, n_distinct, n_shared (df≥2),
+    total_tokens, stored_tokens, dedup_ratio (snapped)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    vocab = (
+        toks.select("tok").distinct().select(
+            "tok", _POLY_HASH_UDF("tok").alias("th")
+        )
+    )
+    hashed = toks.join(F.broadcast(vocab), "tok").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "th"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.expr(f"CASE WHEN th % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END")
+    chunked = hashed.select(
+        "doc_id",
+        "pos",
+        "th",
+        F.coalesce(F.sum(brk).over(w), F.lit(0)).alias("cid"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("pos", "th")))
+    per_chunk = chunked.groupBy("doc_id", "cid").agg(
+        F.count(F.lit(1)).alias("clen"), arr.alias("arr")
+    )
+    fp = F.aggregate(
+        F.transform(F.col("arr"), lambda s: s["th"]),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * COMBINE_B + x) % FP_MOD,
+    )
+    chunks = per_chunk.select("clen", fp.alias("fp"))
+    per_fp = chunks.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("df"), F.max("clen").alias("clen")
+    )
+    return per_fp.selectExpr(
+        "cast(sum(df) as bigint) AS n_chunks",
+        "count(*) AS n_distinct",
+        "cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) as bigint)"
+        " AS n_shared",
+        "cast(sum(df * clen) as bigint) AS total_tokens",
+        "cast(sum(clen) as bigint) AS stored_tokens",
+        "cast(round((1.0 - sum(clen) / cast(sum(df * clen) as double))"
+        " * 1e6) as bigint) / 1e6 AS dedup_ratio",
+    )
+
+
+CDC_CHUNK_SQL = f"""
+WITH tkarr AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok
+  FROM tkarr, LATERAL unnest(range(1, len(tk) + 1)) AS t(i)
+),
+vocab AS (
+  SELECT tok, {_POLY_SQL.format(s='tok')} AS th
+  FROM (SELECT DISTINCT tok FROM toks)
+),
+hashed AS (SELECT doc_id, pos, th FROM toks JOIN vocab USING (tok)),
+chunked AS (
+  SELECT doc_id, pos, th,
+         coalesce(sum(CASE WHEN th % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cid
+  FROM hashed
+),
+chunks AS (
+  SELECT count(*) AS clen,
+         list_reduce(list_prepend(0::BIGINT, list(th ORDER BY pos)),
+                     (acc, x) -> (acc * {COMBINE_B} + x) % {FP_MOD}) AS fp
+  FROM chunked GROUP BY doc_id, cid
+),
+per_fp AS (
+  SELECT fp, count(*) AS df, max(clen) AS clen FROM chunks GROUP BY fp
+)
+SELECT CAST(sum(df) AS BIGINT) AS n_chunks,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(df * clen) AS BIGINT) AS total_tokens,
+       CAST(sum(clen) AS BIGINT) AS stored_tokens,
+       CAST(round((1.0 - sum(clen) / CAST(sum(df * clen) AS DOUBLE))
+            * 1e6) AS BIGINT) / 1e6 AS dedup_ratio
+FROM per_fp
+"""
+
+
 QUERIES = {
     "dup_spans_merged": dup_spans_merged,
     "span_dup_ratio": span_dup_ratio,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
 }
 
 ORACLES = {
     "dup_spans_merged": DUP_SPANS_SQL,
     "span_dup_ratio": SPAN_RATIO_SQL,
+    "cdc_chunk_dedup": CDC_CHUNK_SQL,
 }

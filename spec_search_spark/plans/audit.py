@@ -882,6 +882,24 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("quantile_normalize_scores",
      ["Window", "Generate"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython"]),
+    # association rules: pair table joins the item margins on the item
+    # key; basket self-join keys on l_orderkey; TakeOrdered top rules
+    ("association_rules",
+     ["TakeOrderedAndProject", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # Mahalanobis: one moment pass broadcast as one row, per-row
+    # quadratic form in codegen, per-flag partial+final report
+    ("mahalanobis_outlier_report",
+     ["partial_sum", "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "SortMergeJoin", "Window", "Exchange rangepartitioning"]),
+    # CDC chunking: vocabulary-sized Arrow hash pass, doc-partitioned
+    # chunk-assignment window, two fingerprint aggs — no range shuffle
+    ("cdc_chunk_dedup",
+     ["ArrowEvalPython", "Window", "partial_count"],
+     ["CartesianProduct", "MapInPandas",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -248,3 +248,87 @@ def test_merge_upsert_cdc_action_algebra(spark, sf_dir):
         F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
     ).first()[0]
     assert out["update"].cents_total == raw_upd + mt.MERGE_PRICE_BUMP_CENTS * out["update"].n
+
+
+def test_association_rules_measures_are_exact(spark, sf_dir):
+    from spec_search_spark.operators import affinity as af
+
+    rows = af.association_rules(spark, sf_dir).collect()
+    assert len(rows) == af.TOP_RULES
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in items:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    baskets = {k: v for k, v in baskets.items() if len(v) <= af.MAX_BASKET}
+    n_orders = len(baskets)
+    from collections import Counter
+
+    margin: Counter = Counter()
+    for parts in baskets.values():
+        margin.update(parts)
+    for r in rows:
+        n_both = sum(
+            1 for parts in baskets.values() if r.p1 in parts and r.p2 in parts
+        )
+        assert r.n_both == n_both >= af.RULE_MIN_SUPPORT
+        assert abs(r.confidence - n_both / margin[r.p1]) < 2e-6
+        assert abs(r.lift - n_orders * n_both / (margin[r.p1] * margin[r.p2])) < 2e-6
+        assert r.lift >= 1.0  # top-20 by lift on this data are positive
+
+
+def test_mahalanobis_gate_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators.ml import (
+        MAHAL_CHI2_999,
+        mahalanobis_outlier_report,
+    )
+
+    got = {r.l_returnflag: r for r in mahalanobis_outlier_report(spark, sf_dir).collect()}
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag",
+            "cast(round(l_quantity * 100) as bigint) as x",
+            "cast(round(l_extendedprice * 100) as bigint) as y",
+        )
+        .toPandas()
+    )
+    pts = pdf[["x", "y"]].to_numpy(dtype=float)
+    mu = pts.mean(axis=0)
+    cov = np.cov(pts.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d = pts - mu
+    d2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    pdf["out"] = d2 > MAHAL_CHI2_999
+    ref = pdf.groupby("l_returnflag")["out"].agg(["count", "sum"])
+    for flag, row in ref.iterrows():
+        assert got[flag].n == row["count"]
+        assert got[flag].n_out == row["sum"], flag
+
+
+def test_cdc_chunk_dedup_accounting_is_consistent(spark, sf_dir):
+    from spec_search_spark.operators.span_dedup import cdc_chunk_dedup
+
+    r = cdc_chunk_dedup(spark, sf_dir).first()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_toks = (
+        docs.selectExpr(
+            "case when trim(text) = '' then 0"
+            " else size(split(trim(text), '\\\\s+')) end as n"
+        )
+        .groupBy()
+        .sum("n")
+        .first()[0]
+    )
+    # every token lands in exactly one chunk
+    assert r.total_tokens == total_toks
+    assert r.n_distinct <= r.n_chunks
+    assert r.stored_tokens <= r.total_tokens
+    assert 0.0 <= r.dedup_ratio < 1.0
+    assert r.n_shared > 0  # the corpus genuinely shares chunks
