@@ -191,6 +191,9 @@ HEADLINE = [
     "association_rules",
     "mahalanobis_outlier_report",
     "cdc_chunk_dedup",
+    "hourly_value_percentiles",
+    "holt_backtest_mase",
+    "rules_hitrate_eval",
 ]
 
 

@@ -1117,9 +1117,135 @@ FROM rec r CROSS JOIN nn n WHERE r.t = n.n
 """
 
 
+# --- forecast backtest: Holt vs seasonal naive (MASE) ------------------------
+
+BT_SEASON = 24  # seasonal-naive period (hours)
+
+
+def holt_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the Holt forecaster on the hourly series: fit on the
+    first 80% of hours, forecast the held-out tail, and score MAE
+    against the SEASONAL-NAIVE baseline (same hour yesterday) as the
+    MASE ratio — the eval loop that tells you whether the smoother
+    beats the dumbest calendar forecast before anyone trusts
+    `holt_forecast_hourly`'s projection (the forecasting sibling of
+    `minhash_eval_report` / `ann_recall_report`).
+
+    Exactness: the Holt fold runs on the train prefix exactly as the
+    production operator does; every held-out error snaps
+    |x − x̂|·1e6 to BIGINT BEFORE summation, so both MAEs and their
+    MASE ratio are integer arithmetic with one snapped division each.
+    The series is the BOUNDED gap-filled hourly table; everything
+    past the per-hour pre-aggregation is fixed-size work.
+
+    Output: one row (n_hours, t_train, h_test, mae_holt, mae_naive,
+    mase)."""
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("h", "x")))
+    one = filled.groupBy().agg(
+        F.count(F.lit(1)).alias("n_hours"), arr.alias("arr")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    one = one.selectExpr(
+        "n_hours",
+        "transform(arr, s -> cast(s.x as double)) AS vals",
+        "(4 * n_hours) div 5 AS t_train",
+    ).selectExpr(
+        "n_hours",
+        "vals",
+        "t_train",
+        "n_hours - t_train AS h_test",
+        f"""aggregate(
+              slice(vals, 3, greatest(t_train - 2, 0)),
+              named_struct('l', element_at(vals, 1),
+                           'b', element_at(vals, 2) - element_at(vals, 1)),
+              (acc, x) -> named_struct(
+                'l', {a} * x + {1 - a} * (acc.l + acc.b),
+                'b', {b} * (({a} * x + {1 - a} * (acc.l + acc.b)) - acc.l)
+                     + {1 - b} * acc.b)
+            ) AS st""",
+    ).selectExpr(
+        "n_hours",
+        "t_train",
+        "h_test",
+        """aggregate(
+             transform(sequence(1, h_test),
+               k -> cast(round(abs(element_at(vals, cast(t_train + k as int))
+                    - (st.l + k * st.b)) * 1e6) as bigint)),
+             cast(0 as bigint), (acc, e) -> acc + e) AS se_holt""",
+        f"""aggregate(
+             transform(sequence(1, h_test),
+               k -> cast(round(abs(element_at(vals, cast(t_train + k as int))
+                    - element_at(vals, cast(t_train + k
+                        - {BT_SEASON} * ((k + {BT_SEASON - 1}) div {BT_SEASON})
+                        as int))) * 1e6) as bigint)),
+             cast(0 as bigint), (acc, e) -> acc + e) AS se_naive""",
+    )
+    return one.selectExpr(
+        "n_hours",
+        "t_train",
+        "h_test",
+        "cast(round(se_holt / (h_test * 1e6) * 1e6) as bigint) / 1e6"
+        " AS mae_holt",
+        "cast(round(se_naive / (h_test * 1e6) * 1e6) as bigint) / 1e6"
+        " AS mae_naive",
+        "cast(round(se_holt / cast(se_naive as double) * 1e6) as bigint)"
+        " / 1e6 AS mase",
+    )
+
+
+HOLT_BACKTEST_SQL = f"""
+WITH RECURSIVE {_HOURLY_FILLED_SQL.lstrip().rstrip()},
+idx AS (
+  SELECT row_number() OVER (ORDER BY h) AS i, CAST(x AS DOUBLE) AS x
+  FROM filled
+), nn AS (
+  SELECT count(*) AS n, (4 * count(*)) // 5 AS t_train,
+         count(*) - (4 * count(*)) // 5 AS h_test
+  FROM idx
+),
+rec(t, l, b) AS (
+  SELECT 2,
+         (SELECT x FROM idx WHERE i = 1),
+         (SELECT x FROM idx WHERE i = 2) - (SELECT x FROM idx WHERE i = 1)
+  UNION ALL
+  SELECT r.t + 1,
+         {HOLT_ALPHA} * i.x + {1 - HOLT_ALPHA} * (r.l + r.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * i.x + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+           + {1 - HOLT_BETA} * r.b
+  FROM rec r JOIN idx i ON i.i = r.t + 1
+  WHERE r.t + 1 <= (SELECT t_train FROM nn)
+),
+fitted AS (
+  SELECT r.l, r.b FROM rec r CROSS JOIN nn WHERE r.t = nn.t_train
+),
+errs AS (
+  SELECT k,
+         CAST(round(abs(xt.x - (f.l + k * f.b)) * 1e6) AS BIGINT) AS e_holt,
+         CAST(round(abs(xt.x - xn.x) * 1e6) AS BIGINT) AS e_naive
+  FROM nn, unnest(range(1, nn.h_test + 1)) AS t(k)
+  CROSS JOIN fitted f
+  JOIN idx xt ON xt.i = nn.t_train + k
+  JOIN idx xn ON xn.i = nn.t_train + k
+    - {BT_SEASON} * ((k + {BT_SEASON - 1}) // {BT_SEASON})
+)
+SELECT nn.n AS n_hours, nn.t_train, nn.h_test,
+       CAST(round(sum(e_holt) / (nn.h_test * 1e6) * 1e6) AS BIGINT) / 1e6
+         AS mae_holt,
+       CAST(round(sum(e_naive) / (nn.h_test * 1e6) * 1e6) AS BIGINT) / 1e6
+         AS mae_naive,
+       CAST(round(sum(e_holt) / CAST(sum(e_naive) AS DOUBLE) * 1e6)
+            AS BIGINT) / 1e6 AS mase
+FROM errs CROSS JOIN nn
+GROUP BY nn.n, nn.t_train, nn.h_test
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "holt_forecast_hourly": holt_forecast_hourly,
+    "holt_backtest_mase": holt_backtest_mase,
     "psi_value_drift": psi_value_drift,
     "benford_first_digit": benford_first_digit,
     "hourly_autocorrelation": hourly_autocorrelation,
@@ -1134,6 +1260,7 @@ QUERIES = {
 ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
     "holt_forecast_hourly": HOLT_SQL,
+    "holt_backtest_mase": HOLT_BACKTEST_SQL,
     "psi_value_drift": PSI_SQL,
     "benford_first_digit": BENFORD_SQL,
     "hourly_autocorrelation": ACF_SQL,

@@ -906,9 +906,73 @@ FROM withj w JOIN mapping m USING (j)
 QUANTILE_NORM_SQL = _qnorm_sql()
 
 
+# --- per-hour exact percentile bands -----------------------------------------
+
+
+def hourly_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 bands of event value per hour-of-day — the
+    latency-percentile-panel shape every monitoring stack renders (a
+    mean-based hourly profile hides the tail; p90 IS the alert line).
+    Both percentiles are type-1 (lower) order statistics selected from
+    ONE group-wise rank walk per deviation table — per-(hour, bucket)
+    windows, so a hot hour parallelizes like any other — with the
+    selection indices pure integer arithmetic (⌈n/2⌉, ⌈9n/10⌉).
+
+    Output: (hod, n, p50_cents, p90_cents), 24 bounded rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+    )
+    per_v = ev.groupBy("hod", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = _bucketed_cum_by(per_v, "hod", "v", ["c"])
+    tot = ev.groupBy("hod").agg(F.count(F.lit(1)).alias("n"))
+    joined = cum.join(F.broadcast(tot), "hod")
+    p50 = (
+        joined.filter(F.expr("cum_c >= (n + 1) div 2"))
+        .groupBy("hod")
+        .agg(F.min("v").alias("p50_cents"))
+    )
+    p90 = (
+        joined.filter(F.expr("cum_c >= (9 * n + 9) div 10"))
+        .groupBy("hod")
+        .agg(F.min("v").alias("p90_cents"))
+    )
+    return (
+        tot.join(p50, "hod")
+        .join(p90, "hod")
+        .select("hod", "n", "p50_cents", "p90_cents")
+    )
+
+
+HOURLY_PCT_SQL = """
+WITH ev AS (
+  SELECT CAST(extract(hour FROM ts) AS INT) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), cum AS (
+  SELECT hod, v, sum(c) OVER (PARTITION BY hod ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM (SELECT hod, v, count(*) AS c FROM ev GROUP BY 1, 2)
+), tot AS (SELECT hod, count(*) AS n FROM ev GROUP BY hod),
+p50 AS (
+  SELECT cum.hod, min(v) AS p50_cents
+  FROM cum JOIN tot ON tot.hod = cum.hod
+  WHERE cum_c >= (n + 1) // 2 GROUP BY cum.hod
+), p90 AS (
+  SELECT cum.hod, min(v) AS p90_cents
+  FROM cum JOIN tot ON tot.hod = cum.hod
+  WHERE cum_c >= (9 * n + 9) // 10 GROUP BY cum.hod
+)
+SELECT t.hod, t.n, p50.p50_cents, p90.p90_cents
+FROM tot t JOIN p50 ON p50.hod = t.hod JOIN p90 ON p90.hod = t.hod
+"""
+
+
 QUERIES = {
     "mannwhitney_priority_revenue": mannwhitney_priority_revenue,
     "quantile_normalize_scores": quantile_normalize_scores,
+    "hourly_value_percentiles": hourly_value_percentiles,
     "spearman_qty_price": spearman_qty_price,
     "mad_outlier_orders": mad_outlier_orders,
     "kruskal_wallis_priority": kruskal_wallis_priority,
@@ -920,6 +984,7 @@ QUERIES = {
 ORACLES = {
     "mannwhitney_priority_revenue": MW_SQL,
     "quantile_normalize_scores": QUANTILE_NORM_SQL,
+    "hourly_value_percentiles": HOURLY_PCT_SQL,
     "spearman_qty_price": SPEARMAN_SQL,
     "mad_outlier_orders": MAD_SQL,
     "kruskal_wallis_priority": KW_SQL,

@@ -900,6 +900,24 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["ArrowEvalPython", "Window", "partial_count"],
      ["CartesianProduct", "MapInPandas",
       "Exchange rangepartitioning"]),
+    # hourly percentile bands: group-wise rank walk — windows keyed by
+    # (hod, bucket), never a single global sort
+    ("hourly_value_percentiles",
+     ["Window", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # forecast backtest: per-hour pre-agg only; fold + errors on the
+    # one collected bounded row, zero python
+    ("holt_backtest_mase",
+     ["partial_sum"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # recommender eval: item-keyed joins + per-basket bounded window;
+    # the only BNLJs are the one-row report crossJoins
+    ("rules_hitrate_eval",
+     ["Window", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

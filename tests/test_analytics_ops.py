@@ -332,3 +332,53 @@ def test_cdc_chunk_dedup_accounting_is_consistent(spark, sf_dir):
     assert r.stored_tokens <= r.total_tokens
     assert 0.0 <= r.dedup_ratio < 1.0
     assert r.n_shared > 0  # the corpus genuinely shares chunks
+
+
+def test_rules_hitrate_eval_matches_brute_force(spark, sf_dir):
+    from spec_search_spark.operators import affinity as af
+
+    row = af.rules_hitrate_eval(spark, sf_dir).first()
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in items:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    baskets = {k: v for k, v in baskets.items() if len(v) <= af.MAX_BASKET}
+    train = {k: v for k, v in baskets.items() if k % af.REC_TEST_MOD != 0}
+    test = {k: v for k, v in baskets.items() if k % af.REC_TEST_MOD == 0}
+    from collections import Counter
+
+    margin: Counter = Counter()
+    pair_n: Counter = Counter()
+    for parts in train.values():
+        margin.update(parts)
+        for p1 in parts:
+            for p2 in parts:
+                if p1 != p2:
+                    pair_n[(p1, p2)] += 1
+    rules: dict = {}
+    for (p1, p2), nb in pair_n.items():
+        if nb >= af.REC_MIN_SUPPORT:
+            rules.setdefault(p1, {})[p2] = round(nb / margin[p1] * 1e6)
+    n_scored = sum(1 for v in test.values() if len(v) >= 2)
+    hits = 0
+    for ok_, parts in test.items():
+        if len(parts) < 2:
+            continue
+        target = max(parts)
+        seed = parts - {target}
+        scores: dict = {}
+        for s in seed:
+            for c, conf in rules.get(s, {}).items():
+                if c in parts and c != target:
+                    continue
+                scores[c] = max(scores.get(c, 0), conf)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: af.REC_TOP_K]
+        hits += any(c == target for c, _ in top)
+    assert row.n_test_baskets == len(test)
+    assert row.n_scored == n_scored
+    assert row.n_hits == hits

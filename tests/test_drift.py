@@ -492,3 +492,31 @@ def test_holt_forecast_matches_python_recursion(spark, sf_dir):
     assert abs(row.level - level) < 1e-5
     assert abs(row.trend - trend) < 1e-5
     assert abs(row.forecast_24h - (level + HOLT_HORIZON * trend)) < 1e-4
+
+
+def test_holt_backtest_mase_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.drift import (
+        BT_SEASON,
+        HOLT_ALPHA,
+        HOLT_BETA,
+        _hourly_filled,
+        holt_backtest_mase,
+    )
+
+    xs = [float(r.x) for r in _hourly_filled(spark, sf_dir).orderBy("h").collect()]
+    n = len(xs)
+    t = (4 * n) // 5
+    level, trend = xs[0], xs[1] - xs[0]
+    for x in xs[2:t]:
+        lnew = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (lnew - level) + (1 - HOLT_BETA) * trend
+        level = lnew
+    se_h = se_n = 0
+    for k in range(1, n - t + 1):
+        se_h += round(abs(xs[t + k - 1] - (level + k * trend)) * 1e6)
+        naive = xs[t + k - 1 - BT_SEASON * ((k + BT_SEASON - 1) // BT_SEASON)]
+        se_n += round(abs(xs[t + k - 1] - naive) * 1e6)
+    row = holt_backtest_mase(spark, sf_dir).first()
+    assert row.n_hours == n and row.t_train == t and row.h_test == n - t
+    assert abs(row.mase - se_h / se_n) < 2e-6
+    assert row.mae_holt > 0 and row.mae_naive > 0

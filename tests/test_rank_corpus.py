@@ -586,3 +586,24 @@ def test_quantile_normalize_is_rank_preserving_and_pooled(spark, sf_dir):
     pooled_max = max(r.score for r in rows)
     for src, rs in by_src.items():
         assert rs[-1].norm_score == pooled_max, src
+
+
+def test_hourly_percentiles_match_brute_force(spark, sf_dir):
+    from spec_search_spark.operators.rank_stats import hourly_value_percentiles
+
+    got = {r.hod: r for r in hourly_value_percentiles(spark, sf_dir).collect()}
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("hour(ts) as hod", "cast(round(value * 100) as bigint) as v")
+        .collect()
+    )
+    by_h: dict = {}
+    for r in rows:
+        by_h.setdefault(r.hod, []).append(r.v)
+    for hod, vs in by_h.items():
+        vs.sort()
+        n = len(vs)
+        assert got[hod].n == n
+        assert got[hod].p50_cents == vs[(n + 1) // 2 - 1], hod
+        assert got[hod].p90_cents == vs[(9 * n + 9) // 10 - 1], hod
+        assert got[hod].p50_cents <= got[hod].p90_cents
