@@ -194,6 +194,9 @@ HEADLINE = [
     "hourly_value_percentiles",
     "holt_backtest_mase",
     "rules_hitrate_eval",
+    "setop_intersect_all",
+    "join_null_safe",
+    "ivf_nprobe_sweep",
 ]
 
 

@@ -422,14 +422,189 @@ FROM range({K_CLUSTERS}) t(c)
 """
 
 
+# --- nprobe sweep: the recall-vs-cost tuning curve ---------------------------
+
+SWEEP_NPROBES = (1, 2, 4)  # probed-cluster counts to sweep
+
+_RANKED_PROBES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ranked_probe_assignments(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(probe_id, probe_vec, cluster, rank) — each probe's
+    max(SWEEP_NPROBES) nearest centroids WITH their nearness rank, so
+    one table serves every sweep point (rank < p). Same bounded
+    driver-side collect as `_probe_assignments`; memoized."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _RANKED_PROBES:
+        return _RANKED_PROBES[key]
+    cents = np.array(centroids, dtype=np.float64)
+    probes = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    rows = []
+    for pid, vec in probes:
+        d2 = (((np.asarray(vec, dtype=np.float64))[None, :] - cents) ** 2).sum(axis=1)
+        nearest = np.argsort(d2, kind="stable")[: max(SWEEP_NPROBES)]
+        for rank, c in enumerate(nearest):
+            rows.append((pid, [float(x) for x in vec], int(c), rank))
+    _RANKED_PROBES[key] = spark.createDataFrame(
+        rows, "probe_id int, probe_vec array<double>, cluster int, rank int"
+    )
+    return _RANKED_PROBES[key]
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@{k} at nprobe ∈ {SWEEP_NPROBES} —
+    the measurement that picks the recall-vs-scan-cost operating point
+    before deployment (nprobe is THE knob FAISS exposes; matryoshka's
+    report sweeps dimensions, this sweeps probed clusters).
+
+    Self-verifying output on the fixed (nprobe × probe) grid, same
+    contract style as `ivf_ann_search_check` (the numpy-trained
+    centroids are not SQL-reproducible, so the oracle pins invariants
+    an incorrect sweep would break rather than re-deriving clusters):
+    - hits_bounded: |exact ∩ approx@p| ≤ k;
+    - monotone_ok: hit count never DROPS as nprobe grows;
+    - nested_ok: every exact hit at nprobe p stays a hit at p' > p —
+      true because a global top-k member admitted to a candidate set
+      can only be outranked by closer vectors, which are themselves
+      global top-k members.
+    Real recall values are pinned against a numpy brute force in
+    tests/test_ivf.py; the per-probe candidate-set economics (rank<p
+    join, partial top-k before the exchange) reuse the production
+    search plan."""
+    centroids, index = trained_index(spark, sf_dir)
+    probes = _ranked_probe_assignments(spark, sf_dir, centroids)
+    from spec_search_spark.functions.vector import l2_squared
+    from spec_search_spark.operators.similarity import partial_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pvec = probes.select("probe_id", "probe_vec").distinct()
+    ex_scored = emb.join(
+        F.broadcast(pvec), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4).alias("d2"),
+    )
+    ex_local = partial_topk(ex_scored, "probe_id", ["d2", "vec_id"], TOP_K)
+    w = W.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = (
+        ex_local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id")
+    )
+
+    per_p = []
+    for p in SWEEP_NPROBES:
+        pr = probes.filter(F.col("rank") < p).select(
+            "probe_id", "probe_vec", "cluster"
+        )
+        cand = index.join(
+            F.broadcast(pr),
+            (index.cluster == pr.cluster) & (F.col("vec_id") != F.col("probe_id")),
+        ).select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                l2_squared(F.col("embedding"), F.col("probe_vec")), 4
+            ).alias("d2"),
+        )
+        local = partial_topk(cand, "probe_id", ["d2", "vec_id"], TOP_K)
+        topk = (
+            local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select(F.lit(p).alias("nprobe"), "probe_id", "vec_id")
+        )
+        per_p.append(topk)
+    approx = per_p[0]
+    for df in per_p[1:]:
+        approx = approx.unionByName(df)
+    hits = approx.join(exact, ["probe_id", "vec_id"]).select(
+        "nprobe", "probe_id", "vec_id"
+    )
+    counts = hits.groupBy("nprobe", "probe_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    grid = (
+        probes.select("probe_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(p,) for p in SWEEP_NPROBES], "nprobe int"
+                )
+            )
+        )
+    )
+    counted = grid.join(counts, ["nprobe", "probe_id"], "left").select(
+        "nprobe",
+        "probe_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+    wp = W.partitionBy("probe_id").orderBy("nprobe")
+    mono = counted.withColumn("prev_hits", F.lag("n_hits").over(wp))
+    # nested: a hit at the PREVIOUS sweep point missing at this one
+    prev_map = {p: q for q, p in zip(SWEEP_NPROBES, SWEEP_NPROBES[1:])}
+    pairs = spark.createDataFrame(
+        [(p, q) for p, q in prev_map.items()], "nprobe int, prev_nprobe int"
+    )
+    missing = (
+        hits.withColumnRenamed("nprobe", "prev_nprobe")
+        .join(F.broadcast(pairs), "prev_nprobe")
+        .join(
+            hits.select(
+                F.col("nprobe").alias("np2"),
+                F.col("probe_id").alias("pid2"),
+                F.col("vec_id").alias("vid2"),
+            ),
+            (F.col("nprobe") == F.col("np2"))
+            & (F.col("probe_id") == F.col("pid2"))
+            & (F.col("vec_id") == F.col("vid2")),
+            "left_anti",
+        )
+        .groupBy("nprobe", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    return (
+        mono.join(missing, ["nprobe", "probe_id"], "left")
+        .select(
+            "nprobe",
+            "probe_id",
+            (F.col("n_hits") <= TOP_K).alias("hits_bounded"),
+            (
+                F.col("prev_hits").isNull()
+                | (F.col("n_hits") >= F.col("prev_hits"))
+            ).alias("monotone_ok"),
+            (F.coalesce("n_missing", F.lit(0)) == 0).alias("nested_ok"),
+        )
+    )
+
+
+IVF_SWEEP_SQL = f"""
+SELECT CAST(np AS INT) AS nprobe, CAST(p AS INT) AS probe_id,
+       true AS hits_bounded, true AS monotone_ok, true AS nested_ok
+FROM (VALUES {", ".join(f"({p})" for p in SWEEP_NPROBES)}) s(np),
+     range({N_PROBES}) t(p)
+"""
+
+
 QUERIES = {
     "ivf_index_build": ivf_index_build_query,
+    "ivf_nprobe_sweep": ivf_nprobe_sweep,
     "ivf_ann_search": ivf_ann_search_check,
     "ivf_delta_upsert": ivf_delta_upsert_query,
 }
 
 ORACLES = {
     "ivf_index_build": IVF_INDEX_SQL,
+    "ivf_nprobe_sweep": IVF_SWEEP_SQL,
     "ivf_ann_search": IVF_SEARCH_SQL,
     "ivf_delta_upsert": IVF_DELTA_SQL,
 }

@@ -791,6 +791,64 @@ FROM long GROUP BY metric
 """
 
 
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: part keys kept with
+    min(multiplicity) across two overlapping lineitem slices — the set
+    operator whose DISTINCT sibling (`setop_intersect`) silently
+    collapses multiplicities. Catalyst plans it as a counted
+    aggregation + generate, never a distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 3).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    b = li.filter(F.col("l_discount") >= 0.03).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return a.intersectAll(b)
+
+
+SETOP_INTERSECT_ALL_SQL = """
+SELECT l_partkey AS partkey FROM lineitem WHERE l_linenumber <= 3
+INTERSECT ALL
+SELECT l_partkey AS partkey FROM lineitem WHERE l_discount >= 0.03
+"""
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two keyed
+    aggregates whose key is NULLed for one category join with NULL
+    matching NULL — the semantics a plain equi-join silently drops
+    rows on. Output keeps the NULL group so the driver hash covers it."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.expr("nullif(o_orderpriority, '3-MEDIUM')")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(key.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(key.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n_finished"))
+    )
+    return a.join(b, a["pr"].eqNullSafe(b["pr"])).select(
+        a["pr"].alias("pr"), "n_open", "n_finished"
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr, count(*) AS n_open
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+), b AS (
+  SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr, count(*) AS n_finished
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+)
+SELECT a.pr, a.n_open, b.n_finished
+FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+"""
+
+
 QUERIES = {
     "unpivot_metrics": unpivot_metrics,
     "transpose_pricing_matrix": transpose_pricing_matrix,
@@ -813,6 +871,8 @@ QUERIES = {
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
     "setop_union_counts": setop_union_counts,
+    "setop_intersect_all": setop_intersect_all,
+    "join_null_safe": join_null_safe,
     "topk_orders": topk_orders,
     "pivot_status": pivot_status,
 }
@@ -839,6 +899,8 @@ ORACLES = {
     "setop_intersect": SETOP_INTERSECT_SQL,
     "setop_except": SETOP_EXCEPT_SQL,
     "setop_union_counts": SETOP_UNION_SQL,
+    "setop_intersect_all": SETOP_INTERSECT_ALL_SQL,
+    "join_null_safe": JOIN_NULL_SAFE_SQL,
     "topk_orders": TOPK_ORDERS_SQL,
     "pivot_status": PIVOT_STATUS_SQL,
 }

@@ -918,6 +918,25 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["Window", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # INTERSECT ALL: planned as counted aggregation + generate — no
+    # distinct collapse, no python
+    ("setop_intersect_all",
+     ["HashAggregate", "Generate"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython"]),
+    # null-safe join: keeps a hash join strategy (the knownfloatingpoint
+    # <=> key is hashable) — never a BNLJ over data
+    ("join_null_safe",
+     ["Join"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "BroadcastNestedLoopJoin"]),
+    # nprobe sweep: probe tables broadcast, partial top-k before every
+    # per-probe window exchange, exact arm = the knn_exact BNLJ shape
+    # (the cached index lineage keeps the build's Arrow assignment, so
+    # MapInPandas is not forbidden here)
+    ("ivf_nprobe_sweep",
+     ["BroadcastHashJoin", "Window"],
+     ["CartesianProduct", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

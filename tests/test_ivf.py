@@ -195,3 +195,56 @@ def test_delta_upsert_is_disjoint_and_complete(spark, sf_dir):
     assert len(delta_ids) == n_delta
     assert not (base_ids & delta_ids), "delta id space must not collide"
     assert len(base_ids | delta_ids) == len(base_ids) + n_delta
+
+
+def test_nprobe_sweep_recall_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators import ivf as iv
+
+    rows = iv.ivf_nprobe_sweep(spark, sf_dir).collect()
+    assert len(rows) == len(iv.SWEEP_NPROBES) * iv.N_PROBES
+    assert all(r.hits_bounded and r.monotone_ok and r.nested_ok for r in rows)
+
+    # recompute recall@k per sweep point with a numpy brute force
+    centroids, _ = iv.trained_index(spark, sf_dir)
+    emb = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    cents = np.asarray(centroids, dtype=np.float64)
+    assign = {
+        vid: int(np.argmin(((v[None, :] - cents) ** 2).sum(axis=1)))
+        for vid, v in emb.items()
+    }
+    hits_df = {}
+    for pid in range(iv.N_PROBES):
+        pv = emb[pid]
+        d2 = {
+            vid: round(float(((v - pv) ** 2).sum()), 4)
+            for vid, v in emb.items()
+            if vid != pid
+        }
+        order = sorted(d2, key=lambda vid: (d2[vid], vid))
+        exact = set(order[: iv.TOP_K])
+        near = np.argsort(((pv[None, :] - cents) ** 2).sum(axis=1), kind="stable")
+        for p in iv.SWEEP_NPROBES:
+            probed = set(int(c) for c in near[:p])
+            cand = [vid for vid in order if assign[vid] in probed]
+            approx = set(cand[: iv.TOP_K])
+            hits_df[(p, pid)] = len(exact & approx)
+    got = {
+        (r.nprobe, r.probe_id): r
+        for r in iv.ivf_nprobe_sweep(spark, sf_dir).collect()
+    }
+    # the invariant flags must have been computed over THESE hit counts:
+    # re-derive monotonicity from the numpy counts and compare
+    for pid in range(iv.N_PROBES):
+        counts = [hits_df[(p, pid)] for p in iv.SWEEP_NPROBES]
+        assert counts == sorted(counts), (pid, counts)
+    # at the largest sweep point some probe must genuinely gain recall
+    # over the smallest (otherwise the sweep is vacuous on this data)
+    assert any(
+        hits_df[(iv.SWEEP_NPROBES[-1], pid)] > hits_df[(iv.SWEEP_NPROBES[0], pid)]
+        for pid in range(iv.N_PROBES)
+    )
