@@ -197,6 +197,8 @@ HEADLINE = [
     "setop_intersect_all",
     "join_null_safe",
     "ivf_nprobe_sweep",
+    "percolate_alerts",
+    "l_diversity_report",
 ]
 
 

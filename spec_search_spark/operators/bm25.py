@@ -214,5 +214,110 @@ GROUP BY doc_id
 """
 
 
-QUERIES = {"bm25_search": bm25_search, "phrase_search": phrase_search}
-ORACLES = {"bm25_search": BM25_SQL, "phrase_search": _phrase_sql()}
+# --- percolator: reverse search (stored queries match incoming docs) ---------
+
+PERC_VOCAB_TOP = 5  # stored queries = all pairs of the top-5 corpus tokens
+
+
+def percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation — the REVERSE of search (Elasticsearch percolator /
+    Luwak): the index stores QUERIES, and each incoming document is
+    matched against every stored query it satisfies — the alerting /
+    saved-search primitive. Stored queries here are the 10 two-term
+    conjunctions over the top-{N} corpus tokens (derived in-plan, so
+    the oracle reproduces them); a doc matches when it contains BOTH
+    terms.
+
+    Scale shape: stored queries are term-postings (query_id, term) and
+    BROADCAST — alert sets are thousands of queries vs a corpus-sized
+    doc stream; matching is one distinct doc-term explode joined to
+    the query postings, then a (doc, query) count == n_terms gate —
+    never a per-(doc × query) evaluation loop.
+
+    Output: (t1, t2, n_docs) per stored query."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    )
+    top = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(PERC_VOCAB_TOP)
+        .select("term")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    queries = (
+        a.crossJoin(b)
+        .filter(F.col("a.term") < F.col("b.term"))
+        .select(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+    )
+    qpost = queries.selectExpr("t1", "t2", "t1 AS term").unionByName(
+        queries.selectExpr("t1", "t2", "t2 AS term")
+    )
+    matched = (
+        postings.join(F.broadcast(qpost), "term")
+        .groupBy("doc_id", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == 2)
+    )
+    return (
+        queries.join(
+            matched.groupBy("t1", "t2").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ),
+            ["t1", "t2"],
+            "left",
+        )
+        .select(
+            "t1",
+            "t2",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+PERCOLATE_SQL = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS term
+  FROM documents
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df FROM postings GROUP BY term
+  ) ORDER BY df DESC, term LIMIT {PERC_VOCAB_TOP}
+),
+queries AS (
+  SELECT a.term AS t1, b.term AS t2 FROM top a CROSS JOIN top b
+  WHERE a.term < b.term
+),
+qpost AS (
+  SELECT t1, t2, t1 AS term FROM queries
+  UNION ALL SELECT t1, t2, t2 AS term FROM queries
+),
+matched AS (
+  SELECT p.doc_id, q.t1, q.t2
+  FROM postings p JOIN qpost q USING (term)
+  GROUP BY 1, 2, 3 HAVING count(*) = 2
+)
+SELECT q.t1, q.t2,
+       coalesce(m.n_docs, 0)::BIGINT AS n_docs
+FROM queries q
+LEFT JOIN (SELECT t1, t2, count(*) AS n_docs FROM matched GROUP BY 1, 2) m
+  USING (t1, t2)
+"""
+
+
+QUERIES = {
+    "bm25_search": bm25_search,
+    "phrase_search": phrase_search,
+    "percolate_alerts": percolate_alerts,
+}
+ORACLES = {
+    "bm25_search": BM25_SQL,
+    "phrase_search": _phrase_sql(),
+    "percolate_alerts": PERCOLATE_SQL,
+}

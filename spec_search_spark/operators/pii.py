@@ -214,14 +214,73 @@ FROM g
 """
 
 
+L_DIV_L = 3  # required distinct sensitive values per QI group
+#: sensitive attribute: account-balance band (integer-cents thresholds)
+_BAL_BAND = (
+    "CASE WHEN c_acctbal < 0 THEN 'neg'"
+    " WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+)
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a group of
+    k rows that all share ONE sensitive value still leaks it
+    (homogeneity attack). Over the same quasi-identifiers as
+    `k_anonymity_report` (nation, market segment) with the
+    account-balance band as the sensitive attribute: distinct
+    sensitive values per QI group, the dataset's l level (the
+    smallest), and the groups/rows below the threshold.
+
+    Plan: one partial+final count on (QI, sensitive), one re-agg per
+    QI group, one tiny report row — |QI space| work at any n."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", "c_mktsegment", f"{_BAL_BAND} AS band"
+    )
+    per_cell = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_group = per_cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("l"), F.sum("n").alias("n_rows")
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("l_diversity"),
+        F.count(F.when(F.col("l") < L_DIV_L, 1)).alias("n_groups_below_l"),
+        F.sum(
+            F.when(F.col("l") < L_DIV_L, F.col("n_rows")).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_rows_below_l"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, {_BAL_BAND} AS band, count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS l, sum(n) AS n_rows
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       min(l) AS l_diversity,
+       CAST(count(CASE WHEN l < {L_DIV_L} THEN 1 END) AS BIGINT)
+         AS n_groups_below_l,
+       CAST(sum(CASE WHEN l < {L_DIV_L} THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_below_l
+FROM g
+"""
+
+
 QUERIES = {
     "pii_scan": pii_scan,
     "pii_redact": pii_redact,
     "k_anonymity_report": k_anonymity_report,
+    "l_diversity_report": l_diversity_report,
 }
 
 ORACLES = {
     "pii_scan": PII_SCAN_SQL,
     "pii_redact": PII_REDACT_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
+    "l_diversity_report": L_DIVERSITY_SQL,
 }

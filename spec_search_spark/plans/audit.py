@@ -937,6 +937,16 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["BroadcastHashJoin", "Window"],
      ["CartesianProduct", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # percolator: stored-query postings broadcast onto the doc stream;
+    # matching is joins + counted gates, never per-(doc × query) loops
+    ("percolate_alerts",
+     ["BroadcastHashJoin", "partial_count"],
+     ["MapInPandas", "BatchEvalPython"]),
+    # l-diversity: two partial+final counts, |QI| work at any n
+    ("l_diversity_report",
+     ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "SortMergeJoin", "Exchange rangepartitioning"]),
 ]
 
 

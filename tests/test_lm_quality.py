@@ -229,3 +229,23 @@ def test_trigram_backoff_chain_genuinely_fires(spark, sf_dir):
     for r in rows:
         assert r.n_backoff_bigram + r.n_backoff_unigram + r.n_oov <= r.n_trigrams
         assert r.cross_entropy > 0 and r.perplexity > 1.0
+
+
+def test_percolate_alerts_brute_force(spark, sf_dir):
+    from spec_search_spark.operators.bm25 import percolate_alerts
+
+    rows = percolate_alerts(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) stored queries
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toksets = [set(d.text.split()) for d in docs if d.text.strip()]
+    from collections import Counter
+
+    df = Counter()
+    for ts in toksets:
+        df.update(ts)
+    top5 = sorted(df, key=lambda t: (-df[t], t))[:5]
+    for r in rows:
+        assert r.t1 in top5 and r.t2 in top5 and r.t1 < r.t2
+        expect = sum(1 for ts in toksets if r.t1 in ts and r.t2 in ts)
+        assert r.n_docs == expect, (r.t1, r.t2)
+    assert any(r.n_docs > 0 for r in rows)

@@ -48,3 +48,17 @@ def test_redaction_order_is_url_first():
     # a URL containing an IP must collapse to a single <URL> token,
     # not an <IP> inside a mangled URL — pin the fixed order
     assert [t for t, _, _ in pii._REDACTION_ORDER][0] == "urls"
+
+
+def test_l_diversity_below_k_anonymity_dimension(spark, sf_dir):
+    from spec_search_spark.operators.pii import (
+        l_diversity_report,
+        k_anonymity_report,
+    )
+
+    ld = l_diversity_report(spark, sf_dir).first()
+    ka = k_anonymity_report(spark, sf_dir).first()
+    # same QI grouping -> same group count; l can never exceed k
+    assert ld.n_groups == ka.n_groups
+    assert 1 <= ld.l_diversity <= ka.k_anonymity
+    assert ld.n_groups_below_l >= 0
