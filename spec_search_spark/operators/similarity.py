@@ -1206,23 +1206,41 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, F.col("vec_id") == F.col("doc_id"))
         .select("vec_id", "lang", "embedding")
     )
+    from spec_search_spark.functions.vector import dot, norm
+
+    # norms are per-VECTOR, not per-pair: compute each side's norm once
+    # before the cross (n + m sqrt-folds instead of 2·n·m), so the
+    # per-pair work is the single dot fold. dot/(an·bn) is the same
+    # IEEE tree as cosine_similarity's dot/(norm·norm) — values are
+    # bit-identical to the per-pair form the oracle evaluates.
     a = e.filter(F.col("lang") == "en").select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        norm(F.col("embedding")).alias("an"),
     )
     b = e.filter(F.col("lang") != "en").select(
         F.col("vec_id").alias("b_id"),
         F.col("lang").alias("b_lang"),
         F.col("embedding").alias("bv"),
+        norm(F.col("embedding")).alias("bn"),
     )
-    scored = a.crossJoin(F.broadcast(b)).select(
-        "a_id",
-        "b_id",
-        "b_lang",
-        F.round(
-            cosine_similarity(F.col("av"), F.col("bv")) * F.lit(1e6)
+    from spec_search_spark.operators.dedup import _materialize
+
+    # both argmax sides consume the same n×m score table — materialize
+    # it once or each groupBy re-evaluates every cosine fold
+    scored = _materialize(
+        a.crossJoin(F.broadcast(b)).select(
+            "a_id",
+            "b_id",
+            "b_lang",
+            F.round(
+                dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn"))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("cu"),
         )
-        .cast("bigint")
-        .alias("cu"),
     )
     best_a = (
         scored.groupBy("a_id")
