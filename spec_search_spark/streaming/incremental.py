@@ -905,6 +905,210 @@ def stream_quality_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the lakehouse MERGE run per micro-batch
+    (batch sibling: `maintenance.merge_upsert_cdc`): the change feed
+    arrives as a file stream (two files, maxFilesPerTrigger=1 so two
+    genuine micro-batches), and foreachBatch merges each batch into a
+    VERSIONED snapshot (read snapshot_v{i}, full-outer merge, write
+    snapshot_v{i+1} — never read-and-overwrite the same files, which
+    is the atomicity rule every table format enforces). Delta-batch
+    keys are disjoint (split by key parity), so sequential application
+    equals the single batch MERGE and the batch oracle can price the
+    final snapshot exactly.
+
+    Output: one row (n_rows, key_sum, cents_total) of the final
+    snapshot — identical to applying the whole CDC feed at once."""
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.maintenance import (
+        MERGE_BASE_SKIP_MOD,
+        MERGE_BASE_SKIP_REM,
+        MERGE_DELETE_MOD,
+        MERGE_DELTA_MOD,
+        MERGE_PRICE_BUMP_CENTS,
+    )
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="stream_merge_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    base = orders.filter(
+        F.expr(f"o_orderkey % {MERGE_BASE_SKIP_MOD} != {MERGE_BASE_SKIP_REM}")
+    )
+    snap0 = os.path.join(root, "snapshot_v0")
+    base.write.parquet(snap0)
+    delta_dir = os.path.join(root, "delta")
+    delta = orders.filter(
+        F.expr(f"o_orderkey % {MERGE_DELTA_MOD} = 0")
+    ).selectExpr(
+        "o_orderkey",
+        f"CASE WHEN o_orderkey % {MERGE_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END"
+        " AS op",
+        f"cents + {MERGE_PRICE_BUMP_CENTS} AS new_cents",
+        "cast(o_orderkey % 2 as int) AS half",
+    )
+    # two files -> two micro-batches (disjoint keys by parity)
+    delta.filter("half = 0").drop("half").coalesce(1).write.parquet(
+        os.path.join(delta_dir, "h0")
+    )
+    delta.filter("half = 1").drop("half").coalesce(1).write.parquet(
+        os.path.join(delta_dir, "h1")
+    )
+    schema = "o_orderkey bigint, op string, new_cents bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(delta_dir)
+    )
+    state = {"version": 0}
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        cur = os.path.join(root, f"snapshot_v{state['version']}")
+        nxt = os.path.join(root, f"snapshot_v{state['version'] + 1}")
+        snap = spark.read.parquet(cur)
+        merged = (
+            snap.join(batch, "o_orderkey", "full_outer")
+            .selectExpr(
+                "o_orderkey",
+                """CASE
+                  WHEN op = 'D' THEN NULL
+                  WHEN op = 'U' THEN new_cents
+                  ELSE cents END AS cents""",
+            )
+            .filter(F.col("cents").isNotNull())
+        )
+        merged.write.parquet(nxt)
+        state["version"] += 1
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_merge_")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(
+        os.path.join(root, f"snapshot_v{state['version']}")
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    )
+
+
+def _stream_merge_sql() -> str:
+    from spec_search_spark.operators.maintenance import (
+        MERGE_BASE_SKIP_MOD,
+        MERGE_BASE_SKIP_REM,
+        MERGE_DELETE_MOD,
+        MERGE_DELTA_MOD,
+        MERGE_PRICE_BUMP_CENTS,
+    )
+
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), base AS (
+  SELECT * FROM o
+  WHERE o_orderkey % {MERGE_BASE_SKIP_MOD} != {MERGE_BASE_SKIP_REM}
+), delta AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {MERGE_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op,
+         cents + {MERGE_PRICE_BUMP_CENTS} AS new_cents
+  FROM o WHERE o_orderkey % {MERGE_DELTA_MOD} = 0
+), merged AS (
+  SELECT coalesce(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+         CASE WHEN d.op = 'D' THEN NULL
+              WHEN d.op = 'U' THEN d.new_cents
+              ELSE b.cents END AS cents
+  FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(cents) AS BIGINT) AS cents_total
+FROM merged WHERE cents IS NOT NULL
+"""
+
+
+def stream_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percolation — the alerting primitive ON the feed
+    (batch sibling: `bm25.percolate_alerts`): stored queries are fixed
+    up front from the reference snapshot (the training-time artifact,
+    exactly like stream_psi's bin edges) and BROADCAST onto the
+    document stream; each arriving doc matches queries row-locally
+    (both terms in its own token array — no cross-row state), so the
+    ONLY streaming state is the per-query match-count table, ≤ 10
+    rows at any stream volume. Oracle = the batch percolator SQL."""
+    from spec_search_spark.functions.text import tokens
+    from spec_search_spark.operators.bm25 import PERC_VOCAB_TOP
+
+    tune(spark)
+    docs_static = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    postings = docs_static.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    top = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(PERC_VOCAB_TOP)
+        .select("term")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    queries = (
+        a.crossJoin(b)
+        .filter(F.col("a.term") < F.col("b.term"))
+        .select(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+    )
+    qrows = queries.collect()  # ≤ C(top,2) rows — the stored alert set
+    qdf = spark.createDataFrame(qrows, "t1 string, t2 string")
+
+    name = f"percolate_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(docs_static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.array_distinct(tokens(F.col("text")))
+    matched = stream.select(toks.alias("tk")).join(
+        F.broadcast(qdf),
+        F.array_contains(F.col("tk"), F.col("t1"))
+        & F.array_contains(F.col("tk"), F.col("t2")),
+    )
+    agg = matched.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_docs"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_percolate_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return qdf.join(spark.table(name), ["t1", "t2"], "left").select(
+        "t1",
+        "t2",
+        F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+    )
+
+
+def _import_percolate_sql() -> str:
+    from spec_search_spark.operators.bm25 import PERCOLATE_SQL
+
+    return PERCOLATE_SQL
+
+
 def _import_funnel_sql() -> str:
     from spec_search_spark.operators.pipeline_ops import QUALITY_FUNNEL_SQL
 
@@ -941,6 +1145,8 @@ QUERIES = {
     "stream_cusum_changepoint": stream_cusum_changepoint_query,
     "stream_burstiness": stream_burstiness_query,
     "stream_quality_funnel": stream_quality_funnel_query,
+    "stream_merge_upsert": stream_merge_upsert_query,
+    "stream_percolate": stream_percolate_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -958,6 +1164,8 @@ ORACLES = {
     "stream_cusum_changepoint": _stream_cusum_sql(),
     "stream_burstiness": _stream_burstiness_sql(),
     "stream_quality_funnel": _import_funnel_sql(),
+    "stream_merge_upsert": _stream_merge_sql(),
+    "stream_percolate": _import_percolate_sql(),
 }
 
 

@@ -382,3 +382,31 @@ def test_rules_hitrate_eval_matches_brute_force(spark, sf_dir):
     assert row.n_test_baskets == len(test)
     assert row.n_scored == n_scored
     assert row.n_hits == hits
+
+
+def test_stream_merge_upsert_equals_batch_merge(spark, sf_dir):
+    from spec_search_spark.operators.maintenance import merge_upsert_cdc
+    from spec_search_spark.streaming.incremental import stream_merge_upsert_query
+
+    got = stream_merge_upsert_query(spark, sf_dir).first()
+    # the batch MERGE audit implies the same final snapshot: rows =
+    # update + insert + unchanged; cents = their cents_total sum
+    audit = {r.action: r for r in merge_upsert_cdc(spark, sf_dir).collect()}
+    keep = [audit[a] for a in ("update", "insert", "unchanged") if a in audit]
+    assert got.n_rows == sum(r.n for r in keep)
+    assert got.key_sum == sum(r.key_sum for r in keep)
+    assert got.cents_total == sum(r.cents_total for r in keep)
+
+
+def test_stream_percolate_equals_batch(spark, sf_dir):
+    from spec_search_spark.operators.bm25 import percolate_alerts
+    from spec_search_spark.streaming.incremental import stream_percolate_query
+
+    batch = {
+        (r.t1, r.t2): r.n_docs for r in percolate_alerts(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.t1, r.t2): r.n_docs
+        for r in stream_percolate_query(spark, sf_dir).collect()
+    }
+    assert stream == batch
