@@ -249,3 +249,41 @@ def test_percolate_alerts_brute_force(spark, sf_dir):
         expect = sum(1 for ts in toksets if r.t1 in ts and r.t2 in ts)
         assert r.n_docs == expect, (r.t1, r.t2)
     assert any(r.n_docs > 0 for r in rows)
+
+
+def test_trigram_backoff_all_levels_on_fixture(spark, tmp_path):
+    """The shipped corpus has a closed vocabulary, so the OOV level
+    never fires there — a fixture whose test docs carry a per-doc
+    unique token exercises ALL FOUR levels in one document:
+    (beta,gamma,qqqN)->oov, (gamma,qqqN,uni)->unigram,
+    (qqqN,uni,alpha)->bigram, (uni,alpha,beta)->trigram. The DuckDB
+    oracle must agree on the fixture."""
+    import duckdb
+
+    from tests.test_pipeline_ops import _write_docs
+    from spec_search_spark.operators.lm_quality import (
+        TRIGRAM_BACKOFF_SQL,
+        trigram_backoff_scores,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma alpha beta gamma qqq{i} uni alpha beta")
+        for i in range(40)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = trigram_backoff_scores(spark, sf).collect()
+    assert out  # some doc landed in the held-out fold
+    assert sum(r.n_oov for r in out) >= 1
+    assert sum(r.n_backoff_unigram for r in out) >= 1
+    assert sum(r.n_backoff_bigram for r in out) >= 1
+    assert all(r.n_trigrams == 8 for r in out)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = {r[0]: r for r in con.sql(TRIGRAM_BACKOFF_SQL).fetchall()}
+    for r in out:
+        o = oracle[r.doc_id]
+        assert (r.n_trigrams, r.n_backoff_bigram, r.n_backoff_unigram, r.n_oov) == (
+            o[1], o[2], o[3], o[4]
+        )
+        assert abs(r.cross_entropy - o[5]) < 1e-9
+        assert abs(r.perplexity - o[6]) < 1e-9

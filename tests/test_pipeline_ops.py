@@ -308,3 +308,55 @@ def test_stream_quality_funnel_equals_batch(spark, sf_dir):
     }
     # the drained (source, stage) state scores identically to batch
     assert stream == batch
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text). Single-file documents parquet readable by
+    both engines (the test_behavior3 _write_events pattern)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["src0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_quality_funnel_wordlen_gate_fires_on_fixture(spark, tmp_path):
+    """The shipped corpus never trips the mean-word-length gate (word
+    soup averages ~4.2 chars inside [3, 10]) — synthetic docs with
+    1-char and 30-char words prove the gate and its first-fail
+    ordering, and the DuckDB oracle must agree on the fixture."""
+    import duckdb
+
+    from spec_search_spark.operators.pipeline_ops import (
+        QUALITY_FUNNEL_SQL,
+        quality_funnel_report,
+    )
+
+    short_words = "b " * 60            # 60 tokens of len 1 -> mean 1 < 3
+    long_words = ("x" * 30 + " ") * 25  # 25 tokens of len 30 -> mean 30 > 10
+    passing = "the a " + " ".join(f"word{i:02d}" for i in range(38))
+    sf = _write_docs(
+        tmp_path,
+        [(1, short_words.strip()), (2, long_words.strip()), (3, passing.strip())],
+    )
+    got = {
+        (r.source, r.stage): r.n_docs
+        for r in quality_funnel_report(spark, sf).collect()
+    }
+    assert got[("src0", "wordlen")] == 2  # both extremes charged HERE
+    assert got[("src0", "pass")] == 1
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = {
+        (r[0], r[1]): r[2] for r in con.sql(QUALITY_FUNNEL_SQL).fetchall()
+    }
+    assert oracle == got
