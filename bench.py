@@ -199,6 +199,7 @@ HEADLINE = [
     "ivf_nprobe_sweep",
     "percolate_alerts",
     "l_diversity_report",
+    "weighted_shortest_paths",
 ]
 
 

@@ -31,6 +31,7 @@ from spec_search_spark.operators.dedup import (
     _minhash_lsh_sql,
     minhash_lsh_candidates,
 )
+from spec_search_spark.catalog import load_table
 from spec_search_spark.session import tune
 
 SCALE = 1_000_000_000_000  # bigint micro-units: 1.0 == 1e12
@@ -353,8 +354,106 @@ FROM {prev} GROUP BY lbl ORDER BY community"""
     )
 
 
+SP_ROUNDS = 4  # Bellman-Ford relaxation rounds (min-cost ≤ 4 edges)
+
+
+def weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths over the LSH candidate
+    graph (SP_ROUNDS Bellman-Ford relaxations — min cost over paths of
+    ≤ {K} edges): the fourth iterative-graph member beside PageRank /
+    BFS / LPA, and the one that needs edge WEIGHTS — here the
+    data-derived cost |n_chars(a) − n_chars(b)| + 1 (near-dup edges
+    between similar-length docs are cheap), joined from the documents
+    table onto the shared edge set. BFS answers "how many hops"; this
+    answers "how dissimilar is the cheapest chain", the quantity a
+    dedup-cluster triage actually ranks by.
+
+    Exactness: distances are pure BIGINT sums/mins, so both engines
+    agree bit-for-bit; the oracle is the identical unrolled relaxation
+    chain. Scale: each round is one frontier⋈edges equi-join + one
+    vertex-keyed min — the PageRank per-iteration shape; state is
+    node-sized, never path-sized (relaxation collapses per round,
+    unlike an enumerate-paths recursion)."""
+    tune(spark)
+    edges, deg = _edges_deg(spark, sf_dir)
+    nchars = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+    )
+    # edge-sized artifact consumed once per relaxation round: truncate
+    # the lineage like _edges_deg does, or every round re-analyzes the
+    # LSH tree (measured: 58s -> ~8s for the 4-round loop)
+    wedges = (
+        edges.join(
+            nchars.select(F.col("doc_id").alias("a"), F.col("n_chars").alias("ca")),
+            "a",
+        )
+        .join(
+            nchars.select(F.col("doc_id").alias("b"), F.col("n_chars").alias("cb")),
+            "b",
+        )
+        .select(
+            "a", "b",
+            (F.abs(F.col("ca") - F.col("cb")) + 1).cast("bigint").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # source = the max-degree vertex (min id on ties): the hub of a
+    # dense near-dup family, so the relaxation genuinely fans out
+    # (the min-id vertex can sit in a 2-node component)
+    src = (
+        deg.orderBy(F.desc("deg"), F.asc("doc_id"))
+        .limit(1)
+        .select("doc_id", F.lit(0).cast("bigint").alias("dist"))
+    )
+    dist = src
+    for _ in range(SP_ROUNDS):
+        relaxed = (
+            dist.join(wedges, dist.doc_id == wedges.a)
+            .select(F.col("b").alias("doc_id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def _weighted_sp_sql() -> str:
+    # MATERIALIZED: the round CTEs each reference wedges — inlined,
+    # DuckDB would re-run the whole minhash pipeline per round
+    ctes = [
+        f"pairs AS MATERIALIZED ({_minhash_lsh_sql()})",
+        "und AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM pairs"
+        " UNION ALL SELECT doc2, doc1 FROM pairs)",
+        "wedges AS MATERIALIZED (SELECT u.a, u.b,"
+        " CAST(abs(da.n_chars - db.n_chars) + 1 AS BIGINT) AS w"
+        " FROM und u JOIN documents da ON da.doc_id = u.a"
+        " JOIN documents db ON db.doc_id = u.b)",
+        "deg AS (SELECT a AS doc_id, count(*) AS deg FROM und GROUP BY a)",
+        "d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(0 AS BIGINT) AS dist FROM deg"
+        " ORDER BY deg DESC, doc_id LIMIT 1)",
+    ]
+    for i in range(SP_ROUNDS):
+        prev, cur = f"d{i}", f"d{i + 1}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT doc_id, dist FROM {prev}
+    UNION ALL
+    SELECT e.b AS doc_id, p.dist + e.w AS dist
+    FROM {prev} p JOIN wedges e ON e.a = p.doc_id
+  ) GROUP BY doc_id)"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT doc_id, dist FROM d{SP_ROUNDS}"
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "weighted_shortest_paths": weighted_shortest_paths,
     "graph_triangles": graph_triangles,
     "recursive_reachability": recursive_reachability,
     "label_propagation_communities": label_propagation_communities,
@@ -362,6 +461,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
+    "weighted_shortest_paths": _weighted_sp_sql(),
     "graph_triangles": _triangles_sql(),
     "recursive_reachability": _reachability_sql(),
     "label_propagation_communities": _lpa_sql(),

@@ -947,6 +947,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count", "HashAggregate"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "SortMergeJoin", "Exchange rangepartitioning"]),
+    # weighted SP: per-round frontier join + vertex-keyed min — node-
+    # sized state, never path-sized; no cartesian, no range shuffle
+    ("weighted_shortest_paths",
+     ["partial_min"],
+     ["CartesianProduct", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

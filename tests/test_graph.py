@@ -53,3 +53,37 @@ def test_lpa_partitions_the_vertex_set(spark, sf_dir):
     # propagation merges labels: strictly fewer communities than vertices
     # (the near-dup graph always has at least one multi-node neighborhood)
     assert len(comm) < n_vertices
+
+
+def test_weighted_shortest_paths_match_python_bellman_ford(spark, sf_dir):
+    from spec_search_spark.operators.graph import (
+        SP_ROUNDS,
+        _edges_deg,
+        weighted_shortest_paths,
+    )
+
+    got = {r.doc_id: r.dist for r in weighted_shortest_paths(spark, sf_dir).collect()}
+    edges, deg = _edges_deg(spark, sf_dir)
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    e = [
+        (r.a, r.b, abs(nchars[r.a] - nchars[r.b]) + 1)
+        for r in edges.collect()
+    ]
+    degs = {}
+    for a, _, _ in e:
+        degs[a] = degs.get(a, 0) + 1
+    src = min(sorted(degs, key=lambda v: (-degs[v], v))[:1])
+    dist = {src: 0}
+    for _ in range(SP_ROUNDS):
+        nxt = dict(dist)
+        for a, b, w in e:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
+    assert len(got) >= 2 and got[src] == 0
