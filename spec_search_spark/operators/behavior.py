@@ -961,9 +961,102 @@ WHERE d.day BETWEEN b.dmin AND b.dmax
 """
 
 
+# --- cohort LTV triangle ------------------------------------------------------
+
+
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort lifetime-value triangle: users grouped by
+    first-activity WEEK, revenue accumulated along cohort AGE —
+    cum_ltv(cohort, a) = Σ_{age≤a} cents(cohort, age) / cohort_size,
+    the money-side companion of the retention cohort (retention counts
+    who came back; THIS prices what they spent, the curve a payback
+    model is fit to).
+
+    Exact shape: events collapse to the BOUNDED (cohort_week, age_week)
+    grid (weeks², fixed by the window) with integer-cents sums; the
+    cumulative runs on that grid partitioned by cohort; LTV is one
+    snapped division by the exact cohort size. First-activity week is
+    a per-user min — one partial+final agg, no window over events.
+
+    Output: (cohort_week, age_weeks, n_active, cents, cum_ltv)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    bounds = ev.groupBy().agg(F.min("day").alias("d0"))
+    wk = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "cents",
+        F.expr("cast(datediff(day, d0) div 7 as int)").alias("week"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cell = (
+        wk.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+            "user_id",
+            "cents",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    w = W.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        cell.withColumn("cum_cents", F.sum("cents").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .selectExpr(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cents",
+            "cast(round(cum_cents / (cohort_size * 100.0) * 1e4) as bigint)"
+            " / 1e4 AS cum_ltv",
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), b AS (SELECT min(day) AS d0 FROM ev),
+wk AS (
+  SELECT user_id, cents,
+         CAST((day - d0) // 7 AS INT) AS week
+  FROM ev CROSS JOIN b
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1
+), cell AS (
+  SELECT f.cohort_week, w.week - f.cohort_week AS age_weeks,
+         count(DISTINCT w.user_id) AS n_active,
+         CAST(sum(w.cents) AS BIGINT) AS cents
+  FROM wk w JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.age_weeks, c.n_active, c.cents,
+       CAST(round(sum(c.cents) OVER (PARTITION BY c.cohort_week
+              ORDER BY c.age_weeks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            / (s.cohort_size * 100.0) * 1e4) AS BIGINT) / 1e4 AS cum_ltv
+FROM cell c JOIN sizes s USING (cohort_week)
+"""
+
+
 QUERIES = {
     "activity_streaks": activity_streaks,
     "rolling_active_users": rolling_active_users,
+    "cohort_ltv_triangle": cohort_ltv_triangle,
     "ewma_user_value": ewma_user_value,
     "event_transition_matrix": event_transition_matrix,
     "attribution_last_touch": attribution_last_touch,
@@ -979,6 +1072,7 @@ QUERIES = {
 ORACLES = {
     "activity_streaks": ACTIVITY_STREAKS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_SQL,
+    "cohort_ltv_triangle": COHORT_LTV_SQL,
     "ewma_user_value": EWMA_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,

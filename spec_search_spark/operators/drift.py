@@ -1242,10 +1242,135 @@ GROUP BY nn.n, nn.t_train, nn.h_test
 """
 
 
+# --- LTTB downsampling (parallel average-anchor variant) ---------------------
+
+LTTB_BUCKETS = 60  # target points for the dashboard series
+
+
+def lttb_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling of the hourly series to
+    {B} points — the dashboard decimation that keeps SHAPE (spikes,
+    reversals) where uniform striding drops it (Steinarsson 2013; this
+    is the thesis' parallelizable average-anchor variant: each
+    bucket's anchor is its NEIGHBOR BUCKETS' average point rather than
+    the previously-selected point, so every bucket selects
+    independently — the sequential-dependency-free form a distributed
+    engine wants, trading the paper's ~2% area for full parallelism).
+
+    Exactness: with integer hour-index/cents coordinates and rational
+    anchors (sums/counts), the triangle area comparison multiplies
+    through by both neighbor counts — every compared magnitude is an
+    exact DECIMAL(38,0) integer, ties broken by the earlier hour, so
+    both engines pick identical points. Plan: bucket assignment is a
+    pure expression off the one-row bounds; neighbor-anchor tables are
+    ≤{B} rows broadcast; selection is one (bucket)-keyed max-struct
+    partial+final agg — no window over the series.
+
+    Output: ({B} + first/last) selected (i, x) points."""
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir)
+    w_all = filled.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.min("h").alias("h0")
+    )
+    idx = filled.crossJoin(F.broadcast(w_all)).select(
+        F.expr(
+            "cast((cast(h as long) - cast(h0 as long)) / 3600 as bigint) + 1"
+        ).alias("i"),
+        "x",
+        "n",
+    )
+    b = LTTB_BUCKETS
+    # interior points [2, n-1] split into B buckets; first/last kept
+    bkt = F.expr(
+        f"CASE WHEN i = 1 THEN cast(0 as bigint)"
+        f" WHEN i = n THEN cast({b + 1} as bigint)"
+        f" ELSE ((i - 2) * {b}) div (n - 2) + 1 END"
+    )
+    withb = idx.select("i", "x", bkt.alias("bkt"))
+    anchors = withb.groupBy("bkt").agg(
+        F.sum("i").alias("si"), F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    prev = anchors.selectExpr(
+        "bkt + 1 AS bkt", "si AS psi", "sx AS psx", "c AS pc"
+    )
+    nxt = anchors.selectExpr(
+        "bkt - 1 AS bkt", "si AS nsi", "sx AS nsx", "c AS nc"
+    )
+    # 2·area·pc·nc = |(psi·nc − nsi·pc)·(x·pc·nc) − … | expanded with
+    # the point (i, x) and the two rational anchors (psi/pc, psx/pc),
+    # (nsi/nc, nsx/nc), multiplied through by pc·nc — exact integers.
+    area2 = (
+        "abs(cast(psi as decimal(38,0)) * nc * (x * pc * nc)"
+        " - cast(nsi as decimal(38,0)) * pc * (x * pc * nc)"
+        " + cast(nsi as decimal(38,0)) * pc * (psx * nc)"
+        " - cast(i as decimal(38,0)) * pc * nc * (psx * nc)"
+        " + cast(i as decimal(38,0)) * pc * nc * (nsx * pc)"
+        " - cast(psi as decimal(38,0)) * nc * (nsx * pc))"
+    )
+    interior = (
+        withb.filter((F.col("bkt") >= 1) & (F.col("bkt") <= b))
+        .join(F.broadcast(prev), "bkt")
+        .join(F.broadcast(nxt), "bkt")
+        .selectExpr("bkt", "i", "x", f"{area2} AS a2")
+        .groupBy("bkt")
+        .agg(F.max(F.expr("struct(a2, -i as ni, x)")).alias("m"))
+        .selectExpr("bkt", "-m.ni AS i", "m.x AS x")
+    )
+    ends = withb.filter((F.col("bkt") == 0) | (F.col("bkt") == b + 1)).select(
+        "bkt", "i", "x"
+    )
+    return interior.unionByName(ends).select("i", "x")
+
+
+LTTB_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+w AS (SELECT count(*) AS n, min(h) AS h0 FROM filled),
+idx AS (
+  SELECT CAST((epoch(f.h) - epoch(w.h0)) // 3600 AS BIGINT) + 1 AS i,
+         CAST(f.x AS BIGINT) AS x, w.n
+  FROM filled f CROSS JOIN w
+),
+withb AS (
+  SELECT i, x,
+         CASE WHEN i = 1 THEN 0
+              WHEN i = n THEN {LTTB_BUCKETS + 1}
+              ELSE ((i - 2) * {LTTB_BUCKETS}) // (n - 2) + 1 END AS bkt
+  FROM idx
+),
+anchors AS (
+  SELECT bkt, CAST(sum(i) AS BIGINT) AS si, CAST(sum(x) AS BIGINT) AS sx,
+         count(*) AS c
+  FROM withb GROUP BY bkt
+),
+scored AS (
+  SELECT wb.bkt, wb.i, wb.x,
+         abs(CAST(p.si AS DECIMAL(38,0)) * nx.c * (wb.x * p.c * nx.c)
+           - CAST(nx.si AS DECIMAL(38,0)) * p.c * (wb.x * p.c * nx.c)
+           + CAST(nx.si AS DECIMAL(38,0)) * p.c * (p.sx * nx.c)
+           - CAST(wb.i AS DECIMAL(38,0)) * p.c * nx.c * (p.sx * nx.c)
+           + CAST(wb.i AS DECIMAL(38,0)) * p.c * nx.c * (nx.sx * p.c)
+           - CAST(p.si AS DECIMAL(38,0)) * nx.c * (nx.sx * p.c)) AS a2
+  FROM withb wb
+  JOIN anchors p ON p.bkt = wb.bkt - 1
+  JOIN anchors nx ON nx.bkt = wb.bkt + 1
+  WHERE wb.bkt BETWEEN 1 AND {LTTB_BUCKETS}
+),
+sel AS (
+  SELECT i, x FROM scored
+  QUALIFY row_number() OVER (PARTITION BY bkt ORDER BY a2 DESC, i) = 1
+)
+SELECT i, x FROM sel
+UNION ALL
+SELECT i, x FROM withb WHERE bkt = 0 OR bkt = {LTTB_BUCKETS + 1}
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "holt_forecast_hourly": holt_forecast_hourly,
     "holt_backtest_mase": holt_backtest_mase,
+    "lttb_downsample_hourly": lttb_downsample_hourly,
     "psi_value_drift": psi_value_drift,
     "benford_first_digit": benford_first_digit,
     "hourly_autocorrelation": hourly_autocorrelation,
@@ -1261,6 +1386,7 @@ ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
     "holt_forecast_hourly": HOLT_SQL,
     "holt_backtest_mase": HOLT_BACKTEST_SQL,
+    "lttb_downsample_hourly": LTTB_SQL,
     "psi_value_drift": PSI_SQL,
     "benford_first_digit": BENFORD_SQL,
     "hourly_autocorrelation": ACF_SQL,

@@ -953,6 +953,18 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_min"],
      ["CartesianProduct", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # LTTB: bounded anchor tables broadcast, per-bucket max-struct
+    # partial+final — no window over the series, no python
+    ("lttb_downsample_hourly",
+     ["partial_max", "BroadcastHashJoin"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "Exchange rangepartitioning"]),
+    # LTV triangle: events collapse to the bounded weeks² grid before
+    # the cohort-partitioned cumulative window
+    ("cohort_ltv_triangle",
+     ["Window", "partial_sum"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -474,3 +474,46 @@ def test_rolling_active_users_matches_brute_force(spark, sf_dir):
         assert got[d].dau == len(by_day[d]), d
         assert got[d].wau == len(week), d
         assert got[d].wau >= got[d].dau
+
+
+def test_cohort_ltv_triangle_with_staggered_cohorts(spark, tmp_path):
+    """The shipped events start every user in week 0 (one cohort), so
+    the triangle's multi-cohort shape never shows there. Staggered
+    synthetic signups: two cohorts, known per-cell cents, cumulative
+    LTV checked closed-form, and the DuckDB oracle must agree."""
+    import duckdb
+
+    from spec_search_spark.operators.behavior import (
+        COHORT_LTV_SQL,
+        cohort_ltv_triangle,
+    )
+
+    # value column is fixed at 1.0 by _write_events => 100 cents/event
+    events = [
+        # cohort 0 (first week): users 1, 2
+        (1, "2024-01-01", 1), (2, "2024-01-02", 2),
+        # cohort 0 age 1: user 1 returns
+        (3, "2024-01-09", 1),
+        # cohort 1 (second week): user 3 signs up
+        (4, "2024-01-08", 3),
+        # cohort 1 age 1: user 3 returns twice
+        (5, "2024-01-16", 3), (6, "2024-01-17", 3),
+    ]
+    sf = _write_events(tmp_path, events)
+    rows = {
+        (r.cohort_week, r.age_weeks): r
+        for r in cohort_ltv_triangle(spark, sf).collect()
+    }
+    assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert rows[(0, 0)].n_active == 2 and rows[(0, 0)].cents == 200
+    assert rows[(0, 1)].n_active == 1 and rows[(0, 1)].cents == 100
+    assert rows[(1, 0)].n_active == 1 and rows[(1, 0)].cents == 100
+    assert rows[(1, 1)].n_active == 1 and rows[(1, 1)].cents == 200
+    # cum LTV: cohort 0 size 2 -> 1.0 then 1.5 dollars; cohort 1 size 1
+    assert rows[(0, 0)].cum_ltv == 1.0 and rows[(0, 1)].cum_ltv == 1.5
+    assert rows[(1, 0)].cum_ltv == 1.0 and rows[(1, 1)].cum_ltv == 3.0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    oracle = {(r[0], r[1]): r for r in con.sql(COHORT_LTV_SQL).fetchall()}
+    for k, r in rows.items():
+        assert oracle[k][2:] == (r.n_active, r.cents, r.cum_ltv), k
