@@ -1,0 +1,89 @@
+"""Streaming drain-time ledger (VERDICT r5 item 6): wall-clock to
+drive each `stream_*` twin to completion against the fixed parquet
+input at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+The headline bench (`bench.py`) deliberately stays batch-shaped; the
+streaming twins are correctness-proven against the same oracles but a
+STATE-SIZE regression in a twin (an unbounded key space creeping into
+`applyInPandasWithState`, a watermark that stops pruning) shows up
+first as drain time. This ledger makes that visible round-over-round.
+
+Each twin's queries() adapter internally runs
+`writeStream ... start(); processAllAvailable()` into a memory sink
+and returns the sink table — so "drain time" is the full cost of
+sourcing the parquet as a stream, running the stateful plan, and
+committing every epoch. The final count() only touches the already-
+materialized sink.
+
+Prints ONE JSON line:
+{"metric": "streaming_drain_total", "value": sec, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "run_policy": ...}
+
+Same min-of-N / spread policy as bench.py (default N=3: each drain is
+itself multi-epoch and less jittery than a single batch job; override
+with SPARK_GRAFT_BENCH_RUNS). Must run on an otherwise idle machine
+(BASELINE standing rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spec_search_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spec_search_spark.operators import all_queries
+
+    qs, _ = all_queries()
+    stream_names = sorted(n for n in qs if n.startswith("stream_"))
+    spark = get_spark("bench_stream")
+
+    # warmup: one batch scan (parquet/codegen init) + one full drain
+    # (streaming engine + checkpoint + memory-sink init).
+    qs["hourly_event_rollup"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    qs["stream_hourly_counts"](spark, sf_dir).count()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        return time.time() - t0
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in stream_names:
+        samples = [run(name) for _ in range(n_runs)]
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_drain_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "run_policy": f"min_of_{n_runs}_exclusive_machine",
+                "spread_max_minus_min": spreads,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

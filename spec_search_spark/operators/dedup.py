@@ -62,11 +62,22 @@ SIMHASH_BANDS = 4  # 15 bits per band; lossless for hamming < 4 (pigeonhole)
 # --- shared shingle machinery ----------------------------------------------
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """cache + force computation NOW. A lazily-cached DF feeding both
-    sides of a self-join gets computed concurrently by both branches
-    (per-partition block races) — materializing first guarantees the
-    expensive upstream (hash udf, signature agg) runs exactly once."""
-    df = df.cache()
+    """persist(MEMORY_AND_DISK) + force computation NOW. A lazily-
+    cached DF feeding both sides of a self-join gets computed
+    concurrently by both branches (per-partition block races) —
+    materializing first guarantees the expensive upstream (hash udf,
+    signature agg) runs exactly once.
+
+    MEMORY_AND_DISK (not the MEMORY_ONLY default of `.cache()`): under
+    concurrent memory pressure an evicted MEMORY_ONLY block is
+    silently RECOMPUTED through the full upstream plan on every
+    downstream access — the r5 bench-ledger poisoning, where eviction
+    turned a cached value-count read back into the slowest path for
+    all N bench repetitions. With disk spill an evicted block degrades
+    to a local disk read: a cache miss costs I/O, not a replan."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
     return df
 
@@ -971,8 +982,127 @@ FROM hit
 """
 
 
+# --- weighted (multiset) Jaccard over the LSH candidate set ------------------
+
+
+def _shingles_all(toks: Column, n: int = 3) -> Column:
+    """ALL word n-gram shingles WITH multiplicity (no array_distinct) —
+    the multiset `_shingles_from_toks` twin that weighted Jaccard
+    needs; same short-doc guard and materialized-toks contract."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset/bag) Jaccard for every MinHash-LSH candidate
+    pair: Σ min(c1,c2) / Σ max(c1,c2) over per-doc shingle COUNTS —
+    the repetition-aware similarity that set Jaccard overstates for
+    boilerplate-heavy docs (a doc repeating one template paragraph 10×
+    shares all its distinct shingles with a single copy, but only
+    ~1/10 of its mass). The standard refinement step after banded LSH
+    in a dedup pipeline (reference ships none; north-star dedup).
+
+    Exact integer arithmetic end-to-end: Σmax(c1,c2) = tot1 + tot2 −
+    Σmin(c1,c2), so ONLY the intersection join is computed (candidate-
+    bound work, the jaccard_strict verification shape) and the single
+    double is the final fixed-arity division, rounded. Count table =
+    one extra explode-count over the capped postings' shingle set,
+    joined to the memoized hashed vocabulary — 8-byte h keys shuffle,
+    never shingle strings.
+    """
+    s = hashed_shingle_postings(spark, sf_dir)  # (doc_id, shingle, h) distinct+capped
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        spread(docs, "doc_id")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(_shingles_all(F.col("toks"))).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # inner join keeps the hot-shingle-capped set (and attaches h)
+    wpost = _materialize(
+        s.join(occ, ["doc_id", "shingle"]).select("doc_id", "h", "cnt")
+    )
+    tot = wpost.groupBy("doc_id").agg(F.sum("cnt").alias("tot"))
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    p1 = wpost.select(F.col("doc_id").alias("doc1"), "h", F.col("cnt").alias("c1"))
+    p2 = wpost.select(F.col("doc_id").alias("doc2"), "h", F.col("cnt").alias("c2"))
+    inter = (
+        cand.join(p1, "doc1")
+        .join(p2, ["doc2", "h"])
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.least("c1", "c2")).alias("sum_min"))
+    )
+    t1 = tot.select(F.col("doc_id").alias("doc1"), F.col("tot").alias("tot1"))
+    t2 = tot.select(F.col("doc_id").alias("doc2"), F.col("tot").alias("tot2"))
+    return (
+        inter.join(F.broadcast(t1), "doc1")
+        .join(F.broadcast(t2), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "sum_min",
+            "tot1",
+            "tot2",
+            F.round(
+                F.col("sum_min").cast("double")
+                / (F.col("tot1") + F.col("tot2") - F.col("sum_min")),
+                4,
+            ).alias("wjaccard"),
+        )
+    )
+
+
+def _weighted_jaccard_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql()}),
+postings AS ({_SHINGLES_SQL}),
+occ AS (
+  SELECT doc_id, shingle, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(
+             list_transform(range(0, greatest(len(toks) - 2, 0)),
+                            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+           ) AS shingle
+    FROM (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+          FROM documents) t
+  ) GROUP BY doc_id, shingle
+),
+w AS (
+  SELECT p.doc_id, {_POLY_SQL.format(s='p.shingle')} AS h, o.cnt
+  FROM postings p JOIN occ o ON o.doc_id = p.doc_id AND o.shingle = p.shingle
+),
+tot AS (SELECT doc_id, sum(cnt) AS tot FROM w GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, sum(least(a.cnt, b.cnt)) AS sum_min
+  FROM pairs c
+  JOIN w a ON a.doc_id = c.doc1
+  JOIN w b ON b.doc_id = c.doc2 AND b.h = a.h
+  GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       CAST(i.sum_min AS BIGINT) AS sum_min,
+       CAST(t1.tot AS BIGINT) AS tot1,
+       CAST(t2.tot AS BIGINT) AS tot2,
+       round(i.sum_min::DOUBLE / (t1.tot + t2.tot - i.sum_min), 4) AS wjaccard
+FROM inter i
+JOIN tot t1 ON t1.doc_id = i.doc1
+JOIN tot t2 ON t2.doc_id = i.doc2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "weighted_jaccard_pairs": weighted_jaccard_pairs,
     "minhash_eval_report": minhash_eval_report,
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -986,6 +1116,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "weighted_jaccard_pairs": _weighted_jaccard_sql(),
     "minhash_eval_report": _minhash_eval_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -1151,6 +1151,15 @@ def holt_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hours",
         "transform(arr, s -> cast(s.x as double)) AS vals",
         "(4 * n_hours) div 5 AS t_train",
+    ).filter(
+        # Guard (ADVICE r5): with t_train < one season the seasonal-
+        # naive lookup index t_train + k - 24*ceil(k/24) can hit 0
+        # (element_at error) or go negative (element_at silently reads
+        # from the END of the array) while the SQL oracle's inner join
+        # just drops those rows — a silent cross-engine divergence on
+        # short fixtures. Both engines now return 0 rows below one
+        # season (mirrored WHERE in HOLT_BACKTEST_SQL).
+        F.col("t_train") >= BT_SEASON
     ).selectExpr(
         "n_hours",
         "vals",
@@ -1229,6 +1238,7 @@ errs AS (
   JOIN idx xt ON xt.i = nn.t_train + k
   JOIN idx xn ON xn.i = nn.t_train + k
     - {BT_SEASON} * ((k + {BT_SEASON - 1}) // {BT_SEASON})
+  WHERE nn.t_train >= {BT_SEASON}
 )
 SELECT nn.n AS n_hours, nn.t_train, nn.h_test,
        CAST(round(sum(e_holt) / (nn.h_test * 1e6) * 1e6) AS BIGINT) / 1e6

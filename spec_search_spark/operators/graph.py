@@ -77,8 +77,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_sql() -> str:
     ctes = [
-        f"pairs AS ({_minhash_lsh_sql()})",
-        "edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs"
+        # MATERIALIZED: the round CTEs each reference edges — inlined,
+        # DuckDB recomputes the full LSH candidate join per round
+        f"pairs AS MATERIALIZED ({_minhash_lsh_sql()})",
+        "edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM pairs"
         " UNION ALL SELECT doc2, doc1 FROM pairs)",
         "deg AS (SELECT a AS doc_id, COUNT(*) AS deg FROM edges GROUP BY a)",
         "n AS (SELECT COUNT(*) AS c FROM deg)",
@@ -451,8 +453,96 @@ def _weighted_sp_sql() -> str:
     return f"WITH {body}\nSELECT doc_id, dist FROM d{SP_ROUNDS}"
 
 
+# --- k-core decomposition (bounded synchronous peel) -------------------------
+
+K_CORE = 2  # minimum in-subgraph degree to stay in the core: the 2-core
+# (cycle core) is the smallest non-trivial core and the largest that is
+# non-EMPTY on the sparse sf0.01 candidate graph — a k that returned 0
+# rows would make the oracle match vacuous at test scale
+KC_ITERS = 4  # synchronous peel rounds (fixed => unrolled-CTE oracle)
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of the MinHash-LSH candidate graph: survivors of
+    KC_ITERS synchronous peel rounds (drop every node whose degree
+    WITHIN the remaining subgraph is < K_CORE, recompute, repeat) —
+    the dense-neighborhood extractor a dedup-cluster triage uses to
+    separate tight duplicate cliques from stringy chains (the
+    reference's similarity neighborhoods, `/root/reference/app.py:48-61`,
+    have no graph layer at all; north-star dedup analytics).
+
+    Determinism: pure integer degree counting on the shared
+    `_edges_deg` edge set; a FIXED round count (not run-to-
+    convergence) keeps the oracle expressible as unrolled CTEs, the
+    `label_propagation_communities` pattern. Output is every surviving
+    doc with its in-core degree after the final peel (degree is
+    REcomputed over the final survivor set, so the contract is
+    well-defined whether or not the peel has converged).
+
+    Scale: each round is two semi joins of the edge table against the
+    node-sized survivor set plus one partial+final degree count —
+    never path- or pair-quadratic state; survivors are materialized
+    per round to cut the growing lineage (the PageRank pattern).
+    """
+    tune(spark)
+    edges, deg = _edges_deg(spark, sf_dir)
+    alive = deg.filter(F.col("deg") >= K_CORE).select("doc_id")
+    for _ in range(KC_ITERS):
+        alive = _materialize(alive)
+        ealive = edges.join(
+            alive.select(F.col("doc_id").alias("a")), "a", "semi"
+        ).join(alive.select(F.col("doc_id").alias("b")), "b", "semi")
+        alive = (
+            ealive.groupBy(F.col("a").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= K_CORE)
+            .select("doc_id")
+        )
+    alive = _materialize(alive)
+    efinal = edges.join(
+        alive.select(F.col("doc_id").alias("a")), "a", "semi"
+    ).join(alive.select(F.col("doc_id").alias("b")), "b", "semi")
+    return (
+        efinal.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        # MATERIALIZED: the round CTEs each reference edges — inlined,
+        # DuckDB recomputes the full LSH candidate join per round
+        f"pairs AS MATERIALIZED ({_minhash_lsh_sql()})",
+        "edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM pairs"
+        " UNION ALL SELECT doc2, doc1 FROM pairs)",
+        "deg AS (SELECT a AS doc_id, COUNT(*) AS deg FROM edges GROUP BY a)",
+        f"a0 AS (SELECT doc_id FROM deg WHERE deg >= {K_CORE})",
+    ]
+    for i in range(KC_ITERS):
+        prev, cur = f"a{i}", f"a{i + 1}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT e.a AS doc_id FROM edges e
+  JOIN {prev} x ON x.doc_id = e.a
+  JOIN {prev} y ON y.doc_id = e.b
+  GROUP BY e.a HAVING COUNT(*) >= {K_CORE})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT e.a AS doc_id, COUNT(*) AS core_deg
+FROM edges e
+JOIN a{KC_ITERS} x ON x.doc_id = e.a
+JOIN a{KC_ITERS} y ON y.doc_id = e.b
+GROUP BY e.a
+ORDER BY e.a
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "kcore_decomposition": kcore_decomposition,
     "weighted_shortest_paths": weighted_shortest_paths,
     "graph_triangles": graph_triangles,
     "recursive_reachability": recursive_reachability,
@@ -461,6 +551,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
+    "kcore_decomposition": _kcore_sql(),
     "weighted_shortest_paths": _weighted_sp_sql(),
     "graph_triangles": _triangles_sql(),
     "recursive_reachability": _reachability_sql(),

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import tune
+from spec_search_spark.session import prune_memo, tune
 
 K_CLUSTERS = 8
 N_ITER = 2
@@ -138,6 +138,7 @@ def trained_index(
         centroids = train_centroids(spark, sf_dir)
         index = ivf_index(spark, sf_dir, centroids).cache()
         index.count()  # materialize now: both probe-join sides reuse it
+        prune_memo(_TRAINED, key[0])
         _TRAINED[key] = (centroids, index)
     return _TRAINED[key]
 
@@ -167,6 +168,7 @@ def _probe_assignments(
         nearest = np.argsort(d2, kind="stable")[:N_PROBE_CLUSTERS]
         for c in nearest:
             probe_rows.append((pid, [float(x) for x in vec], int(c)))
+    prune_memo(_PROBE_DF, key[0])
     _PROBE_DF[key] = spark.createDataFrame(
         probe_rows, "probe_id int, probe_vec array<double>, cluster int"
     )
@@ -301,6 +303,7 @@ def ivf_ann_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()  # N_PROBES × TOP_K rows; the full-scan reference
         )
         ex.count()  # materialize now (both check runs reuse it)
+        prune_memo(_EXACT_TOPK, exact_key[0])
         _EXACT_TOPK[exact_key] = ex
     exact = _EXACT_TOPK[exact_key]
     wm = W.partitionBy("probe_id").orderBy("rn")
@@ -453,6 +456,7 @@ def _ranked_probe_assignments(
         nearest = np.argsort(d2, kind="stable")[: max(SWEEP_NPROBES)]
         for rank, c in enumerate(nearest):
             rows.append((pid, [float(x) for x in vec], int(c), rank))
+    prune_memo(_RANKED_PROBES, key[0])
     _RANKED_PROBES[key] = spark.createDataFrame(
         rows, "probe_id int, probe_vec array<double>, cluster int, rank int"
     )

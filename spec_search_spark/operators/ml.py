@@ -1260,8 +1260,168 @@ FROM scored GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval for the OLS price model
+# --------------------------------------------------------------------------
+
+CONF_SPLIT_MOD = 5  # hash bucket 0 of 5 -> calibration fold (~20%)
+CONF_COV_NUM, CONF_COV_DEN = 9, 10  # target coverage 0.9
+
+#: shared dialect-portable fragment: snapped micro-dollar β from the
+#: train-fold moment matrix (the ols_cv_rmse snap, so calibration
+#: residuals are exact integers in 1e-8-dollar units).
+_CONF_BETA_BODY = f"""
+WITH m AS (SELECT {_OLS_MOMENTS} FROM {{src}} WHERE fold <> 0)
+SELECT CAST(round({_OLS_B0} / {_OLS_DET} * 1e6) AS BIGINT) AS b0m,
+       CAST(round({_OLS_B1} / {_OLS_DET} * 1e6) AS BIGINT) AS b1m,
+       CAST(round({_OLS_B2} / {_OLS_DET} * 1e6) AS BIGINT) AS b2m
+FROM m
+"""
+
+
+def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the OLS price model —
+    the distribution-free uncertainty wrapper (Vovk; Lei et al. 2018)
+    a feature pipeline ships WITH a point model: fit on the ~80% hash
+    fold, take q̂ = the ⌈(1−α)(n+1)⌉-th smallest absolute calibration
+    residual, and ŷ ± q̂ covers ≥ 1−α of future rows with no
+    distributional assumption. α = 0.1.
+
+    Exactness: β is micro-snapped from exact DECIMAL train moments
+    (the ols_cv_rmse machinery), so every calibration residual is an
+    exact integer in 1e-8-dollar units; q̂ is an exact ORDER STATISTIC
+    of those integers — computed with the range-bucketed distributed
+    prefix sum (`rank_stats._bucketed_cum`, never a single-task
+    window) in Spark and a row_number window in the oracle, both
+    selecting the identical integer. The empirical calibration
+    coverage (≥ 0.9 by construction) is the one rounded double.
+
+    Output (one row): n_train, n_calib, b0m/b1m/b2m (micro-dollar
+    BIGINTs), k, qhat_r8 (1e-8-dollar half-width), coverage_calib.
+    """
+    from spec_search_spark.operators.rank_stats import _bucketed_cum
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod(
+            _poly_hash(
+                F.concat(
+                    F.lit("conf:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            F.lit(CONF_SPLIT_MOD),
+        ).alias("fold"),
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("q100"),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("d100"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
+    )
+    li.createOrReplaceTempView("_conf_cents")
+    beta = spark.sql(_CONF_BETA_BODY.format(src="_conf_cents"))
+    resid = (
+        li.filter(F.col("fold") == 0)
+        .crossJoin(F.broadcast(beta))
+        .select(
+            F.abs(
+                F.col("p100") * F.lit(1000000)
+                - F.col("b0m") * F.lit(100)
+                - F.col("b1m") * F.col("q100")
+                - F.col("b2m") * F.col("d100")
+            ).alias("r8")
+        )
+    )
+    vc = resid.groupBy("r8").agg(F.count(F.lit(1)).alias("_c"))
+    counts = li.groupBy().agg(
+        F.sum(F.when(F.col("fold") != 0, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("fold") == 0, 1).otherwise(0)).alias("n_calib"),
+    )
+    kdf = counts.select(
+        "n_train",
+        "n_calib",
+        F.expr(
+            f"({CONF_COV_NUM} * (n_calib + 1) + {CONF_COV_DEN - 1})"
+            f" div {CONF_COV_DEN}"
+        ).cast("bigint").alias("k"),
+    )
+    cum = _bucketed_cum(vc, "r8", ["_c"])
+    qhat = (
+        cum.crossJoin(F.broadcast(kdf.select("k")))
+        .filter(F.col("cum__c") >= F.col("k"))
+        .groupBy()
+        .agg(F.min("r8").alias("qhat_r8"))
+    )
+    cov = (
+        vc.crossJoin(F.broadcast(qhat))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("r8") <= F.col("qhat_r8"), F.col("_c")).otherwise(0))
+            .alias("n_cov")
+        )
+    )
+    return (
+        kdf.crossJoin(F.broadcast(beta))
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_calib").cast("bigint").alias("n_calib"),
+            "b0m",
+            "b1m",
+            "b2m",
+            "k",
+            "qhat_r8",
+            F.round(F.col("n_cov").cast("double") / F.col("n_calib"), 4).alias(
+                "coverage_calib"
+            ),
+        )
+    )
+
+
+_CONF_H = _POLY_SQL.format(
+    s="'conf:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)
+
+CONFORMAL_SQL = f"""
+WITH src AS (
+  SELECT (({_CONF_H} % {CONF_SPLIT_MOD}) + {CONF_SPLIT_MOD}) % {CONF_SPLIT_MOD} AS fold,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100
+  FROM lineitem
+), beta AS ({_CONF_BETA_BODY.format(src="src")}),
+calib AS (
+  SELECT abs(p100 * 1000000 - b.b0m * 100 - b.b1m * q100 - b.b2m * d100) AS r8
+  FROM src CROSS JOIN beta b WHERE fold = 0
+),
+nn AS (
+  SELECT CAST(sum(CASE WHEN fold <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_calib
+  FROM src
+),
+kk AS (
+  SELECT n_train, n_calib,
+         CAST(({CONF_COV_NUM} * (n_calib + 1) + {CONF_COV_DEN - 1}) // {CONF_COV_DEN}
+              AS BIGINT) AS k
+  FROM nn
+),
+ranked AS (SELECT r8, row_number() OVER (ORDER BY r8) AS rn FROM calib),
+q AS (SELECT min(r8) AS qhat_r8 FROM ranked CROSS JOIN kk WHERE rn >= kk.k),
+cov AS (
+  SELECT CAST(sum(CASE WHEN r8 <= qhat_r8 THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+  FROM calib CROSS JOIN q
+)
+SELECT kk.n_train, kk.n_calib, b.b0m, b.b1m, b.b2m, kk.k,
+       CAST(q.qhat_r8 AS BIGINT) AS qhat_r8,
+       round(cov.n_cov::DOUBLE / kk.n_calib, 4) AS coverage_calib
+FROM kk CROSS JOIN beta b CROSS JOIN q CROSS JOIN cov
+"""
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
+    "conformal_interval_orders": conformal_interval_orders,
     "feature_corr_matrix": feature_corr_matrix,
     "mahalanobis_outlier_report": mahalanobis_outlier_report,
     "nb_lang_classifier": nb_lang_classifier,
@@ -1274,6 +1434,7 @@ QUERIES = {
 
 ORACLES = {
     "pca_power_iteration": PCA_SQL,
+    "conformal_interval_orders": CONFORMAL_SQL,
     "feature_corr_matrix": CORR_MATRIX_SQL,
     "mahalanobis_outlier_report": MAHALANOBIS_SQL,
     "nb_lang_classifier": NB_SQL,

@@ -107,20 +107,22 @@ def _bucketed_cum(per_v: DataFrame, val: str, counts: list[str]) -> DataFrame:
 
 
 def _bucketed_cum_by(
-    per_v: DataFrame, grp: str, val: str, counts: list[str]
+    per_v: DataFrame, grp: str | list[str], val: str, counts: list[str]
 ) -> DataFrame:
     """Group-wise variant of :func:`_bucketed_cum`: inclusive cumulative
-    sums of `counts` ordered by `val` WITHIN each `grp` — per-group
-    range buckets from a per-group bounds aggregate (≤ #groups rows,
-    broadcast), windows partitioned by (grp, bucket), per-group offset
-    tables from the same triangular self-join. No window ever spans
-    more than one bucket of one group, so per-group exact order
-    statistics parallelize even when one group holds most of the data.
+    sums of `counts` ordered by `val` WITHIN each `grp` (a column name
+    or a list of them) — per-group range buckets from a per-group
+    bounds aggregate (≤ #groups rows, broadcast), windows partitioned
+    by (grp..., bucket), per-group offset tables from the same
+    triangular self-join. No window ever spans more than one bucket of
+    one group, so per-group exact order statistics parallelize even
+    when one group holds most of the data.
     """
-    bounds = per_v.groupBy(grp).agg(
+    grps = [grp] if isinstance(grp, str) else list(grp)
+    bounds = per_v.groupBy(*grps).agg(
         F.min(val).alias("lo"), F.max(val).alias("hi")
     )
-    bucketed = per_v.join(F.broadcast(bounds), grp).withColumn(
+    bucketed = per_v.join(F.broadcast(bounds), grps).withColumn(
         "bucket",
         F.least(
             F.lit(RANK_BUCKETS - 1),
@@ -131,21 +133,24 @@ def _bucketed_cum_by(
             ).cast("bigint"),
         ),
     ).drop("lo", "hi")
-    per_bucket = bucketed.groupBy(grp, "bucket").agg(
+    per_bucket = bucketed.groupBy(*grps, "bucket").agg(
         *[F.sum(c).alias(f"b_{c}") for c in counts]
     )
     lo_side = per_bucket.select(
-        F.col(grp).alias("lg"),
+        *[F.col(g).alias(f"lg_{i}") for i, g in enumerate(grps)],
         F.col("bucket").alias("lb"),
         *[F.col(f"b_{c}").alias(f"lb_{c}") for c in counts],
     )
+    same_grp = F.lit(True)
+    for i, g in enumerate(grps):
+        same_grp = same_grp & (F.col(f"lg_{i}") == F.col(g))
     offsets = (
         per_bucket.join(
             F.broadcast(lo_side),
-            (F.col("lg") == F.col(grp)) & (F.col("lb") < F.col("bucket")),
+            same_grp & (F.col("lb") < F.col("bucket")),
             "left",
         )
-        .groupBy(grp, "bucket")
+        .groupBy(*grps, "bucket")
         .agg(
             *[
                 F.coalesce(F.sum(f"lb_{c}"), F.lit(0)).alias(f"off_{c}")
@@ -153,13 +158,13 @@ def _bucketed_cum_by(
             ]
         )
     )
-    w_loc = W.partitionBy(grp, "bucket").orderBy(val).rowsBetween(
+    w_loc = W.partitionBy(*grps, "bucket").orderBy(val).rowsBetween(
         W.unboundedPreceding, 0
     )
     out = bucketed
     for c in counts:
         out = out.withColumn(f"l_{c}", F.sum(c).over(w_loc))
-    out = out.join(F.broadcast(offsets), [grp, "bucket"])
+    out = out.join(F.broadcast(offsets), [*grps, "bucket"])
     for c in counts:
         out = out.withColumn(f"cum_{c}", F.col(f"off_{c}") + F.col(f"l_{c}"))
     return out.drop(

@@ -34,7 +34,8 @@ from spec_search_spark.functions.text import (
     token_count,
     tokens,
 )
-from spec_search_spark.session import tune
+from spec_search_spark.functions.text import STOPWORDS
+from spec_search_spark.session import spread, tune
 
 CHUNK_SIZE = 120  # scaled-down from the reference's 1000 so the ~300-char
 CHUNK_OVERLAP = 30  # test docs actually produce multi-chunk output
@@ -232,6 +233,7 @@ FROM documents
 
 
 KEEP_PCT_NUM, KEEP_PCT_DEN = 1, 5  # keep the top 1/5 per source
+QS_BUCKETS = 64  # per-source quality-range buckets for the skew-proof rank
 
 
 def stratified_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,17 +244,70 @@ def stratified_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact integer cutoff: keep rank <= ceil(count/5) per source, rank
     by (quality desc, doc_id) so ties resolve identically everywhere.
-    One shuffle on source; rank + count share the same exchange.
+
+    Skew-proof rank (r5 verdict item 4): a window partitioned only by
+    `source` serializes a giant source onto one task at 100×. Instead
+    the per-source quality range is split into {QS_BUCKETS} buckets
+    (descending: bucket 0 = best) from a ≤#sources-row broadcast
+    bounds table; row_number runs per (source, bucket) — parallel even
+    under source skew — and each bucket's exclusive offset comes from
+    a broadcast triangular self-join over the (source, bucket) count
+    table (same two-phase prefix-sum shape as rank_stats._bucketed_cum
+    and balanced_shards). Equal qualities always land in one bucket
+    (bucket is a function of quality), so the doc_id tie-break never
+    straddles a window; bucket monotonicity (q1 > q2 → bucket(q1) ≤
+    bucket(q2)) makes offset + local rank the exact global rank.
     """
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", "source", quality_score(F.col("text")).alias("quality")
     )
-    w_rank = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
-    w_cnt = Window.partitionBy("source")
+    bounds = scored.groupBy("source").agg(
+        F.min("quality").alias("lo"), F.max("quality").alias("hi")
+    )
+    bucketed = (
+        scored.join(F.broadcast(bounds), "source")
+        .withColumn(
+            "bucket",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(QS_BUCKETS - 1),
+                    (
+                        (F.col("hi") - F.col("quality"))
+                        * F.lit(QS_BUCKETS)
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("bigint"),
+                )
+            ),
+        )
+        .drop("lo", "hi")
+    )
+    per_bucket = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    lo_side = per_bucket.select(
+        F.col("source").alias("ls"),
+        F.col("bucket").alias("lb"),
+        F.col("bn").alias("lbn"),
+    )
+    offsets = (
+        per_bucket.join(
+            F.broadcast(lo_side),
+            (F.col("ls") == F.col("source")) & (F.col("lb") < F.col("bucket")),
+            "left",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.coalesce(F.sum("lbn"), F.lit(0)).alias("off"))
+    )
+    totals = per_bucket.groupBy("source").agg(F.sum("bn").alias("n_src"))
+    w_rank = Window.partitionBy("source", "bucket").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n_src", F.count(F.lit(1)).over(w_cnt))
+        bucketed.withColumn("lrn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), ["source", "bucket"])
+        .join(F.broadcast(totals), "source")
+        .withColumn("rn", F.col("off") + F.col("lrn"))
         .filter(
             F.col("rn")
             <= F.expr(f"(({KEEP_PCT_NUM}L * n_src) + {KEEP_PCT_DEN - 1}L) div {KEEP_PCT_DEN}L")
@@ -628,8 +683,123 @@ LIMIT {CHI2_TOP_K}
 """
 
 
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_TOP = 15
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010)
+    keyword phrases over the corpus — the unsupervised keyword tagger
+    a corpus-curation pipeline runs for topic faceting (the reference
+    has no text analytics at all; north-star text analysis).
+
+    Candidate phrases = maximal runs of non-stopword tokens
+    (gaps-and-islands over token positions, per-doc windows — bounded
+    by doc length, never corpus-sized). Word stats are global:
+    freq(w) = occurrences inside candidate phrases, deg(w) = Σ phrase
+    length over phrases containing w. Phrase score is the RATIO-OF-
+    SUMS variant Σ_w deg(w) / Σ_w freq(w) (not the paper's sum of
+    per-word ratios — a float sum whose order differs across engines;
+    the ratio of two exact integer sums is ONE fixed-arity IEEE
+    division, identical everywhere, and preserves the deg/freq
+    "prefer words that live in long phrases" signal).
+
+    Scale: tokenposition explode → per-doc island windows → vocab-
+    sized stats agg (broadcast back) → (doc, island)-keyed phrase agg
+    → phrase-keyed count. Every shuffle key is bounded (doc, vocab,
+    phrase); no quadratic path. Output: top {RAKE_TOP} phrases by
+    (score desc, n desc, phrase).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok"))
+        .select(
+            "doc_id",
+            "i",
+            F.regexp_replace(F.lower(F.col("tok")), "[^a-z0-9]", "").alias("word"),
+        )
+    )
+    kept = toks.filter(
+        (F.col("word") != "") & ~F.col("word").isin(*STOPWORDS)
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("i")
+    isl = kept.withColumn("grp", F.col("i") - F.row_number().over(w_pos))
+    w_phr = Window.partitionBy("doc_id", "grp")
+    members = isl.withColumn("plen", F.count(F.lit(1)).over(w_phr))
+    stats = members.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phrases = (
+        members.join(stats, "word")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("phrase"),
+            F.sum("deg").alias("sum_deg"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.round(F.col("sum_deg").cast("double") / F.col("sum_freq"), 4)
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n"), "phrase")
+        .limit(RAKE_TOP)
+    )
+
+
+def _rake_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i,
+         regexp_replace(lower(toks[i]), '[^a-z0-9]', '', 'g') AS word
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents) t,
+       LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, i, word,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM toks WHERE word <> '' AND word NOT IN ({stoplist})
+),
+members AS (
+  SELECT doc_id, grp, i, word,
+         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM kept
+),
+stats AS (SELECT word, count(*) AS freq, sum(plen) AS deg FROM members GROUP BY word),
+phrases AS (
+  SELECT m.doc_id, m.grp,
+         string_agg(m.word, ' ' ORDER BY m.i) AS phrase,
+         sum(s.deg) AS sum_deg, sum(s.freq) AS sum_freq
+  FROM members m JOIN stats s ON s.word = m.word
+  GROUP BY m.doc_id, m.grp
+)
+SELECT phrase, count(*) AS n,
+       max(round(sum_deg::DOUBLE / sum_freq, 4)) AS score
+FROM phrases GROUP BY phrase
+ORDER BY score DESC, n DESC, phrase LIMIT {RAKE_TOP}
+"""
+
+
 QUERIES = {
     "chunk_fixed": chunk_fixed,
+    "rake_keywords": rake_keywords,
     "chi2_token_selection": chi2_token_selection,
     "collocation_pmi": collocation_pmi,
     "chunk_recursive": chunk_recursive_check,
@@ -654,6 +824,7 @@ ORACLES = {
     "lang_id_confusion": LANG_CONFUSION_SQL,
     "quality_scores": QUALITY_SQL,
     "stratified_quality_sample": STRATIFIED_SAMPLE_SQL,
+    "rake_keywords": _rake_sql(),
     "doc_fingerprints": FINGERPRINT_SQL,
     "bpe_pair_merges": BPE_PAIRS_SQL,
     "bpe_apply_first_merge": _bpe_apply_sql(),

@@ -221,21 +221,28 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # snapshot diff: fingerprint-only full-outer join (8-byte payload,
     # SMJ — Spark has no broadcast full-outer), partial+final counts
     ("corpus_diff", ["FullOuter", "partial_count"], ["CartesianProduct"]),
-    # stratified gate: rank + count share ONE source exchange; never a
-    # global sort
+    # stratified gate: skew-proof rank — row_number windows partition
+    # by (source, bucket) with broadcast bounds/offset/total joins;
+    # never a source-only window (one giant source = one task) and
+    # never a global sort
     ("stratified_quality_sample",
-     ["hashpartitioning(source", "Window"],
+     ["hashpartitioning(source", "Window", "BroadcastHashJoin"],
      ["Exchange rangepartitioning", "CartesianProduct"]),
     # equi-depth histogram: one 9-element cut broadcast; the scan never
-    # shuffles for classification — only the 10-group count exchanges
+    # shuffles for classification — only the 10-group count exchanges.
+    # The rank walk's cumulative window must partition by the range
+    # bucket (rank_stats._bucketed_cum), never the lit(1) single-task
+    # spec (hashpartitioning(1,) — the r5 `weak` mark
     ("equi_depth_histogram",
-     ["partial_count", "partial_min"],
-     ["Exchange rangepartitioning", "SortMergeJoin", "partial_percentile("]),
+     ["partial_count", "partial_min", "hashpartitioning(bucket"],
+     ["Exchange rangepartitioning", "SortMergeJoin", "partial_percentile(",
+      "hashpartitioning(1,"]),
     # exact percentile WITHOUT the single-state buffer: rank walk is
-    # partial+final aggregates + a distinct-value-sized window
+    # partial+final aggregates + (group, bucket)-partitioned windows
     ("percentiles_distributed",
-     ["partial_count", "partial_sum"],
-     ["partial_percentile(", "ObjectHashAggregate", "CartesianProduct"]),
+     ["partial_count", "partial_sum", "hashpartitioning(l_returnflag"],
+     ["partial_percentile(", "ObjectHashAggregate", "CartesianProduct",
+      "hashpartitioning(1,"]),
     # approx quantile twins: the sketch aggregates partially (bounded
     # mergeable KLL state, partial+final); the exact percentile's
     # full-column single-state buffer must never appear in these plans
@@ -295,12 +302,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # percentile buffer anywhere
     ("winsorized_stats",
      ["partial_count", "BroadcastHashJoin"],
-     ["partial_percentile(", "CartesianProduct"]),
+     ["partial_percentile(", "CartesianProduct", "hashpartitioning(1,"]),
     # MAD outliers: two chained rank walks, still distinct-value-sized
     # state only
     ("robust_outlier_report",
      ["partial_count", "BroadcastHashJoin"],
-     ["partial_percentile(", "CartesianProduct"]),
+     ["partial_percentile(", "CartesianProduct", "hashpartitioning(1,"]),
     # span dedup: duplicate detection is a partial+final agg on the
     # 8-byte window fingerprint; the merge is a per-doc window — never
     # a quadratic pair path
