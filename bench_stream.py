@@ -70,19 +70,28 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "streaming_drain_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "run_policy": f"min_of_{n_runs}_exclusive_machine",
-                "spread_max_minus_min": spreads,
-            }
-        )
-    )
+    record = {
+        "metric": "streaming_drain_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "run_policy": f"min_of_{n_runs}_exclusive_machine",
+        "spread_max_minus_min": spreads,
+    }
+    # file-backed beside BENCH_FULL (same round inference as bench.py):
+    # the ledger the next round diffs for twin state-size regressions
+    from bench import _previous_round
+
+    _, _, this_round = _previous_round()
+    here = os.path.dirname(os.path.abspath(__file__))
+    if sf_val == 0.1:
+        name = f"BENCH_STREAM_r{this_round:02d}.json"
+    else:
+        name = f"BENCH_STREAM_dev_sf{sf_val}.json"
+    with open(os.path.join(here, name), "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(json.dumps(record, separators=(",", ":")))
 
 
 if __name__ == "__main__":

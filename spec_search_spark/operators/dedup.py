@@ -61,23 +61,34 @@ SIMHASH_BANDS = 4  # 15 bits per band; lossless for hamming < 4 (pigeonhole)
 
 # --- shared shingle machinery ----------------------------------------------
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """persist(MEMORY_AND_DISK) + force computation NOW. A lazily-
-    cached DF feeding both sides of a self-join gets computed
-    concurrently by both branches (per-partition block races) —
-    materializing first guarantees the expensive upstream (hash udf,
-    signature agg) runs exactly once.
+def _materialize(df: DataFrame, durable: bool = False) -> DataFrame:
+    """persist + force computation NOW. A lazily-cached DF feeding both
+    sides of a self-join gets computed concurrently by both branches
+    (per-partition block races) — materializing first guarantees the
+    expensive upstream (hash udf, signature agg) runs exactly once.
 
-    MEMORY_AND_DISK (not the MEMORY_ONLY default of `.cache()`): under
-    concurrent memory pressure an evicted MEMORY_ONLY block is
-    silently RECOMPUTED through the full upstream plan on every
-    downstream access — the r5 bench-ledger poisoning, where eviction
-    turned a cached value-count read back into the slowest path for
-    all N bench repetitions. With disk spill an evicted block degrades
-    to a local disk read: a cache miss costs I/O, not a replan."""
+    Two storage policies, chosen by LIFETIME:
+
+    * ``durable=True`` — session-memoized artifacts (hashed postings,
+      span-hit tables) that many later queries re-read: persist
+      MEMORY_AND_DISK. Under memory pressure an evicted MEMORY_ONLY
+      block is silently RECOMPUTED through the full upstream plan on
+      every later access — the r5 bench-ledger poisoning, where
+      eviction turned a cached value-count read back into the slowest
+      path for all N repetitions. With disk spill a miss costs one
+      local read, not a replan.
+    * default (transient) — per-query intermediates that are dead the
+      moment their query finishes: MEMORY_ONLY. Giving these disk
+      residency would make every storage-pool eviction a disk WRITE
+      of bytes nobody will read again — measured as a sustained
+      multi-query slowdown window late in the 157-slot bench, where
+      hundreds of transient persists accumulate; dropping a dead
+      transient must stay free."""
     from pyspark.storagelevel import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(
+        StorageLevel.MEMORY_AND_DISK if durable else StorageLevel.MEMORY_ONLY
+    )
     df.count()
     return df
 
@@ -217,12 +228,15 @@ def hashed_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _HASHED_POSTINGS:
         p = shingle_postings(spark, sf_dir)
         vocab = _materialize(
-            p.select("shingle").distinct().withColumn("h", _poly_hash(F.col("shingle")))
+            p.select("shingle").distinct().withColumn("h", _poly_hash(F.col("shingle"))),
+            durable=True,
         )
         join_vocab = (
             F.broadcast(vocab) if vocab.count() <= BROADCAST_VOCAB_MAX else vocab
         )
-        _HASHED_POSTINGS[key] = _materialize(p.join(join_vocab, "shingle"))
+        _HASHED_POSTINGS[key] = _materialize(
+            p.join(join_vocab, "shingle"), durable=True
+        )
     return _HASHED_POSTINGS[key]
 
 

@@ -1376,8 +1376,222 @@ SELECT i, x FROM withb WHERE bkt = 0 OR bkt = {LTTB_BUCKETS + 1}
 """
 
 
+# --- group-sequential SPRT (hourly looks) ----------------------------------
+
+import math  # noqa: E402  (stdlib; constants snapped at import, below)
+
+SPRT_P0 = 0.18  # H0 conversion rate (purchase share of all events)
+SPRT_P1 = 0.22  # H1 conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+#: micro-nat-snapped LLR increments and Wald boundaries — computed ONCE
+#: here and embedded as integer literals in BOTH the Spark expression and
+#: the oracle SQL, so the walk is pure BIGINT in both engines (FIXTURES
+#: rule 5: transcendentals only at fixed arity, snapped before any sum).
+#: Micro (1e6), not nano: K·A must fit int64 even at 100 TB trial counts
+#: (1e12 trials × 2e5 ≈ 2e17 < 2^63; nano would overflow at ~5e10).
+SPRT_A_N = round(math.log(SPRT_P1 / SPRT_P0) * 1e6)  # per conversion
+SPRT_B_N = round(math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e6)  # per miss
+SPRT_UP_N = round(math.log((1 - SPRT_BETA) / SPRT_ALPHA) * 1e6)
+SPRT_LO_N = round(math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * 1e6)
+
+
+def sprt_conversion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT on the purchase-conversion rate with HOURLY looks —
+    the early-stopping sequential A/B monitor (group-sequential at the
+    hour boundary: decisions are made when a batch lands, the
+    production shape) for H0: p={SPRT_P0} vs H1: p={SPRT_P1} at
+    α=β=0.05. One row: totals, the first boundary crossing (hour +
+    which boundary), and the final log-likelihood ratio.
+
+    Exact shape: the stream collapses to the BOUNDED per-hour
+    (trials, conversions) table first; the LLR walk is
+    LLR_t = A·K_t + B·(N_t−K_t) with A/B/boundaries pre-snapped
+    integer micro-nats, so the cumulative walk, the crossing scan, and
+    the decision are pure BIGINT comparisons — order-independent and
+    identical in both engines. The only window runs over the ≤#hours
+    grid (bounded by the observation window, never data volume)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        (F.col("event_type") == "purchase").alias("conv"),
+    )
+    per_h = ev.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("k"),
+    )
+    w = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_h.select(
+        "h",
+        F.sum("n").over(w).alias("nn"),
+        F.sum("k").over(w).alias("kk"),
+    ).select(
+        "h",
+        (
+            F.col("kk") * F.lit(SPRT_A_N)
+            + (F.col("nn") - F.col("kk")) * F.lit(SPRT_B_N)
+        ).alias("llr"),
+    )
+    crossed = cum.select(
+        "h",
+        F.when(F.col("llr") >= SPRT_UP_N, 1)
+        .when(F.col("llr") <= SPRT_LO_N, -1)
+        .otherwise(0)
+        .alias("flag"),
+    ).filter(F.col("flag") != 0)
+    first = crossed.groupBy().agg(
+        F.min(F.struct("h", "flag")).alias("m")
+    )
+    tot = per_h.groupBy().agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("n_trials"),
+        F.sum("k").alias("k_conv"),
+    )
+    return tot.crossJoin(F.broadcast(first)).select(
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("n_trials").cast("bigint").alias("n_trials"),
+        F.col("k_conv").cast("bigint").alias("k_conv"),
+        F.when(F.col("m").isNull(), "continue")
+        .when(F.col("m.flag") == 1, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        F.expr("cast(cast(m.h as long) div 3600 as bigint)").alias(
+            "cross_epoch_hour"
+        ),
+        (
+            F.col("k_conv") * F.lit(SPRT_A_N)
+            + (F.col("n_trials") - F.col("k_conv")) * F.lit(SPRT_B_N)
+        ).cast("bigint").alias("llr_final_micro"),
+    )
+
+
+SPRT_SQL = f"""
+WITH per_h AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT h,
+         sum(k) OVER (ORDER BY h) * {SPRT_A_N}
+         + (sum(n) OVER (ORDER BY h) - sum(k) OVER (ORDER BY h))
+           * {SPRT_B_N} AS llr
+  FROM per_h
+), crossed AS (
+  SELECT h, CASE WHEN llr >= {SPRT_UP_N} THEN 1
+                 WHEN llr <= {SPRT_LO_N} THEN -1 ELSE 0 END AS flag
+  FROM cum
+), first AS (
+  SELECT (SELECT struct_pack(h := h, flag := flag)
+          FROM crossed WHERE flag <> 0 ORDER BY h LIMIT 1) AS m
+), tot AS (
+  SELECT count(*) AS n_hours, sum(n) AS n_trials, sum(k) AS k_conv
+  FROM per_h
+)
+SELECT CAST(t.n_hours AS BIGINT) AS n_hours,
+       CAST(t.n_trials AS BIGINT) AS n_trials,
+       CAST(t.k_conv AS BIGINT) AS k_conv,
+       CASE WHEN f.m IS NULL THEN 'continue'
+            WHEN f.m.flag = 1 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(epoch(f.m.h) // 3600 AS BIGINT) AS cross_epoch_hour,
+       CAST(t.k_conv * {SPRT_A_N}
+            + (t.n_trials - t.k_conv) * {SPRT_B_N} AS BIGINT)
+         AS llr_final_micro
+FROM tot t CROSS JOIN first f
+"""
+
+
+# --- classical seasonal decomposition (hourly, period 24) -------------------
+
+SEAS_PERIOD = 24
+
+
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the gap-filled
+    hourly value series (period {SEAS_PERIOD}): trend = centered 24h
+    moving average, seasonal index s(hod) = mean detrended value per
+    hour-of-day — the decomposition a monitoring stack runs before
+    alerting on "down vs yesterday" (statsmodels seasonal_decompose
+    shape). 24 rows: (hod, n_obs, seasonal dollars 6dp).
+
+    Exact shape: everything lives on the BOUNDED hour grid. The
+    centered even-period MA (half-weight ends) is computed ×48 so it
+    stays integer: T2_t = x_{{t−12}} + 2·Σ_{{|j|<12}} x_{{t+j}} +
+    x_{{t+12}}, built by a CONTRIBUTION EXPLODE (each grid hour sends
+    w_j·x to t = i−j over a 25-row broadcast offset table — the
+    rolling-DAU pattern, never a per-frame rescan); only hours whose
+    weight mass is the full 48 keep a trend (exact interior test).
+    Detrended d_t = 48·x_t − T2_t is integer cents×48; the per-hod
+    mean is one exact integer sum / (48·cnt·100), snapped to 6dp."""
+    tune(spark)
+    filled = _hourly_filled(spark, sf_dir).select(
+        F.expr("cast(cast(h as long) div 3600 as bigint)").alias("i"), "x"
+    )
+    offs = spark.range(-(SEAS_PERIOD // 2), SEAS_PERIOD // 2 + 1).select(
+        F.col("id").alias("j"),
+        F.when(F.abs("id") == SEAS_PERIOD // 2, 1).otherwise(2).alias("w"),
+    )
+    t2 = (
+        filled.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("i") - F.col("j")).alias("t"),
+            (F.col("x") * F.col("w")).alias("c"),
+            "w",
+        )
+        .groupBy("t")
+        .agg(F.sum("c").alias("t2"), F.sum("w").alias("wsum"))
+        .filter(F.col("wsum") == 2 * SEAS_PERIOD)
+    )
+    d = filled.join(t2, filled["i"] == t2["t"]).select(
+        F.pmod(F.col("t"), F.lit(SEAS_PERIOD)).cast("bigint").alias("hod"),
+        (F.lit(2 * SEAS_PERIOD) * F.col("x") - F.col("t2")).alias("d"),
+    )
+    return (
+        d.groupBy("hod")
+        .agg(F.sum("d").alias("sd"), F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "hod",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.expr(
+                f"cast(round(sd / ({2 * SEAS_PERIOD}.0 * n_obs * 100) * 1e6)"
+                " as bigint) / 1e6"
+            ).alias("seasonal_dollars"),
+        )
+        .orderBy("hod")
+    )
+
+
+SEASONAL_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+idx AS (
+  SELECT CAST(epoch(h) // 3600 AS BIGINT) AS i, CAST(x AS BIGINT) AS x
+  FROM filled
+),
+offs AS (
+  SELECT j, CASE WHEN abs(j) = {SEAS_PERIOD // 2} THEN 1 ELSE 2 END AS w
+  FROM (SELECT unnest(range(-{SEAS_PERIOD // 2}, {SEAS_PERIOD // 2 + 1})) AS j)
+),
+t2 AS (
+  SELECT i.i - o.j AS t, sum(i.x * o.w) AS t2, sum(o.w) AS wsum
+  FROM idx i CROSS JOIN offs o
+  GROUP BY 1 HAVING sum(o.w) = {2 * SEAS_PERIOD}
+),
+d AS (
+  SELECT ((t2.t % {SEAS_PERIOD}) + {SEAS_PERIOD}) % {SEAS_PERIOD} AS hod,
+         {2 * SEAS_PERIOD} * i.x - t2.t2 AS d
+  FROM idx i JOIN t2 ON t2.t = i.i
+)
+SELECT CAST(hod AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(round(sum(d) / ({2 * SEAS_PERIOD}.0 * count(*) * 100) * 1e6)
+            AS BIGINT) / 1e6 AS seasonal_dollars
+FROM d GROUP BY hod ORDER BY hod
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
+    "sprt_conversion_hourly": sprt_conversion_hourly,
+    "seasonal_decompose_hourly": seasonal_decompose_hourly,
     "holt_forecast_hourly": holt_forecast_hourly,
     "holt_backtest_mase": holt_backtest_mase,
     "lttb_downsample_hourly": lttb_downsample_hourly,
@@ -1394,6 +1608,8 @@ QUERIES = {
 
 ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
+    "sprt_conversion_hourly": SPRT_SQL,
+    "seasonal_decompose_hourly": SEASONAL_SQL,
     "holt_forecast_hourly": HOLT_SQL,
     "holt_backtest_mase": HOLT_BACKTEST_SQL,
     "lttb_downsample_hourly": LTTB_SQL,

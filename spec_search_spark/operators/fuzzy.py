@@ -244,12 +244,191 @@ FROM clustered c JOIN vocab v USING (name)
 """
 
 
+# --- Fellegi-Sunter probabilistic linkage scoring ---------------------------
+
+FS_FIELDS = ("p_brand", "p_type", "p_size")
+
+#: shared Laplace-smoothed log2 weight from four integer counts —
+#: identical SQL text in both engines, snapped to integer micro-bits.
+_FS_W = (
+    "cast(round(log2(((CAST({mn} AS DOUBLE) + 1) / (m_den + 2))"
+    " / ((CAST({un} AS DOUBLE) + 1) / (u_den + 2))) * 1e6) as bigint)"
+)
+
+
+def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the fuzzy-name
+    candidate blocks: every record pair whose names are within
+    EDIT_D edits is scored by the agreement PATTERN of
+    (brand, type, size), with match/unmatch weights log2(m/u)
+    estimated from the data itself — m from the same-name "duplicate
+    proxy" pairs, u from random pairs — the Splink/RecordLinkage
+    model this engine's entity_resolution clusters feed into. Output:
+    ≤2³ rows, one per agreement pattern γ, with exact pair counts and
+    the pattern's total log2 match weight.
+
+    Every probability is an EXACT integer ratio computed without
+    enumerating any pair: u_f's agreement count is Σ_v C(c_v,2) over
+    the field's value counts (vocabulary-sized state), m_f's is
+    Σ_(name,v) C(c,2) over per-name value counts vs Σ_name C(n,2)
+    total (group-sized state); C(·,2) sums accumulate in
+    DECIMAL(38,0) so they cannot overflow at any corpus size. The
+    4 weights/field come from ONE broadcast row via shared SQL text
+    (fixed-arity log2, Laplace-smoothed so a degenerate field never
+    yields ±inf, snapped to micro-bits); the only data-sized work is
+    the blocked pair join, collapsed map-side onto the ≤8 patterns."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name"), *FS_FIELDS
+    )
+    c2 = "cast(c * (c - 1) as decimal(38,0)) / 2"
+    # u: random-pair agreement per field, from global value counts
+    u_parts = []
+    for f in FS_FIELDS:
+        vc = part.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        u_parts.append(
+            vc.selectExpr(f"sum({c2}) AS u_{f}")
+        )
+    n_tot = part.groupBy().agg(F.count(F.lit(1)).alias("c")).selectExpr(
+        f"{c2} AS u_den"
+    )
+    # m: same-name duplicate-proxy agreement per field
+    grp = part.groupBy("name").agg(F.count(F.lit(1)).alias("c"))
+    m_den = grp.selectExpr(f"sum({c2}) AS m_den")
+    m_parts = []
+    for f in FS_FIELDS:
+        gv = part.groupBy("name", f).agg(F.count(F.lit(1)).alias("c"))
+        m_parts.append(gv.selectExpr(f"sum({c2}) AS m_{f}"))
+    stats = n_tot
+    for d in (*u_parts, m_den, *m_parts):
+        stats = stats.crossJoin(F.broadcast(d))
+    weights = stats.selectExpr(
+        *[
+            _FS_W.format(mn=f"m_{f}", un=f"u_{f}") + f" AS wa_{f}"
+            for f in FS_FIELDS
+        ],
+        *[
+            _FS_W.format(mn=f"(m_den - m_{f})", un=f"(u_den - u_{f})")
+            + f" AS wd_{f}"
+            for f in FS_FIELDS
+        ],
+    )
+    cand = fuzzy_name_pairs(spark, sf_dir).select("name1", "name2")
+    a = part.select(
+        F.col("name").alias("name1"),
+        *[F.col(f).alias(f"a_{f}") for f in FS_FIELDS],
+    )
+    b = part.select(
+        F.col("name").alias("name2"),
+        *[F.col(f).alias(f"b_{f}") for f in FS_FIELDS],
+    )
+    patterns = (
+        cand.join(a, "name1")
+        .join(b, "name2")
+        .select(
+            *[
+                (F.col(f"a_{f}") == F.col(f"b_{f}"))
+                .cast("int")
+                .alias(f"agree_{f}")
+                for f in FS_FIELDS
+            ]
+        )
+        .groupBy(*[f"agree_{f}" for f in FS_FIELDS])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    score = " + ".join(
+        f"(CASE WHEN agree_{f} = 1 THEN wa_{f} ELSE wd_{f} END)"
+        for f in FS_FIELDS
+    )
+    return (
+        patterns.crossJoin(F.broadcast(weights))
+        .selectExpr(
+            *[f"agree_{f}" for f in FS_FIELDS],
+            "cast(n_pairs as bigint) AS n_pairs",
+            f"cast({score} as bigint) / 1e6 AS score_bits",
+        )
+        .orderBy(*[f"agree_{f}" for f in FS_FIELDS])
+    )
+
+
+def _fs_sql() -> str:
+    c2 = "CAST(c * (c - 1) AS DECIMAL(38,0)) / 2"
+    u_ctes = ",\n".join(
+        f"u_{f} AS (SELECT sum({c2}) AS u_{f} FROM"
+        f" (SELECT count(*) AS c FROM part GROUP BY {f}))"
+        for f in FS_FIELDS
+    )
+    m_ctes = ",\n".join(
+        f"m_{f} AS (SELECT sum({c2}) AS m_{f} FROM"
+        f" (SELECT count(*) AS c FROM part GROUP BY p_name, {f}))"
+        for f in FS_FIELDS
+    )
+    wa = ",\n       ".join(
+        _FS_W.format(mn=f"m_{f}", un=f"u_{f}") + f" AS wa_{f}"
+        for f in FS_FIELDS
+    )
+    wd = ",\n       ".join(
+        _FS_W.format(mn=f"(m_den - m_{f})", un=f"(u_den - u_{f})")
+        + f" AS wd_{f}"
+        for f in FS_FIELDS
+    )
+    agree = ", ".join(
+        f"CAST(pa.{f} = pb.{f} AS INT) AS agree_{f}" for f in FS_FIELDS
+    )
+    score = " + ".join(
+        f"(CASE WHEN agree_{f} = 1 THEN wa_{f} ELSE wd_{f} END)"
+        for f in FS_FIELDS
+    )
+    keys = ", ".join(f"agree_{f}" for f in FS_FIELDS)
+    return f"""
+WITH u_den AS (SELECT {c2} AS u_den FROM (SELECT count(*) AS c FROM part)),
+{u_ctes},
+m_den AS (SELECT sum({c2}) AS m_den FROM
+  (SELECT count(*) AS c FROM part GROUP BY p_name)),
+{m_ctes},
+stats AS (
+  SELECT * FROM u_den
+  CROSS JOIN u_{FS_FIELDS[0]} CROSS JOIN u_{FS_FIELDS[1]}
+  CROSS JOIN u_{FS_FIELDS[2]} CROSS JOIN m_den
+  CROSS JOIN m_{FS_FIELDS[0]} CROSS JOIN m_{FS_FIELDS[1]}
+  CROSS JOIN m_{FS_FIELDS[2]}
+),
+weights AS (
+  SELECT {wa},
+       {wd}
+  FROM stats
+),
+vocab AS (SELECT DISTINCT p_name AS name FROM part),
+cand AS (
+  SELECT a.name AS name1, b.name AS name2
+  FROM vocab a JOIN vocab b
+    ON a.name < b.name
+   AND abs(length(a.name) - length(b.name)) <= {EDIT_D}
+   AND levenshtein(a.name, b.name) <= {EDIT_D}
+),
+patterns AS (
+  SELECT {keys}, count(*) AS n_pairs FROM (
+    SELECT {agree}
+    FROM cand c
+    JOIN part pa ON pa.p_name = c.name1
+    JOIN part pb ON pb.p_name = c.name2
+  ) GROUP BY {keys}
+)
+SELECT {keys}, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST({score} AS BIGINT) / 1e6 AS score_bits
+FROM patterns CROSS JOIN weights
+ORDER BY {keys}
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "fs_linkage_scores": fs_linkage_scores,
     "entity_resolution": entity_resolution,
 }
 
 ORACLES = {
     "fuzzy_name_pairs": FUZZY_SQL,
+    "fs_linkage_scores": _fs_sql(),
     "entity_resolution": ER_SQL,
 }

@@ -1419,8 +1419,99 @@ FROM kk CROSS JOIN beta b CROSS JOIN q CROSS JOIN cov
 """
 
 
+# --------------------------------------------------------------------------
+# Walk-forward (expanding-window) time-series CV splits
+# --------------------------------------------------------------------------
+
+WF_TEST_YEARS = (1998, 1999, 2000, 2001)  # orders span 1995..2001
+
+
+def walk_forward_cv_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window walk-forward CV over `orders` by order YEAR —
+    the only split shape that is leakage-free for forecasting models
+    (train always strictly precedes test; sklearn TimeSeriesSplit
+    shape): fold i trains on every year < {WF_TEST_YEARS}[i] and
+    tests on that single year. One row per fold: boundaries, exact
+    row counts, and the train/test mean order value (2dp — money
+    rounded to its own input grid, FIXTURES rule 4).
+
+    Exact shape: ONE partial+final aggregation collapses orders to the
+    per-year (n, cents) table (≤ #years rows, bounded by the calendar
+    not data volume); every fold's counts and sums come from a
+    broadcast triangular join over that bounded table — the raw table
+    is scanned exactly once for all folds, never once per fold (the
+    ols_cv_rmse total−fold discipline applied to time)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    per_y = o.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")
+    )
+    folds = spark.createDataFrame(
+        [(i + 1, y) for i, y in enumerate(WF_TEST_YEARS)], "fold int, ty int"
+    )
+    j = folds.join(F.broadcast(per_y), F.col("y") <= F.col("ty"))
+    agg = j.groupBy("fold", "ty").agg(
+        F.sum(F.when(F.col("y") < F.col("ty"), F.col("n")).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("y") < F.col("ty"), F.col("sc")).otherwise(0)).alias(
+            "sc_train"
+        ),
+        F.sum(F.when(F.col("y") == F.col("ty"), F.col("n")).otherwise(0)).alias(
+            "n_test"
+        ),
+        F.sum(F.when(F.col("y") == F.col("ty"), F.col("sc")).otherwise(0)).alias(
+            "sc_test"
+        ),
+    )
+    return agg.selectExpr(
+        "fold",
+        "ty AS test_year",
+        "cast(n_train as bigint) AS n_train",
+        "cast(n_test as bigint) AS n_test",
+        "cast(round(sc_train / (n_train * 1.0)) as bigint) / 1e2"
+        " AS train_avg_price",
+        "cast(round(sc_test / (n_test * 1.0)) as bigint) / 1e2"
+        " AS test_avg_price",
+    ).orderBy("fold")
+
+
+_WF_VALUES = ", ".join(
+    f"({i + 1}, {y})" for i, y in enumerate(WF_TEST_YEARS)
+)
+
+WALK_FORWARD_SQL = f"""
+WITH per_y AS (
+  SELECT year(o_orderdate) AS y, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+  FROM orders GROUP BY 1
+), folds(fold, ty) AS (VALUES {_WF_VALUES}),
+agg AS (
+  SELECT fold, ty,
+         sum(CASE WHEN y < ty THEN n ELSE 0 END) AS n_train,
+         sum(CASE WHEN y < ty THEN sc ELSE 0 END) AS sc_train,
+         sum(CASE WHEN y = ty THEN n ELSE 0 END) AS n_test,
+         sum(CASE WHEN y = ty THEN sc ELSE 0 END) AS sc_test
+  FROM folds JOIN per_y ON y <= ty
+  GROUP BY fold, ty
+)
+SELECT fold, ty AS test_year,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(round(sc_train / (n_train * 1.0)) AS BIGINT) / 1e2
+         AS train_avg_price,
+       CAST(round(sc_test / (n_test * 1.0)) AS BIGINT) / 1e2
+         AS test_avg_price
+FROM agg ORDER BY fold
+"""
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
+    "walk_forward_cv_splits": walk_forward_cv_splits,
     "conformal_interval_orders": conformal_interval_orders,
     "feature_corr_matrix": feature_corr_matrix,
     "mahalanobis_outlier_report": mahalanobis_outlier_report,
@@ -1434,6 +1525,7 @@ QUERIES = {
 
 ORACLES = {
     "pca_power_iteration": PCA_SQL,
+    "walk_forward_cv_splits": WALK_FORWARD_SQL,
     "conformal_interval_orders": CONFORMAL_SQL,
     "feature_corr_matrix": CORR_MATRIX_SQL,
     "mahalanobis_outlier_report": MAHALANOBIS_SQL,

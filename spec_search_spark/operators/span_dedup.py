@@ -119,7 +119,9 @@ def _window_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spec_search_spark.operators.dedup import _materialize
 
-    hits = _materialize(wins.join(dup, "wh").select("doc_id", "pos"))
+    hits = _materialize(
+        wins.join(dup, "wh").select("doc_id", "pos"), durable=True
+    )
     prune_memo(_HITS_MEMO, memo_key[0])
     _HITS_MEMO[memo_key] = hits
     return hits

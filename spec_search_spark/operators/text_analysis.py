@@ -797,8 +797,200 @@ ORDER BY score DESC, n DESC, phrase LIMIT {RAKE_TOP}
 """
 
 
+# --- mutual-information token ranking (feature selection) -------------------
+
+MI_TOP_K = 20
+
+#: shared dialect-portable cell term: (n/N)·log2(n·N/(r·c)), 0 on an
+#: empty cell — the SAME text feeds Spark selectExpr and the oracle, so
+#: both engines evaluate the identical fixed-arity IEEE tree per token.
+_MI_CELL = (
+    "(CASE WHEN {n} > 0 THEN (CAST({n} AS DOUBLE) / nn)"
+    " * log2(CAST({n} AS DOUBLE) * nn / (CAST({r} AS DOUBLE) * {c}))"
+    " ELSE 0.0 END)"
+)
+_MI_EXPR = (
+    "cast(round(("
+    + " + ".join(
+        _MI_CELL.format(n=n, r=r, c=c)
+        for n, r, c in [
+            ("a", "a + b", "n_en"),
+            ("b", "a + b", "n_ot"),
+            ("n_en - a", "nn - a - b", "n_en"),
+            ("n_ot - b", "nn - a - b", "n_ot"),
+        ]
+    )
+    + ") * 1e6) as bigint) / 1e6"
+)
+
+
+def mutual_info_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(token-presence; is-English) per token, top
+    {MI_TOP_K} — the information-gain sibling of
+    `chi2_token_selection` (scikit-learn mutual_info_classif /
+    decision-tree split-gain shape): unlike χ², MI is in bits and
+    directly comparable across vocabularies, the number a curation
+    pipeline thresholds when pruning label-leaking tokens.
+
+    The 2×2 contingency is the SAME four exact integer counts as χ²
+    (doc-distinct presence explode → one vocabulary-sized partial+final
+    count pass; one-row margins broadcast back); each of the four cell
+    terms (n/N)·log2(n·N/(r·c)) is a fixed-arity double expression
+    over those integers evaluated from shared SQL text, summed at
+    fixed arity (4 terms, never a data-sized float sum) and snapped to
+    6dp. Ties break on token. Same scale shape as χ²: no corpus-side
+    join, no window, TakeOrdered top-K."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    pres = docs.select(
+        (F.col("lang") == "en").alias("en"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    per_tok = pres.groupBy("tok").agg(
+        F.sum(F.when(F.col("en"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("en"), 0).otherwise(1)).alias("b"),
+    )
+    marg = docs.groupBy().agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("n_ot"),
+    ).selectExpr("n_en", "n_ot", "n_en + n_ot AS nn")
+    return (
+        per_tok.filter(F.col("a") + F.col("b") >= CHI2_MIN_DF)
+        .crossJoin(F.broadcast(marg))
+        .selectExpr(
+            "tok",
+            "a AS n_en_docs",
+            "b AS n_other_docs",
+            f"{_MI_EXPR} AS mi_bits",
+        )
+        .orderBy(F.desc("mi_bits"), F.asc("tok"))
+        .limit(MI_TOP_K)
+    )
+
+
+MI_SQL = f"""
+WITH d AS (SELECT lang, text FROM documents WHERE trim(text) <> ''),
+pres AS (
+  SELECT lang = 'en' AS en, unnest(list_distinct(
+           regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM d
+), per_tok AS (
+  SELECT tok,
+         sum(CASE WHEN en THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN en THEN 0 ELSE 1 END) AS b
+  FROM pres GROUP BY tok
+), marg AS (
+  SELECT n_en, n_ot, n_en + n_ot AS nn FROM (
+    SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+           sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_ot
+    FROM d)
+)
+SELECT tok, CAST(a AS BIGINT) AS n_en_docs, CAST(b AS BIGINT) AS n_other_docs,
+       {_MI_EXPR} AS mi_bits
+FROM per_tok CROSS JOIN marg
+WHERE a + b >= {CHI2_MIN_DF}
+ORDER BY mi_bits DESC, tok ASC
+LIMIT {MI_TOP_K}
+"""
+
+
+# --- Jensen-Shannon divergence between language token distributions ---------
+
+JSD_SCALE = 1_000_000_000  # per-token terms as integer nano-bits
+
+#: shared per-token JSD term over (c_a, c_b, n_a, n_b): ½·p·log2(p/m) +
+#: ½·q·log2(q/m) with m = (p+q)/2, zero-count branches dropped exactly.
+_JSD_TERM = (
+    "0.5 * ((CASE WHEN c_a > 0 THEN (CAST(c_a AS DOUBLE) / n_a)"
+    " * log2((CAST(c_a AS DOUBLE) / n_a)"
+    " / ((CAST(c_a AS DOUBLE) / n_a + CAST(c_b AS DOUBLE) / n_b) / 2))"
+    " ELSE 0.0 END)"
+    " + (CASE WHEN c_b > 0 THEN (CAST(c_b AS DOUBLE) / n_b)"
+    " * log2((CAST(c_b AS DOUBLE) / n_b)"
+    " / ((CAST(c_a AS DOUBLE) / n_a + CAST(c_b AS DOUBLE) / n_b) / 2))"
+    " ELSE 0.0 END))"
+)
+_JSD_SNAP = f"cast(round(({_JSD_TERM}) * {JSD_SCALE}.0) as bigint)"
+
+
+def jsd_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    token OCCURRENCE distributions — the bounded symmetric drift score
+    ([0,1] in bits) a corpus monitor tracks between snapshots or
+    cohorts where PSI needs binning and KL blows up on zero cells
+    (standard corpus-shift metric in data-curation papers). One row:
+    vocabulary size, both totals, JSD.
+
+    Exact shape: one vocabulary-sized partial+final count pass
+    (occurrence counts, not doc-distinct — this is a distribution over
+    tokens), one-row totals broadcast back; each token's term is a
+    fixed-arity double expression from shared SQL text snapped to
+    integer nano-bits BEFORE the sum (FIXTURES rule 5), so the
+    data-sized sum is pure BIGINT — order-independent at any
+    parallelism — and only the final /1e9 is float."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    occ = docs.select(
+        (F.col("lang") == "en").alias("en"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    per_tok = occ.groupBy("tok").agg(
+        F.sum(F.when(F.col("en"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("en"), 0).otherwise(1)).alias("c_b"),
+    )
+    tot = per_tok.groupBy().agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    terms = per_tok.crossJoin(F.broadcast(tot)).selectExpr(
+        f"{_JSD_SNAP} AS t"
+    )
+    agg = terms.groupBy().agg(F.sum("t").alias("st")).crossJoin(
+        F.broadcast(
+            per_tok.groupBy().agg(
+                F.count(F.lit(1)).alias("n_vocab"),
+                F.sum("c_a").alias("n_en_tok"),
+                F.sum("c_b").alias("n_other_tok"),
+            )
+        )
+    )
+    return agg.selectExpr(
+        "cast(n_vocab as bigint) AS n_vocab",
+        "cast(n_en_tok as bigint) AS n_en_tok",
+        "cast(n_other_tok as bigint) AS n_other_tok",
+        f"cast(round(st / {JSD_SCALE}.0 * 1e6) as bigint) / 1e6 AS jsd_bits",
+    )
+
+
+JSD_SQL = f"""
+WITH d AS (SELECT lang, text FROM documents WHERE trim(text) <> ''),
+occ AS (
+  SELECT lang = 'en' AS en,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM d
+), per_tok AS (
+  SELECT tok,
+         sum(CASE WHEN en THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN en THEN 0 ELSE 1 END) AS c_b
+  FROM occ GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b,
+         count(*) AS n_vocab
+  FROM per_tok
+), terms AS (
+  SELECT {_JSD_SNAP} AS t
+  FROM per_tok CROSS JOIN tot
+)
+SELECT CAST(tot.n_vocab AS BIGINT) AS n_vocab,
+       CAST(tot.n_a AS BIGINT) AS n_en_tok,
+       CAST(tot.n_b AS BIGINT) AS n_other_tok,
+       CAST(round(sum(t) / {JSD_SCALE}.0 * 1e6) AS BIGINT) / 1e6 AS jsd_bits
+FROM terms CROSS JOIN tot
+GROUP BY tot.n_vocab, tot.n_a, tot.n_b
+"""
+
+
 QUERIES = {
     "chunk_fixed": chunk_fixed,
+    "mutual_info_tokens": mutual_info_tokens,
+    "jsd_lang_drift": jsd_lang_drift,
     "rake_keywords": rake_keywords,
     "chi2_token_selection": chi2_token_selection,
     "collocation_pmi": collocation_pmi,
@@ -816,6 +1008,8 @@ QUERIES = {
 
 ORACLES = {
     "chunk_fixed": CHUNK_FIXED_SQL,
+    "mutual_info_tokens": MI_SQL,
+    "jsd_lang_drift": JSD_SQL,
     "chi2_token_selection": CHI2_SQL,
     "collocation_pmi": COLLOCATION_SQL,
     "chunk_recursive": CHUNK_RECURSIVE_CHECK_SQL,

@@ -373,14 +373,176 @@ GROUP BY dim, probe_id
 MRL_SQL = _mrl_sql()
 
 
+# --- Johnson-Lindenstrauss random-projection recall -------------------------
+
+JL_DIM = 16  # target dimension (64 -> 16: 4x fewer bytes/FLOPs scored)
+
+
+def _jl_signs() -> list[list[int]]:
+    """The FIXED ±1 projection matrix (JL_DIM × source dim), derived
+    from md5 so it is deterministic across runs/engines with no RNG
+    state — the Achlioptas (2001) database-friendly JL construction
+    (±1 entries suffice; no Gaussians needed)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{k}:{j}".encode()).digest()[0] & 1 else -1
+            for j in range(64)
+        ]
+        for k in range(JL_DIM)
+    ]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def _jl_component(arr: str, k: int, base: int) -> str:
+    """Shared-text projected component k: a 0.0-seeded LEFT-ASSOCIATIVE
+    signed sum over the source components, so Spark ({base}=0 indexing)
+    and DuckDB (base=1) fold bit-identical doubles."""
+    terms = "".join(
+        f" {'+' if s > 0 else '-'} CAST({arr}[{j + base}] AS DOUBLE)"
+        for j, s in enumerate(JL_SIGNS[k])
+    )
+    return "(0.0" + terms + ")"
+
+
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of Johnson-Lindenstrauss ±1 random projection
+    (64 → {JL_DIM} dims) against the exact full-dimension neighbor
+    lists, per probe — the cheapest dimension-reduction lever for
+    100 TB ANN (4× fewer bytes shuffled and FLOPs scored; the
+    prefix-slice sibling is `matryoshka_recall_report`, but JL needs
+    no specially-trained embedding).
+
+    The projection matrix is a FIXED md5-derived ±1 matrix (Achlioptas
+    construction, no RNG state), applied as {JL_DIM} fully-codegen'd
+    signed sums — a pure map, no shuffle, no Python. Both engines fold
+    the identical left-associative expression text, so projected
+    vectors (and every distance and top-k list derived from them) are
+    bit-identical. Selection uses round(dist², 4) + vec_id ties; truth
+    lists come from the same snapped exact scoring."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "array("
+            + ", ".join(_jl_component("embedding", k, 0) for k in range(JL_DIM))
+            + ")"
+        ).alias("pv"),
+    )
+    probes = proj.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("pv").alias("probe_pv"),
+    )
+    from spec_search_spark.functions.vector import l2_squared
+
+    scored = proj.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    approx = (
+        scored.select(
+            "probe_id",
+            "vec_id",
+            F.round(l2_squared(F.col("pv"), F.col("probe_pv")), 4).alias(
+                "dist2"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id")
+    )
+    truth = (
+        scored.select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                l2_squared(F.col("embedding"), F.col("probe_vec")), 4
+            ).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(F.col("probe_id").alias("tp"), F.col("vec_id").alias("tv"))
+    )
+    return (
+        approx.join(
+            F.broadcast(truth),
+            (F.col("probe_id") == F.col("tp"))
+            & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.expr("case when tv is not null then 1 else 0 end"))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .selectExpr(
+            "probe_id",
+            "n_hits",
+            f"cast(round(n_hits / {float(TOP_K)} * 1e6) as bigint) / 1e6"
+            " AS recall_6",
+        )
+    )
+
+
+def _jl_sql() -> str:
+    from spec_search_spark.functions.vector import l2_squared_sql
+
+    pv = (
+        "list_value("
+        + ", ".join(_jl_component("embedding", k, 1) for k in range(JL_DIM))
+        + ")"
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding, {pv} AS pv FROM embeddings
+),
+probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, pv AS probe_pv
+           FROM proj WHERE vec_id < {N_PROBES}),
+approx AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             round({l2_squared_sql('e.pv', 'p.probe_pv')}, 4) ASC,
+             e.vec_id ASC) AS rn
+    FROM proj e JOIN probes p ON e.vec_id <> p.probe_id) t
+  WHERE rn <= {TOP_K}
+),
+truth AS (
+  SELECT probe_id AS tp, vec_id AS tv FROM (
+    SELECT p.probe_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) ASC,
+             e.vec_id ASC) AS rn
+    FROM proj e JOIN probes p ON e.vec_id <> p.probe_id) t
+  WHERE rn <= {TOP_K}
+)
+SELECT probe_id,
+       CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(round(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
+         / {float(TOP_K)} * 1e6) AS BIGINT) / 1e6 AS recall_6
+FROM approx LEFT JOIN truth ON probe_id = tp AND vec_id = tv
+GROUP BY probe_id
+"""
+
+
 QUERIES = {
     "quantize_int8": quantize_int8,
     "ann_int8_rerank": ann_int8_rerank,
     "matryoshka_recall_report": matryoshka_recall_report,
+    "jl_projection_recall": jl_projection_recall,
 }
 
 ORACLES = {
     "quantize_int8": QUANTIZE_SQL,
     "ann_int8_rerank": ANN_INT8_SQL,
     "matryoshka_recall_report": MRL_SQL,
+    "jl_projection_recall": _jl_sql(),
 }

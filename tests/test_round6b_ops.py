@@ -1,0 +1,370 @@
+"""Semantic invariants + python-reference parity for the second
+round-6 batch (value parity vs the DuckDB oracles is covered by
+tools/selfcheck.py): SPRT hourly looks, seasonal decomposition, JSD
+language drift, mutual-information ranking, walk-forward CV splits,
+Fellegi-Sunter linkage scores, and JL projection recall."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+
+# --- SPRT (hourly looks) -----------------------------------------------------
+
+
+def test_sprt_matches_python_walk(spark, sf_dir):
+    from spec_search_spark.operators.drift import (
+        SPRT_A_N,
+        SPRT_B_N,
+        SPRT_LO_N,
+        SPRT_UP_N,
+        sprt_conversion_hourly,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("ts", "event_type")
+        .collect()
+    )
+    per_h: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        per_h[h][0] += 1
+        per_h[h][1] += int(r.event_type == "purchase")
+    nn = kk = 0
+    cross = None
+    for h in sorted(per_h):
+        n, k = per_h[h]
+        nn, kk = nn + n, kk + k
+        llr = kk * SPRT_A_N + (nn - kk) * SPRT_B_N
+        if cross is None and (llr >= SPRT_UP_N or llr <= SPRT_LO_N):
+            cross = (h, 1 if llr >= SPRT_UP_N else -1)
+    got = sprt_conversion_hourly(spark, sf_dir).collect()[0]
+    assert got.n_hours == len(per_h)
+    assert got.n_trials == nn and got.k_conv == kk
+    assert got.llr_final_micro == kk * SPRT_A_N + (nn - kk) * SPRT_B_N
+    if cross is None:
+        assert got.decision == "continue"
+        assert got.cross_epoch_hour is None
+    else:
+        want_dec = "accept_h1" if cross[1] == 1 else "accept_h0"
+        assert got.decision == want_dec
+        import calendar
+
+        epoch_h = calendar.timegm(cross[0].timetuple()) // 3600
+        assert got.cross_epoch_hour == epoch_h
+
+
+# --- seasonal decomposition --------------------------------------------------
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.drift import (
+        SEAS_PERIOD,
+        seasonal_decompose_hourly,
+    )
+    import calendar
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    per_h: Counter = Counter()
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        per_h[calendar.timegm(h.timetuple()) // 3600] += round(r.value * 100)
+    i0, i1 = min(per_h), max(per_h)
+    x = {i: per_h.get(i, 0) for i in range(i0, i1 + 1)}
+    half = SEAS_PERIOD // 2
+    sd: Counter = Counter()
+    cnt: Counter = Counter()
+    for t in range(i0 + half, i1 - half + 1):
+        t2 = (
+            x[t - half]
+            + x[t + half]
+            + 2 * sum(x[t + j] for j in range(-half + 1, half))
+        )
+        d = 2 * SEAS_PERIOD * x[t] - t2
+        sd[t % SEAS_PERIOD] += d
+        cnt[t % SEAS_PERIOD] += 1
+    got = seasonal_decompose_hourly(spark, sf_dir).collect()
+    assert len(got) == SEAS_PERIOD
+    for r in got:
+        assert r.n_obs == cnt[r.hod]
+        want = (
+            round(sd[r.hod] / (2 * SEAS_PERIOD * cnt[r.hod] * 100) * 1e6)
+            / 1e6
+        )
+        assert math.isclose(r.seasonal_dollars, want, abs_tol=2e-6)
+    # additive decomposition: hod-sums of detrended values sum to the
+    # total detrended mass (exact integer identity held by construction)
+    assert sum(cnt.values()) == (i1 - i0 + 1) - 2 * half
+
+
+# --- JSD language drift ------------------------------------------------------
+
+
+def test_jsd_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.text_analysis import (
+        JSD_SCALE as SCALE,
+        jsd_lang_drift,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for d in docs:
+        if not d.text.strip():
+            continue
+        for t in d.text.strip().split():
+            (ca if d.lang == "en" else cb)[t] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    st = 0
+    for t in vocab:
+        a, b = ca.get(t, 0), cb.get(t, 0)
+        pa, pb = a / na, b / nb
+        m = (pa + pb) / 2
+        term = 0.5 * (
+            (pa * math.log2(pa / m) if a > 0 else 0.0)
+            + (pb * math.log2(pb / m) if b > 0 else 0.0)
+        )
+        st += round(term * SCALE)
+    want = round(st / SCALE * 1e6) / 1e6
+    got = jsd_lang_drift(spark, sf_dir).collect()[0]
+    assert got.n_vocab == len(vocab)
+    assert got.n_en_tok == na and got.n_other_tok == nb
+    assert math.isclose(got.jsd_bits, want, abs_tol=2e-6)
+    assert 0.0 <= got.jsd_bits <= 1.0  # log2 JSD is bounded by 1 bit
+
+
+# --- mutual information ------------------------------------------------------
+
+
+def test_mutual_info_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.text_analysis import (
+        CHI2_MIN_DF,
+        MI_TOP_K,
+        mutual_info_tokens,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    a: Counter = Counter()
+    b: Counter = Counter()
+    n_en = n_ot = 0
+    for d in docs:
+        if not d.text.strip():
+            continue
+        toks = set(d.text.strip().split())
+        if d.lang == "en":
+            n_en += 1
+            for t in toks:
+                a[t] += 1
+        else:
+            n_ot += 1
+            for t in toks:
+                b[t] += 1
+    nn = n_en + n_ot
+
+    def cell(n, r, c):
+        return (n / nn) * math.log2(n * nn / (r * c)) if n > 0 else 0.0
+
+    scored = []
+    for t in set(a) | set(b):
+        aa, bb = a.get(t, 0), b.get(t, 0)
+        if aa + bb < CHI2_MIN_DF:
+            continue
+        mi = (
+            cell(aa, aa + bb, n_en)
+            + cell(bb, aa + bb, n_ot)
+            + cell(n_en - aa, nn - aa - bb, n_en)
+            + cell(n_ot - bb, nn - aa - bb, n_ot)
+        )
+        scored.append((round(mi * 1e6) / 1e6, t, aa, bb))
+    want = sorted(scored, key=lambda s: (-s[0], s[1]))[:MI_TOP_K]
+    got = mutual_info_tokens(spark, sf_dir).collect()
+    assert [(r.mi_bits, r.tok, r.n_en_docs, r.n_other_docs) for r in got] == [
+        (s[0], s[1], s[2], s[3]) for s in want
+    ]
+    for r in got:
+        assert r.mi_bits >= 0.0  # MI is non-negative
+
+
+# --- walk-forward CV ---------------------------------------------------------
+
+
+def test_walk_forward_is_leakage_free_and_exact(spark, sf_dir):
+    from spec_search_spark.operators.ml import (
+        WF_TEST_YEARS,
+        walk_forward_cv_splits,
+    )
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.year("o_orderdate").alias("y"), "o_totalprice")
+        .collect()
+    )
+    got = walk_forward_cv_splits(spark, sf_dir).collect()
+    assert [r.fold for r in got] == list(range(1, len(WF_TEST_YEARS) + 1))
+    prev_train = -1
+    for r in got:
+        ty = r.test_year
+        tr = [o for o in orders if o.y < ty]
+        te = [o for o in orders if o.y == ty]
+        assert r.n_train == len(tr) and r.n_test == len(te)
+        # expanding window: each fold trains on strictly more data
+        assert r.n_train > prev_train
+        prev_train = r.n_train
+        sc = sum(round(o.o_totalprice * 100) for o in tr)
+        assert math.isclose(
+            r.train_avg_price, round(sc / len(tr)) / 100.0, abs_tol=1e-9
+        )
+
+
+# --- Fellegi-Sunter ----------------------------------------------------------
+
+
+def _edit_dist(s1: str, s2: str) -> int:
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(
+                min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fs_linkage_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.fuzzy import (
+        EDIT_D,
+        FS_FIELDS,
+        fs_linkage_scores,
+    )
+
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name", *FS_FIELDS)
+        .collect()
+    )
+    n = len(parts)
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    u_den = c2(n)
+    m_groups = Counter(p.p_name for p in parts)
+    m_den = sum(c2(c) for c in m_groups.values())
+    wa, wd = {}, {}
+    for f in FS_FIELDS:
+        u_num = sum(c2(c) for c in Counter(p[f] for p in parts).values())
+        mn = sum(
+            c2(c)
+            for c in Counter((p.p_name, p[f]) for p in parts).values()
+        )
+        wa[f] = round(
+            math.log2(((mn + 1) / (m_den + 2)) / ((u_num + 1) / (u_den + 2)))
+            * 1e6
+        )
+        wd[f] = round(
+            math.log2(
+                ((m_den - mn + 1) / (m_den + 2))
+                / ((u_den - u_num + 1) / (u_den + 2))
+            )
+            * 1e6
+        )
+    names = sorted(m_groups)
+    cand = [
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if abs(len(a) - len(b)) <= EDIT_D and _edit_dist(a, b) <= EDIT_D
+    ]
+    by_name = defaultdict(list)
+    for p in parts:
+        by_name[p.p_name].append(p)
+    pat_n: Counter = Counter()
+    for a, b in cand:
+        for pa in by_name[a]:
+            for pb in by_name[b]:
+                pat_n[tuple(int(pa[f] == pb[f]) for f in FS_FIELDS)] += 1
+    got = fs_linkage_scores(spark, sf_dir).collect()
+    assert got, "candidate blocks must produce at least one pattern"
+    got_map = {
+        tuple(r[f"agree_{f}"] for f in FS_FIELDS): (r.n_pairs, r.score_bits)
+        for r in got
+    }
+    assert set(got_map) == set(pat_n)
+    for pat, n_pairs in pat_n.items():
+        want_score = (
+            sum(wa[f] if g else wd[f] for f, g in zip(FS_FIELDS, pat)) / 1e6
+        )
+        assert got_map[pat][0] == n_pairs
+        assert math.isclose(got_map[pat][1], want_score, abs_tol=2e-6)
+    # full agreement must outscore full disagreement
+    full = tuple(1 for _ in FS_FIELDS)
+    none = tuple(0 for _ in FS_FIELDS)
+    if full in got_map and none in got_map:
+        assert got_map[full][1] > got_map[none][1]
+
+
+# --- JL projection recall ----------------------------------------------------
+
+
+def test_jl_projection_recall_contract(spark, sf_dir):
+    from spec_search_spark.operators.similarity import N_PROBES, TOP_K
+    from spec_search_spark.operators.vector_quant import (
+        JL_DIM,
+        JL_SIGNS,
+        jl_projection_recall,
+    )
+
+    assert len(JL_SIGNS) == JL_DIM and all(len(r) == 64 for r in JL_SIGNS)
+    # signs must not be the degenerate alternating pattern
+    flat = [s for row in JL_SIGNS for s in row]
+    assert 0.3 < sum(1 for s in flat if s > 0) / len(flat) < 0.7
+    rows = jl_projection_recall(spark, sf_dir).collect()
+    assert len(rows) == N_PROBES
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+        assert math.isclose(r.recall_6, round(r.n_hits / TOP_K * 1e6) / 1e6)
+    # JL with m=16 on this corpus must preserve a meaningful fraction
+    # of the true neighborhood (sanity floor, not a tuned number)
+    assert sum(r.n_hits for r in rows) > 0
+
+
+def test_jl_projection_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators.vector_quant import JL_SIGNS, JL_DIM
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.operators.vector_quant import _jl_component
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    got = emb.selectExpr(
+        "vec_id",
+        "array("
+        + ", ".join(_jl_component("embedding", k, 0) for k in range(JL_DIM))
+        + ") AS pv",
+        "embedding",
+    ).collect()
+    s = np.array(JL_SIGNS, dtype=np.float64)
+    for r in got:
+        v = np.array(r.embedding, dtype=np.float64)
+        want = s @ v
+        assert np.allclose(np.array(r.pv), want, atol=1e-9)
