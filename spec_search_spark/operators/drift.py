@@ -1420,6 +1420,13 @@ def sprt_conversion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("k"),
     )
+    return sprt_from_hourly(per_h)
+
+
+def sprt_from_hourly(per_h: DataFrame) -> DataFrame:
+    """The SPRT walk over a (h, n, k) per-hour count table — shared by
+    the batch op and the streaming twin (whose stream state IS the
+    bounded per-hour table)."""
     w = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
     cum = per_h.select(
         "h",

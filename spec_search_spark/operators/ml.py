@@ -1509,9 +1509,298 @@ FROM agg ORDER BY fold
 """
 
 
+# --------------------------------------------------------------------------
+# Model evaluation on the trained logreg: exact ROC-AUC, Brier
+# decomposition, isotonic (PAV) recalibration
+# --------------------------------------------------------------------------
+
+
+def _lr_score_walk() -> str:
+    """Oracle prefix: the unrolled IRLS walk + a `score(y, p6)` CTE —
+    shared by every evaluation oracle (same split contract as
+    `_logreg_calibration_sql`, which fails loudly if the tail drifts)."""
+    full = _logreg_sql()
+    sep = ",\nscore AS ("
+    if full.count(sep) != 1:
+        raise AssertionError(
+            "_logreg_sql tail format changed; evaluation oracle builders "
+            "must be updated in step"
+        )
+    walk = full.rsplit(sep, 1)[0]
+    return f"""{walk},
+score AS (
+  SELECT f.y, {_LR_P6} AS p6 FROM feats f CROSS JOIN it{LOGREG_ITERS} b
+)"""
+
+
+def roc_auc_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-aware ROC-AUC of the trained logistic quality gate —
+    the threshold-free ranking metric next to the calibration report.
+    AUC is the Mann-Whitney statistic: with per-distinct-score counts
+    (c⁺, c⁻), 2·AUC·n⁺·n⁻ = Σ_v c⁺_v·(2·cum⁻_{{<v}} + c⁻_v) — pure
+    integer arithmetic (ties contribute the half by construction), one
+    fixed-arity division at the end.
+
+    Scale: scores collapse to the distinct-p6 table (≤1e6 rows by the
+    ppm grid, data-independent); the cumulative negative count uses
+    the range-bucketed distributed prefix sum (never a single-task
+    window); products accumulate in DECIMAL(38,0) so n⁺·n⁻-sized
+    numerators cannot overflow at any corpus size."""
+    from spec_search_spark.operators.rank_stats import _bucketed_cum
+
+    feats, beta = _trained_logreg(spark, sf_dir)
+    scored = feats.crossJoin(F.broadcast(beta)).selectExpr(
+        "y", f"{_LR_P6} AS p6"
+    )
+    per_v = scored.groupBy("p6").agg(
+        F.sum("y").alias("c1"),
+        F.sum(F.expr("1 - y")).alias("c0"),
+    )
+    cum = _bucketed_cum(per_v, "p6", ["c0"])
+    agg = cum.groupBy().agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.sum(
+            F.expr(
+                "cast(c1 as decimal(38,0)) * (2 * (cum_c0 - c0) + c0)"
+            )
+        ).alias("num2"),
+    )
+    return agg.selectExpr(
+        "cast(n1 as bigint) AS n_pos",
+        "cast(n0 as bigint) AS n_neg",
+        "cast(round(cast(num2 as double) / (2.0 * n1 * n0) * 1e6)"
+        " as bigint) / 1e6 AS auc_6",
+    )
+
+
+def _roc_auc_sql() -> str:
+    return f"""{_lr_score_walk()},
+per_v AS (
+  SELECT p6, sum(y) AS c1, sum(1 - y) AS c0 FROM score GROUP BY p6
+),
+cum AS (
+  SELECT p6, c1, c0, sum(c0) OVER (ORDER BY p6) AS cum_c0 FROM per_v
+),
+agg AS (
+  SELECT sum(c1) AS n1, sum(c0) AS n0,
+         sum(CAST(c1 AS DECIMAL(38,0)) * (2 * (cum_c0 - c0) + c0)) AS num2
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       CAST(round(CAST(num2 AS DOUBLE) / (2.0 * n1 * n0) * 1e6)
+            AS BIGINT) / 1e6 AS auc_6
+FROM agg
+"""
+
+
+BRIER_SCALE = 1_000_000_000  # per-bin decomposition terms in nano-units
+
+#: shared per-bin term texts (doubles from exact integers, snapped to
+#: nano before the ≤10-row integer sum — FIXTURES rule 5)
+_BR_REL = (
+    "cast(round(n * pow(sum_p6 / (n * 1e6) - sum_y / (n * 1.0), 2)"
+    f" / (nn * 1.0) * {BRIER_SCALE}) as bigint)"
+)
+_BR_RES = (
+    "cast(round(n * pow(sum_y / (n * 1.0) - sum_y_tot / (nn * 1.0), 2)"
+    f" / (nn * 1.0) * {BRIER_SCALE}) as bigint)"
+)
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the logistic gate's Brier score over the
+    decile reliability bins: BS = uncertainty − resolution +
+    reliability, plus the RAW (unbinned) Brier score — the one-row
+    scorecard that says whether forecast error comes from miscalibrated
+    probabilities (reliability) or from the model simply not separating
+    the classes (low resolution).
+
+    Exact shape: the raw Brier sum is Σ c·(p6 − 1e6·y)² over the
+    distinct-(p6,y) count table — pure DECIMAL(38,0) integers, one
+    final division. The three decomposition terms live on the ≤10-row
+    bin table: each bin's term is a fixed-arity double from exact
+    integer sums, snapped to nano-units BEFORE the ≤10-element integer
+    sum, with one-row totals broadcast back. Everything is
+    order-independent at any parallelism."""
+    feats, beta = _trained_logreg(spark, sf_dir)
+    scored = feats.crossJoin(F.broadcast(beta)).selectExpr(
+        "y", f"{_LR_P6} AS p6"
+    )
+    per_v = scored.groupBy("p6", "y").agg(F.count(F.lit(1)).alias("c"))
+    raw = per_v.groupBy().agg(
+        F.sum(
+            F.expr(
+                "cast(c as decimal(38,0)) * (p6 - 1000000 * y) * (p6 - 1000000 * y)"
+            )
+        ).alias("se2"),
+        F.sum("c").alias("nn_raw"),
+    )
+    per_bin = (
+        scored.selectExpr("y", "p6", f"{_LR_BIN} AS bin")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sum_y"),
+            F.sum("p6").alias("sum_p6"),
+        )
+    )
+    tot = per_bin.groupBy().agg(
+        F.sum("n").alias("nn"), F.sum("sum_y").alias("sum_y_tot")
+    )
+    terms = per_bin.crossJoin(F.broadcast(tot)).selectExpr(
+        f"{_BR_REL} AS rel_n", f"{_BR_RES} AS res_n"
+    )
+    decomp = terms.groupBy().agg(
+        F.sum("rel_n").alias("rel_sum"), F.sum("res_n").alias("res_sum")
+    )
+    return (
+        raw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(decomp))
+        .selectExpr(
+            "cast(nn as bigint) AS n_docs",
+            "cast(round(cast(se2 as double) / (nn * 1e12) * 1e6)"
+            " as bigint) / 1e6 AS brier_6",
+            f"cast(round(rel_sum / {BRIER_SCALE}.0 * 1e6) as bigint) / 1e6"
+            " AS reliability_6",
+            f"cast(round(res_sum / {BRIER_SCALE}.0 * 1e6) as bigint) / 1e6"
+            " AS resolution_6",
+            "cast(round((sum_y_tot * 1.0 / nn) * (1.0 - sum_y_tot * 1.0 / nn)"
+            " * 1e6) as bigint) / 1e6 AS uncertainty_6",
+        )
+    )
+
+
+def _brier_sql() -> str:
+    return f"""{_lr_score_walk()},
+per_v AS (
+  SELECT p6, y, count(*) AS c FROM score GROUP BY p6, y
+),
+raw AS (
+  SELECT sum(CAST(c AS DECIMAL(38,0)) * (p6 - 1000000 * y)
+             * (p6 - 1000000 * y)) AS se2,
+         sum(c) AS nn_raw
+  FROM per_v
+),
+per_bin AS (
+  SELECT {_LR_BIN} AS bin, count(*) AS n, sum(y) AS sum_y,
+         sum(p6) AS sum_p6
+  FROM score GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nn, sum(sum_y) AS sum_y_tot FROM per_bin),
+decomp AS (
+  SELECT sum({_BR_REL}) AS rel_sum, sum({_BR_RES}) AS res_sum
+  FROM per_bin CROSS JOIN tot
+)
+SELECT CAST(t.nn AS BIGINT) AS n_docs,
+       CAST(round(CAST(r.se2 AS DOUBLE) / (t.nn * 1e12) * 1e6)
+            AS BIGINT) / 1e6 AS brier_6,
+       CAST(round(d.rel_sum / {BRIER_SCALE}.0 * 1e6) AS BIGINT) / 1e6
+         AS reliability_6,
+       CAST(round(d.res_sum / {BRIER_SCALE}.0 * 1e6) AS BIGINT) / 1e6
+         AS resolution_6,
+       CAST(round((t.sum_y_tot * 1.0 / t.nn)
+            * (1.0 - t.sum_y_tot * 1.0 / t.nn) * 1e6) AS BIGINT) / 1e6
+         AS uncertainty_6
+FROM raw r CROSS JOIN tot t CROSS JOIN decomp d
+"""
+
+
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (pool-adjacent-violators) recalibration of the decile
+    reliability bins — the monotone probability map a production gate
+    ships when the reliability report shows systematic miscalibration
+    (sklearn IsotonicRegression / Zadrozny-Elkan shape). One row per
+    bin: observed rate and the isotonic fitted rate, non-decreasing by
+    construction.
+
+    Instead of the sequential PAV pooling loop, the fit uses the
+    closed-form minimax identity iso(i) = max_{{j≤i}} min_{{k≥i}}
+    mean(y over bins j..k) — every interval mean is an exact integer
+    ratio from the ≤10-row bin table's triangular sums, so the whole
+    fit is three bounded broadcast joins (10³ interval-member rows max)
+    with deterministic double comparisons, identical in both engines.
+    No loop, no driver-side state, bounded at any corpus size."""
+    feats, beta = _trained_logreg(spark, sf_dir)
+    scored = feats.crossJoin(F.broadcast(beta)).selectExpr(
+        "y", f"{_LR_P6} AS p6"
+    )
+    pb = (
+        scored.selectExpr("y", f"{_LR_BIN} AS bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y"))
+    )
+    j = pb.select(F.col("bin").alias("j"))
+    k = pb.select(F.col("bin").alias("k"))
+    m = pb.select(
+        F.col("bin").alias("mb"), F.col("n").alias("mn"), F.col("sum_y").alias("ms")
+    )
+    ivl = (
+        j.crossJoin(k)
+        .filter(F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("mn").alias("njk"), F.sum("ms").alias("sjk"))
+        .selectExpr("j", "k", "sjk * 1e6 / (njk * 1.0) AS avg_ppm")
+    )
+    i_rows = pb.select(F.col("bin").alias("i"))
+    minv = (
+        i_rows.join(
+            F.broadcast(ivl),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_ppm").alias("minv"))
+    )
+    iso = minv.groupBy("i").agg(F.max("minv").alias("iso"))
+    return (
+        pb.join(F.broadcast(iso), pb["bin"] == iso["i"])
+        .selectExpr(
+            "bin",
+            "cast(n as bigint) AS n_docs",
+            "cast(round(sum_y * 1000000.0 / n) as bigint) AS obs_rate_ppm",
+            "cast(round(iso) as bigint) AS iso_rate_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+def _isotonic_sql() -> str:
+    return f"""{_lr_score_walk()},
+pb AS (
+  SELECT {_LR_BIN} AS bin, count(*) AS n, sum(y) AS sum_y
+  FROM score GROUP BY 1
+),
+ivl AS (
+  SELECT j.bin AS j, k.bin AS k,
+         sum(m.sum_y) * 1e6 / (sum(m.n) * 1.0) AS avg_ppm
+  FROM pb j JOIN pb k ON j.bin <= k.bin
+  JOIN pb m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin
+),
+minv AS (
+  SELECT i.bin AS i, v.j, min(v.avg_ppm) AS minv
+  FROM pb i JOIN ivl v ON v.j <= i.bin AND v.k >= i.bin
+  GROUP BY i.bin, v.j
+),
+iso AS (SELECT i, max(minv) AS iso FROM minv GROUP BY i)
+SELECT p.bin, CAST(p.n AS BIGINT) AS n_docs,
+       CAST(round(p.sum_y * 1000000.0 / p.n) AS BIGINT) AS obs_rate_ppm,
+       CAST(round(s.iso) AS BIGINT) AS iso_rate_ppm
+FROM pb p JOIN iso s ON s.i = p.bin
+ORDER BY p.bin
+"""
+
+
 QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "walk_forward_cv_splits": walk_forward_cv_splits,
+    "roc_auc_doc_model": roc_auc_doc_model,
+    "brier_decomposition": brier_decomposition,
+    "isotonic_calibration_pav": isotonic_calibration_pav,
     "conformal_interval_orders": conformal_interval_orders,
     "feature_corr_matrix": feature_corr_matrix,
     "mahalanobis_outlier_report": mahalanobis_outlier_report,
@@ -1526,6 +1815,9 @@ QUERIES = {
 ORACLES = {
     "pca_power_iteration": PCA_SQL,
     "walk_forward_cv_splits": WALK_FORWARD_SQL,
+    "roc_auc_doc_model": _roc_auc_sql(),
+    "brier_decomposition": _brier_sql(),
+    "isotonic_calibration_pav": _isotonic_sql(),
     "conformal_interval_orders": CONFORMAL_SQL,
     "feature_corr_matrix": CORR_MATRIX_SQL,
     "mahalanobis_outlier_report": MAHALANOBIS_SQL,

@@ -95,6 +95,35 @@ GROUP BY l_returnflag
 """
 
 
+_CENTS_VC_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _flag_cents_vc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (l_returnflag, cents, _c) count table over
+    l_extendedprice — the shared index-shaped intermediate behind
+    `winsorized_stats`, `robust_outlier_report`, and (re-aggregated to
+    the ungrouped view) `equi_depth_histogram`. Built once per
+    (session, corpus) and persisted DURABLY (MEMORY_AND_DISK — the
+    dedup-postings policy: an artifact many later queries re-read must
+    degrade to a disk read on eviction, never a recompute)."""
+    from spec_search_spark.operators.dedup import _materialize
+    from spec_search_spark.session import prune_memo
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CENTS_VC_MEMO:
+        li = load_table(spark, sf_dir, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        vc = _materialize(
+            li.select("l_returnflag", cents.alias("cents"))
+            .groupBy("l_returnflag", "cents")
+            .agg(F.count(F.lit(1)).alias("_c")),
+            durable=True,
+        )
+        prune_memo(_CENTS_VC_MEMO, key[0])
+        _CENTS_VC_MEMO[key] = vc
+    return _CENTS_VC_MEMO[key]
+
+
 def _percentiles_rank_walk(
     df: DataFrame, group_cols: list[str], val_col: str, qs: list[float]
 ) -> DataFrame:
@@ -226,20 +255,13 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row cut table broadcast back → one partial+final aggregate over
     the scan. Two passes over one column, both distributed.
     """
-    from spec_search_spark.operators.dedup import _materialize
-
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    vals = li.select("l_returnflag", cents.alias("cents"))
-    # ONE raw scan (same trick as equi_depth_histogram): the
+    # ONE raw scan (same trick as equi_depth_histogram): the memoized
     # (group, value, count) table drives the walk AND the clip
     # aggregates; weighted sums over distinct values replace row-level
     # avgs — and since v*c products are exact integers, mean_raw is
     # exact, not merely rounded-stable.
-    vc = _materialize(
-        vals.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("_c"))
-    )
+    vc = _flag_cents_vc(spark, sf_dir)
     cuts = (
         _rank_walk_from_counts(vc, ["l_returnflag"], "cents", [0.05, 0.95])
         .groupBy("l_returnflag")
@@ -313,16 +335,8 @@ def robust_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute the identical doubles; the band comparison
     rides the same no-ulp-collision argument as the histogram.
     """
-    from spec_search_spark.operators.dedup import _materialize
-
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    vc = _materialize(
-        li.select("l_returnflag", cents.alias("cents"))
-        .groupBy("l_returnflag", "cents")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    vc = _flag_cents_vc(spark, sf_dir)
     med = (
         _rank_walk_from_counts(vc, ["l_returnflag"], "cents", [0.5])
         .select("l_returnflag", F.col("value").alias("med"))
@@ -633,14 +647,16 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    li = load_table(spark, sf_dir, "lineitem").select(cents.alias("cents"))
     fracs = [i / N_HIST_BUCKETS for i in range(1, N_HIST_BUCKETS)]
-    # ONE raw scan: the (value, count) table drives BOTH the cut
-    # computation and the classification — every downstream row set is
-    # distinct-value-sized. Cuts come from the rank walk, which
-    # reproduces `percentile`'s interpolation bit-for-bit (same
-    # formula, same double casts) with no single-state buffer.
-    vc = _materialize(li.groupBy("cents").agg(F.count(F.lit(1)).alias("_c")))
+    # NO raw scan at all: the ungrouped (value, count) table is one
+    # distinct-value-sized re-aggregation of the memoized per-flag
+    # count table; it drives BOTH the cut computation and the
+    # classification. Cuts come from the rank walk, which reproduces
+    # `percentile`'s interpolation bit-for-bit (same formula, same
+    # double casts) with no single-state buffer.
+    vc = _flag_cents_vc(spark, sf_dir).groupBy("cents").agg(
+        F.sum("_c").alias("_c")
+    )
     cuts = _rank_walk_from_counts(vc, [], "cents", fracs).agg(
         F.array_sort(F.collect_list("value")).alias("cuts")
     )

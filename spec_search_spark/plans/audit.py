@@ -972,6 +972,82 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["Window", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # --- round 6 additions ---------------------------------------------
+    # SPRT: one partial+final hourly count pass; the LLR walk windows
+    # only the bounded hour grid (a lone bounded-window op; no python)
+    ("sprt_conversion_hourly",
+     ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # seasonal decomposition: contribution explode over a 25-row
+    # broadcast offset table, partial+final per-target-hour sums; no
+    # window over the series at all
+    ("seasonal_decompose_hourly",
+     ["partial_sum", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "Exchange rangepartitioning"]),
+    # JSD: vocabulary-sized partial+final count pass, one-row totals
+    # broadcast back, integer nano-bit sum — no window, no python
+    ("jsd_lang_drift",
+     ["partial_sum", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "Exchange rangepartitioning"]),
+    # MI ranking: same χ² contingency shape — vocabulary-sized counts,
+    # TakeOrdered top-K, never a global sort
+    ("mutual_info_tokens",
+     ["partial_sum", "TakeOrderedAndProject"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # walk-forward CV: ONE partial+final per-year collapse; folds come
+    # from a broadcast join over the bounded year table (the broadcast
+    # theta-join over ≤#years×#folds rows is the intended form)
+    ("walk_forward_cv_splits",
+     ["partial_count", "partial_sum"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "SortMergeJoin"]),
+    # exact AUC: distinct-score collapse + the range-bucketed prefix
+    # sum — never the lit(1) single-task window
+    ("roc_auc_doc_model",
+     ["partial_sum", "hashpartitioning(bucket"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "hashpartitioning(1,", "Exchange rangepartitioning"]),
+    # Brier: two bounded aggregation passes (distinct-(p6,y) and ≤10
+    # bins); decomposition terms live on broadcast one-row joins
+    ("brier_decomposition",
+     ["partial_sum", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "Exchange rangepartitioning"]),
+    # isotonic PAV: the whole fit is ≤10-row broadcast triangular
+    # joins — no window, no loop, no python
+    ("isotonic_calibration_pav",
+     ["partial_count", "HashAggregate"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "hashpartitioning(1,"]),
+    # Fellegi-Sunter: all m/u statistics are vocabulary/group-sized
+    # partial+final count passes; the only pair work is the blocked
+    # candidate join collapsed map-side onto ≤8 patterns
+    ("fs_linkage_scores",
+     ["partial_count", "BroadcastHashJoin"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # JL projection: fully codegen'd signed sums (no python), probes
+    # broadcast into the scoring joins, top-k via per-probe windows on
+    # the probe-keyed table
+    ("jl_projection_recall",
+     ["hashpartitioning(probe_id", "Window"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # weighted Jaccard: candidate-bound intersection join on the 8-byte
+    # hash key; totals broadcast back — no all-pairs path, no window
+    ("weighted_jaccard_pairs",
+     ["partial_sum", "BroadcastHashJoin"],
+     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+    # conformal interval: β from one moment pass, q̂ via the bucketed
+    # rank walk — never the lit(1) single-task window
+    ("conformal_interval_orders",
+     ["partial_sum", "hashpartitioning(bucket"],
+     ["CartesianProduct", "hashpartitioning(1,",
+      "Exchange rangepartitioning"]),
 ]
 
 

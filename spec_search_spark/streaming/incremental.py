@@ -786,6 +786,49 @@ def stream_cusum_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFram
     return cusum_from_filled(filled)
 
 
+def stream_sprt_decision_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming group-sequential SPRT: the hourly-look conversion
+    monitor run ON the stream — exactly the deployment shape the batch
+    `sprt_conversion_hourly` models (a decision is re-evaluated as
+    each hour's batch lands). Streaming state is ONLY the bounded
+    per-hour (trials, conversions) count table (hour count fixes it,
+    not stream volume); after the drain, the shared pure-BIGINT LLR
+    walk (`drift.sprt_from_hourly`) scores the final table — identical
+    output and oracle as the batch op."""
+    from spec_search_spark.operators.drift import sprt_from_hourly
+
+    name = f"sprt_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sprt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sprt_from_hourly(spark.table(name).select("h", "n", "k"))
+
+
+def _stream_sprt_sql() -> str:
+    from spec_search_spark.operators.drift import SPRT_SQL
+
+    return SPRT_SQL
+
+
 def _stream_acf_sql() -> str:
     from spec_search_spark.operators.drift import ACF_SQL
 
@@ -1143,6 +1186,7 @@ QUERIES = {
     "stream_mad_outlier": stream_mad_outlier_query,
     "stream_hourly_acf": stream_hourly_acf_query,
     "stream_cusum_changepoint": stream_cusum_changepoint_query,
+    "stream_sprt_decision": stream_sprt_decision_query,
     "stream_burstiness": stream_burstiness_query,
     "stream_quality_funnel": stream_quality_funnel_query,
     "stream_merge_upsert": stream_merge_upsert_query,
@@ -1162,6 +1206,7 @@ ORACLES = {
     "stream_mad_outlier": _stream_mad_sql(),
     "stream_hourly_acf": _stream_acf_sql(),
     "stream_cusum_changepoint": _stream_cusum_sql(),
+    "stream_sprt_decision": _stream_sprt_sql(),
     "stream_burstiness": _stream_burstiness_sql(),
     "stream_quality_funnel": _import_funnel_sql(),
     "stream_merge_upsert": _stream_merge_sql(),

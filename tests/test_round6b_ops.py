@@ -368,3 +368,143 @@ def test_jl_projection_matches_numpy(spark, sf_dir):
         v = np.array(r.embedding, dtype=np.float64)
         want = s @ v
         assert np.allclose(np.array(r.pv), want, atol=1e-9)
+
+
+# --- model evaluation pack ---------------------------------------------------
+
+
+def _scored_lr(spark, sf_dir):
+    from spec_search_spark.operators.ml import _LR_P6, _trained_logreg
+
+    feats, beta = _trained_logreg(spark, sf_dir)
+    return (
+        feats.crossJoin(F.broadcast(beta))
+        .selectExpr("y", f"{_LR_P6} AS p6")
+        .collect()
+    )
+
+
+def test_roc_auc_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.ml import roc_auc_doc_model
+
+    rows = _scored_lr(spark, sf_dir)
+    pos = sorted(r.p6 for r in rows if r.y == 1)
+    neg = sorted(r.p6 for r in rows if r.y == 0)
+    # O(n^2) exact tie-aware U on the fixture
+    num2 = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                num2 += 2
+            elif p == q:
+                num2 += 1
+    want = round(num2 / (2.0 * len(pos) * len(neg)) * 1e6) / 1e6
+    got = roc_auc_doc_model(spark, sf_dir).collect()[0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert math.isclose(got.auc_6, want, abs_tol=2e-6)
+    assert 0.0 <= got.auc_6 <= 1.0
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.ml import (
+        BRIER_SCALE,
+        brier_decomposition,
+    )
+
+    rows = _scored_lr(spark, sf_dir)
+    n = len(rows)
+    # raw Brier from exact integers
+    se2 = sum((r.p6 - 1_000_000 * r.y) ** 2 for r in rows)
+    brier = round(se2 / (n * 1e12) * 1e6) / 1e6
+    bins: dict = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        b = int(math.floor(r.p6 / 100000.0))
+        bins[b][0] += 1
+        bins[b][1] += r.y
+        bins[b][2] += r.p6
+    ybar = sum(v[1] for v in bins.values()) / n
+    rel_n = sum(
+        round(
+            v[0]
+            * (v[2] / (v[0] * 1e6) - v[1] / v[0]) ** 2
+            / n
+            * BRIER_SCALE
+        )
+        for v in bins.values()
+    )
+    res_n = sum(
+        round(v[0] * (v[1] / v[0] - ybar) ** 2 / n * BRIER_SCALE)
+        for v in bins.values()
+    )
+    got = brier_decomposition(spark, sf_dir).collect()[0]
+    assert got.n_docs == n
+    assert math.isclose(got.brier_6, brier, abs_tol=2e-6)
+    assert math.isclose(
+        got.reliability_6, round(rel_n / BRIER_SCALE * 1e6) / 1e6, abs_tol=2e-6
+    )
+    assert math.isclose(
+        got.resolution_6, round(res_n / BRIER_SCALE * 1e6) / 1e6, abs_tol=2e-6
+    )
+    unc = round(ybar * (1 - ybar) * 1e6) / 1e6
+    assert math.isclose(got.uncertainty_6, unc, abs_tol=2e-6)
+    # Murphy: binned Brier = unc - res + rel; raw Brier adds the
+    # (nonnegative) within-bin variance of p, so raw >= unc - res + rel
+    # only up to that variance term -- check both directions loosely
+    assert got.reliability_6 >= 0 and got.resolution_6 >= 0
+    assert got.uncertainty_6 >= got.resolution_6 - 2e-6
+
+
+def test_isotonic_pav_matches_sklearn_free_reference(spark, sf_dir):
+    from spec_search_spark.operators.ml import isotonic_calibration_pav
+
+    rows = _scored_lr(spark, sf_dir)
+    bins: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        b = int(math.floor(r.p6 / 100000.0))
+        bins[b][0] += 1
+        bins[b][1] += r.y
+    order = sorted(bins)
+    # classic sequential PAV pooling
+    pools = [[bins[b][0], bins[b][1]] for b in order]  # [n, sum_y]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][1] * pools[i + 1][0] > pools[i + 1][1] * pools[i][0]:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    want = []
+    for p in pools:
+        # expand each pool back to its member bins
+        pass
+    # rebuild per-bin fitted values by walking pools over bin counts
+    fitted = {}
+    bi = 0
+    for p in pools:
+        consumed = 0
+        while consumed < p[0]:
+            bkey = order[bi]
+            fitted[bkey] = p[1] * 1e6 / p[0]
+            consumed += bins[bkey][0]
+            bi += 1
+    got = isotonic_calibration_pav(spark, sf_dir).collect()
+    assert [r.bin for r in got] == order
+    prev = -1
+    for r in got:
+        assert r.n_docs == bins[r.bin][0]
+        assert r.iso_rate_ppm == round(fitted[r.bin])
+        assert r.iso_rate_ppm >= prev  # monotone non-decreasing
+        prev = r.iso_rate_ppm
+
+
+def test_stream_sprt_equals_batch(spark, sf_dir):
+    from spec_search_spark.operators.drift import sprt_conversion_hourly
+    from spec_search_spark.streaming.incremental import (
+        stream_sprt_decision_query,
+    )
+
+    batch = sprt_conversion_hourly(spark, sf_dir).collect()
+    stream = stream_sprt_decision_query(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
