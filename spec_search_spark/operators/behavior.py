@@ -184,6 +184,158 @@ GROUP BY coalesce(channel, 'direct')
 """
 
 
+# --- position-based (U-shaped) multi-touch attribution ----------------------
+
+PB_EDGE_PPM = 400_000  # first & last touch: 40% each
+PB_MID_PPM = 200_000  # the middle 20%, split over k-2 touches
+
+
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the standard upgrade from `attribution_last_touch`: every purchase
+    credits ALL touches since the user's previous purchase, 40% to the
+    first, 40% to the last, 20% split over the middle (100% to a lone
+    touch, 50/50 for two, 'direct' when the purchase had no preceding
+    touch). Credits are integer ppm so channel totals are exact sums.
+
+    Plan shape: one pass marks each event with its conversion segment
+    (running purchase count, the last-touch window trick — never a
+    purchases×events point-in-time join); per-(user, segment) windows
+    rank touches (bounded by one user's inter-purchase activity);
+    touch→purchase is an equi-join on (user_id, segment). Credited
+    value accumulates as ppm×cents integer products in DECIMAL(38,0).
+
+    Output: (channel, n_credits, credit_ppm, credited_dollars)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w_seg = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = ev.withColumn(
+        "seg",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_seg),
+            F.lit(0),
+        ),
+    )
+    touches = base.filter(F.col("event_type") != "purchase").select(
+        "user_id", "seg", "ts", "event_id", F.col("event_type").alias("channel")
+    )
+    w_pos = W.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    w_cnt = W.partitionBy("user_id", "seg")
+    tpos = touches.withColumn("pos", F.row_number().over(w_pos)).withColumn(
+        "k", F.count(F.lit(1)).over(w_cnt)
+    )
+    purch = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("seg").alias("pseg"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1_000_000))
+        .when(F.col("k") == 2, F.lit(500_000))
+        .when(F.col("pos") == 1, F.lit(PB_EDGE_PPM))
+        .when(F.col("pos") == F.col("k"), F.lit(PB_EDGE_PPM))
+        .otherwise(
+            F.expr(f"cast(round({PB_MID_PPM}.0 / (k - 2)) as bigint)")
+        )
+    )
+    credited = tpos.join(
+        purch,
+        (tpos["user_id"] == purch["user_id"]) & (tpos["seg"] == purch["pseg"]),
+    ).select("channel", credit.alias("credit"), "cents")
+    per_channel = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit").cast("bigint").alias("credit_ppm"),
+        F.sum(F.expr("cast(credit as decimal(38,0)) * cents")).alias("cv"),
+    )
+    tkeys = touches.select("user_id", "seg").distinct()
+    direct = (
+        purch.join(
+            tkeys,
+            (purch["user_id"] == tkeys["user_id"])
+            & (purch["pseg"] == tkeys["seg"]),
+            "left_anti",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
+        .selectExpr(
+            "'direct' AS channel",
+            "cast(n as bigint) AS n_credits",
+            "cast(n * 1000000 as bigint) AS credit_ppm",
+            "cast(cast(sc as decimal(38,0)) * 1000000 as decimal(38,0)) AS cv",
+        )
+    )
+    return (
+        per_channel.unionByName(direct)
+        .selectExpr(
+            "channel",
+            "n_credits",
+            "credit_ppm",
+            "cast(round(cast(cv as double) / 1e8 * 1e4) as bigint) / 1e4"
+            " AS credited_dollars",
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_PB_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM events
+),
+tpos AS (
+  SELECT user_id, seg, event_type AS channel,
+         row_number() OVER (PARTITION BY user_id, seg
+                            ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, seg) AS k
+  FROM base WHERE event_type <> 'purchase'
+),
+purch AS (
+  SELECT user_id, seg AS pseg, cents FROM base WHERE event_type = 'purchase'
+),
+credited AS (
+  SELECT t.channel,
+         CASE WHEN t.k = 1 THEN 1000000
+              WHEN t.k = 2 THEN 500000
+              WHEN t.pos = 1 THEN {PB_EDGE_PPM}
+              WHEN t.pos = t.k THEN {PB_EDGE_PPM}
+              ELSE CAST(round({PB_MID_PPM}.0 / (t.k - 2)) AS BIGINT)
+         END AS credit,
+         p.cents
+  FROM tpos t JOIN purch p ON p.user_id = t.user_id AND p.pseg = t.seg
+),
+per_channel AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+         CAST(sum(credit) AS BIGINT) AS credit_ppm,
+         sum(CAST(credit AS DECIMAL(38,0)) * cents) AS cv
+  FROM credited GROUP BY channel
+),
+direct AS (
+  SELECT 'direct' AS channel, CAST(count(*) AS BIGINT) AS n_credits,
+         CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm,
+         CAST(sum(cents) AS DECIMAL(38,0)) * 1000000 AS cv
+  FROM purch p
+  WHERE NOT EXISTS (SELECT 1 FROM tpos t
+                    WHERE t.user_id = p.user_id AND t.seg = p.pseg)
+)
+SELECT channel, n_credits, credit_ppm,
+       CAST(round(CAST(cv AS DOUBLE) / 1e8 * 1e4) AS BIGINT) / 1e4
+         AS credited_dollars
+FROM (SELECT * FROM per_channel UNION ALL SELECT * FROM direct)
+ORDER BY channel
+"""
+
+
 # --- cumulative distinct over a window --------------------------------------
 
 
@@ -1060,6 +1212,7 @@ QUERIES = {
     "ewma_user_value": ewma_user_value,
     "event_transition_matrix": event_transition_matrix,
     "attribution_last_touch": attribution_last_touch,
+    "attribution_position_based": attribution_position_based,
     "cumulative_distinct_parts": cumulative_distinct_parts,
     "ab_test_welch": ab_test_welch,
     "km_survival_curve": km_survival_curve,
@@ -1076,6 +1229,7 @@ ORACLES = {
     "ewma_user_value": EWMA_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
+    "attribution_position_based": ATTRIBUTION_PB_SQL,
     "cumulative_distinct_parts": CUM_DISTINCT_SQL,
     "ab_test_welch": AB_TEST_SQL,
     "km_survival_curve": KM_SQL,

@@ -1273,8 +1273,102 @@ FROM per
 """
 
 
+# --- semantic (embedding-space) decontamination ------------------------------
+
+SEMDECON_N_BENCH = 25  # benchmark set: vec_id < 25 (the probe convention)
+SEMDECON_TAU = 0.40  # fixture-scale threshold: the synthetic embeddings are
+# near-orthogonal (corpus max cosine-to-benchmark ≈ 0.49, p99 ≈ 0.41), so a
+# production-style 0.95 gate would be vacuously green at test scale; 0.40
+# exercises both branches. The THRESHOLD is the parameter; the plan is
+# unchanged at any τ.
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: drop every corpus vector whose
+    max cosine similarity to ANY benchmark vector reaches τ — the
+    semantic sibling of the n-gram `decontaminate` / containment gates
+    (catches paraphrased benchmark leakage that token overlap misses;
+    the gate LLM-pretraining pipelines run next to exact-match decon).
+    Per label: corpus size, removed/kept counts, and the hottest
+    similarity actually observed.
+
+    Exact shape: cosines are snapped to 4dp (the ANN selection
+    contract) so the τ comparison never straddles an ulp; the per-
+    vector max and the per-label counts are plain aggregates. The
+    benchmark side (≤{SEMDECON_N_BENCH} rows) broadcasts into the
+    scoring join — at test scale that is the exact brute-force pass;
+    at 100 TB the SAME gate consumes the IVF/LSH candidate join
+    (ivf.py / similarity.py) instead of the full cross product, τ and
+    everything downstream unchanged."""
+    tune(spark)
+    from spec_search_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < SEMDECON_N_BENCH).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= SEMDECON_N_BENCH)
+    per_vec = (
+        corpus.join(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("b_vec")), 4
+            ).alias("sim"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus"),
+            F.sum(
+                F.when(F.col("max_sim") >= SEMDECON_TAU, 1).otherwise(0)
+            ).cast("bigint").alias("n_removed"),
+            F.max("max_sim").alias("hottest_sim"),
+        )
+        .selectExpr(
+            "label",
+            "cast(n_corpus as bigint) AS n_corpus",
+            "n_removed",
+            "cast(n_corpus as bigint) - n_removed AS n_kept",
+            "hottest_sim",
+        )
+        .orderBy("label")
+    )
+
+
+def _semdecon_sql() -> str:
+    from spec_search_spark.functions.vector import cosine_similarity_sql
+
+    cos = cosine_similarity_sql("c.embedding", "b.b_vec")
+    return f"""
+WITH bench AS (
+  SELECT vec_id AS b_id, embedding AS b_vec FROM embeddings
+  WHERE vec_id < {SEMDECON_N_BENCH}
+),
+per_vec AS (
+  SELECT c.vec_id, c.label, max(round({cos}, 4)) AS max_sim
+  FROM embeddings c CROSS JOIN bench b
+  WHERE c.vec_id >= {SEMDECON_N_BENCH}
+  GROUP BY c.vec_id, c.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(sum(CASE WHEN max_sim >= {SEMDECON_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(count(*) AS BIGINT)
+         - CAST(sum(CASE WHEN max_sim >= {SEMDECON_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+       max(max_sim) AS hottest_sim
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
+    "semantic_decontamination": semantic_decontamination,
     "quality_funnel_report": quality_funnel_report,
     "contamination_containment": contamination_containment,
     "target_encoding_oof": target_encoding_oof,
@@ -1297,6 +1391,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
+    "semantic_decontamination": _semdecon_sql(),
     "quality_funnel_report": QUALITY_FUNNEL_SQL,
     "contamination_containment": CONTAINMENT_SQL,
     "target_encoding_oof": TARGET_ENCODING_SQL,

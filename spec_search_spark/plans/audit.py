@@ -1048,6 +1048,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "hashpartitioning(1,",
       "Exchange rangepartitioning"]),
+    # semantic decon: benchmark side broadcasts into the scoring join
+    # (≤N_BENCH rows — nested-loop is the intended physical form at
+    # test scale; the 100 TB path swaps in the IVF candidate join);
+    # everything downstream is plain partial+final aggregation
+    ("semantic_decontamination",
+     ["partial_max", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
+    # U-shaped attribution: segment marking + per-(user, seg) ranks are
+    # user-keyed windows; touch→purchase is an equi-join, never a
+    # purchases×events point-in-time product
+    ("attribution_position_based",
+     ["hashpartitioning(user_id", "Window", "partial_sum"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -508,3 +508,98 @@ def test_stream_sprt_equals_batch(spark, sf_dir):
     batch = sprt_conversion_hourly(spark, sf_dir).collect()
     stream = stream_sprt_decision_query(spark, sf_dir).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+# --- semantic decontamination ------------------------------------------------
+
+
+def test_semantic_decontamination_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators.pipeline_ops import (
+        SEMDECON_N_BENCH,
+        SEMDECON_TAU,
+        semantic_decontamination,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    V = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    bench = [v for i, (v, _) in V.items() if i < SEMDECON_N_BENCH]
+    per_label: dict = defaultdict(lambda: [0, 0, -2.0])
+    for i, (v, lab) in V.items():
+        if i < SEMDECON_N_BENCH:
+            continue
+        mx = max(
+            round(float(v @ b / (np.linalg.norm(v) * np.linalg.norm(b))), 4)
+            for b in bench
+        )
+        per_label[lab][0] += 1
+        per_label[lab][1] += int(mx >= SEMDECON_TAU)
+        per_label[lab][2] = max(per_label[lab][2], mx)
+    got = semantic_decontamination(spark, sf_dir).collect()
+    assert [r.label for r in got] == sorted(per_label)
+    removed_total = 0
+    for r in got:
+        n, rem, hot = per_label[r.label]
+        assert r.n_corpus == n and r.n_removed == rem
+        assert r.n_kept == n - rem
+        assert math.isclose(r.hottest_sim, hot, abs_tol=2e-4)
+        removed_total += r.n_removed
+    assert removed_total > 0  # the fixture-scale tau must not be vacuous
+
+
+# --- position-based attribution ----------------------------------------------
+
+
+def test_attribution_position_based_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.behavior import (
+        PB_EDGE_PPM,
+        PB_MID_PPM,
+        attribution_position_based,
+    )
+
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    chan: dict = defaultdict(lambda: [0, 0, 0])  # n, ppm, cv
+    path: dict = defaultdict(list)
+    for r in ev:
+        if r.event_type == "purchase":
+            cents = round(r.value * 100)
+            p = path.pop(r.user_id, [])
+            k = len(p)
+            if k == 0:
+                chan["direct"][0] += 1
+                chan["direct"][1] += 1_000_000
+                chan["direct"][2] += cents * 1_000_000
+            else:
+                for pos, c in enumerate(p, 1):
+                    if k == 1:
+                        cr = 1_000_000
+                    elif k == 2:
+                        cr = 500_000
+                    elif pos in (1, k):
+                        cr = PB_EDGE_PPM
+                    else:
+                        cr = round(PB_MID_PPM / (k - 2))
+                    chan[c][0] += 1
+                    chan[c][1] += cr
+                    chan[c][2] += cents * cr
+        else:
+            path[r.user_id].append(r.event_type)
+    got = attribution_position_based(spark, sf_dir).collect()
+    assert [r.channel for r in got] == sorted(chan)
+    for r in got:
+        n, ppm, cv = chan[r.channel]
+        assert r.n_credits == n
+        assert r.credit_ppm == ppm
+        assert math.isclose(
+            r.credited_dollars, round(cv / 1e8 * 1e4) / 1e4, abs_tol=2e-4
+        )
