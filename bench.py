@@ -200,6 +200,28 @@ HEADLINE = [
     "percolate_alerts",
     "l_diversity_report",
     "weighted_shortest_paths",
+    # round-6: distributed-rank-walk consumers already above; new ops —
+    # weighted dedup refinement, graph core, conformal/evaluation pack,
+    # monitoring (SPRT/seasonal/JSD/embedding), linkage, JL projection,
+    # attribution, multimodal silence, semantic decon, CV splits
+    "weighted_jaccard_pairs",
+    "kcore_decomposition",
+    "conformal_interval_orders",
+    "rake_keywords",
+    "sprt_conversion_hourly",
+    "seasonal_decompose_hourly",
+    "jsd_lang_drift",
+    "mutual_info_tokens",
+    "walk_forward_cv_splits",
+    "fs_linkage_scores",
+    "jl_projection_recall",
+    "roc_auc_doc_model",
+    "brier_decomposition",
+    "isotonic_calibration_pav",
+    "semantic_decontamination",
+    "attribution_position_based",
+    "audio_silence_runs",
+    "embedding_drift_monitor",
 ]
 
 

@@ -1595,10 +1595,133 @@ FROM d GROUP BY hod ORDER BY hod
 """
 
 
+# --- embedding-space drift monitor ------------------------------------------
+
+EMB_DRIFT_TOP = 5  # report the 5 dims with the largest mean shift
+EMB_COMP_SCALE = 1_000_000  # components snapped to integer micro-units
+EMB_PROD_SCALE = 1_000_000_000_000  # mean-product terms in pico-units
+
+
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots (even vs odd
+    vec_id — the deterministic half-split): per-dimension mean-vector
+    shift, top {EMB_DRIFT_TOP} dims by |shift|, plus the cosine
+    between the two mean vectors — the monitor an embedding pipeline
+    runs after a model or corpus refresh (centroid drift ≈ systematic
+    encoder change; single-dim spikes ≈ a broken feature/normalization
+    lane). The reference re-embeds blindly (`indexer.py:62-66`); this
+    is the check that says whether downstream indexes must rebuild.
+
+    Exact shape: components snap to integer micro-units at the scan,
+    so per-(dim, half) sums are pure BIGINT (order-independent); the
+    per-dim mean products feeding the cosine snap to integer
+    pico-units BEFORE the 64-element sum (FIXTURES rule 5). Explode is
+    dims×rows but collapses map-side to the 2×64-row (half, dim)
+    table; no window, no python, one shuffle of 128 rows."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("half_a"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "half_a",
+        "dim",
+        F.expr(f"cast(round(x * {EMB_COMP_SCALE}) as bigint)").alias("xm"),
+    )
+    per_dim = (
+        comp.groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("half_a"), F.col("xm")).otherwise(0)).alias("sa"),
+            F.sum(F.when(F.col("half_a"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("half_a"), 0).otherwise(F.col("xm"))).alias("sb"),
+            F.sum(F.when(F.col("half_a"), 0).otherwise(1)).alias("nb"),
+        )
+    )
+    # cosine of the mean vectors from three pico-snapped integer sums
+    prods = per_dim.selectExpr(
+        f"cast(round(((cast(sa as double) / na)) * ((cast(sb as double) / nb))"
+        f" / {EMB_COMP_SCALE}.0 / {EMB_COMP_SCALE}.0"
+        f" * {EMB_PROD_SCALE}) as bigint) AS pab",
+        f"cast(round(((cast(sa as double) / na)) * ((cast(sa as double) / na))"
+        f" / {EMB_COMP_SCALE}.0 / {EMB_COMP_SCALE}.0"
+        f" * {EMB_PROD_SCALE}) as bigint) AS paa",
+        f"cast(round(((cast(sb as double) / nb)) * ((cast(sb as double) / nb))"
+        f" / {EMB_COMP_SCALE}.0 / {EMB_COMP_SCALE}.0"
+        f" * {EMB_PROD_SCALE}) as bigint) AS pbb",
+    )
+    cos = prods.groupBy().agg(
+        F.sum("pab").alias("nab"),
+        F.sum("paa").alias("naa"),
+        F.sum("pbb").alias("nbb"),
+    ).selectExpr(
+        "cast(round(cast(nab as double) / sqrt(cast(naa as double)) / sqrt(cast(nbb as double)) * 1e6)"
+        " as bigint) / 1e6 AS mean_cosine_6"
+    )
+    return (
+        per_dim.crossJoin(F.broadcast(cos))
+        .selectExpr(
+            "dim",
+            "cast(round((cast(sa as double) / na)) as bigint) AS mean_a_micro",
+            "cast(round((cast(sb as double) / nb)) as bigint) AS mean_b_micro",
+            "cast(round(abs((cast(sa as double) / na) - (cast(sb as double) / nb))) as bigint)"
+            " AS abs_shift_micro",
+            "mean_cosine_6",
+        )
+        .orderBy(F.desc("abs_shift_micro"), F.asc("dim"))
+        .limit(EMB_DRIFT_TOP)
+    )
+
+
+EMB_DRIFT_SQL = f"""
+WITH comp AS (
+  SELECT vec_id % 2 = 0 AS half_a, d AS dim,
+         CAST(round(embedding[d + 1] * {EMB_COMP_SCALE}) AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL unnest(range(0, len(embedding))) AS u(d)
+),
+per_dim AS (
+  SELECT dim,
+         sum(CASE WHEN half_a THEN xm ELSE 0 END) AS sa,
+         sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN half_a THEN 0 ELSE xm END) AS sb,
+         sum(CASE WHEN half_a THEN 0 ELSE 1 END) AS nb
+  FROM comp GROUP BY dim
+),
+prods AS (
+  SELECT CAST(round(((cast(sa as double) / na)) * ((cast(sb as double) / nb))
+           / {EMB_COMP_SCALE}.0 / {EMB_COMP_SCALE}.0
+           * {EMB_PROD_SCALE}) AS BIGINT) AS pab,
+         CAST(round(((cast(sa as double) / na)) * ((cast(sa as double) / na))
+           / {EMB_COMP_SCALE}.0 / {EMB_COMP_SCALE}.0
+           * {EMB_PROD_SCALE}) AS BIGINT) AS paa,
+         CAST(round(((cast(sb as double) / nb)) * ((cast(sb as double) / nb))
+           / {EMB_COMP_SCALE}.0 / {EMB_COMP_SCALE}.0
+           * {EMB_PROD_SCALE}) AS BIGINT) AS pbb
+  FROM per_dim
+),
+cosd AS (
+  SELECT CAST(round(cast(sum(pab) as double) / sqrt(cast(sum(paa) as double))
+              / sqrt(cast(sum(pbb) as double)) * 1e6) AS BIGINT) / 1e6
+           AS mean_cosine_6
+  FROM prods
+)
+SELECT dim,
+       CAST(round((cast(sa as double) / na)) AS BIGINT) AS mean_a_micro,
+       CAST(round((cast(sb as double) / nb)) AS BIGINT) AS mean_b_micro,
+       CAST(round(abs((cast(sa as double) / na) - (cast(sb as double) / nb))) AS BIGINT)
+         AS abs_shift_micro,
+       mean_cosine_6
+FROM per_dim CROSS JOIN cosd
+ORDER BY abs_shift_micro DESC, dim ASC
+LIMIT {EMB_DRIFT_TOP}
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "sprt_conversion_hourly": sprt_conversion_hourly,
     "seasonal_decompose_hourly": seasonal_decompose_hourly,
+    "embedding_drift_monitor": embedding_drift_monitor,
     "holt_forecast_hourly": holt_forecast_hourly,
     "holt_backtest_mase": holt_backtest_mase,
     "lttb_downsample_hourly": lttb_downsample_hourly,
@@ -1617,6 +1740,7 @@ ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
     "sprt_conversion_hourly": SPRT_SQL,
     "seasonal_decompose_hourly": SEASONAL_SQL,
+    "embedding_drift_monitor": EMB_DRIFT_SQL,
     "holt_forecast_hourly": HOLT_SQL,
     "holt_backtest_mase": HOLT_BACKTEST_SQL,
     "lttb_downsample_hourly": LTTB_SQL,

@@ -810,8 +810,142 @@ FROM vals GROUP BY doc_id
 """
 
 
+# --- audio silence-run detection --------------------------------------------
+
+SILENCE_THRESH = 4096  # |PCM-16 sample| below this counts as silence
+SILENCE_SCHEMA = (
+    "doc_id bigint, n_frames int, n_silent bigint, n_runs bigint,"
+    " longest_run bigint"
+)
+
+
+def decode_wav_silence_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Silence segmentation from the PCM content: maximal runs of
+    consecutive samples with |s| < SILENCE_THRESH — numpy run-length
+    encoding over the decoded sample vector (edge-detect on the
+    boolean mask; no per-sample Python). Integer outputs → value
+    oracle."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            _, channels, _, _, block_align, _ = struct.unpack(
+                "<HHIIHH", payload[20:36]
+            )
+            (data_len,) = struct.unpack("<I", payload[40:44])
+            samples = np.frombuffer(
+                payload[44 : 44 + data_len], dtype="<i2"
+            ).astype(np.int64)
+            silent = np.abs(samples) < SILENCE_THRESH
+            if len(silent):
+                edges = np.diff(silent.astype(np.int8))
+                starts = int((edges == 1).sum()) + int(silent[0])
+                # run lengths via split indices on the mask
+                idx = np.flatnonzero(
+                    np.diff(np.concatenate(([0], silent.view(np.int8), [0])))
+                )
+                lens = idx[1::2] - idx[0::2]
+                longest = int(lens.max()) if len(lens) else 0
+            else:
+                starts, longest = 0, 0
+            rows.append(
+                (
+                    int(doc_id),
+                    data_len // block_align,
+                    int(silent.sum()),
+                    starts,
+                    longest,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "n_silent", "n_runs", "longest_run"],
+        )
+
+
+def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over genuine WAV payloads — the audio
+    segmentation primitive (VAD preprocessing / trailing-silence trim)
+    a multimodal training pipeline runs before clipping or captioning:
+    per clip, how many maximal silent runs the PCM contains, their
+    longest length, and the total silent-sample count.
+
+    Same codec seam and doc_id-parameterized bytes as
+    `multimodal_audio_energy` (the kernel genuinely decodes PCM; the
+    oracle reproduces the expected runs in closed form via SQL
+    gaps-and-islands over the synthetic sample formula — agreement
+    proves the run-length arithmetic end-to-end). Plan: synth kernel →
+    silence kernel, chained MapInPandas in one stage, zero exchanges —
+    payload bytes never cross the network."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 2 == 1
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_wav(8000 + d % 100, 1 + d % 2, d % 50, seed=d)
+                for d in (int(x) for x in pdf["doc_id"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return media.mapInPandas(decode_wav_silence_batch, SILENCE_SCHEMA)
+
+
+# same synthetic-byte formula as AUDIO_ENERGY_SQL; runs via the
+# row_number gaps-and-islands trick over the unnested sample positions
+AUDIO_SILENCE_SQL = f"""
+WITH audio AS (
+  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS n_channels,
+         CAST(doc_id % 50 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 2 = 1),
+pos AS (
+  SELECT doc_id, n_frames, n_channels, unnest(
+           range(0, n_frames * n_channels)) AS j
+  FROM audio),
+samp AS (
+  SELECT doc_id, n_frames, n_channels, j,
+         CASE WHEN (doc_id*17 + (2*j)*13) % 256
+                   + 256 * ((doc_id*17 + (2*j+1)*13) % 256) >= 32768
+              THEN (doc_id*17 + (2*j)*13) % 256
+                   + 256 * ((doc_id*17 + (2*j+1)*13) % 256) - 65536
+              ELSE (doc_id*17 + (2*j)*13) % 256
+                   + 256 * ((doc_id*17 + (2*j+1)*13) % 256)
+         END AS v
+  FROM pos),
+silent AS (
+  SELECT doc_id, n_frames, j,
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM samp WHERE abs(v) < {SILENCE_THRESH}),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_len
+  FROM silent GROUP BY doc_id, grp),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(sum(run_len) AS BIGINT) AS n_silent,
+         CAST(max(run_len) AS BIGINT) AS longest_run
+  FROM runs GROUP BY doc_id)
+SELECT a.doc_id, a.n_frames,
+       coalesce(p.n_silent, 0) AS n_silent,
+       coalesce(p.n_runs, 0) AS n_runs,
+       coalesce(p.longest_run, 0) AS longest_run
+FROM audio a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "audio_silence_runs": audio_silence_runs,
     "multimodal_frame_sample": frame_sample,
     "multimodal_real_codec": multimodal_real_codec,
     "multimodal_audio_energy": multimodal_audio_energy,
@@ -822,6 +956,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_decode": MULTIMODAL_SQL,
+    "audio_silence_runs": AUDIO_SILENCE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_real_codec": MULTIMODAL_REAL_SQL,
     "multimodal_audio_energy": AUDIO_ENERGY_SQL,

@@ -1063,6 +1063,18 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["hashpartitioning(user_id", "Window", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # audio silence runs: chained MapInPandas in ONE stage — payload
+    # bytes never shuffle; no row-at-a-time python, no join at all
+    ("audio_silence_runs",
+     ["MapInPandas"],
+     ["CartesianProduct", "BatchEvalPython", "Exchange hashpartitioning",
+      "SortMergeJoin", "Window"]),
+    # embedding drift: the dims×rows explode collapses map-side to the
+    # (half, dim) table — one 128-row shuffle, no window, no python
+    ("embedding_drift_monitor",
+     ["partial_sum", "TakeOrderedAndProject"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
+      "Exchange rangepartitioning"]),
 ]
 
 

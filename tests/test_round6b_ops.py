@@ -603,3 +603,95 @@ def test_attribution_position_based_matches_python(spark, sf_dir):
         assert math.isclose(
             r.credited_dollars, round(cv / 1e8 * 1e4) / 1e4, abs_tol=2e-4
         )
+
+
+# --- audio silence runs ------------------------------------------------------
+
+
+def test_audio_silence_runs_matches_python(spark, sf_dir):
+    from spec_search_spark.operators.multimodal import (
+        SILENCE_THRESH,
+        audio_silence_runs,
+        make_wav,
+    )
+    import struct
+
+    got = {r.doc_id: r for r in audio_silence_runs(spark, sf_dir).collect()}
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if r.doc_id % 2 == 1
+    ]
+    assert set(got) == set(doc_ids)
+    some_runs = 0
+    for d in doc_ids[:50]:
+        payload = make_wav(8000 + d % 100, 1 + d % 2, d % 50, seed=d)
+        (data_len,) = struct.unpack("<I", payload[40:44])
+        raw = payload[44 : 44 + data_len]
+        samples = [
+            struct.unpack("<h", raw[2 * i : 2 * i + 2])[0]
+            for i in range(len(raw) // 2)
+        ]
+        mask = [abs(s) < SILENCE_THRESH for s in samples]
+        runs, cur = [], 0
+        for m in mask:
+            if m:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = got[d]
+        assert r.n_silent == sum(mask)
+        assert r.n_runs == len(runs)
+        assert r.longest_run == (max(runs) if runs else 0)
+        some_runs += len(runs)
+    assert some_runs > 0  # threshold must not be vacuous
+
+
+# --- embedding drift monitor -------------------------------------------------
+
+
+def test_embedding_drift_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators.drift import (
+        EMB_COMP_SCALE,
+        EMB_DRIFT_TOP,
+        embedding_drift_monitor,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sa = Counter()
+    sb = Counter()
+    na = nb = 0
+    for r in rows:
+        tgt = sa if r.vec_id % 2 == 0 else sb
+        if r.vec_id % 2 == 0:
+            na += 1
+        else:
+            nb += 1
+        for d, x in enumerate(r.embedding):
+            tgt[d] += round(float(np.float64(x)) * EMB_COMP_SCALE)
+    dims = sorted(sa.keys() | sb.keys())
+    ma = np.array([sa[d] / na for d in dims])
+    mb = np.array([sb[d] / nb for d in dims])
+    shifts = sorted(
+        ((round(abs(sa[d] / na - sb[d] / nb)), d) for d in dims),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = embedding_drift_monitor(spark, sf_dir).collect()
+    assert len(got) == EMB_DRIFT_TOP
+    assert [(r.abs_shift_micro, r.dim) for r in got] == shifts[:EMB_DRIFT_TOP]
+    cos = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    for r in got:
+        assert math.isclose(r.mean_cosine_6, cos, abs_tol=1e-3)
+        assert r.mean_a_micro == round(sa[r.dim] / na)
+        assert r.mean_b_micro == round(sb[r.dim] / nb)
