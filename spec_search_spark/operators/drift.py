@@ -1531,7 +1531,14 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Detrended d_t = 48·x_t − T2_t is integer cents×48; the per-hod
     mean is one exact integer sum / (48·cnt·100), snapped to 6dp."""
     tune(spark)
-    filled = _hourly_filled(spark, sf_dir).select(
+    return seasonal_from_filled(spark, _hourly_filled(spark, sf_dir))
+
+
+def seasonal_from_filled(spark: SparkSession, filled_h: DataFrame) -> DataFrame:
+    """The decomposition fold over a gap-filled (h, x) hourly table —
+    shared by the batch op and the streaming twin (whose stream state
+    IS the bounded per-hour sum table)."""
+    filled = filled_h.select(
         F.expr("cast(cast(h as long) div 3600 as bigint)").alias("i"), "x"
     )
     offs = spark.range(-(SEAS_PERIOD // 2), SEAS_PERIOD // 2 + 1).select(

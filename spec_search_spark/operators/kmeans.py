@@ -366,10 +366,191 @@ SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n,
 FROM s GROUP BY cid ORDER BY cluster
 """
 
+# ---------------------------------------------------------------------------
+# DBSCAN on the within-cluster candidate graph
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 0.30  # cosine ≥ eps = neighbor (near-orthogonal synthetic
+# embeddings: full-graph mean degree ≈ 4 at 0.30 — core/border/noise all
+# non-empty at test scale; a real-text corpus would sit near 0.8)
+DBSCAN_MIN_PTS = 3  # core point: ≥ MIN_PTS neighbors (excluding itself)
+DBSCAN_ITERS = 6  # synchronous min-label rounds (fixed ⇒ unrolled oracle)
+
+
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    WITHIN-k-means-cluster candidate graph — the density sibling of
+    `semantic_dedup`: core points (≥ {DBSCAN_MIN_PTS} cosine-≥-eps
+    neighbors) grow components, border points attach to a core
+    neighbor, everything else is noise. The shape a curation pipeline
+    uses to separate dense template families (clusters) from genuinely
+    novel content (noise) without fixing K.
+
+    Candidate policy (the defined input, same convention as the LSH
+    candidate graph the `graph_*` ops use): neighbor pairs come from
+    the k-means co-cluster equi-join, so the pair search is
+    O(Σ cluster²) ≪ O(n²) and shuffles on cluster id; at 100 TB the
+    same gate rides IVF/LSH candidates. Component labels are
+    {DBSCAN_ITERS} synchronous min-label rounds over the core-core
+    edge set (node-sized state, materialized per round — the
+    PageRank/label-propagation lineage-cut pattern); a FIXED round
+    count keeps the oracle expressible as unrolled CTEs, and the
+    output is defined as the post-round-{DBSCAN_ITERS} state whether
+    or not propagation has converged. Border points take the MIN final
+    label among their core neighbors; ties and ordering all break on
+    vec_id. Output: (vec_id, role, label)."""
+    from spec_search_spark.operators.dedup import _materialize
+
+    assigned = (
+        _final_assignment(spark, sf_dir)
+        .select("vec_id", F.col("cid").alias("cluster"), "e")
+        .withColumn("nrm", norm(F.col("e")))
+        .withColumn("ne", F.transform("e", lambda x: x / F.col("nrm")))
+        .drop("e", "nrm")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    edges = _materialize(
+        a.join(b, on="cluster")
+        .filter(F.col("b.vec_id") != F.col("a.vec_id"))
+        .filter(
+            F.round(dot(F.col("a.ne"), F.col("b.ne")), 6) >= DBSCAN_EPS
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    core = _materialize(
+        deg.filter(F.col("deg") >= DBSCAN_MIN_PTS).select("vec_id")
+    )
+    core_edges = _materialize(
+        edges.join(core.select(F.col("vec_id").alias("src")), "src", "semi")
+        .join(core.select(F.col("vec_id").alias("dst")), "dst", "semi")
+    )
+    # localCheckpoint (not persist): a persisted loop state still
+    # CARRIES its whole join lineage, and Catalyst re-analysis of the
+    # exponentially nesting plan dominated after ~4 rounds (0.9s →
+    # 29.5s/round measured); checkpointing truncates to the blocks —
+    # the weighted-SSSP/PageRank lineage-cut pattern (graph.py)
+    labels = core.select(
+        "vec_id", F.col("vec_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(DBSCAN_ITERS):
+        nbr_min = (
+            core_edges.join(
+                labels.select(
+                    F.col("vec_id").alias("dst"), F.col("label").alias("dl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vec_id"))
+            .agg(F.min("dl").alias("nbr"))
+        )
+        labels = labels.join(nbr_min, "vec_id", "left").select(
+            "vec_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr", F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint(eager=True)
+    border = (
+        edges.join(core.select(F.col("vec_id").alias("src")), "src", "anti")
+        .join(
+            labels.select(F.col("vec_id").alias("dst"), "label"), "dst"
+        )
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(F.min("label").alias("label"))
+    )
+    all_pts = assigned.select("vec_id")
+    core_lab = labels.select(
+        "vec_id", F.lit("core").alias("role"), "label"
+    )
+    border_lab = border.select(
+        "vec_id", F.lit("border").alias("role"), "label"
+    )
+    classified = core_lab.unionByName(border_lab)
+    return (
+        all_pts.join(classified, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            "label",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _dbscan_sql() -> str:
+    ctes = [
+        _kmeans_ctes().lstrip().removeprefix("WITH "),
+        f"""nrm AS (
+  SELECT vec_id, cid,
+         list_transform(e, x -> x / sqrt({dot_sql('e', 'e')})) AS ne
+  FROM af
+)""",
+        # MATERIALIZED: the unrolled label CTEs reference core_edges
+        # each round — inlined, DuckDB would recompute the full kmeans
+        # walk + cosine pair join per round (the PageRank oracle lesson)
+        f"""edges AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE round({dot_sql('a.ne', 'b.ne')}, 6) >= {DBSCAN_EPS}
+)""",
+        f"""core AS MATERIALIZED (
+  SELECT src AS vec_id FROM edges GROUP BY src
+  HAVING count(*) >= {DBSCAN_MIN_PTS}
+)""",
+        """core_edges AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  JOIN core x ON x.vec_id = e.src
+  JOIN core y ON y.vec_id = e.dst
+)""",
+        "l0 AS (SELECT vec_id, vec_id AS label FROM core)",
+    ]
+    for i in range(DBSCAN_ITERS):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT p.vec_id, least(p.label, coalesce(min(d.label), p.label)) AS label
+  FROM {prev} p
+  LEFT JOIN core_edges e ON e.src = p.vec_id
+  LEFT JOIN {prev} d ON d.vec_id = e.dst
+  GROUP BY p.vec_id, p.label
+)"""
+        )
+    final = f"l{DBSCAN_ITERS}"
+    ctes.append(
+        f"""border AS (
+  SELECT e.src AS vec_id, min(l.label) AS label
+  FROM edges e
+  JOIN {final} l ON l.vec_id = e.dst
+  WHERE e.src NOT IN (SELECT vec_id FROM core)
+  GROUP BY e.src
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT af.vec_id,
+       CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(c.label, b.label) AS label
+FROM af
+LEFT JOIN {final} c ON c.vec_id = af.vec_id
+LEFT JOIN border b ON b.vec_id = af.vec_id
+ORDER BY af.vec_id
+"""
+
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
     "kmeans_cluster_sizes": kmeans_cluster_sizes,
     "semantic_dedup": semantic_dedup,
+    "dbscan_clusters": dbscan_clusters,
     "kmeans_silhouette": kmeans_silhouette,
 }
 
@@ -377,5 +558,6 @@ ORACLES = {
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "kmeans_cluster_sizes": KMEANS_SIZES_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "dbscan_clusters": _dbscan_sql(),
     "kmeans_silhouette": KMEANS_SIL_SQL,
 }

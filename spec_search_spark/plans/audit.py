@@ -1075,6 +1075,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "TakeOrderedAndProject"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
       "Exchange rangepartitioning"]),
+    # DBSCAN: the neighbor search is the within-cluster EQUI-join (the
+    # SemDeDup candidate policy — never an unblocked pair product);
+    # label rounds are equi-joins over the materialized core edge set
+    ("dbscan_clusters",
+     ["partial_count", "partial_min"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython"]),
 ]
 
 

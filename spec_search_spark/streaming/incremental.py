@@ -823,6 +823,53 @@ def stream_sprt_decision_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sprt_from_hourly(spark.table(name).select("h", "n", "k"))
 
 
+def stream_seasonal_decompose_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal decomposition: the hour-of-day seasonal
+    index recomputed ON the stream. Streaming state is the same
+    bounded per-hour sum table as `stream_hourly_acf`/CUSUM (hour
+    count fixes it, not stream volume); after the drain the gap-fill +
+    exact integer contribution-explode fold
+    (`drift.seasonal_from_filled`) scores the final table — identical
+    output and oracle as the batch `seasonal_decompose_hourly`."""
+    from spec_search_spark.operators.drift import seasonal_from_filled
+
+    name = f"seasdec_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_seasdec_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_h = spark.table(name).select("h", "x")
+    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = grid.join(per_h, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    return seasonal_from_filled(spark, filled)
+
+
+def _stream_seasdec_sql() -> str:
+    from spec_search_spark.operators.drift import SEASONAL_SQL
+
+    return SEASONAL_SQL
+
+
 def _stream_sprt_sql() -> str:
     from spec_search_spark.operators.drift import SPRT_SQL
 
@@ -1187,6 +1234,7 @@ QUERIES = {
     "stream_hourly_acf": stream_hourly_acf_query,
     "stream_cusum_changepoint": stream_cusum_changepoint_query,
     "stream_sprt_decision": stream_sprt_decision_query,
+    "stream_seasonal_decompose": stream_seasonal_decompose_query,
     "stream_burstiness": stream_burstiness_query,
     "stream_quality_funnel": stream_quality_funnel_query,
     "stream_merge_upsert": stream_merge_upsert_query,
@@ -1207,6 +1255,7 @@ ORACLES = {
     "stream_hourly_acf": _stream_acf_sql(),
     "stream_cusum_changepoint": _stream_cusum_sql(),
     "stream_sprt_decision": _stream_sprt_sql(),
+    "stream_seasonal_decompose": _stream_seasdec_sql(),
     "stream_burstiness": _stream_burstiness_sql(),
     "stream_quality_funnel": _import_funnel_sql(),
     "stream_merge_upsert": _stream_merge_sql(),

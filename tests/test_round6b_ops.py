@@ -695,3 +695,71 @@ def test_embedding_drift_matches_numpy(spark, sf_dir):
         assert math.isclose(r.mean_cosine_6, cos, abs_tol=1e-3)
         assert r.mean_a_micro == round(sa[r.dim] / na)
         assert r.mean_b_micro == round(sb[r.dim] / nb)
+
+
+def test_stream_seasonal_decompose_equals_batch(spark, sf_dir):
+    from spec_search_spark.operators.drift import seasonal_decompose_hourly
+    from spec_search_spark.streaming.incremental import (
+        stream_seasonal_decompose_query,
+    )
+
+    batch = seasonal_decompose_hourly(spark, sf_dir).collect()
+    stream = stream_seasonal_decompose_query(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+# --- DBSCAN on the candidate graph -------------------------------------------
+
+
+def test_dbscan_matches_python_reference(spark, sf_dir):
+    import numpy as np
+
+    from spec_search_spark.operators.kmeans import (
+        DBSCAN_EPS,
+        DBSCAN_ITERS,
+        DBSCAN_MIN_PTS,
+        dbscan_clusters,
+        kmeans_assign,
+    )
+
+    assign = {
+        r.vec_id: r.cluster for r in kmeans_assign(spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ne = {i: v / np.linalg.norm(v) for i, v in emb.items()}
+    by_cluster: dict = defaultdict(list)
+    for i, c in assign.items():
+        by_cluster[c].append(i)
+    nbrs: dict = defaultdict(set)
+    for c, ids in by_cluster.items():
+        for i in ids:
+            for j in ids:
+                if i != j and round(float(ne[i] @ ne[j]), 6) >= DBSCAN_EPS:
+                    nbrs[i].add(j)
+    core = {i for i, ns in nbrs.items() if len(ns) >= DBSCAN_MIN_PTS}
+    label = {i: i for i in core}
+    for _ in range(DBSCAN_ITERS):
+        label = {
+            i: min(
+                [label[i]] + [label[j] for j in nbrs[i] if j in core]
+            )
+            for i in core
+        }
+    want = {}
+    for i in emb:
+        if i in core:
+            want[i] = ("core", label[i])
+        else:
+            cn = [label[j] for j in nbrs.get(i, ()) if j in core]
+            want[i] = ("border", min(cn)) if cn else ("noise", None)
+    got = dbscan_clusters(spark, sf_dir).collect()
+    assert len(got) == len(emb)
+    for r in got:
+        assert (r.role, r.label) == want[r.vec_id], r.vec_id
+    roles = {r.role for r in got}
+    assert roles == {"core", "border", "noise"}  # all three non-empty
