@@ -1724,10 +1724,104 @@ LIMIT {EMB_DRIFT_TOP}
 """
 
 
+# --- Page-Hinkley changepoint (mean-increase alarm) --------------------------
+
+PH_SCALE = 1_000_000  # per-hour terms snapped to micro-cents
+PH_LAMBDA = 500_000_000_000  # alarm threshold (micro-cents): fires on the
+# sf0.01 fixture (PH_max ≈ 7.98e11) — both alarm branches exercised across
+# the sf ladder; a production deployment calibrates λ to its own scale
+
+
+def page_hinkley_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-increase monitor on the gap-filled hourly
+    value series — the classic sequential changepoint ALARM (Page
+    1954; the standard drift detector in river/MOA): m_t = Σ_{{i≤t}}
+    (x_i − x̄_i), PH_t = m_t − min_{{s≤t}} m_s, alarm when PH_t > λ.
+    Where CUSUM (cusum_changepoint_hourly) retrospectively locates the
+    best split, Page-Hinkley answers the ONLINE question: at which
+    hour would a monitor have fired?
+
+    Exact shape: everything lives on the BOUNDED hour grid. Each
+    term x_i − S_i/i is one fixed-arity double from exact integers,
+    snapped to micro-cents BEFORE the cumulative sums (FIXTURES rule
+    5); m_t and its prefix min accumulate in DECIMAL(38,0) windows
+    over the grid, so the walk is order-independent and identical in
+    both engines. One row: n_hours, ph_max, the first alarm hour
+    (NULL when PH never crosses λ), and the decision."""
+    tune(spark)
+    return ph_from_filled(_hourly_filled(spark, sf_dir))
+
+
+def ph_from_filled(filled: DataFrame) -> DataFrame:
+    """The Page-Hinkley fold over a gap-filled (h, x) hourly table —
+    shared by the batch op and the streaming twin."""
+    w = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    cum = filled.select(
+        "h",
+        "x",
+        F.sum("x").over(w).alias("s"),
+        F.row_number().over(W.orderBy("h")).alias("i"),
+    )
+    terms = cum.select(
+        "h",
+        F.expr(
+            f"cast(round((x - s / cast(i as double)) * {PH_SCALE})"
+            " as bigint)"
+        ).alias("t"),
+    )
+    m = terms.select(
+        "h", F.sum(F.expr("cast(t as decimal(38,0))")).over(w).alias("mt")
+    )
+    ph = m.select(
+        "h",
+        (F.col("mt") - F.min("mt").over(w)).alias("ph"),
+    )
+    first = ph.filter(F.col("ph") > PH_LAMBDA).groupBy().agg(
+        F.min("h").alias("ah")
+    )
+    agg = ph.groupBy().agg(
+        F.count(F.lit(1)).alias("n_hours"), F.max("ph").alias("ph_max")
+    )
+    return agg.crossJoin(F.broadcast(first)).selectExpr(
+        "cast(n_hours as bigint) AS n_hours",
+        "cast(ph_max as bigint) AS ph_max_micro",
+        "cast(cast(ah as long) div 3600 as bigint) AS alarm_epoch_hour",
+        "CASE WHEN ah IS NULL THEN 'no_alarm' ELSE 'alarm' END AS decision",
+    )
+
+
+PAGE_HINKLEY_SQL = f"""
+WITH {_HOURLY_FILLED_SQL.lstrip()},
+cum AS (
+  SELECT h, x, sum(x) OVER (ORDER BY h) AS s,
+         row_number() OVER (ORDER BY h) AS i
+  FROM filled
+),
+terms AS (
+  SELECT h, CAST(round((x - s / CAST(i AS DOUBLE)) * {PH_SCALE})
+              AS BIGINT) AS t
+  FROM cum
+),
+m AS (SELECT h, sum(CAST(t AS DECIMAL(38,0))) OVER (ORDER BY h) AS mt
+      FROM terms),
+ph AS (SELECT h, mt - min(mt) OVER (ORDER BY h) AS ph FROM m),
+first AS (
+  SELECT (SELECT min(h) FROM ph WHERE ph > {PH_LAMBDA}) AS ah
+),
+agg AS (SELECT count(*) AS n_hours, max(ph) AS ph_max FROM ph)
+SELECT CAST(a.n_hours AS BIGINT) AS n_hours,
+       CAST(a.ph_max AS BIGINT) AS ph_max_micro,
+       CAST(epoch(f.ah) // 3600 AS BIGINT) AS alarm_epoch_hour,
+       CASE WHEN f.ah IS NULL THEN 'no_alarm' ELSE 'alarm' END AS decision
+FROM agg a CROSS JOIN first f
+"""
+
+
 QUERIES = {
     "ks_test_priority_revenue": ks_test_priority_revenue,
     "sprt_conversion_hourly": sprt_conversion_hourly,
     "seasonal_decompose_hourly": seasonal_decompose_hourly,
+    "page_hinkley_hourly": page_hinkley_hourly,
     "embedding_drift_monitor": embedding_drift_monitor,
     "holt_forecast_hourly": holt_forecast_hourly,
     "holt_backtest_mase": holt_backtest_mase,
@@ -1747,6 +1841,7 @@ ORACLES = {
     "ks_test_priority_revenue": KS_SQL,
     "sprt_conversion_hourly": SPRT_SQL,
     "seasonal_decompose_hourly": SEASONAL_SQL,
+    "page_hinkley_hourly": PAGE_HINKLEY_SQL,
     "embedding_drift_monitor": EMB_DRIFT_SQL,
     "holt_forecast_hourly": HOLT_SQL,
     "holt_backtest_mase": HOLT_BACKTEST_SQL,

@@ -1081,6 +1081,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("dbscan_clusters",
      ["partial_count", "partial_min"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython"]),
+    # Page-Hinkley: one partial+final hourly collapse; the PH walk
+    # windows only the bounded hour grid — no python, no pair joins
+    ("page_hinkley_hourly",
+     ["partial_sum", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "Exchange rangepartitioning"]),
 ]
 
 

@@ -864,6 +864,52 @@ def stream_seasonal_decompose_query(spark: SparkSession, sf_dir: str) -> DataFra
     return seasonal_from_filled(spark, filled)
 
 
+def stream_page_hinkley_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Page-Hinkley alarm: the online mean-increase monitor
+    run ON the stream — the deployment shape the detector was designed
+    for. Stream state is the bounded per-hour sum table; after the
+    drain the gap-fill + micro-snapped integer PH walk
+    (`drift.ph_from_filled`) scores the final table — identical output
+    and oracle as the batch `page_hinkley_hourly`."""
+    from spec_search_spark.operators.drift import ph_from_filled
+
+    name = f"ph_stream_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ph_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_h = spark.table(name).select("h", "x")
+    bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = grid.join(per_h, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    return ph_from_filled(filled)
+
+
+def _stream_ph_sql() -> str:
+    from spec_search_spark.operators.drift import PAGE_HINKLEY_SQL
+
+    return PAGE_HINKLEY_SQL
+
+
 def _stream_seasdec_sql() -> str:
     from spec_search_spark.operators.drift import SEASONAL_SQL
 
@@ -1235,6 +1281,7 @@ QUERIES = {
     "stream_cusum_changepoint": stream_cusum_changepoint_query,
     "stream_sprt_decision": stream_sprt_decision_query,
     "stream_seasonal_decompose": stream_seasonal_decompose_query,
+    "stream_page_hinkley": stream_page_hinkley_query,
     "stream_burstiness": stream_burstiness_query,
     "stream_quality_funnel": stream_quality_funnel_query,
     "stream_merge_upsert": stream_merge_upsert_query,
@@ -1256,6 +1303,7 @@ ORACLES = {
     "stream_cusum_changepoint": _stream_cusum_sql(),
     "stream_sprt_decision": _stream_sprt_sql(),
     "stream_seasonal_decompose": _stream_seasdec_sql(),
+    "stream_page_hinkley": _stream_ph_sql(),
     "stream_burstiness": _stream_burstiness_sql(),
     "stream_quality_funnel": _import_funnel_sql(),
     "stream_merge_upsert": _stream_merge_sql(),

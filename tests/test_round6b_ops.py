@@ -763,3 +763,55 @@ def test_dbscan_matches_python_reference(spark, sf_dir):
         assert (r.role, r.label) == want[r.vec_id], r.vec_id
     roles = {r.role for r in got}
     assert roles == {"core", "border", "noise"}  # all three non-empty
+
+
+# --- Page-Hinkley -------------------------------------------------------------
+
+
+def test_page_hinkley_matches_python(spark, sf_dir):
+    import calendar
+
+    from spec_search_spark.operators.drift import (
+        PH_LAMBDA,
+        PH_SCALE,
+        page_hinkley_hourly,
+    )
+    from spec_search_spark.streaming.incremental import (
+        stream_page_hinkley_query,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    per_h: Counter = Counter()
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        per_h[calendar.timegm(h.timetuple()) // 3600] += round(r.value * 100)
+    def round_half_away(v: float) -> int:
+        # Spark/DuckDB round() is half-away-from-zero; python's round()
+        # is banker's (half-even) — they differ on exact .5 doubles
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    i0, i1 = min(per_h), max(per_h)
+    s = m = 0
+    mn = 0
+    ph_max = 0
+    alarm = None
+    for n, i in enumerate(range(i0, i1 + 1), 1):
+        x = per_h.get(i, 0)
+        s += x
+        m += round_half_away((x - s / n) * PH_SCALE)
+        mn = min(mn, m)
+        ph = m - mn
+        ph_max = max(ph_max, ph)
+        if alarm is None and ph > PH_LAMBDA:
+            alarm = i
+    got = page_hinkley_hourly(spark, sf_dir).collect()[0]
+    assert got.n_hours == i1 - i0 + 1
+    assert got.ph_max_micro == ph_max
+    assert got.alarm_epoch_hour == alarm
+    assert got.decision == ("alarm" if alarm is not None else "no_alarm")
+    stream = stream_page_hinkley_query(spark, sf_dir).collect()[0]
+    assert tuple(stream) == tuple(got)
