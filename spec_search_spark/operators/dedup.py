@@ -83,7 +83,13 @@ def _materialize(df: DataFrame, durable: bool = False) -> DataFrame:
       of bytes nobody will read again — measured as a sustained
       multi-query slowdown window late in the 157-slot bench, where
       hundreds of transient persists accumulate; dropping a dead
-      transient must stay free."""
+      transient must stay free. CAVEAT (deliberate trade): for a
+      transient, the exactly-once guarantee only holds while the
+      blocks stay resident — if eviction strikes between the persist
+      and the self-join's consumption, both branches recompute the
+      upstream concurrently again (duplicated work, never wrong
+      results). Intermediates that feed self-joins and MUST NOT
+      replan should pass durable=True."""
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(
@@ -1057,9 +1063,18 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t1 = tot.select(F.col("doc_id").alias("doc1"), F.col("tot").alias("tot1"))
     t2 = tot.select(F.col("doc_id").alias("doc2"), F.col("tot").alias("tot2"))
+    # `tot` is CORPUS-sized (one row per document) — broadcasting it
+    # unconditionally is a hard job failure at 100 TB (billion-row
+    # table into the 8 GB broadcast cap). Apply the repo's capped-
+    # broadcast-or-shuffle policy (BROADCAST_VOCAB_MAX, same as
+    # hashed_shingle_postings above): broadcast only when it provably
+    # fits, else plain shuffle joins on the 8-byte doc keys (AQE may
+    # still elect a runtime broadcast of the candidate-bound side).
+    if tot.count() <= BROADCAST_VOCAB_MAX:
+        t1, t2 = F.broadcast(t1), F.broadcast(t2)
     return (
-        inter.join(F.broadcast(t1), "doc1")
-        .join(F.broadcast(t2), "doc2")
+        inter.join(t1, "doc1")
+        .join(t2, "doc2")
         .select(
             "doc1",
             "doc2",

@@ -1038,7 +1038,10 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
     # weighted Jaccard: candidate-bound intersection join on the 8-byte
-    # hash key; totals broadcast back — no all-pairs path, no window
+    # hash key; per-doc totals join back under the capped-broadcast-or-
+    # shuffle policy (BROADCAST_VOCAB_MAX — the corpus-sized tot table
+    # NEVER broadcasts uncapped; at test scale the cap admits it, hence
+    # BroadcastHashJoin here) — no all-pairs path, no window
     ("weighted_jaccard_pairs",
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
