@@ -49,6 +49,36 @@ MW_A, MW_B = "1-URGENT", "5-LOW"
 Z_CRIT = 1.959964  # two-sided alpha = 0.05
 RANK_BUCKETS = 64  # range buckets for the distributed prefix sums
 MAD_K = 3.0 * 1.4826  # 3 robust sigmas (normal-consistency constant)
+#: Adaptive plan-shape-by-size policy (the `spread()` idea applied to
+#: the rank walk): a distinct-value count table at or under this many
+#: rows sorts in ONE local window task in well under a second — the
+#: two-phase bucketed walk's extra stages (bounds, per-bucket aggs,
+#: triangular offsets, re-join) cost ~2× at toy scale for nothing
+#: (VERDICT r6 measured ×1.3–×2.0 on equi_depth_histogram /
+#: stratified_quality_sample / winsorized_stats at sf0.1). Above the
+#: threshold the bucketed walk engages: no window ever serializes an
+#: unbounded table through one task. 2M (long,long) rows ≈ 32 MB —
+#: comfortably one partition; same spirit as dedup.BROADCAST_VOCAB_MAX.
+#: SPARK_GRAFT_RANK_SMALL_MAX overrides (the plan audit pins 0 to
+#: force and check the at-scale shape regardless of fixture size).
+RANK_SMALL_MAX = 2_000_000
+
+
+def _rank_small_max() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_RANK_SMALL_MAX", str(RANK_SMALL_MAX)))
+
+
+def _persist_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """`dedup._materialize`'s transient contract (MEMORY_ONLY persist,
+    force NOW so the expensive upstream runs exactly once) but also
+    returning the row count, which here doubles as the plan-shape
+    signal — one job serves both."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_ONLY)
+    return df, df.count()
 
 
 def _bucketed_cum(per_v: DataFrame, val: str, counts: list[str]) -> DataFrame:
@@ -60,7 +90,20 @@ def _bucketed_cum(per_v: DataFrame, val: str, counts: list[str]) -> DataFrame:
 
     Input: one row per distinct `val` with integer count columns.
     Output: input columns plus `cum_<c>` (inclusive) per count column.
+
+    Adaptive: `per_v` is materialized (exactly-once upstream; its size
+    decides the plan shape) and, at or under RANK_SMALL_MAX rows, the
+    cumulative sums run as ONE unpartitioned local window over the
+    cached narrow table — identical results, none of the two-phase
+    machinery. Above the threshold, the bucketed walk below.
     """
+    per_v, n = _persist_count(per_v)
+    if n <= _rank_small_max():
+        w_all = W.orderBy(val).rowsBetween(W.unboundedPreceding, 0)
+        out = per_v
+        for c in counts:
+            out = out.withColumn(f"cum_{c}", F.sum(c).over(w_all))
+        return out
     bounds = per_v.groupBy().agg(
         F.min(val).alias("lo"), F.max(val).alias("hi")
     )
@@ -117,8 +160,21 @@ def _bucketed_cum_by(
     triangular self-join. No window ever spans more than one bucket of
     one group, so per-group exact order statistics parallelize even
     when one group holds most of the data.
+
+    Adaptive like :func:`_bucketed_cum`: at or under RANK_SMALL_MAX
+    TOTAL rows the windows run per group with no bucket phase (each
+    group is at most the small bound); above it, per-(group, bucket).
     """
     grps = [grp] if isinstance(grp, str) else list(grp)
+    per_v, n = _persist_count(per_v)
+    if n <= _rank_small_max():
+        w_grp = W.partitionBy(*grps).orderBy(val).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        out = per_v
+        for c in counts:
+            out = out.withColumn(f"cum_{c}", F.sum(c).over(w_grp))
+        return out
     bounds = per_v.groupBy(*grps).agg(
         F.min(val).alias("lo"), F.max(val).alias("hi")
     )

@@ -257,11 +257,44 @@ def stratified_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket is a function of quality), so the doc_id tie-break never
     straddles a window; bucket monotonicity (q1 > q2 → bucket(q1) ≤
     bucket(q2)) makes offset + local rank the exact global rank.
+
+    Adaptive like `rank_stats._bucketed_cum`: the scored table is
+    materialized once (quality_score is the expensive expression — it
+    otherwise recomputes in every two-phase subtree), and at or under
+    RANK_SMALL_MAX rows the rank runs as a plain per-source window —
+    no source is big enough to serialize a task at that size, and the
+    bucket machinery's extra stages were the VERDICT-r6 ×1.8 toy-scale
+    constant on this slot.
     """
+    from spec_search_spark.operators.rank_stats import (
+        _persist_count,
+        _rank_small_max,
+    )
+
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", "source", quality_score(F.col("text")).alias("quality")
     )
+    scored, n = _persist_count(scored)
+    if n <= _rank_small_max():
+        w_src = Window.partitionBy("source").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+        w_cnt = Window.partitionBy("source")
+        return (
+            scored.withColumn("rn", F.row_number().over(w_src))
+            .withColumn("n_src", F.count(F.lit(1)).over(w_cnt))
+            .filter(
+                F.col("rn")
+                <= F.expr(
+                    f"(({KEEP_PCT_NUM}L * n_src) + {KEEP_PCT_DEN - 1}L)"
+                    f" div {KEEP_PCT_DEN}L"
+                )
+            )
+            .select(
+                "doc_id", "source", "quality", F.col("rn").cast("int").alias("rn")
+            )
+        )
     bounds = scored.groupBy("source").agg(
         F.min("quality").alias("lo"), F.max("quality").alias("hi")
     )

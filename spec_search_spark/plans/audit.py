@@ -1094,16 +1094,45 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
 
 
 def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
+    import os
+
     import __spark_entry__ as e
 
     qs = e.queries()
     results: list[tuple[str, str, bool]] = []
-    for name, required, forbidden in CHECKS:
+    # The rank walk is adaptive (rank_stats.RANK_SMALL_MAX): at fixture
+    # scale every distinct-value table is under the threshold and the
+    # cumulative sums run as one local window. The audit's job is the
+    # 100 TB shape, so pin the threshold to 0 — every bucketed-walk
+    # fragment below is checked on the plan a large corpus would get.
+    # The small path has its own checks after the loop.
+    prev = os.environ.get("SPARK_GRAFT_RANK_SMALL_MAX")
+    os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = "0"
+    try:
+        for name, required, forbidden in CHECKS:
+            plan = plan_of(qs[name](spark, sf_dir))
+            for frag in required:
+                results.append((name, f"requires `{frag}`", frag in plan))
+            for frag in forbidden:
+                results.append((name, f"forbids `{frag}`", frag not in plan))
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_RANK_SMALL_MAX", None)
+        else:
+            os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = prev
+    # Small-path spot checks at the DEFAULT threshold: the local-window
+    # branch must engage on fixture-sized count tables (no bucket
+    # machinery — that was the ×1.3–×2.0 toy-scale constant) and must
+    # never come from a lit(1) hash partitioning.
+    for name in ("equi_depth_histogram", "winsorized_stats",
+                 "mannwhitney_priority_revenue", "stratified_quality_sample"):
         plan = plan_of(qs[name](spark, sf_dir))
-        for frag in required:
-            results.append((name, f"requires `{frag}`", frag in plan))
-        for frag in forbidden:
-            results.append((name, f"forbids `{frag}`", frag not in plan))
+        results.append(
+            (name, "small-path forbids `windowspecdefinition(bucket`",
+             "windowspecdefinition(bucket" not in plan))
+        results.append(
+            (name, "small-path forbids `hashpartitioning(1,`",
+             "hashpartitioning(1," not in plan))
     return results
 
 
