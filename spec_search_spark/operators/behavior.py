@@ -196,7 +196,12 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     credits ALL touches since the user's previous purchase, 40% to the
     first, 40% to the last, 20% split over the middle (100% to a lone
     touch, 50/50 for two, 'direct' when the purchase had no preceding
-    touch). Credits are integer ppm so channel totals are exact sums.
+    touch). Credits are integer ppm so channel totals are exact sums,
+    and the middle split distributes its integer remainder
+    deterministically — floor(PB_MID_PPM/(k-2)) to every middle, +1 to
+    the first (PB_MID_PPM mod (k-2)) middles by position — so every
+    conversion's credits sum to EXACTLY 1,000,000 ppm (ADVICE r6: a
+    rounded division over- or under-credited by up to k-3 ppm).
 
     Plan shape: one pass marks each event with its conversion segment
     (running purchase count, the last-touch window trick — never a
@@ -242,7 +247,11 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pos") == 1, F.lit(PB_EDGE_PPM))
         .when(F.col("pos") == F.col("k"), F.lit(PB_EDGE_PPM))
         .otherwise(
-            F.expr(f"cast(round({PB_MID_PPM}.0 / (k - 2)) as bigint)")
+            F.expr(
+                f"cast({PB_MID_PPM} div (k - 2)"
+                f" + (CASE WHEN pos - 1 <= {PB_MID_PPM} % (k - 2)"
+                " THEN 1 ELSE 0 END) as bigint)"
+            )
         )
     )
     credited = tpos.join(
@@ -309,7 +318,9 @@ credited AS (
               WHEN t.k = 2 THEN 500000
               WHEN t.pos = 1 THEN {PB_EDGE_PPM}
               WHEN t.pos = t.k THEN {PB_EDGE_PPM}
-              ELSE CAST(round({PB_MID_PPM}.0 / (t.k - 2)) AS BIGINT)
+              ELSE CAST({PB_MID_PPM} // (t.k - 2)
+                     + (CASE WHEN t.pos - 1 <= {PB_MID_PPM} % (t.k - 2)
+                        THEN 1 ELSE 0 END) AS BIGINT)
          END AS credit,
          p.cents
   FROM tpos t JOIN purch p ON p.user_id = t.user_id AND p.pseg = t.seg

@@ -1627,6 +1627,14 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; no window, no python, one shuffle of 128 rows."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    return emb_drift_from_per_dim(emb_drift_per_dim(emb))
+
+
+def emb_drift_per_dim(emb: DataFrame) -> DataFrame:
+    """The (dim, sa, na, sb, nb) integer-sum aggregation over an
+    embeddings table — stateless explode + one partial/final agg, so
+    it runs identically on a batch scan and on a readStream (the
+    streaming twin's ONLY state is this ≤n_dims-row table)."""
     comp = emb.select(
         (F.col("vec_id") % 2 == 0).alias("half_a"),
         F.posexplode("embedding").alias("dim", "x"),
@@ -1635,15 +1643,23 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.expr(f"cast(round(x * {EMB_COMP_SCALE}) as bigint)").alias("xm"),
     )
-    per_dim = (
-        comp.groupBy("dim")
-        .agg(
-            F.sum(F.when(F.col("half_a"), F.col("xm")).otherwise(0)).alias("sa"),
-            F.sum(F.when(F.col("half_a"), 1).otherwise(0)).alias("na"),
-            F.sum(F.when(F.col("half_a"), 0).otherwise(F.col("xm"))).alias("sb"),
-            F.sum(F.when(F.col("half_a"), 0).otherwise(1)).alias("nb"),
-        )
+    return comp.groupBy("dim").agg(
+        F.sum(F.when(F.col("half_a"), F.col("xm")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("half_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half_a"), 0).otherwise(F.col("xm"))).alias("sb"),
+        F.sum(F.when(F.col("half_a"), 0).otherwise(1)).alias("nb"),
     )
+
+
+def emb_drift_from_per_dim(per_dim: DataFrame) -> DataFrame:
+    """The drift-scoring fold over a (dim, sa, na, sb, nb) integer sum
+    table — shared by the batch monitor and the streaming twin (the
+    per-dim sums ARE the bounded stream state). Dims where either half
+    is empty are dropped before any division (ADVICE r6: a corpus
+    whose vec_ids are all even or all odd would otherwise divide by
+    zero with engine-dependent NULL/Inf semantics; mirrored in
+    EMB_DRIFT_SQL)."""
+    per_dim = per_dim.filter((F.col("na") > 0) & (F.col("nb") > 0))
     # cosine of the mean vectors from three pico-snapped integer sums
     prods = per_dim.selectExpr(
         f"cast(round(((cast(sa as double) / na)) * ((cast(sb as double) / nb))"
@@ -1693,6 +1709,8 @@ per_dim AS (
          sum(CASE WHEN half_a THEN 0 ELSE xm END) AS sb,
          sum(CASE WHEN half_a THEN 0 ELSE 1 END) AS nb
   FROM comp GROUP BY dim
+  HAVING sum(CASE WHEN half_a THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN half_a THEN 0 ELSE 1 END) > 0
 ),
 prods AS (
   SELECT CAST(round(((cast(sa as double) / na)) * ((cast(sb as double) / nb))

@@ -696,6 +696,27 @@ _LR_OUT = """
 _BETA_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def _logreg_feats(docs: DataFrame) -> DataFrame:
+    """The (y, x1_4, x2_4) feature projection of the documents table —
+    a pure stateless row expression, shared by `_trained_logreg` and
+    the streaming scoring twin (`streaming.incremental.
+    stream_roc_auc_query` scores a documents STREAM with the
+    batch-trained β; the features must be the same expression text)."""
+    base = docs.select(
+        F.col("n_chars"), tokens(F.col("text")).alias("t")
+    ).selectExpr(
+        f"CASE WHEN n_chars >= {LOGREG_LABEL_CHARS} THEN 1 ELSE 0 END AS y",
+        "size(t) AS n_tok",
+        "size(array_distinct(t)) AS n_dist",
+    )
+    return base.selectExpr(
+        "y",
+        "CAST(n_tok * 100 AS BIGINT) AS x1_4",
+        "CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(floor(n_dist * 10000.0 / n_tok) AS BIGINT) END AS x2_4",
+    )
+
+
 def _trained_logreg(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -706,19 +727,7 @@ def _trained_logreg(
     if key in _BETA_MEMO:
         return _BETA_MEMO[key]
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        F.col("n_chars"), tokens(F.col("text")).alias("t")
-    ).selectExpr(
-        f"CASE WHEN n_chars >= {LOGREG_LABEL_CHARS} THEN 1 ELSE 0 END AS y",
-        "size(t) AS n_tok",
-        "size(array_distinct(t)) AS n_dist",
-    )
-    feats = base.selectExpr(
-        "y",
-        "CAST(n_tok * 100 AS BIGINT) AS x1_4",
-        "CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)"
-        " ELSE CAST(floor(n_dist * 10000.0 / n_tok) AS BIGINT) END AS x2_4",
-    ).localCheckpoint(eager=True)
+    feats = _logreg_feats(docs).localCheckpoint(eager=True)
 
     beta = spark.sql(
         "SELECT CAST(0 AS BIGINT) AS b06, CAST(0 AS BIGINT) AS b16,"
@@ -1467,15 +1476,21 @@ def walk_forward_cv_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sc_test"
         ),
     )
+    # CAST(n AS DOUBLE), never `* 1.0` (FIXTURES rule 6), and a
+    # zero-row guard per side: a regenerated fixture missing one of
+    # WF_TEST_YEARS would otherwise divide by zero with
+    # engine-dependent NULL/Inf semantics (ADVICE r6).
     return agg.selectExpr(
         "fold",
         "ty AS test_year",
         "cast(n_train as bigint) AS n_train",
         "cast(n_test as bigint) AS n_test",
-        "cast(round(sc_train / (n_train * 1.0)) as bigint) / 1e2"
-        " AS train_avg_price",
-        "cast(round(sc_test / (n_test * 1.0)) as bigint) / 1e2"
-        " AS test_avg_price",
+        "CASE WHEN n_train > 0 THEN"
+        " cast(round(sc_train / cast(n_train as double)) as bigint) / 1e2"
+        " END AS train_avg_price",
+        "CASE WHEN n_test > 0 THEN"
+        " cast(round(sc_test / cast(n_test as double)) as bigint) / 1e2"
+        " END AS test_avg_price",
     ).orderBy("fold")
 
 
@@ -1501,10 +1516,12 @@ agg AS (
 SELECT fold, ty AS test_year,
        CAST(n_train AS BIGINT) AS n_train,
        CAST(n_test AS BIGINT) AS n_test,
-       CAST(round(sc_train / (n_train * 1.0)) AS BIGINT) / 1e2
-         AS train_avg_price,
-       CAST(round(sc_test / (n_test * 1.0)) AS BIGINT) / 1e2
-         AS test_avg_price
+       CASE WHEN n_train > 0 THEN
+         CAST(round(sc_train / CAST(n_train AS DOUBLE)) AS BIGINT) / 1e2
+       END AS train_avg_price,
+       CASE WHEN n_test > 0 THEN
+         CAST(round(sc_test / CAST(n_test AS DOUBLE)) AS BIGINT) / 1e2
+       END AS test_avg_price
 FROM agg ORDER BY fold
 """
 
@@ -1546,8 +1563,6 @@ def roc_auc_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     the range-bucketed distributed prefix sum (never a single-task
     window); products accumulate in DECIMAL(38,0) so n⁺·n⁻-sized
     numerators cannot overflow at any corpus size."""
-    from spec_search_spark.operators.rank_stats import _bucketed_cum
-
     feats, beta = _trained_logreg(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(beta)).selectExpr(
         "y", f"{_LR_P6} AS p6"
@@ -1556,6 +1571,15 @@ def roc_auc_doc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("c1"),
         F.sum(F.expr("1 - y")).alias("c0"),
     )
+    return roc_auc_from_counts(per_v)
+
+
+def roc_auc_from_counts(per_v: DataFrame) -> DataFrame:
+    """The tie-aware AUC fold over a (p6, c1, c0) distinct-score count
+    table — shared by the batch metric and the streaming twin (the
+    count table IS the bounded stream state)."""
+    from spec_search_spark.operators.rank_stats import _bucketed_cum
+
     cum = _bucketed_cum(per_v, "p6", ["c0"])
     agg = cum.groupBy().agg(
         F.sum("c1").alias("n1"),
@@ -1599,12 +1623,13 @@ BRIER_SCALE = 1_000_000_000  # per-bin decomposition terms in nano-units
 #: shared per-bin term texts (doubles from exact integers, snapped to
 #: nano before the ≤10-row integer sum — FIXTURES rule 5)
 _BR_REL = (
-    "cast(round(n * pow(sum_p6 / (n * 1e6) - sum_y / (n * 1.0), 2)"
-    f" / (nn * 1.0) * {BRIER_SCALE}) as bigint)"
+    "cast(round(n * pow(sum_p6 / (n * 1e6) - sum_y / cast(n as double), 2)"
+    f" / cast(nn as double) * {BRIER_SCALE}) as bigint)"
 )
 _BR_RES = (
-    "cast(round(n * pow(sum_y / (n * 1.0) - sum_y_tot / (nn * 1.0), 2)"
-    f" / (nn * 1.0) * {BRIER_SCALE}) as bigint)"
+    "cast(round(n * pow(sum_y / cast(n as double)"
+    " - sum_y_tot / cast(nn as double), 2)"
+    f" / cast(nn as double) * {BRIER_SCALE}) as bigint)"
 )
 
 
@@ -1665,7 +1690,8 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS reliability_6",
             f"cast(round(res_sum / {BRIER_SCALE}.0 * 1e6) as bigint) / 1e6"
             " AS resolution_6",
-            "cast(round((sum_y_tot * 1.0 / nn) * (1.0 - sum_y_tot * 1.0 / nn)"
+            "cast(round((cast(sum_y_tot as double) / nn)"
+            " * (1.0 - cast(sum_y_tot as double) / nn)"
             " * 1e6) as bigint) / 1e6 AS uncertainty_6",
         )
     )
@@ -1699,8 +1725,8 @@ SELECT CAST(t.nn AS BIGINT) AS n_docs,
          AS reliability_6,
        CAST(round(d.res_sum / {BRIER_SCALE}.0 * 1e6) AS BIGINT) / 1e6
          AS resolution_6,
-       CAST(round((t.sum_y_tot * 1.0 / t.nn)
-            * (1.0 - t.sum_y_tot * 1.0 / t.nn) * 1e6) AS BIGINT) / 1e6
+       CAST(round((CAST(t.sum_y_tot AS DOUBLE) / t.nn)
+            * (1.0 - CAST(t.sum_y_tot AS DOUBLE) / t.nn) * 1e6) AS BIGINT) / 1e6
          AS uncertainty_6
 FROM raw r CROSS JOIN tot t CROSS JOIN decomp d
 """
@@ -1744,7 +1770,7 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("j", "k")
         .agg(F.sum("mn").alias("njk"), F.sum("ms").alias("sjk"))
-        .selectExpr("j", "k", "sjk * 1e6 / (njk * 1.0) AS avg_ppm")
+        .selectExpr("j", "k", "sjk * 1e6 / cast(njk as double) AS avg_ppm")
     )
     i_rows = pb.select(F.col("bin").alias("i"))
     minv = (
@@ -1776,7 +1802,7 @@ pb AS (
 ),
 ivl AS (
   SELECT j.bin AS j, k.bin AS k,
-         sum(m.sum_y) * 1e6 / (sum(m.n) * 1.0) AS avg_ppm
+         sum(m.sum_y) * 1e6 / CAST(sum(m.n) AS DOUBLE) AS avg_ppm
   FROM pb j JOIN pb k ON j.bin <= k.bin
   JOIN pb m ON m.bin BETWEEN j.bin AND k.bin
   GROUP BY j.bin, k.bin

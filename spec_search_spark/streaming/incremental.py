@@ -22,6 +22,7 @@ idempotent upserts keyed on the composite id so replays are safe.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -30,6 +31,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spec_search_spark.session import tune
+
+
+def _drained(spark: SparkSession, name: str, ckpt: str) -> DataFrame:
+    """Read a drained memory sink ONCE, pin its (bounded) rows to
+    executor block storage, and free the sink. Every twin otherwise
+    leaves behind a driver-heap-resident memory-sink table plus an
+    on-disk checkpoint for the life of the session; across a 60+-drain
+    bench session those accumulate into GC pressure that reads as
+    drain-time noise (BENCH_STREAM_r06's stream_page_hinkley 8.2s
+    outlier — its state is one row; the cost was session aging, not
+    the plan: an isolated drain is ~2s). localCheckpoint is eager, so
+    the copy happens NOW and the temp view + checkpoint dir can go."""
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, schema sniffed from a batch
@@ -82,7 +100,7 @@ def hourly_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 def stream_hourly_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +147,7 @@ def stream_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 STREAM_DEDUP_SQL = """
@@ -172,7 +190,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 # gap >= 30 min splits (session_window's exclusive end), vs the batch
@@ -247,7 +265,7 @@ def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 STREAM_STREAM_JOIN_SQL = """
@@ -299,7 +317,7 @@ def stream_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 STREAM_STATIC_ENRICH_SQL = """
@@ -348,7 +366,7 @@ def stream_sliding_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 # identical result set to the batch sliding window — same oracle shape
@@ -421,7 +439,7 @@ def stream_heavy_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    buckets = spark.table(name)
+    buckets = _drained(spark, name, ckpt)
     exact = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -537,7 +555,7 @@ def stream_psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     per_bin = (
-        spark.table(name)
+        _drained(spark, name, ckpt)
         .groupBy("bin")
         .agg(
             F.sum(F.when(F.col("first_half"), F.col("n")).otherwise(0)).alias("c1"),
@@ -586,7 +604,7 @@ def stream_seasonal_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame
         q.processAllAvailable()
     finally:
         q.stop()
-    counts = spark.table(name)
+    counts = _drained(spark, name, ckpt)
     return counts.join(F.broadcast(base), ["dow", "hod"]).selectExpr(
         "dow",
         "hod",
@@ -632,7 +650,7 @@ def stream_benford_digits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return benford_from_per_digit(spark.table(name).select("d", "n"))
+    return benford_from_per_digit(_drained(spark, name, ckpt).select("d", "n"))
 
 
 def stream_mad_outlier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,7 +710,7 @@ def stream_mad_outlier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    return _drained(spark, name, ckpt).select(
         F.col("n").cast("bigint").alias("n"),
         F.lit(int(med)).cast("bigint").alias("med_cents"),
         F.lit(int(mad)).cast("bigint").alias("mad_cents"),
@@ -735,7 +753,7 @@ def stream_hourly_acf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    per_h = spark.table(name).select("h", "x")
+    per_h = _drained(spark, name, ckpt).select("h", "x")
     bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
@@ -775,7 +793,7 @@ def stream_cusum_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFram
         q.processAllAvailable()
     finally:
         q.stop()
-    per_h = spark.table(name).select("h", "x")
+    per_h = _drained(spark, name, ckpt).select("h", "x")
     bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
@@ -820,7 +838,7 @@ def stream_sprt_decision_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return sprt_from_hourly(spark.table(name).select("h", "n", "k"))
+    return sprt_from_hourly(_drained(spark, name, ckpt).select("h", "n", "k"))
 
 
 def stream_seasonal_decompose_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,7 +871,7 @@ def stream_seasonal_decompose_query(spark: SparkSession, sf_dir: str) -> DataFra
         q.processAllAvailable()
     finally:
         q.stop()
-    per_h = spark.table(name).select("h", "x")
+    per_h = _drained(spark, name, ckpt).select("h", "x")
     bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
@@ -893,7 +911,7 @@ def stream_page_hinkley_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    per_h = spark.table(name).select("h", "x")
+    per_h = _drained(spark, name, ckpt).select("h", "x")
     bounds = per_h.groupBy().agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
@@ -908,6 +926,124 @@ def _stream_ph_sql() -> str:
     from spec_search_spark.operators.drift import PAGE_HINKLEY_SQL
 
     return PAGE_HINKLEY_SQL
+
+
+def stream_embedding_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `drift.embedding_drift_monitor`: the
+    per-dimension mean-shift + mean-cosine monitor computed ON the
+    embeddings feed — the shape that watches an encoder refresh as
+    vectors arrive instead of after a full re-scan. Streaming state is
+    the shared `emb_drift_per_dim` integer-sum table: ≤ n_dims rows
+    (the DIMENSIONALITY bounds it, never stream volume) of pure BIGINT
+    sums, so the aggregation is order- and batch-boundary-independent.
+    After the drain the shared scoring fold (`emb_drift_from_per_dim`)
+    ranks the shifts — identical output and oracle as the batch
+    monitor."""
+    from spec_search_spark.operators.drift import (
+        emb_drift_from_per_dim,
+        emb_drift_per_dim,
+    )
+
+    tune(spark)
+    name = f"embdrift_stream_{uuid.uuid4().hex[:8]}"
+    static_schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).schema
+    emb = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    per_dim = emb_drift_per_dim(emb)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_embdrift_")
+    q = (
+        per_dim.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return emb_drift_from_per_dim(
+        _drained(spark, name, ckpt).select("dim", "sa", "na", "sb", "nb")
+    )
+
+
+def _stream_emb_drift_sql() -> str:
+    from spec_search_spark.operators.drift import EMB_DRIFT_SQL
+
+    return EMB_DRIFT_SQL
+
+
+def stream_roc_auc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-evaluation gate: exact tie-aware ROC-AUC of the
+    batch-trained logistic quality model, scored over the documents
+    feed — the deployment shape (train offline, watch the live AUC of
+    the deployed artifact on arriving traffic). The β is the batch
+    IRLS artifact injected as literals (a one-row bounded collect, the
+    model file of a real deployment); scoring is the stateless shared
+    feature projection (`ml._logreg_feats`) + the same probability
+    expression text, and the ONLY streaming state is the
+    (p6 → c1, c0) distinct-score count table — bounded by the ppm
+    grid, never by stream volume (the same bounded-count-table
+    argument as `stream_psi_drift`). After the drain the shared
+    `ml.roc_auc_from_counts` fold (bucketed rank walk) scores the
+    table — identical output and oracle as the batch
+    `roc_auc_doc_model`."""
+    from spec_search_spark.operators.ml import (
+        _LR_P6,
+        _logreg_feats,
+        _trained_logreg,
+        roc_auc_from_counts,
+    )
+
+    tune(spark)
+    _, beta = _trained_logreg(spark, sf_dir)
+    b = beta.collect()[0]  # one-row model artifact
+    name = f"rocauc_stream_{uuid.uuid4().hex[:8]}"
+    static_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    docs = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = (
+        _logreg_feats(docs)
+        .withColumn("b06", F.lit(int(b["b06"])).cast("bigint"))
+        .withColumn("b16", F.lit(int(b["b16"])).cast("bigint"))
+        .withColumn("b26", F.lit(int(b["b26"])).cast("bigint"))
+        .selectExpr("y", f"{_LR_P6} AS p6")
+    )
+    per_v = scored.groupBy("p6").agg(
+        F.sum("y").alias("c1"),
+        F.sum(F.expr("1 - y")).alias("c0"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rocauc_")
+    q = (
+        per_v.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return roc_auc_from_counts(
+        _drained(spark, name, ckpt).select("p6", "c1", "c0")
+    )
+
+
+def _stream_roc_auc_sql() -> str:
+    from spec_search_spark.operators.ml import _roc_auc_sql
+
+    return _roc_auc_sql()
 
 
 def _stream_seasdec_sql() -> str:
@@ -964,7 +1100,7 @@ def stream_burstiness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return burstiness_from_counts(spark.table(name).select("event_type", "h", "c"))
+    return burstiness_from_counts(_drained(spark, name, ckpt).select("event_type", "h", "c"))
 
 
 def _stream_burstiness_sql() -> str:
@@ -1037,7 +1173,7 @@ def stream_quality_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return funnel_report_from_counts(
-        spark.table(name).select("source", "stage", "n_docs")
+        _drained(spark, name, ckpt).select("source", "stage", "n_docs")
     )
 
 
@@ -1232,7 +1368,7 @@ def stream_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return qdf.join(spark.table(name), ["t1", "t2"], "left").select(
+    return qdf.join(_drained(spark, name, ckpt), ["t1", "t2"], "left").select(
         "t1",
         "t2",
         F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
@@ -1286,6 +1422,8 @@ QUERIES = {
     "stream_quality_funnel": stream_quality_funnel_query,
     "stream_merge_upsert": stream_merge_upsert_query,
     "stream_percolate": stream_percolate_query,
+    "stream_embedding_drift": stream_embedding_drift_query,
+    "stream_roc_auc": stream_roc_auc_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -1308,6 +1446,8 @@ ORACLES = {
     "stream_quality_funnel": _import_funnel_sql(),
     "stream_merge_upsert": _stream_merge_sql(),
     "stream_percolate": _import_percolate_sql(),
+    "stream_embedding_drift": _stream_emb_drift_sql(),
+    "stream_roc_auc": _stream_roc_auc_sql(),
 }
 
 

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from spec_search_spark.streaming.incremental import _events_stream
+from spec_search_spark.streaming.incremental import _drained, _events_stream
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
 STATE_SCHEMA = "n bigint, total double, mx double"
@@ -108,7 +108,7 @@ def user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)
 
 
 def _make_processor():
@@ -213,7 +213,7 @@ def stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        spark.table(name)
+        _drained(spark, name, ckpt)
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
@@ -256,4 +256,4 @@ def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _drained(spark, name, ckpt)

@@ -588,7 +588,12 @@ def test_attribution_position_based_matches_python(spark, sf_dir):
                     elif pos in (1, k):
                         cr = PB_EDGE_PPM
                     else:
-                        cr = round(PB_MID_PPM / (k - 2))
+                        # floor + deterministic remainder: the first
+                        # (PB_MID_PPM mod (k-2)) middles get +1 so the
+                        # conversion's credits sum to exactly 1e6 ppm
+                        cr = PB_MID_PPM // (k - 2) + (
+                            1 if pos - 1 <= PB_MID_PPM % (k - 2) else 0
+                        )
                     chan[c][0] += 1
                     chan[c][1] += cr
                     chan[c][2] += cents * cr
