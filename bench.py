@@ -222,6 +222,9 @@ HEADLINE = [
     "attribution_position_based",
     "audio_silence_runs",
     "embedding_drift_monitor",
+    # round-7: BPE trained to a real merge table (adaptive driver/
+    # distributed vocab loop)
+    "bpe_train_merges",
 ]
 
 

@@ -556,6 +556,193 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP}
 """
 
 
+BPE_TRAIN_MERGES = 16  # merges trained by bpe_train_merges
+#: collect-and-train-in-RAM threshold: a (word, count) vocabulary at or
+#: under this many rows is the centroids-class bounded collect (a few
+#: MB); real tokenizer trainers are in-RAM at ANY corpus size because
+#: the vocab is language-bounded. SPARK_GRAFT_BPE_DRIVER_MAX overrides
+#: (tests pin 0 to force and verify the distributed path).
+BPE_DRIVER_VOCAB_MAX = 200_000
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training run to a REAL merge table: {BPE_TRAIN_MERGES}
+    greedy merges, each selected from the corpus re-segmented by all
+    previous merges — the full loop `bpe_pair_merges` /
+    `bpe_apply_first_merge` only sampled (iterations 1-2), producing
+    the artifact a tokenizer actually ships (reference anchor: chunking
+    as the tokenization stand-in, `indexer.py:62-66`).
+
+    The classic trainer's key economy applies unchanged at 100 TB:
+    after ONE corpus-sized pass collapses text to the (word, count)
+    vocabulary table, every iteration runs over VOCAB-sized state,
+    never the corpus. The vocabulary is bounded by the language, not
+    data volume, so plan shape is picked by size (the `spread()` /
+    RANK_SMALL_MAX policy): at or under BPE_DRIVER_VOCAB_MAX distinct
+    words the table is collected ONCE and the greedy loop runs
+    driver-side (how sentencepiece/HF actually train — the whole
+    model fits in RAM; this is the centroids-class bounded collect);
+    above it, the distributed loop — weighted pair explode,
+    partial+final pair sums, top-1 per round — with per-iteration
+    `localCheckpoint` lineage cuts (the k-means pattern) and ONE
+    (pair, n) row collected per iteration.
+
+    Mechanics shared verbatim with `bpe_apply_first_merge` and
+    identical on both paths: pair counts slide a 2-char window over
+    the segmented string (weighted by word count, ties broken by
+    pair ascending); merge i replaces its pair with the single
+    placeholder chr(i) — replace()/str.replace are all
+    leftmost-non-overlapping, so greedy merge order is identical
+    everywhere — and output pairs render placeholders recursively as
+    [..] so the merge table is printable. Each merge's pair is
+    computed AFTER the previous replace re-segmented the state, so
+    the per-merge (pair, n) rows prove every iteration genuinely
+    re-segments (a no-op re-segment would re-select the same pair
+    forever).
+
+    Output: (merge_idx, pair, n) for merges 1..{BPE_TRAIN_MERGES}."""
+    import os
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    wc = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("tok").alias("m"), "c")
+        .localCheckpoint(eager=True)
+    )
+    driver_max = int(
+        os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX", str(BPE_DRIVER_VOCAB_MAX))
+    )
+    if wc.count() <= driver_max:
+        items = [(r["m"], int(r["c"])) for r in wc.collect()]
+        merges = _bpe_greedy_loop(items, BPE_TRAIN_MERGES)
+    else:
+        merges = _bpe_distributed_loop(wc, BPE_TRAIN_MERGES)
+    return spark.createDataFrame(merges, "merge_idx int, pair string, n bigint")
+
+
+def _bpe_render(pair: str, rendered: dict[str, str]) -> str:
+    return "".join(
+        "[" + rendered[ch] + "]" if ch in rendered else ch for ch in pair
+    )
+
+
+def _bpe_greedy_loop(
+    items: list[tuple[str, int]], k: int
+) -> list[tuple[int, str, int]]:
+    """Driver-side greedy merge loop over a collected (word, count)
+    vocabulary — semantics pinned to the distributed loop and the SQL
+    oracle (sliding overlapping pair windows, (n desc, pair asc)
+    selection, leftmost-non-overlapping replace)."""
+    from collections import Counter
+
+    merges: list[tuple[int, str, int]] = []
+    rendered: dict[str, str] = {}
+    for i in range(1, k + 1):
+        cnt: Counter = Counter()
+        for m, c in items:
+            for j in range(len(m) - 1):
+                cnt[m[j : j + 2]] += c
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        merges.append((i, _bpe_render(pair, rendered), int(cnt[pair])))
+        rendered[chr(i)] = merges[-1][1]
+        if i < k:
+            items = [(m.replace(pair, chr(i)), c) for m, c in items]
+    return merges
+
+
+def _bpe_distributed_loop(wc: DataFrame, k: int) -> list[tuple[int, str, int]]:
+    """The scale path: per-round weighted pair agg + top-1 over the
+    checkpointed vocab table, re-segmented in place each round."""
+    state = wc
+    merges: list[tuple[int, str, int]] = []
+    rendered: dict[str, str] = {}
+    for i in range(1, k + 1):
+        top = (
+            state.filter(F.length("m") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(m) - 1),"
+                        " i -> substring(m, i, 2))"
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        merges.append((i, _bpe_render(pair, rendered), n))
+        rendered[chr(i)] = merges[-1][1]
+        if i < k:
+            state = state.select(
+                F.replace(F.col("m"), F.lit(pair), F.lit(chr(i))).alias("m"),
+                "c",
+            ).localCheckpoint(eager=False)
+    return merges
+
+
+def _bpe_train_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled-CTE oracle for :func:`bpe_train_merges`: w{{i}} is the
+    vocabulary re-segmented by merges 1..i, t{{i}} the i-th greedy
+    selection, r{{i}} its recursively rendered form."""
+    parts = [
+        """
+WITH toks AS (
+  SELECT unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+w0 AS MATERIALIZED (SELECT tok AS m, count(*) AS c FROM toks GROUP BY tok)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT substring(m, i, 2) AS pair, c
+  FROM w{i - 1}, LATERAL unnest(range(1, length(m))) AS t(i)
+  WHERE length(m) >= 2
+),
+t{i} AS MATERIALIZED (SELECT pair, sum(c) AS n FROM p{i}
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f""",
+w{i} AS MATERIALIZED (SELECT replace(m, (SELECT pair FROM t{i}), chr({i})) AS m, c
+         FROM w{i - 1})"""
+            )
+    for i in range(1, k + 1):
+        expr = "pair"
+        for j in range(1, i):
+            expr = (
+                f"replace({expr}, chr({j}),"
+                f" '[' || (SELECT rendered FROM r{j}) || ']')"
+            )
+        parts.append(
+            f""",
+r{i} AS MATERIALIZED (SELECT {i} AS merge_idx, {expr} AS rendered, n FROM t{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_idx AS INT) AS merge_idx, rendered AS pair,"
+        f" CAST(n AS BIGINT) AS n FROM r{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_idx")
+    return "".join(parts)
+
+
 PMI_MIN_COUNT = 5  # report bigrams seen at least this often
 
 
@@ -1036,6 +1223,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "bpe_pair_merges": bpe_pair_merges,
     "bpe_apply_first_merge": bpe_apply_first_merge,
+    "bpe_train_merges": bpe_train_merges,
     "vocab_coverage": vocab_coverage,
 }
 
@@ -1055,5 +1243,6 @@ ORACLES = {
     "doc_fingerprints": FINGERPRINT_SQL,
     "bpe_pair_merges": BPE_PAIRS_SQL,
     "bpe_apply_first_merge": _bpe_apply_sql(),
+    "bpe_train_merges": _bpe_train_sql(),
     "vocab_coverage": VOCAB_COVERAGE_SQL,
 }

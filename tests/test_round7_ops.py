@@ -76,3 +76,72 @@ def test_stratified_sample_same_values_both_shapes(spark, sf_dir):
         else:
             os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = prev
     assert big == small
+
+
+def test_bpe_train_merges_matches_python(spark, sf_dir):
+    """Independent reference: the same greedy weighted BPE loop in
+    plain python strings (str.replace is leftmost-non-overlapping like
+    both engines' replace()); every merge must re-segment — pairs are
+    pairwise distinct and each round's selection reflects the previous
+    round's replace."""
+    from collections import Counter
+
+    from spec_search_spark.operators.text_analysis import (
+        BPE_TRAIN_MERGES,
+        bpe_train_merges,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    words = Counter()
+    for t in texts:
+        t = t.strip()
+        if t:
+            import re
+
+            for w in re.split(r"\s+", t):
+                words[w] += 1
+    state = list(words.items())
+    merges = []
+    rendered = {}
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        cnt: Counter = Counter()
+        for m, c in state:
+            for j in range(len(m) - 1):
+                cnt[m[j : j + 2]] += c
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        rend = "".join(
+            "[" + rendered[ch] + "]" if ch in rendered else ch for ch in pair
+        )
+        merges.append((i, rend, cnt[pair]))
+        rendered[chr(i)] = rend
+        if i < BPE_TRAIN_MERGES:
+            state = [(m.replace(pair, chr(i)), c) for m, c in state]
+    got = [(r.merge_idx, r.pair, r.n) for r in bpe_train_merges(spark, sf_dir).collect()]
+    assert got == merges
+    assert len({p for _, p, _ in got}) == len(got)  # every merge re-segments
+
+
+def test_bpe_distributed_path_equals_driver_path(spark, sf_dir):
+    """Force the distributed loop (SPARK_GRAFT_BPE_DRIVER_MAX=0) and
+    pin it to the default driver-side path's result."""
+    from spec_search_spark.operators.text_analysis import bpe_train_merges
+
+    default = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
+    prev = os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX")
+    try:
+        os.environ["SPARK_GRAFT_BPE_DRIVER_MAX"] = "0"
+        forced = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_BPE_DRIVER_MAX", None)
+        else:
+            os.environ["SPARK_GRAFT_BPE_DRIVER_MAX"] = prev
+    assert forced == default
+    assert len(default) > 0
