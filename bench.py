@@ -223,8 +223,9 @@ HEADLINE = [
     "audio_silence_runs",
     "embedding_drift_monitor",
     # round-7: BPE trained to a real merge table (adaptive driver/
-    # distributed vocab loop)
+    # distributed vocab loop); rank-sensitive retrieval eval
     "bpe_train_merges",
+    "retrieval_eval_report",
 ]
 
 

@@ -1313,6 +1313,165 @@ FROM best_a JOIN best_b
 """
 
 
+def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard for the exact search surface:
+    MRR, DCG/nDCG@{TOP_K} and recall@{TOP_K} per probe, with label
+    match as the relevance judgment (the standard eval loop a search
+    team runs before/after an index or embedder change; completes the
+    recall-only evals `ann_recall_report`/`matryoshka_recall_report`
+    with the rank-sensitive metrics). Reference anchor: the top-k
+    search this grades is `/root/reference/app.py:48-61`.
+
+    Exact shape: ranking is the knn_exact convention (4dp-rounded L2,
+    vec_id tiebreak); the log2 discount is a transcendental of an
+    INTEGER rank, snapped to integer micro-units per term BEFORE the
+    per-probe sums (FIXTURES rule 5), and ideal DCG comes from the
+    same snapped term over an exploded 1..min(K, n_rel) sequence, so
+    every metric is a fixed-arity double over exact integers. Scale:
+    probes broadcast; `partial_topk` keeps the per-probe window off
+    the corpus (survivors only); the label table is a partial+final
+    count.
+
+    Output: (probe_id, n_rel, hits_at_k, mrr_micro, dcg_micro,
+    idcg_micro, ndcg_6, recall_6) ordered by probe_id."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("label").alias("probe_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4)
+        )
+        .select("probe_id", "probe_label", "vec_id", "label", "dist2")
+    )
+    surv = partial_topk(scored, "probe_id", ["dist2", "vec_id"], TOP_K)
+    w = W.partitionBy("probe_id").orderBy("dist2", "vec_id")
+    ranked = (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn(
+            "rel", F.when(F.col("label") == F.col("probe_label"), 1).otherwise(0)
+        )
+    )
+    per = ranked.groupBy("probe_id", "probe_label").agg(
+        F.sum("rel").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("frr"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rel = 1 THEN"
+                " cast(round(1e6 / log2(rank + 1)) as bigint)"
+                " ELSE 0 END"
+            )
+        ).alias("dcg_micro"),
+    )
+    lab = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    per = per.join(F.broadcast(lab), per["probe_label"] == lab["label"]).select(
+        "probe_id",
+        "hits",
+        "frr",
+        "dcg_micro",
+        (F.col("n_lab") - 1).alias("n_rel"),
+    )
+    idcg = (
+        per.select(
+            "probe_id",
+            F.explode(
+                F.when(
+                    F.col("n_rel") >= 1,
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(TOP_K), F.col("n_rel").cast("int"))
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.expr("cast(round(1e6 / log2(i + 1)) as bigint)")
+            ).alias("idcg_micro")
+        )
+    )
+    return (
+        per.join(idcg, "probe_id", "left")
+        .selectExpr(
+            "probe_id",
+            "cast(n_rel as bigint) AS n_rel",
+            "cast(hits as bigint) AS hits_at_k",
+            "coalesce(cast(round(1e6 / frr) as bigint), 0) AS mrr_micro",
+            "cast(dcg_micro as bigint) AS dcg_micro",
+            "coalesce(cast(idcg_micro as bigint), 0) AS idcg_micro",
+            "cast(round(CASE WHEN coalesce(idcg_micro, 0) > 0"
+            " THEN cast(dcg_micro as double) / idcg_micro ELSE 0 END * 1e6)"
+            " as bigint) / 1e6 AS ndcg_6",
+            f"cast(round(CASE WHEN n_rel > 0"
+            f" THEN cast(hits as double) / least({TOP_K}, n_rel) ELSE 0 END"
+            " * 1e6) as bigint) / 1e6 AS recall_6",
+        )
+        .orderBy("probe_id")
+    )
+
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec, label AS probe_label
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY dist2, vec_id) AS rank
+  FROM scored
+),
+topk AS (
+  SELECT *, CASE WHEN label = probe_label THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rank <= {TOP_K}
+),
+per0 AS (
+  SELECT probe_id, probe_label,
+         sum(rel) AS hits,
+         min(CASE WHEN rel = 1 THEN rank END) AS frr,
+         sum(CASE WHEN rel = 1 THEN
+               CAST(round(1e6 / log2(rank + 1)) AS BIGINT) ELSE 0 END)
+           AS dcg_micro
+  FROM topk GROUP BY probe_id, probe_label
+),
+lab AS (SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label),
+per AS (
+  SELECT probe_id, hits, frr, dcg_micro, l.n_lab - 1 AS n_rel
+  FROM per0 JOIN lab l ON l.label = per0.probe_label
+),
+idcg AS (
+  SELECT probe_id,
+         sum(CAST(round(1e6 / log2(i + 1)) AS BIGINT)) AS idcg_micro
+  FROM (
+    SELECT probe_id, unnest(range(1, least({TOP_K}, n_rel) + 1)) AS i
+    FROM per WHERE n_rel >= 1
+  ) GROUP BY probe_id
+)
+SELECT per.probe_id,
+       CAST(n_rel AS BIGINT) AS n_rel,
+       CAST(hits AS BIGINT) AS hits_at_k,
+       coalesce(CAST(round(1e6 / frr) AS BIGINT), 0) AS mrr_micro,
+       CAST(dcg_micro AS BIGINT) AS dcg_micro,
+       coalesce(CAST(i.idcg_micro AS BIGINT), 0) AS idcg_micro,
+       CAST(round(CASE WHEN coalesce(i.idcg_micro, 0) > 0
+            THEN CAST(dcg_micro AS DOUBLE) / i.idcg_micro ELSE 0 END * 1e6)
+            AS BIGINT) / 1e6 AS ndcg_6,
+       CAST(round(CASE WHEN n_rel > 0
+            THEN CAST(hits AS DOUBLE) / least({TOP_K}, n_rel) ELSE 0 END
+            * 1e6) AS BIGINT) / 1e6 AS recall_6
+FROM per LEFT JOIN idcg i ON i.probe_id = per.probe_id
+ORDER BY per.probe_id
+"""
+
+
 QUERIES = {
     "knn_exact": knn_exact,
     "knn_multi_probe": knn_multi_probe,
@@ -1329,6 +1488,7 @@ QUERIES = {
     "filtered_ann_search": filtered_ann_search,
     "semantic_search_reranked": semantic_search_reranked,
     "bitext_mining_pairs": bitext_mining_pairs,
+    "retrieval_eval_report": retrieval_eval_report,
 }
 
 ORACLES = {
@@ -1347,4 +1507,5 @@ ORACLES = {
     "filtered_ann_search": FILTERED_ANN_SQL,
     "semantic_search_reranked": _semantic_search_reranked_sql(),
     "bitext_mining_pairs": BITEXT_SQL,
+    "retrieval_eval_report": RETRIEVAL_EVAL_SQL,
 }

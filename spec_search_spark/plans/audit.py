@@ -1066,6 +1066,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["hashpartitioning(user_id", "Window", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # retrieval eval: probes broadcast onto the scan, partial_topk
+    # keeps the per-probe window off the corpus (survivors only), the
+    # label table is a broadcast count — no corpus shuffle anywhere
+    ("retrieval_eval_report",
+     ["BroadcastHashJoin", "MapInPandas", "Window"],
+     ["CartesianProduct", "Exchange rangepartitioning",
+      "hashpartitioning(1,"]),
     # audio silence runs: chained MapInPandas in ONE stage — payload
     # bytes never shuffle; no row-at-a-time python, no join at all
     ("audio_silence_runs",

@@ -145,3 +145,68 @@ def test_bpe_distributed_path_equals_driver_path(spark, sf_dir):
             os.environ["SPARK_GRAFT_BPE_DRIVER_MAX"] = prev
     assert forced == default
     assert len(default) > 0
+
+
+def test_retrieval_eval_matches_python(spark, sf_dir):
+    """Independent reference: MRR/DCG/nDCG/recall@K recomputed with a
+    plain python walk using the same conventions (left-to-right double
+    fold for L2, 4dp rounding, vec_id tiebreak, micro-snapped log2
+    discounts)."""
+    import math
+    from collections import Counter
+
+    from spec_search_spark.operators.similarity import (
+        N_PROBES,
+        TOP_K,
+        retrieval_eval_report,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows}
+    n_lab = Counter(lab for _, lab in vecs.values())
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    expect = []
+    for pid in sorted(v for v in vecs if v < N_PROBES):
+        pv, plab = vecs[pid]
+        scored = sorted(
+            (round(l2(v, pv), 4), vid, lab)
+            for vid, (v, lab) in vecs.items()
+            if vid != pid
+        )
+        hits = frr = 0
+        dcg = 0
+        for rank, (_, vid, lab) in enumerate(scored[:TOP_K], 1):
+            if lab == plab:
+                hits += 1
+                if not frr:
+                    frr = rank
+                dcg += round(1e6 / math.log2(rank + 1))
+        n_rel = n_lab[plab] - 1
+        idcg = sum(
+            round(1e6 / math.log2(i + 1))
+            for i in range(1, min(TOP_K, n_rel) + 1)
+        )
+        expect.append(
+            (
+                pid,
+                n_rel,
+                hits,
+                round(1e6 / frr) if frr else 0,
+                dcg,
+                idcg,
+                round(dcg / idcg * 1e6) / 1e6 if idcg else 0.0,
+                round(hits / min(TOP_K, n_rel) * 1e6) / 1e6 if n_rel else 0.0,
+            )
+        )
+    got = [tuple(r) for r in retrieval_eval_report(spark, sf_dir).collect()]
+    assert got == expect
