@@ -271,11 +271,103 @@ FROM g
 """
 
 
+T_CLOSE_T = 0.2  # max allowed EMD between group and global distribution
+#: ordered sensitive attribute for EMD: the _BAL_BAND bands as ranks
+_BAL_IDX = (
+    "CASE WHEN c_acctbal < 0 THEN 1"
+    " WHEN c_acctbal < 5000 THEN 2 ELSE 3 END"
+)
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the attack l-diversity misses: a QI group
+    can have l distinct sensitive values yet a SKEWED distribution
+    (99% 'neg') that still leaks. Over the same quasi-identifiers as
+    `k_anonymity_report` with the ordered balance band as the
+    sensitive attribute: each group's Earth Mover's Distance to the
+    GLOBAL band distribution (ordered-attribute EMD = mean of
+    |cumulative differences|), the dataset's t level (the largest
+    EMD), and the groups/rows beyond T_CLOSE_T.
+
+    Exact shape: with integer cumulative counts P_j (group) and Q_j
+    (global), |P_j/n_g − Q_j/n| = |P_j·n − Q_j·n_g| / (n_g·n), so the
+    whole EMD is one fixed-arity double from DECIMAL(38,0) integer
+    products (overflow-safe to n ~ 1e10 rows per the _LR_MOMS width
+    rule), snapped to 6dp before the threshold comparison. Plan: one
+    partial+final count on (QI, band), a one-row global broadcast, a
+    tiny report agg — |QI space| work at any n."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", "c_mktsegment", f"{_BAL_IDX} AS idx"
+    )
+    per_group = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.count(F.when(F.col("idx") == 1, 1)).alias("a1"),
+        F.count(F.when(F.col("idx") <= 2, 1)).alias("p2"),
+    )
+    glob = cust.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("idx") == 1, 1)).alias("g1"),
+        F.count(F.when(F.col("idx") <= 2, 1)).alias("q2"),
+    )
+    emd = per_group.crossJoin(F.broadcast(glob)).selectExpr(
+        "n_g",
+        "cast(round((abs(cast(a1 as decimal(38,0)) * n"
+        " - cast(g1 as decimal(38,0)) * n_g)"
+        " + abs(cast(p2 as decimal(38,0)) * n"
+        " - cast(q2 as decimal(38,0)) * n_g))"
+        " / (cast(n_g as double) * n * 2) * 1e6) as bigint) / 1e6 AS t_6",
+    )
+    return emd.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("t_6").alias("t_closeness_6"),
+        F.count(F.when(F.col("t_6") > T_CLOSE_T, 1))
+        .cast("bigint")
+        .alias("n_groups_above_t"),
+        F.sum(F.when(F.col("t_6") > T_CLOSE_T, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_above_t"),
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, {_BAL_IDX} AS idx FROM customer
+), g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n_g,
+         count(CASE WHEN idx = 1 THEN 1 END) AS a1,
+         count(CASE WHEN idx <= 2 THEN 1 END) AS p2
+  FROM c GROUP BY 1, 2
+), tot AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN idx = 1 THEN 1 END) AS g1,
+         count(CASE WHEN idx <= 2 THEN 1 END) AS q2
+  FROM c
+), emd AS (
+  SELECT n_g,
+         CAST(round((abs(CAST(a1 AS DECIMAL(38,0)) * n
+                - CAST(g1 AS DECIMAL(38,0)) * n_g)
+              + abs(CAST(p2 AS DECIMAL(38,0)) * n
+                - CAST(q2 AS DECIMAL(38,0)) * n_g))
+              / (CAST(n_g AS DOUBLE) * n * 2) * 1e6) AS BIGINT) / 1e6 AS t_6
+  FROM g CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       max(t_6) AS t_closeness_6,
+       CAST(count(CASE WHEN t_6 > {T_CLOSE_T} THEN 1 END) AS BIGINT)
+         AS n_groups_above_t,
+       CAST(sum(CASE WHEN t_6 > {T_CLOSE_T} THEN n_g ELSE 0 END) AS BIGINT)
+         AS n_rows_above_t
+FROM emd
+"""
+
+
 QUERIES = {
     "pii_scan": pii_scan,
     "pii_redact": pii_redact,
     "k_anonymity_report": k_anonymity_report,
     "l_diversity_report": l_diversity_report,
+    "t_closeness_report": t_closeness_report,
 }
 
 ORACLES = {
@@ -283,4 +375,5 @@ ORACLES = {
     "pii_redact": PII_REDACT_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
     "l_diversity_report": L_DIVERSITY_SQL,
+    "t_closeness_report": T_CLOSENESS_SQL,
 }

@@ -210,3 +210,44 @@ def test_retrieval_eval_matches_python(spark, sf_dir):
         )
     got = [tuple(r) for r in retrieval_eval_report(spark, sf_dir).collect()]
     assert got == expect
+
+
+def test_t_closeness_matches_python(spark, sf_dir):
+    """Independent reference: ordered-attribute EMD per QI group via
+    exact integer cumulative counts, same 6dp snap and threshold."""
+    from collections import Counter, defaultdict
+
+    from spec_search_spark.operators.pii import T_CLOSE_T, t_closeness_report
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+
+    def idx(b):
+        return 1 if b < 0 else (2 if b < 5000 else 3)
+
+    groups = defaultdict(Counter)
+    glob = Counter()
+    for r in rows:
+        i = idx(r.c_acctbal)
+        groups[(r.c_nationkey, r.c_mktsegment)][i] += 1
+        glob[i] += 1
+    n = sum(glob.values())
+    g1, q2 = glob[1], glob[1] + glob[2]
+    ts, above_g, above_r = [], 0, 0
+    for cnt in groups.values():
+        n_g = sum(cnt.values())
+        a1, p2 = cnt[1], cnt[1] + cnt[2]
+        num = abs(a1 * n - g1 * n_g) + abs(p2 * n - q2 * n_g)
+        t6 = round(num / (n_g * n * 2) * 1e6) / 1e6
+        ts.append(t6)
+        if t6 > T_CLOSE_T:
+            above_g += 1
+            above_r += n_g
+    got = t_closeness_report(spark, sf_dir).collect()[0]
+    assert got.n_groups == len(groups)
+    assert got.t_closeness_6 == max(ts)
+    assert got.n_groups_above_t == above_g
+    assert got.n_rows_above_t == above_r
