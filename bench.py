@@ -226,6 +226,8 @@ HEADLINE = [
     # distributed vocab loop); rank-sensitive retrieval eval
     "bpe_train_merges",
     "retrieval_eval_report",
+    "bpe_segment_stats",
+    "t_closeness_report",
 ]
 
 

@@ -601,9 +601,32 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever).
 
     Output: (merge_idx, pair, n) for merges 1..{BPE_TRAIN_MERGES}."""
+    merges = _bpe_trained_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, rend, n) for i, _raw, rend, n in merges],
+        "merge_idx int, pair string, n bigint",
+    )
+
+
+#: (applicationId, sf_dir) -> trained merge list — bpe_train_merges and
+#: bpe_segment_stats share one training run per session+corpus
+_BPE_MEMO: dict = {}
+
+
+def _bpe_trained_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Train and memoize the merge list [(idx, raw_pair, rendered, n)];
+    raw_pair keeps the placeholder chars so the merges can be APPLIED
+    (bpe_segment_stats), rendered is the printable form."""
     import os
 
+    from spec_search_spark.session import prune_memo
+
     tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_MEMO:
+        return _BPE_MEMO[key]
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     wc = (
@@ -620,7 +643,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = _bpe_greedy_loop(items, BPE_TRAIN_MERGES)
     else:
         merges = _bpe_distributed_loop(wc, BPE_TRAIN_MERGES)
-    return spark.createDataFrame(merges, "merge_idx int, pair string, n bigint")
+    prune_memo(_BPE_MEMO, key[0])
+    _BPE_MEMO[key] = merges
+    return merges
+
+
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression evaluation: apply the trained
+    {BPE_TRAIN_MERGES}-merge table to the corpus and report, per
+    source, how many symbols the segmented text needs vs its raw
+    characters — the chars-per-token curve a tokenizer team tracks as
+    the vocabulary grows (the reason to train merges at all). Follows
+    `bpe_train_merges` the way apply follows fit.
+
+    Plan: the merge table is the trained session artifact (memoized,
+    one corpus pass to train); application is ONE stateless projection
+    — a chain of {BPE_TRAIN_MERGES} literal replaces in merge order,
+    identical greedy semantics as training — over the per-(source,
+    word) count table, so the corpus is scanned once and everything
+    downstream is |vocab|-sized partial+final aggregation. All sums
+    are BIGINT char/symbol counts; the ratio is one fixed-arity double
+    snapped to 6dp.
+
+    Output: (source, n_tokens, n_chars, n_symbols, chars_per_symbol_6)
+    ordered by source."""
+    merges = _bpe_trained_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seg = F.col("tok")
+    for i, raw, _rend, _n in merges:
+        seg = F.replace(seg, F.lit(raw), F.lit(chr(i)))
+    per = st.select(
+        "source",
+        "c",
+        F.length("tok").cast("bigint").alias("chars"),
+        F.length(seg).cast("bigint").alias("syms"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("chars")).alias("n_chars"),
+            F.sum(F.col("c") * F.col("syms")).alias("n_symbols"),
+        )
+        .selectExpr(
+            "source",
+            "cast(n_tokens as bigint) AS n_tokens",
+            "cast(n_chars as bigint) AS n_chars",
+            "cast(n_symbols as bigint) AS n_symbols",
+            "CASE WHEN n_symbols > 0 THEN"
+            " cast(round(cast(n_chars as double) / n_symbols * 1e6)"
+            " as bigint) / 1e6 END AS chars_per_symbol_6",
+        )
+        .orderBy("source")
+    )
 
 
 def _bpe_render(pair: str, rendered: dict[str, str]) -> str:
@@ -648,8 +728,8 @@ def _bpe_greedy_loop(
         if not cnt:
             break
         pair = min(cnt, key=lambda p: (-cnt[p], p))
-        merges.append((i, _bpe_render(pair, rendered), int(cnt[pair])))
-        rendered[chr(i)] = merges[-1][1]
+        merges.append((i, pair, _bpe_render(pair, rendered), int(cnt[pair])))
+        rendered[chr(i)] = merges[-1][2]
         if i < k:
             items = [(m.replace(pair, chr(i)), c) for m, c in items]
     return merges
@@ -682,8 +762,8 @@ def _bpe_distributed_loop(wc: DataFrame, k: int) -> list[tuple[int, str, int]]:
         if not top:
             break
         pair, n = top[0]["pair"], int(top[0]["n"])
-        merges.append((i, _bpe_render(pair, rendered), n))
-        rendered[chr(i)] = merges[-1][1]
+        merges.append((i, pair, _bpe_render(pair, rendered), n))
+        rendered[chr(i)] = merges[-1][2]
         if i < k:
             state = state.select(
                 F.replace(F.col("m"), F.lit(pair), F.lit(chr(i))).alias("m"),
@@ -692,10 +772,13 @@ def _bpe_distributed_loop(wc: DataFrame, k: int) -> list[tuple[int, str, int]]:
     return merges
 
 
-def _bpe_train_sql(k: int = BPE_TRAIN_MERGES) -> str:
-    """Unrolled-CTE oracle for :func:`bpe_train_merges`: w{{i}} is the
-    vocabulary re-segmented by merges 1..i, t{{i}} the i-th greedy
-    selection, r{{i}} its recursively rendered form."""
+def _bpe_chain_sql(k: int, final_w: bool) -> list[str]:
+    """Shared unrolled-CTE chain: w{{i}} is the (orig, m, c) vocabulary
+    re-segmented by merges 1..i, t{{i}} the i-th greedy selection.
+    `final_w` adds w{{k}} (all k merges applied — the apply path);
+    the train oracle stops at t{{k}}. MATERIALIZED throughout: each
+    w{{i-1}} is referenced twice, and inlining doubles the chain per
+    level (exponential scans — 'Too many open files' at k=16)."""
     parts = [
         """
 WITH toks AS (
@@ -704,7 +787,8 @@ WITH toks AS (
          ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
   FROM documents
 ),
-w0 AS MATERIALIZED (SELECT tok AS m, count(*) AS c FROM toks GROUP BY tok)"""
+w0 AS MATERIALIZED (SELECT tok AS orig, tok AS m, count(*) AS c
+                    FROM toks GROUP BY tok)"""
     ]
     for i in range(1, k + 1):
         parts.append(
@@ -717,12 +801,20 @@ p{i} AS (
 t{i} AS MATERIALIZED (SELECT pair, sum(c) AS n FROM p{i}
          GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"""
         )
-        if i < k:
+        if i < k or final_w:
             parts.append(
                 f""",
-w{i} AS MATERIALIZED (SELECT replace(m, (SELECT pair FROM t{i}), chr({i})) AS m, c
+w{i} AS MATERIALIZED (SELECT orig,
+         replace(m, (SELECT pair FROM t{i}), chr({i})) AS m, c
          FROM w{i - 1})"""
             )
+    return parts
+
+
+def _bpe_train_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled-CTE oracle for :func:`bpe_train_merges`: the shared
+    chain plus r{{i}}, each selection's recursively rendered form."""
+    parts = _bpe_chain_sql(k, final_w=False)
     for i in range(1, k + 1):
         expr = "pair"
         for j in range(1, i):
@@ -740,6 +832,36 @@ r{i} AS MATERIALIZED (SELECT {i} AS merge_idx, {expr} AS rendered, n FROM t{i})"
         for i in range(1, k + 1)
     )
     parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_idx")
+    return "".join(parts)
+
+
+def _bpe_segment_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled-CTE oracle for :func:`bpe_segment_stats`: the shared
+    chain through w{{k}} (all merges applied), joined back to the
+    per-(source, word) count table on the carried `orig`."""
+    parts = _bpe_chain_sql(k, final_w=True)
+    parts.append(
+        f""",
+stoks AS (
+  SELECT source, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+sc AS (SELECT source, tok, count(*) AS c FROM stoks GROUP BY 1, 2),
+j AS (
+  SELECT sc.source, sc.c, length(sc.tok) AS chars, length(w.m) AS syms
+  FROM sc JOIN w{k} w ON w.orig = sc.tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * chars) AS BIGINT) AS n_chars,
+       CAST(sum(c * syms) AS BIGINT) AS n_symbols,
+       CASE WHEN sum(c * syms) > 0 THEN
+         CAST(round(CAST(sum(c * chars) AS DOUBLE) / sum(c * syms) * 1e6)
+              AS BIGINT) / 1e6 END AS chars_per_symbol_6
+FROM j GROUP BY source ORDER BY source"""
+    )
     return "".join(parts)
 
 
@@ -1224,6 +1346,7 @@ QUERIES = {
     "bpe_pair_merges": bpe_pair_merges,
     "bpe_apply_first_merge": bpe_apply_first_merge,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_segment_stats": bpe_segment_stats,
     "vocab_coverage": vocab_coverage,
 }
 
@@ -1244,5 +1367,6 @@ ORACLES = {
     "bpe_pair_merges": BPE_PAIRS_SQL,
     "bpe_apply_first_merge": _bpe_apply_sql(),
     "bpe_train_merges": _bpe_train_sql(),
+    "bpe_segment_stats": _bpe_segment_sql(),
     "vocab_coverage": VOCAB_COVERAGE_SQL,
 }

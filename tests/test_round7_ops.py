@@ -251,3 +251,45 @@ def test_t_closeness_matches_python(spark, sf_dir):
     assert got.t_closeness_6 == max(ts)
     assert got.n_groups_above_t == above_g
     assert got.n_rows_above_t == above_r
+
+
+def test_bpe_segment_stats_matches_python(spark, sf_dir):
+    """Independent reference: apply the python-trained merges to every
+    (source, word) occurrence and re-derive the per-source counts."""
+    import re
+    from collections import Counter, defaultdict
+
+    from spec_search_spark.operators.text_analysis import (
+        _bpe_trained_merges,
+        bpe_segment_stats,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    merges = _bpe_trained_merges(spark, sf_dir)
+    per = defaultdict(lambda: [0, 0, 0])  # n_tokens, chars, syms
+    cache = {}
+    for r in rows:
+        t = r.text.strip()
+        if not t:
+            continue
+        for w in re.split(r"\s+", t):
+            if w not in cache:
+                m = w
+                for i, raw, _rend, _n in merges:
+                    m = m.replace(raw, chr(i))
+                cache[w] = len(m)
+            p = per[r.source]
+            p[0] += 1
+            p[1] += len(w)
+            p[2] += cache[w]
+    got = bpe_segment_stats(spark, sf_dir).collect()
+    assert [r.source for r in got] == sorted(per)
+    for r in got:
+        n, ch, sy = per[r.source]
+        assert (r.n_tokens, r.n_chars, r.n_symbols) == (n, ch, sy)
+        assert r.chars_per_symbol_6 == (round(ch / sy * 1e6) / 1e6 if sy else None)
+        assert r.n_symbols <= r.n_chars  # merges never lengthen
