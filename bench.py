@@ -228,6 +228,7 @@ HEADLINE = [
     "retrieval_eval_report",
     "bpe_segment_stats",
     "t_closeness_report",
+    "hits_hubs_authorities",
 ]
 
 

@@ -540,8 +540,134 @@ ORDER BY e.a
 """
 
 
+HITS_ITERS = 3  # authority updates (hub updates interleave: a h a h a)
+
+#: (applicationId, sf_dir) -> checkpointed customer→part purchase edges
+_BIP_EDGES: dict = {}
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the customer→part purchase bipartite graph:
+    authority(part) = Σ hub(customer) over purchase edges, hub =
+    Σ authority, sum-normalized each half-step — 'which parts do the
+    broadest buyers concentrate on', the link-analysis complement to
+    `graph_pagerank` for DIRECTED/bipartite structure (PageRank's
+    random walk needs out-edges everywhere; HITS is the classic
+    choice on query→document / buyer→item graphs).
+
+    Same fixed-point determinism contract as PageRank: scores are
+    bigint units of SCALE, every normalization is (score · SCALE) div
+    total with DECIMAL(38,0)/HUGEINT intermediates (overflow-safe per
+    the _LR_MOMS width rule — a raw authority is ≤ in-degree · SCALE),
+    so the walk is bit-identical in both engines, unrolled to
+    {HITS_ITERS} authority updates.
+
+    Scale: edges = one distinct over the orders⋈lineitem join; each
+    half-step is one keyed join + partial/final sum over the edge
+    table (the distributed-HITS canonical shape); score tables are
+    node-sized; per-round `_materialize` cuts the growing lineage.
+
+    Output: top 10 (p_partkey, auth_fixed) by authority."""
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BIP_EDGES:
+        from spec_search_spark.session import prune_memo
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        prune_memo(_BIP_EDGES, key[0])
+        # localCheckpoint like _edges_deg: truncate the join+distinct
+        # lineage so every HITS round plans against the materialized
+        # edge blocks, not the replayed scan
+        _BIP_EDGES[key] = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    edges = _BIP_EDGES[key]
+    h = edges.select("c").distinct().select(
+        "c", F.lit(SCALE).cast("bigint").alias("h")
+    )
+    a = None
+    for i in range(HITS_ITERS):
+        ar = (
+            edges.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum(F.expr("cast(h as decimal(38,0))")).alias("ar"))
+        )
+        ta = ar.groupBy().agg(F.sum("ar").alias("ta"))
+        a = _materialize(
+            ar.crossJoin(F.broadcast(ta)).selectExpr(
+                "p", f"cast((ar * {SCALE}) div ta as bigint) AS a"
+            )
+        )
+        if i < HITS_ITERS - 1:
+            hr = (
+                edges.join(a, "p")
+                .groupBy("c")
+                .agg(F.sum(F.expr("cast(a as decimal(38,0))")).alias("hr"))
+            )
+            th = hr.groupBy().agg(F.sum("hr").alias("th"))
+            h = _materialize(
+                hr.crossJoin(F.broadcast(th)).selectExpr(
+                    "c", f"cast((hr * {SCALE}) div th as bigint) AS h"
+                )
+            )
+    return (
+        a.selectExpr("cast(p as bigint) AS p_partkey", "a AS auth_fixed")
+        .orderBy(F.desc("auth_fixed"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+def _hits_sql() -> str:
+    ctes = [
+        "edges AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,"
+        " l_partkey AS p FROM orders JOIN lineitem"
+        " ON l_orderkey = o_orderkey)",
+        f"h0 AS (SELECT c, CAST({SCALE} AS HUGEINT) AS h FROM"
+        " (SELECT DISTINCT c FROM edges))",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""a{i}r AS (SELECT p, sum(h) AS ar
+  FROM edges JOIN h{i - 1} USING (c) GROUP BY p)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (SELECT p,
+  CAST(CAST(ar AS HUGEINT) * {SCALE} // (SELECT sum(ar) FROM a{i}r)
+       AS BIGINT) AS a
+  FROM a{i}r)"""
+        )
+        if i < HITS_ITERS:
+            ctes.append(
+                f"""h{i}r AS (SELECT c, sum(a) AS hr
+  FROM edges JOIN a{i} USING (p) GROUP BY c)"""
+            )
+            ctes.append(
+                f"""h{i} AS MATERIALIZED (SELECT c,
+  CAST(CAST(hr AS HUGEINT) * {SCALE} // (SELECT sum(hr) FROM h{i}r)
+       AS BIGINT) AS h
+  FROM h{i}r)"""
+            )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(p AS BIGINT) AS p_partkey, a AS auth_fixed
+FROM a{HITS_ITERS}
+ORDER BY auth_fixed DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "hits_hubs_authorities": hits_hubs_authorities,
     "kcore_decomposition": kcore_decomposition,
     "weighted_shortest_paths": weighted_shortest_paths,
     "graph_triangles": graph_triangles,
@@ -551,6 +677,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
+    "hits_hubs_authorities": _hits_sql(),
     "kcore_decomposition": _kcore_sql(),
     "weighted_shortest_paths": _weighted_sp_sql(),
     "graph_triangles": _triangles_sql(),

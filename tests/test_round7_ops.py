@@ -293,3 +293,47 @@ def test_bpe_segment_stats_matches_python(spark, sf_dir):
         assert (r.n_tokens, r.n_chars, r.n_symbols) == (n, ch, sy)
         assert r.chars_per_symbol_6 == (round(ch / sy * 1e6) / 1e6 if sy else None)
         assert r.n_symbols <= r.n_chars  # merges never lengthen
+
+
+def test_hits_matches_python(spark, sf_dir):
+    """Independent reference: the same fixed-point HITS walk in plain
+    python integer arithmetic over the collected edge set."""
+    from collections import defaultdict
+
+    from spec_search_spark.operators.graph import (
+        HITS_ITERS,
+        SCALE,
+        hits_hubs_authorities,
+    )
+
+    o = {
+        r.o_orderkey: r.o_custkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    edges = set()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        if r.l_orderkey in o:
+            edges.add((o[r.l_orderkey], r.l_partkey))
+    h = {c: SCALE for c, _ in edges}
+    a = {}
+    for i in range(HITS_ITERS):
+        ar = defaultdict(int)
+        for c, p in edges:
+            ar[p] += h[c]
+        ta = sum(ar.values())
+        a = {p: (v * SCALE) // ta for p, v in ar.items()}
+        if i < HITS_ITERS - 1:
+            hr = defaultdict(int)
+            for c, p in edges:
+                hr[c] += a[p]
+            th = sum(hr.values())
+            h = {c: (v * SCALE) // th for c, v in hr.items()}
+    expect = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.p_partkey, r.auth_fixed) for r in hits_hubs_authorities(spark, sf_dir).collect()]
+    assert got == expect
