@@ -229,6 +229,7 @@ HEADLINE = [
     "bpe_segment_stats",
     "t_closeness_report",
     "hits_hubs_authorities",
+    "skyline_customers",
 ]
 
 

@@ -849,6 +849,117 @@ FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
 """
 
 
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (preference query): customers not dominated on
+    (total spend, order count) — no other customer is ≥ on both
+    dimensions and > on one. The multi-objective 'best customers'
+    cut a naive top-k by either dimension misses; a distinct query
+    class (Börzsönyi et al.'s SKYLINE OF) next to TOP-K and windows.
+
+    Exact 2-D characterization, never the O(n²) dominance self-join:
+    with t(s) = max count among customers at spend s and M(s) = max
+    count among customers with spend STRICTLY greater, a row is in
+    the skyline iff n = t(spend) and n > M(spend). M is a strict
+    reverse prefix-max over the distinct-spend table — the rank-walk
+    shape: adaptive like `rank_stats._bucketed_cum` (one local window
+    at or under RANK_SMALL_MAX distinct values, range-bucketed
+    per-bucket windows + a ≤64-row strict-max offset table above).
+    All values integer cents/counts; no doubles anywhere."""
+    from spec_search_spark.operators.rank_stats import (
+        RANK_BUCKETS,
+        _persist_count,
+        _rank_small_max,
+    )
+    from pyspark.sql.window import Window as W
+
+    tune(spark)
+    pc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+                "spend_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    per_s = pc.groupBy("spend_cents").agg(F.max("n_orders").alias("t"))
+    per_s, n_distinct = _persist_count(per_s)
+    if n_distinct <= _rank_small_max():
+        w = W.orderBy(F.desc("spend_cents")).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        cm = per_s.withColumn("m", F.max("t").over(w))
+    else:
+        bounds = per_s.groupBy().agg(
+            F.min("spend_cents").alias("lo"), F.max("spend_cents").alias("hi")
+        )
+        bucketed = per_s.crossJoin(F.broadcast(bounds)).withColumn(
+            "bucket",
+            F.least(
+                F.lit(RANK_BUCKETS - 1),
+                (
+                    (F.col("spend_cents") - F.col("lo"))
+                    * F.lit(RANK_BUCKETS)
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("bigint"),
+            ),
+        ).drop("lo", "hi")
+        per_bucket = bucketed.groupBy("bucket").agg(F.max("t").alias("bt"))
+        hi_side = per_bucket.select(
+            F.col("bucket").alias("hb"), F.col("bt").alias("hbt")
+        )
+        offsets = (
+            per_bucket.join(
+                F.broadcast(hi_side), F.col("hb") > F.col("bucket"), "left"
+            )
+            .groupBy("bucket")
+            .agg(F.max("hbt").alias("off"))
+        )
+        w_loc = W.partitionBy("bucket").orderBy(F.desc("spend_cents")).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        cm = (
+            bucketed.withColumn("lm", F.max("t").over(w_loc))
+            .join(F.broadcast(offsets), "bucket")
+            .withColumn("m", F.greatest(F.coalesce("lm", "off"), F.coalesce("off", "lm")))
+            .drop("bucket", "lm", "off")
+        )
+    return (
+        pc.join(cm, "spend_cents")
+        .filter(
+            (F.col("n_orders") == F.col("t"))
+            & (F.col("m").isNull() | (F.col("n_orders") > F.col("m")))
+        )
+        .select(
+            "o_custkey",
+            F.col("spend_cents").cast("bigint").alias("spend_cents"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.desc("spend_cents"), "o_custkey")
+    )
+
+
+SKYLINE_SQL = """
+WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT a.o_custkey,
+       CAST(a.spend_cents AS BIGINT) AS spend_cents,
+       CAST(a.n_orders AS BIGINT) AS n_orders
+FROM pc a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pc b
+  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders)
+)
+ORDER BY spend_cents DESC, o_custkey
+"""
+
+
 QUERIES = {
     "unpivot_metrics": unpivot_metrics,
     "transpose_pricing_matrix": transpose_pricing_matrix,
@@ -875,6 +986,7 @@ QUERIES = {
     "join_null_safe": join_null_safe,
     "topk_orders": topk_orders,
     "pivot_status": pivot_status,
+    "skyline_customers": skyline_customers,
 }
 
 ORACLES = {
@@ -903,4 +1015,5 @@ ORACLES = {
     "join_null_safe": JOIN_NULL_SAFE_SQL,
     "topk_orders": TOPK_ORDERS_SQL,
     "pivot_status": PIVOT_STATUS_SQL,
+    "skyline_customers": SKYLINE_SQL,
 }

@@ -337,3 +337,46 @@ def test_hits_matches_python(spark, sf_dir):
     expect = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = [(r.p_partkey, r.auth_fixed) for r in hits_hubs_authorities(spark, sf_dir).collect()]
     assert got == expect
+
+
+def test_skyline_matches_bruteforce_both_shapes(spark, sf_dir):
+    """Independent reference: O(n²) dominance check in python; both
+    the local-window and bucketed strict-prefix-max shapes must agree."""
+    from spec_search_spark.operators.relational import skyline_customers
+
+    # recompute exactly as the op does (integer cents per order)
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        a = agg[r.o_custkey]
+        a[0] += round(r.o_totalprice * 100)
+        a[1] += 1
+    pts = [(k, s, n) for k, (s, n) in agg.items()]
+    expect = sorted(
+        [
+            (k, s, n)
+            for k, s, n in pts
+            if not any(
+                s2 >= s and n2 >= n and (s2 > s or n2 > n)
+                for _, s2, n2 in pts
+            )
+        ],
+        key=lambda t: (-t[1], t[0]),
+    )
+    for force in (None, "0"):
+        prev = os.environ.get("SPARK_GRAFT_RANK_SMALL_MAX")
+        try:
+            if force is not None:
+                os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = force
+            got = [tuple(r) for r in skyline_customers(spark, sf_dir).collect()]
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_GRAFT_RANK_SMALL_MAX", None)
+            else:
+                os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = prev
+        assert got == expect
