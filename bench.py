@@ -230,6 +230,7 @@ HEADLINE = [
     "t_closeness_report",
     "hits_hubs_authorities",
     "skyline_customers",
+    "misra_gries_heavy_hitters",
 ]
 
 

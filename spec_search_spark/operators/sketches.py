@@ -491,6 +491,76 @@ ORDER BY replicate
 """
 
 
+MG_K = 64  # Misra-Gries summary size (per partition, then merged)
+
+
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters via the Misra-Gries mergeable
+    summary — the worst-case-guaranteed companion to the probabilistic
+    `heavy_hitters_cms`: a size-{MG_K} summary per input partition
+    (Arrow-batched, vectorized value_counts + the (k+1)-th-largest
+    decrement merge of Agarwal et al.'s mergeable-summaries result)
+    UNDERCOUNTS any token by at most n_p/(k+1), so every token with
+    global count > N/{MG_K} is GUARANTEED to survive in at least one
+    partition's summary (pigeonhole). Phase 2 broadcast-joins the
+    bounded candidate set (≤ k · n_partitions rows) back for an exact
+    recount and keeps exactly the tokens with n · {MG_K} > N — so the
+    final output is EXACT and the oracle is the plain heavy-hitter
+    SQL, while the corpus-sized pass only ever shuffles the candidate
+    subset.
+
+    Output: (tok, n) with n · {MG_K} > N, ordered by (n desc, tok)."""
+    import pandas as pd
+
+    from spec_search_spark.functions.text import tokens
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def mg_summaries(batches):
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for pdf in batches:
+            acc.update(Counter(pdf["tok"].value_counts().to_dict()))
+            if len(acc) > MG_K:
+                vals = sorted(acc.values(), reverse=True)
+                sub = vals[MG_K]
+                acc = Counter(
+                    {t: c - sub for t, c in acc.items() if c > sub}
+                )
+        if acc:
+            yield pd.DataFrame({"tok": list(acc.keys())})
+
+    cand = toks.mapInPandas(mg_summaries, "tok string").distinct()
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * MG_K > F.col("n_total"))
+        .select("tok", "n")
+        .orderBy(F.desc("n"), "tok")
+    )
+
+
+MISRA_GRIES_SQL = f"""
+WITH toks AS (
+  SELECT unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT tok, n FROM cnt, tot
+WHERE n * {MG_K} > n_total
+ORDER BY n DESC, tok
+"""
+
+
 QUERIES = {
     "approx_distinct_counts": approx_distinct_counts,
     "approx_quantiles": approx_quantiles,
@@ -499,6 +569,7 @@ QUERIES = {
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "join_cardinality_cms": join_cardinality_cms,
     "bootstrap_ci_revenue": bootstrap_ci_revenue,
+    "misra_gries_heavy_hitters": misra_gries_heavy_hitters,
 }
 
 ORACLES = {
@@ -509,4 +580,5 @@ ORACLES = {
     "hll_mergeable_rollup": HLL_ROLLUP_SQL,
     "join_cardinality_cms": JOIN_CARD_SQL,
     "bootstrap_ci_revenue": BOOTSTRAP_SQL,
+    "misra_gries_heavy_hitters": MISRA_GRIES_SQL,
 }

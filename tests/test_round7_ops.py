@@ -380,3 +380,34 @@ def test_skyline_matches_bruteforce_both_shapes(spark, sf_dir):
             else:
                 os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = prev
         assert got == expect
+
+
+def test_misra_gries_matches_python_exact(spark, sf_dir):
+    """Independent reference: the final output must equal the EXACT
+    heavy-hitter set (the MG sketch only bounds the candidate pass;
+    the recount makes the result exact by construction)."""
+    import re
+    from collections import Counter
+
+    from spec_search_spark.operators.sketches import (
+        MG_K,
+        misra_gries_heavy_hitters,
+    )
+
+    cnt = Counter()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        t = r.text.strip()
+        if t:
+            cnt.update(re.split(r"\s+", t))
+    n_total = sum(cnt.values())
+    expect = sorted(
+        ((t, n) for t, n in cnt.items() if n * MG_K > n_total),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    got = [(r.tok, r.n) for r in misra_gries_heavy_hitters(spark, sf_dir).collect()]
+    assert got == expect
+    assert len(got) > 0
