@@ -1066,6 +1066,36 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["hashpartitioning(user_id", "Window", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "Exchange rangepartitioning"]),
+    # BPE apply: the trained merges are literals in ONE stateless
+    # replace-chain projection; everything downstream is |vocab|-sized
+    # partial+final aggregation — no python, no window
+    ("bpe_segment_stats",
+     ["partial_sum", "partial_count"],
+     ["CartesianProduct", "Window", "MapInPandas", "BatchEvalPython"]),
+    # t-closeness: |QI|-sized partial counts + a one-row global
+    # broadcast; EMD is pure projection arithmetic
+    ("t_closeness_report",
+     ["partial_count"],
+     ["CartesianProduct", "Window", "MapInPandas",
+      "Exchange rangepartitioning"]),
+    # Misra-Gries: per-partition Arrow summaries (MapInPandas), the
+    # bounded candidate set broadcasts back for the exact recount —
+    # the corpus never joins itself and never sorts
+    ("misra_gries_heavy_hitters",
+     ["MapInPandas", "BroadcastHashJoin", "partial_count"],
+     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+    # skyline: strict reverse prefix-max rides the bucketed walk at
+    # scale (audit pins the forced-big shape) — never the O(n²)
+    # dominance self-join, never a lit(1) window
+    ("skyline_customers",
+     ["partial_max", "windowspecdefinition(bucket"],
+     ["CartesianProduct", "hashpartitioning(1,",
+      "Exchange rangepartitioning"]),
+    # HITS: per-round keyed join + partial/final sums over the
+    # checkpointed edge table; normalization totals broadcast
+    ("hits_hubs_authorities",
+     ["partial_sum", "TakeOrderedAndProject"],
+     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
     # retrieval eval: probes broadcast onto the scan, partial_topk
     # keeps the per-probe window off the corpus (survivors only), the
     # label table is a broadcast count — no corpus shuffle anywhere
