@@ -231,6 +231,7 @@ HEADLINE = [
     "hits_hubs_authorities",
     "skyline_customers",
     "misra_gries_heavy_hitters",
+    "dedup_bcubed_eval",
 ]
 
 

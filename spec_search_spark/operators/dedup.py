@@ -1129,8 +1129,105 @@ JOIN tot t2 ON t2.doc_id = i.doc2
 """
 
 
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation of the near-dup clustering against
+    exact-duplicate gold: the standard extrinsic clustering metric for
+    entity-resolution/dedup (Bagga & Baldwin; Amigó et al. 2009 —
+    B-cubed is the only common family satisfying all four clustering-
+    metric constraints). Gold groups = the exact content fingerprint
+    (`dedup_exact`'s convention); predicted = `dedup_clusters`'
+    connected components. Closes the dedup quality loop one level
+    above `minhash_eval_report` (candidate recall): did the CLUSTERS,
+    not just the candidate pairs, come out right?
+
+    Exact shape: with cell counts n(label, gold) and marginals, each
+    doc's precision |C∩G|/|C| sums per cell to n²/n_label — every
+    per-cell term is ONE fixed-arity double snapped to integer
+    micro-units BEFORE the cell-table sum (FIXTURES rule 5; order-
+    independent), and the report's P/R/F1 are fixed-arity expressions
+    over those integer sums. Cell/marginal tables are cluster-sized;
+    the only corpus pass is the fingerprint projection.
+
+    Output: one row (n_docs, n_pred_clusters, n_gold_groups,
+    bcubed_precision_6, bcubed_recall_6, bcubed_f1_6)."""
+    pred = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _poly_hash(F.col("text")).alias("gold")
+    )
+    cells = (
+        pred.join(docs, "doc_id")
+        .groupBy("cluster_id", "gold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lab = cells.groupBy("cluster_id").agg(F.sum("n").alias("nl"))
+    gld = cells.groupBy("gold").agg(F.sum("n").alias("ng"))
+    terms = (
+        cells.join(lab, "cluster_id")
+        .join(gld, "gold")
+        .selectExpr(
+            "n",
+            "cast(round(cast(n as double) * n * 1e6 / nl) as bigint) AS pm",
+            "cast(round(cast(n as double) * n * 1e6 / ng) as bigint) AS rm",
+        )
+    )
+    agg = terms.groupBy().agg(
+        F.sum("n").alias("nd"),
+        F.sum("pm").alias("sp"),
+        F.sum("rm").alias("sr"),
+    )
+    k = cells.groupBy().agg(
+        F.countDistinct("cluster_id").alias("n_pred"),
+        F.countDistinct("gold").alias("n_gold"),
+    )
+    return agg.crossJoin(F.broadcast(k)).selectExpr(
+        "cast(nd as bigint) AS n_docs",
+        "cast(n_pred as bigint) AS n_pred_clusters",
+        "cast(n_gold as bigint) AS n_gold_groups",
+        "cast(round(cast(sp as double) / nd) as bigint) / 1e6"
+        " AS bcubed_precision_6",
+        "cast(round(cast(sr as double) / nd) as bigint) / 1e6"
+        " AS bcubed_recall_6",
+        "cast(round(2.0 * sp * sr / (sp + sr) / nd) as bigint) / 1e6"
+        " AS bcubed_f1_6",
+    )
+
+
+def _bcubed_sql() -> str:
+    return f"""
+WITH labels AS MATERIALIZED ({_dedup_clusters_sql()}),
+golds AS (SELECT doc_id, {_POLY_SQL.format(s='text')} AS gold FROM documents),
+cells AS (
+  SELECT l.cluster_id, g.gold, count(*) AS n
+  FROM labels l JOIN golds g USING (doc_id)
+  GROUP BY 1, 2
+),
+lab AS (SELECT cluster_id, sum(n) AS nl FROM cells GROUP BY 1),
+gld AS (SELECT gold, sum(n) AS ng FROM cells GROUP BY 1),
+terms AS (
+  SELECT n,
+         CAST(round(CAST(n AS DOUBLE) * n * 1e6 / nl) AS BIGINT) AS pm,
+         CAST(round(CAST(n AS DOUBLE) * n * 1e6 / ng) AS BIGINT) AS rm
+  FROM cells JOIN lab USING (cluster_id) JOIN gld USING (gold)
+),
+agg AS (SELECT sum(n) AS nd, sum(pm) AS sp, sum(rm) AS sr FROM terms),
+k AS (SELECT count(DISTINCT cluster_id) AS n_pred,
+             count(DISTINCT gold) AS n_gold FROM cells)
+SELECT CAST(nd AS BIGINT) AS n_docs,
+       CAST(n_pred AS BIGINT) AS n_pred_clusters,
+       CAST(n_gold AS BIGINT) AS n_gold_groups,
+       CAST(round(CAST(sp AS DOUBLE) / nd) AS BIGINT) / 1e6
+         AS bcubed_precision_6,
+       CAST(round(CAST(sr AS DOUBLE) / nd) AS BIGINT) / 1e6
+         AS bcubed_recall_6,
+       CAST(round(2.0 * sp * sr / (sp + sr) / nd) AS BIGINT) / 1e6
+         AS bcubed_f1_6
+FROM agg CROSS JOIN k
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_bcubed_eval": dedup_bcubed_eval,
     "weighted_jaccard_pairs": weighted_jaccard_pairs,
     "minhash_eval_report": minhash_eval_report,
     "dedup_clusters": dedup_clusters,
@@ -1145,6 +1242,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_bcubed_eval": _bcubed_sql(),
     "weighted_jaccard_pairs": _weighted_jaccard_sql(),
     "minhash_eval_report": _minhash_eval_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

@@ -411,3 +411,45 @@ def test_misra_gries_matches_python_exact(spark, sf_dir):
     got = [(r.tok, r.n) for r in misra_gries_heavy_hitters(spark, sf_dir).collect()]
     assert got == expect
     assert len(got) > 0
+
+
+def test_bcubed_matches_python(spark, sf_dir):
+    """Independent reference: B-cubed P/R/F1 recomputed from the
+    collected cluster assignments and exact-text gold groups."""
+    from collections import Counter
+
+    from spec_search_spark.operators.dedup import (
+        dedup_bcubed_eval,
+        dedup_clusters,
+    )
+
+    pred = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    gold = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        gold[r.doc_id] = r.text
+    cells = Counter((pred[d], gold[d]) for d in pred)
+    nl = Counter()
+    ng = Counter()
+    for (c, g), n in cells.items():
+        nl[c] += n
+        ng[g] += n
+    nd = sum(cells.values())
+    sp = sum(round(n * n * 1e6 / nl[c]) for (c, g), n in cells.items())
+    sr = sum(round(n * n * 1e6 / ng[g]) for (c, g), n in cells.items())
+    got = dedup_bcubed_eval(spark, sf_dir).collect()[0]
+    assert got.n_docs == nd
+    assert got.n_pred_clusters == len(nl)
+    assert got.n_gold_groups == len(ng)
+    assert got.bcubed_precision_6 == round(sp / nd) / 1e6
+    assert got.bcubed_recall_6 == round(sr / nd) / 1e6
+    assert got.bcubed_f1_6 == round(2.0 * sp * sr / (sp + sr) / nd) / 1e6
+    # sanity: exact-dup gold is a refinement target — recall of a
+    # candidate-graph clustering over exact groups should be high
+    assert got.bcubed_recall_6 > 0.5
