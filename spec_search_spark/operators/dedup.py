@@ -930,11 +930,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
+    # localCheckpoint, not just persist: the converged label table's
+    # logical plan nests every propagation round, and each downstream
+    # consumer (survivors, B-cubed's cells→marginals→terms join tree)
+    # re-embeds that giant plan per reference — Catalyst re-analysis
+    # alone cost ~26s/call on the B-cubed report at sf0.1 (the same
+    # lesson as graph._edges_deg). Checkpointing truncates the lineage
+    # to the materialized blocks.
     _CC_LABELS[key] = labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("doc_id")).alias("is_canonical"),
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
     return _CC_LABELS[key]
 
 
