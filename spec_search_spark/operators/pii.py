@@ -300,15 +300,25 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").selectExpr(
         "c_nationkey", "c_mktsegment", f"{_BAL_IDX} AS idx"
     )
-    per_group = cust.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.count(F.when(F.col("idx") == 1, 1)).alias("a1"),
-        F.count(F.when(F.col("idx") <= 2, 1)).alias("p2"),
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", "idx").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    glob = cust.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("idx") == 1, 1)).alias("g1"),
-        F.count(F.when(F.col("idx") <= 2, 1)).alias("q2"),
+    return t_closeness_from_cells(cells)
+
+
+def t_closeness_from_cells(cells: DataFrame) -> DataFrame:
+    """The t-closeness fold over a (QI..., idx, n) count-cell table —
+    shared by the batch audit and the streaming twin (the cell table
+    IS the bounded stream state: |QI space| × 3 rows)."""
+    per_group = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("n_g"),
+        F.sum(F.when(F.col("idx") == 1, F.col("n")).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("idx") <= 2, F.col("n")).otherwise(0)).alias("p2"),
+    )
+    glob = cells.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("idx") == 1, F.col("n")).otherwise(0)).alias("g1"),
+        F.sum(F.when(F.col("idx") <= 2, F.col("n")).otherwise(0)).alias("q2"),
     )
     emd = per_group.crossJoin(F.broadcast(glob)).selectExpr(
         "n_g",

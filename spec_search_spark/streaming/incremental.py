@@ -1046,6 +1046,60 @@ def _stream_roc_auc_sql() -> str:
     return _roc_auc_sql()
 
 
+def stream_t_closeness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `pii.t_closeness_report`: the privacy audit
+    run ON the customer ingest feed — the shape that watches a skewed
+    batch of sign-ups push a QI group past the EMD threshold as rows
+    arrive. Streaming state is the shared (QI, band) count-cell table:
+    |QI space| × 3 rows at any stream volume (the bounded-count-table
+    argument of `stream_psi_drift`). After the drain the shared
+    integer-EMD fold (`t_closeness_from_cells`) scores the final
+    table — identical output and oracle as the batch audit."""
+    from spec_search_spark.operators.pii import (
+        _BAL_IDX,
+        t_closeness_from_cells,
+    )
+
+    tune(spark)
+    name = f"tclose_stream_{uuid.uuid4().hex[:8]}"
+    static_schema = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).schema
+    cust = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(sf_dir)
+    )
+    cells = (
+        cust.selectExpr("c_nationkey", "c_mktsegment", f"{_BAL_IDX} AS idx")
+        .groupBy("c_nationkey", "c_mktsegment", "idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tclose_")
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return t_closeness_from_cells(
+        _drained(spark, name, ckpt).select(
+            "c_nationkey", "c_mktsegment", "idx", "n"
+        )
+    )
+
+
+def _stream_tclose_sql() -> str:
+    from spec_search_spark.operators.pii import T_CLOSENESS_SQL
+
+    return T_CLOSENESS_SQL
+
+
 def _stream_seasdec_sql() -> str:
     from spec_search_spark.operators.drift import SEASONAL_SQL
 
@@ -1424,6 +1478,7 @@ QUERIES = {
     "stream_percolate": stream_percolate_query,
     "stream_embedding_drift": stream_embedding_drift_query,
     "stream_roc_auc": stream_roc_auc_query,
+    "stream_t_closeness": stream_t_closeness_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -1448,6 +1503,7 @@ ORACLES = {
     "stream_percolate": _import_percolate_sql(),
     "stream_embedding_drift": _stream_emb_drift_sql(),
     "stream_roc_auc": _stream_roc_auc_sql(),
+    "stream_t_closeness": _stream_tclose_sql(),
 }
 
 

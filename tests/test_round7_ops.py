@@ -453,3 +453,14 @@ def test_bcubed_matches_python(spark, sf_dir):
     # sanity: exact-dup gold is a refinement target — recall of a
     # candidate-graph clustering over exact groups should be high
     assert got.bcubed_recall_6 > 0.5
+
+
+def test_stream_t_closeness_equals_batch(spark, sf_dir):
+    from spec_search_spark.operators.pii import t_closeness_report
+    from spec_search_spark.streaming.incremental import (
+        stream_t_closeness_query,
+    )
+
+    batch = t_closeness_report(spark, sf_dir).collect()
+    stream = stream_t_closeness_query(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
