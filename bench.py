@@ -232,6 +232,7 @@ HEADLINE = [
     "skyline_customers",
     "misra_gries_heavy_hitters",
     "dedup_bcubed_eval",
+    "rbo_ann_vs_exact",
 ]
 
 

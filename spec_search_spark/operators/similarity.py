@@ -1313,6 +1313,136 @@ FROM best_a JOIN best_b
 """
 
 
+RBO_P = 0.9  # rank-biased overlap persistence (top-weightedness)
+RBO_SCALE = 1_000_000_000  # coefficient snap (nano-units)
+
+
+def _rbo_coeffs() -> tuple[list[int], int]:
+    """(c[1..K], ideal): c[m] = snap(Σ_{{d=m..K}} p^(d-1)/d) — the total
+    weight a document matched at max-rank m contributes to the
+    truncated RBO sum — and ideal = snap(Σ p^(d-1)), the identical-
+    rankings numerator. Snapped to integer nano-units in PYTHON and
+    embedded as literals in both engines, so no float divergence can
+    exist by construction."""
+    cs = []
+    for m in range(1, TOP_K + 1):
+        cs.append(
+            round(
+                RBO_SCALE
+                * sum(RBO_P ** (d - 1) / d for d in range(m, TOP_K + 1))
+            )
+        )
+    ideal = round(RBO_SCALE * sum(RBO_P ** (d - 1) for d in range(1, TOP_K + 1)))
+    return cs, ideal
+
+
+def rbo_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between the EXACT
+    top-{TOP_K} ranking and the LSH-bucketed ANN ranking, per probe —
+    the top-weighted ranking-agreement metric that recall@k cannot
+    express (recall treats rank 1 and rank 10 the same; RBO discounts
+    by p^(d-1), so losing the top hit hurts more than losing the
+    tail). The third leg of the ANN eval set next to
+    `ann_recall_report` (set overlap) and `retrieval_eval_report`
+    (label relevance). Normalization: truncated RBO@k, score =
+    Σ p^(d-1)·(X_d/d) / Σ p^(d-1) with X_d the depth-d intersection —
+    1.0 iff the rankings agree on all K prefixes.
+
+    Exact shape: a doc matched at ranks (ra, rb) contributes to every
+    depth ≥ max(ra, rb), so its total weight is a PURE FUNCTION of
+    max(ra, rb) — precomputed in python, snapped to integer nano-units
+    and embedded as literals in BOTH engines (zero cross-engine float
+    surface). The rankings ride the existing probe-broadcast +
+    partial_topk shape; matches are one equi-join of two ≤K·n_probes
+    tables; the final score is one fixed-arity division."""
+    cs, ideal = _rbo_coeffs()
+    emb = _emb(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "dist2", F.round(l2_squared(F.col("embedding"), F.col("probe_vec")), 4)
+        )
+        .select("probe_id", "vec_id", "dist2")
+    )
+    surv = partial_topk(scored, "probe_id", ["dist2", "vec_id"], TOP_K)
+    w = W.partitionBy("probe_id").orderBy("dist2", "vec_id")
+    exact = (
+        surv.withColumn("ra", F.row_number().over(w))
+        .filter(F.col("ra") <= TOP_K)
+        .select("probe_id", "vec_id", "ra")
+    )
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rn").alias("rb")
+    )
+    coeff = F.array(*[F.lit(c).cast("bigint") for c in cs])
+    per = (
+        exact.join(approx, ["probe_id", "vec_id"])
+        .withColumn("m", F.greatest("ra", "rb"))
+        .withColumn("c", F.element_at(coeff, F.col("m")))
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"), F.sum("c").alias("sc"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(per, "probe_id", "left")
+        .selectExpr(
+            "probe_id",
+            "cast(coalesce(n_overlap, 0) as bigint) AS n_overlap",
+            f"cast(round(cast(coalesce(sc, 0) as double) / {ideal} * 1e6)"
+            " as bigint) / 1e6 AS rbo_6",
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _rbo_sql() -> str:
+    cs, ideal = _rbo_coeffs()
+    coeff_rows = ", ".join(f"({m + 1}, {c})" for m, c in enumerate(cs))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+             FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS p_bucket
+           FROM emb WHERE vec_id < {N_PROBES}),
+ex_scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM emb e JOIN probes p ON e.vec_id <> p.probe_id
+),
+ex AS (
+  SELECT probe_id, vec_id, ra FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY dist2, vec_id) AS ra
+    FROM ex_scored) t WHERE ra <= {TOP_K}
+),
+ap_scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round({l2_squared_sql('e.embedding', 'p.probe_vec')}, 4) AS dist2
+  FROM emb e JOIN probes p
+    ON e.bucket = p.p_bucket AND e.vec_id <> p.probe_id
+),
+ap AS (
+  SELECT probe_id, vec_id, rb FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY dist2, vec_id) AS rb
+    FROM ap_scored) t WHERE rb <= {TOP_K}
+),
+coeff(m, c) AS (VALUES {coeff_rows}),
+per AS (
+  SELECT ex.probe_id, count(*) AS n_overlap, sum(c.c) AS sc
+  FROM ex JOIN ap ON ap.probe_id = ex.probe_id AND ap.vec_id = ex.vec_id
+  JOIN coeff c ON c.m = greatest(ex.ra, ap.rb)
+  GROUP BY ex.probe_id
+)
+SELECT p.probe_id,
+       CAST(coalesce(per.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(round(CAST(coalesce(per.sc, 0) AS DOUBLE) / {ideal} * 1e6)
+            AS BIGINT) / 1e6 AS rbo_6
+FROM probes p LEFT JOIN per ON per.probe_id = p.probe_id
+ORDER BY p.probe_id
+"""
+
+
 def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality scorecard for the exact search surface:
     MRR, DCG/nDCG@{TOP_K} and recall@{TOP_K} per probe, with label
@@ -1489,6 +1619,7 @@ QUERIES = {
     "semantic_search_reranked": semantic_search_reranked,
     "bitext_mining_pairs": bitext_mining_pairs,
     "retrieval_eval_report": retrieval_eval_report,
+    "rbo_ann_vs_exact": rbo_ann_vs_exact,
 }
 
 ORACLES = {
@@ -1508,4 +1639,5 @@ ORACLES = {
     "semantic_search_reranked": _semantic_search_reranked_sql(),
     "bitext_mining_pairs": BITEXT_SQL,
     "retrieval_eval_report": RETRIEVAL_EVAL_SQL,
+    "rbo_ann_vs_exact": _rbo_sql(),
 }

@@ -464,3 +464,56 @@ def test_stream_t_closeness_equals_batch(spark, sf_dir):
     batch = t_closeness_report(spark, sf_dir).collect()
     stream = stream_t_closeness_query(spark, sf_dir).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_rbo_matches_python(spark, sf_dir):
+    """Independent reference: truncated RBO@K recomputed from python
+    rankings with the same conventions."""
+    from spec_search_spark.operators.similarity import (
+        N_PROBES,
+        RBO_P,
+        TOP_K,
+        ann_lsh_bucketed,
+        rbo_ann_vs_exact,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    exact = {}
+    for pid in sorted(v for v in vecs if v < N_PROBES):
+        ranked = sorted(
+            (round(l2(v, vecs[pid]), 4), vid)
+            for vid, v in vecs.items()
+            if vid != pid
+        )[:TOP_K]
+        exact[pid] = {vid: i + 1 for i, (_, vid) in enumerate(ranked)}
+    approx = {}
+    for r in ann_lsh_bucketed(spark, sf_dir).collect():
+        approx.setdefault(r.probe_id, {})[r.vec_id] = r.rn
+    ideal = round(1e9 * sum(RBO_P ** (d - 1) for d in range(1, TOP_K + 1)))
+    expect = []
+    for pid in sorted(exact):
+        sc = n = 0
+        for vid, ra in exact[pid].items():
+            rb = approx.get(pid, {}).get(vid)
+            if rb is not None:
+                n += 1
+                m = max(ra, rb)
+                sc += round(
+                    1e9 * sum(RBO_P ** (d - 1) / d for d in range(m, TOP_K + 1))
+                )
+        expect.append((pid, n, round(sc / ideal * 1e6) / 1e6))
+    got = [tuple(r) for r in rbo_ann_vs_exact(spark, sf_dir).collect()]
+    assert got == expect
+    assert any(n > 0 for _, n, _ in got)
