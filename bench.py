@@ -233,6 +233,7 @@ HEADLINE = [
     "misra_gries_heavy_hitters",
     "dedup_bcubed_eval",
     "rbo_ann_vs_exact",
+    "embedding_anisotropy_report",
 ]
 
 

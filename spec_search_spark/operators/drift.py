@@ -1630,6 +1630,111 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_drift_from_per_dim(emb_drift_per_dim(emb))
 
 
+ANISO_BINS = 10  # cosine histogram bins over [-1, 1]
+
+
+def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy / collapse monitor: the distribution
+    of pairwise cosines over a deterministic pair sample (vec_id 2k
+    paired with 2k+1). Healthy embedding spaces have near-zero mean
+    pairwise cosine; representation collapse (all vectors pointing one
+    way — the classic failure after a bad contrastive run or an
+    un-normalized encoder refresh) shows as the mass piling into the
+    top bins and the mean rising toward 1 (Ethayarajh 2019's
+    anisotropy diagnostic, run as a table scan). Companion to
+    `embedding_drift_monitor` (BETWEEN-snapshot shift; this is the
+    WITHIN-snapshot geometry).
+
+    Exact shape: pairing is one self-equi-join on `vec_id div 2`
+    (shuffle on an 8-byte key, no sampling RNG — deterministic at any
+    parallelism); each pair's cosine snaps to micro-units immediately
+    (one fixed-arity double per pair); the histogram and mean are
+    integer count/sum aggregation over the snapped values.
+
+    Output: (bin, lo_6, n_pairs, share_6, mean_cos_6) × {ANISO_BINS}
+    rows, ordered by bin."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.expr("vec_id div 2").alias("k"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.expr("vec_id div 2").alias("k"), F.col("embedding").alias("vb")
+    )
+    from spec_search_spark.functions.vector import cosine_similarity
+
+    pairs = a.join(b, "k").select(
+        F.round(cosine_similarity(F.col("va"), F.col("vb")) * 1_000_000)
+        .cast("bigint")
+        .alias("cos6")
+    )
+    binned = pairs.select(
+        F.least(
+            F.lit(ANISO_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                ((F.col("cos6") + 1_000_000) * ANISO_BINS / 2_000_000).cast(
+                    "bigint"
+                ),
+            ),
+        ).alias("bin"),
+        "cos6",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("cos6").alias("s")
+    )
+    tot = hist.groupBy().agg(
+        F.sum("n_pairs").alias("n"), F.sum("s").alias("st")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cast(bin as int) AS bin",
+            f"cast(bin * 2000000 div {ANISO_BINS} as bigint) - 1000000 AS lo_6",
+            "cast(n_pairs as bigint) AS n_pairs",
+            "cast(round(cast(n_pairs as double) / n * 1e6) as bigint) / 1e6"
+            " AS share_6",
+            "cast(round(cast(st as double) / n) as bigint) AS mean_cos_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+def _anisotropy_sql() -> str:
+    from spec_search_spark.functions.vector import cosine_similarity_sql
+
+    return ANISOTROPY_SQL_TMPL.replace(
+        "{cos}", cosine_similarity_sql("va", "vb")
+    )
+
+
+ANISOTROPY_SQL_TMPL = f"""
+WITH a AS (SELECT vec_id // 2 AS k, embedding AS va FROM embeddings
+           WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id // 2 AS k, embedding AS vb FROM embeddings
+      WHERE vec_id % 2 = 1),
+pairs AS (
+  SELECT CAST(round(({{cos}}) * 1000000) AS BIGINT) AS cos6
+  FROM a JOIN b USING (k)
+),
+binned AS (
+  SELECT least({ANISO_BINS - 1},
+               greatest(0, (cos6 + 1000000) * {ANISO_BINS} // 2000000)) AS bin,
+         cos6
+  FROM pairs
+),
+hist AS (SELECT bin, count(*) AS n_pairs, sum(cos6) AS s FROM binned GROUP BY bin),
+tot AS (SELECT sum(n_pairs) AS n, sum(s) AS st FROM hist)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(bin * 2000000 // {ANISO_BINS} AS BIGINT) - 1000000 AS lo_6,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(round(CAST(n_pairs AS DOUBLE) / n * 1e6) AS BIGINT) / 1e6 AS share_6,
+       CAST(round(CAST(st AS DOUBLE) / n) AS BIGINT) AS mean_cos_micro
+FROM hist CROSS JOIN tot
+ORDER BY bin
+"""
+
+
 def emb_drift_per_dim(emb: DataFrame) -> DataFrame:
     """The (dim, sa, na, sb, nb) integer-sum aggregation over an
     embeddings table — stateless explode + one partial/final agg, so
@@ -1841,6 +1946,7 @@ QUERIES = {
     "seasonal_decompose_hourly": seasonal_decompose_hourly,
     "page_hinkley_hourly": page_hinkley_hourly,
     "embedding_drift_monitor": embedding_drift_monitor,
+    "embedding_anisotropy_report": embedding_anisotropy_report,
     "holt_forecast_hourly": holt_forecast_hourly,
     "holt_backtest_mase": holt_backtest_mase,
     "lttb_downsample_hourly": lttb_downsample_hourly,
@@ -1861,6 +1967,7 @@ ORACLES = {
     "seasonal_decompose_hourly": SEASONAL_SQL,
     "page_hinkley_hourly": PAGE_HINKLEY_SQL,
     "embedding_drift_monitor": EMB_DRIFT_SQL,
+    "embedding_anisotropy_report": _anisotropy_sql(),
     "holt_forecast_hourly": HOLT_SQL,
     "holt_backtest_mase": HOLT_BACKTEST_SQL,
     "lttb_downsample_hourly": LTTB_SQL,

@@ -517,3 +517,50 @@ def test_rbo_matches_python(spark, sf_dir):
     got = [tuple(r) for r in rbo_ann_vs_exact(spark, sf_dir).collect()]
     assert got == expect
     assert any(n > 0 for _, n, _ in got)
+
+
+def test_anisotropy_matches_python(spark, sf_dir):
+    """Independent reference: pair cosines, bins, shares and the mean
+    recomputed in python with the same snapping."""
+    import math
+
+    from spec_search_spark.operators.drift import (
+        ANISO_BINS,
+        embedding_anisotropy_report,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    from collections import defaultdict
+
+    hist = defaultdict(lambda: [0, 0])
+    n = st = 0
+    for k in sorted(v // 2 for v in vecs if v % 2 == 0):
+        if 2 * k in vecs and 2 * k + 1 in vecs:
+            c6 = round(cos(vecs[2 * k], vecs[2 * k + 1]) * 1_000_000)
+            b = min(ANISO_BINS - 1, max(0, (c6 + 1_000_000) * ANISO_BINS // 2_000_000))
+            hist[b][0] += 1
+            hist[b][1] += c6
+            n += 1
+            st += c6
+    got = embedding_anisotropy_report(spark, sf_dir).collect()
+    assert [r.bin for r in got] == sorted(hist)
+    for r in got:
+        np_, _s = hist[r.bin]
+        assert r.n_pairs == np_
+        assert r.share_6 == round(np_ / n * 1e6) / 1e6
+        assert r.mean_cos_micro == round(st / n)
+        assert r.lo_6 == r.bin * 2_000_000 // ANISO_BINS - 1_000_000
