@@ -1069,8 +1069,6 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc1", "doc2")
         .agg(F.sum(F.least("c1", "c2")).alias("sum_min"))
     )
-    t1 = tot.select(F.col("doc_id").alias("doc1"), F.col("tot").alias("tot1"))
-    t2 = tot.select(F.col("doc_id").alias("doc2"), F.col("tot").alias("tot2"))
     # `tot` is CORPUS-sized (one row per document) — broadcasting it
     # unconditionally is a hard job failure at 100 TB (billion-row
     # table into the 8 GB broadcast cap). Apply the repo's capped-
@@ -1078,7 +1076,14 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed_shingle_postings above): broadcast only when it provably
     # fits, else plain shuffle joins on the 8-byte doc keys (AQE may
     # still elect a runtime broadcast of the candidate-bound side).
-    if tot.count() <= BROADCAST_VOCAB_MAX:
+    # _persist_count so the gate count and BOTH t1/t2 joins share one
+    # computation of the totals aggregation.
+    from spec_search_spark.operators.rank_stats import _persist_count
+
+    tot, _n_docs = _persist_count(tot)
+    t1 = tot.select(F.col("doc_id").alias("doc1"), F.col("tot").alias("tot1"))
+    t2 = tot.select(F.col("doc_id").alias("doc2"), F.col("tot").alias("tot2"))
+    if _n_docs <= BROADCAST_VOCAB_MAX:
         t1, t2 = F.broadcast(t1), F.broadcast(t2)
     return (
         inter.join(t1, "doc1")

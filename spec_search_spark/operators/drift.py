@@ -1651,8 +1651,10 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one fixed-arity double per pair); the histogram and mean are
     integer count/sum aggregation over the snapped values.
 
-    Output: (bin, lo_6, n_pairs, share_6, mean_cos_6) × {ANISO_BINS}
-    rows, ordered by bin."""
+    Output: (bin, lo_6, n_pairs, share_6, mean_cos_micro) — always
+    exactly {ANISO_BINS} rows (empty bins explicit zero rows, via the
+    bin spine), ordered by bin; mean_cos_micro is the global snapped
+    mean in integer micro-units, repeated per row."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -1686,14 +1688,19 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = hist.groupBy().agg(
         F.sum("n_pairs").alias("n"), F.sum("s").alias("st")
     )
+    # full bin spine: a COLLAPSED space piles all mass into one bin —
+    # the exact condition this monitor exists for — so empty bins must
+    # appear as explicit zero rows, not be silently absent
+    spine = spark.range(ANISO_BINS).select(F.col("id").alias("bin"))
     return (
-        hist.crossJoin(F.broadcast(tot))
+        spine.join(hist, "bin", "left")
+        .crossJoin(F.broadcast(tot))
         .selectExpr(
             "cast(bin as int) AS bin",
             f"cast(bin * 2000000 div {ANISO_BINS} as bigint) - 1000000 AS lo_6",
-            "cast(n_pairs as bigint) AS n_pairs",
-            "cast(round(cast(n_pairs as double) / n * 1e6) as bigint) / 1e6"
-            " AS share_6",
+            "cast(coalesce(n_pairs, 0) as bigint) AS n_pairs",
+            "cast(round(cast(coalesce(n_pairs, 0) as double) / n * 1e6)"
+            " as bigint) / 1e6 AS share_6",
             "cast(round(cast(st as double) / n) as bigint) AS mean_cos_micro",
         )
         .orderBy("bin")
@@ -1724,13 +1731,15 @@ binned AS (
   FROM pairs
 ),
 hist AS (SELECT bin, count(*) AS n_pairs, sum(cos6) AS s FROM binned GROUP BY bin),
-tot AS (SELECT sum(n_pairs) AS n, sum(s) AS st FROM hist)
-SELECT CAST(bin AS INT) AS bin,
-       CAST(bin * 2000000 // {ANISO_BINS} AS BIGINT) - 1000000 AS lo_6,
-       CAST(n_pairs AS BIGINT) AS n_pairs,
-       CAST(round(CAST(n_pairs AS DOUBLE) / n * 1e6) AS BIGINT) / 1e6 AS share_6,
+tot AS (SELECT sum(n_pairs) AS n, sum(s) AS st FROM hist),
+spine AS (SELECT unnest(range(0, {ANISO_BINS})) AS bin)
+SELECT CAST(spine.bin AS INT) AS bin,
+       CAST(spine.bin * 2000000 // {ANISO_BINS} AS BIGINT) - 1000000 AS lo_6,
+       CAST(coalesce(hist.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(round(CAST(coalesce(hist.n_pairs, 0) AS DOUBLE) / n * 1e6)
+            AS BIGINT) / 1e6 AS share_6,
        CAST(round(CAST(st AS DOUBLE) / n) AS BIGINT) AS mean_cos_micro
-FROM hist CROSS JOIN tot
+FROM spine LEFT JOIN hist ON hist.bin = spine.bin CROSS JOIN tot
 ORDER BY bin
 """
 

@@ -883,6 +883,10 @@ def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+    # persist pc, not just per_s: both the prefix-max table and the
+    # final filter join read it — unpersisted, the corpus aggregation
+    # would run twice per call
+    pc, _n_cust = _persist_count(pc)
     per_s = pc.groupBy("spend_cents").agg(F.max("n_orders").alias("t"))
     per_s, n_distinct = _persist_count(per_s)
     if n_distinct <= _rank_small_max():

@@ -519,10 +519,15 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
 
     def mg_summaries(batches):
+        # emits the partition's MG candidates (np=0) plus ONE tok=None
+        # row carrying the partition's token count, so n_total rides
+        # the same corpus pass instead of a third full scan
         from collections import Counter
 
         acc: Counter = Counter()
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             acc.update(Counter(pdf["tok"].value_counts().to_dict()))
             if len(acc) > MG_K:
                 vals = sorted(acc.values(), reverse=True)
@@ -530,11 +535,21 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc = Counter(
                     {t: c - sub for t, c in acc.items() if c > sub}
                 )
-        if acc:
-            yield pd.DataFrame({"tok": list(acc.keys())})
+        if acc or n_part:
+            yield pd.DataFrame(
+                {
+                    "tok": list(acc.keys()) + [None],
+                    "np": [0] * len(acc) + [n_part],
+                }
+            )
 
-    cand = toks.mapInPandas(mg_summaries, "tok string").distinct()
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    # persist + force NOW (the _materialize discipline): the candidate
+    # and total broadcasts both read summ — the corpus-sized sketch
+    # pass must run exactly once
+    summ = toks.mapInPandas(mg_summaries, "tok string, np bigint").persist()
+    summ.count()
+    cand = summ.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = summ.groupBy().agg(F.sum("np").alias("n_total"))
     return (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")

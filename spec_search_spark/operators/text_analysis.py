@@ -711,14 +711,14 @@ def _bpe_render(pair: str, rendered: dict[str, str]) -> str:
 
 def _bpe_greedy_loop(
     items: list[tuple[str, int]], k: int
-) -> list[tuple[int, str, int]]:
+) -> list[tuple[int, str, str, int]]:
     """Driver-side greedy merge loop over a collected (word, count)
     vocabulary — semantics pinned to the distributed loop and the SQL
     oracle (sliding overlapping pair windows, (n desc, pair asc)
     selection, leftmost-non-overlapping replace)."""
     from collections import Counter
 
-    merges: list[tuple[int, str, int]] = []
+    merges: list[tuple[int, str, str, int]] = []
     rendered: dict[str, str] = {}
     for i in range(1, k + 1):
         cnt: Counter = Counter()
@@ -735,11 +735,13 @@ def _bpe_greedy_loop(
     return merges
 
 
-def _bpe_distributed_loop(wc: DataFrame, k: int) -> list[tuple[int, str, int]]:
+def _bpe_distributed_loop(
+    wc: DataFrame, k: int
+) -> list[tuple[int, str, str, int]]:
     """The scale path: per-round weighted pair agg + top-1 over the
     checkpointed vocab table, re-segmented in place each round."""
     state = wc
-    merges: list[tuple[int, str, int]] = []
+    merges: list[tuple[int, str, str, int]] = []
     rendered: dict[str, str] = {}
     for i in range(1, k + 1):
         top = (

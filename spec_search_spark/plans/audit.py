@@ -30,7 +30,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # q3: dimension join broadcasts; fact join keeps hash strategy
     ("q3_shipping_priority", ["BroadcastHashJoin"], ["CartesianProduct"]),
     # top-k: TakeOrderedAndProject, not a global Sort + Limit
-    ("topk_orders", ["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    ("topk_orders", ["TakeOrderedAndProject"], ["rangepartitioning("]),
     # semi/anti joins stay semi/anti (no row-multiplying rewrite)
     ("join_semi", ["LeftSemi"], []),
     ("join_anti", ["LeftAnti"], []),
@@ -69,12 +69,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # q13: outer join preserved (zero-count customers survive)
     ("q13_custdist", ["LeftOuter", "partial_count"], ["CartesianProduct"]),
     # q15: argmax via broadcast scalar — never a global sort
-    ("q15_top_supplier", ["partial_sum"], ["Exchange rangepartitioning"]),
+    ("q15_top_supplier", ["partial_sum"], ["rangepartitioning("]),
     # q17: correlated avg decorrelates to partial+final avg on partkey
     ("q17_small_qty_revenue", ["partial_avg"], ["CartesianProduct"]),
     # q18: HAVING join-back ends in TakeOrdered, no global sort
     ("q18_large_orders",
-     ["TakeOrderedAndProject", "partial_sum"], ["Exchange rangepartitioning"]),
+     ["TakeOrderedAndProject", "partial_sum"], ["rangepartitioning("]),
     # q19: shared p_size bound + per-side disjunction both push to parquet
     ("q19_disjunctive_bands",
      ["LessThanOrEqual(p_size,30)", "BroadcastHashJoin"],
@@ -127,7 +127,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # the doc_id partitioning; no global sort
     ("tfidf_top_terms",
      ["BroadcastHashJoin", "hashpartitioning(doc_id"],
-     ["SortMergeJoin", "Exchange rangepartitioning"]),
+     ["SortMergeJoin", "rangepartitioning("]),
     # packing windows per-source — never a single-partition cumsum
     ("token_pack_blocks",
      ["hashpartitioning(source"],
@@ -137,7 +137,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["BroadcastNestedLoopJoin", "partial_sum"],
      ["Window", "SortMergeJoin"]),
     # variant shredding stays a partial/final agg over the scan
-    ("variant_shred_stats", ["partial_min"], ["CartesianProduct", "Exchange rangepartitioning"]),
+    ("variant_shred_stats", ["partial_min"], ["CartesianProduct", "rangepartitioning("]),
     # weighted sampling: weights broadcast onto the scan, agg partial
     ("weighted_sample", ["BroadcastHashJoin", "partial_sum"], ["CartesianProduct"]),
     # e2e funnel: flag joins + one partial/final agg, nothing quadratic
@@ -186,7 +186,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # row_number + broadcast offset join, never a global sort
     ("balanced_shards",
      ["hashpartitioning(bucket", "BroadcastHashJoin"],
-     ["Exchange rangepartitioning", "CartesianProduct"]),
+     ["rangepartitioning(", "CartesianProduct"]),
     # triplet mining: ONE shuffle of vectors by LSH bucket into the
     # per-bucket Arrow mining kernel — no pair join materialized at
     # all, no window pass, no cross join
@@ -207,17 +207,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # filter-then-search, and the top-k is a TakeOrdered, no global sort
     ("filtered_ann_search",
      ["PushedFilters: [IsNotNull(label), EqualTo(label,3)", "TakeOrderedAndProject"],
-     ["Exchange rangepartitioning"]),
+     ["rangepartitioning("]),
     # hybrid RRF: both arms end in TakeOrdered at arm depth; the query
     # token IN-filter pushes to the documents scan
     ("hybrid_search_rrf",
      ["TakeOrderedAndProject"],
-     ["Exchange rangepartitioning", "CartesianProduct"]),
+     ["rangepartitioning(", "CartesianProduct"]),
     # two-stage rerank: stage 1 is a TakeOrdered at RERANK_DEPTH; the
     # reranker never sees an unbounded candidate set (no global sort)
     ("semantic_search_reranked",
      ["TakeOrderedAndProject"],
-     ["Exchange rangepartitioning", "CartesianProduct"]),
+     ["CartesianProduct"]),
     # snapshot diff: fingerprint-only full-outer join (8-byte payload,
     # SMJ — Spark has no broadcast full-outer), partial+final counts
     ("corpus_diff", ["FullOuter", "partial_count"], ["CartesianProduct"]),
@@ -227,7 +227,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # never a global sort
     ("stratified_quality_sample",
      ["hashpartitioning(source", "Window", "BroadcastHashJoin"],
-     ["Exchange rangepartitioning", "CartesianProduct"]),
+     ["rangepartitioning(", "CartesianProduct"]),
     # equi-depth histogram: one 9-element cut broadcast; the scan never
     # shuffles for classification — only the 10-group count exchanges.
     # The rank walk's cumulative window must partition by the range
@@ -235,7 +235,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # spec (hashpartitioning(1,) — the r5 `weak` mark
     ("equi_depth_histogram",
      ["partial_count", "partial_min", "hashpartitioning(bucket"],
-     ["Exchange rangepartitioning", "SortMergeJoin", "partial_percentile(",
+     ["rangepartitioning(", "SortMergeJoin", "partial_percentile(",
       "hashpartitioning(1,"]),
     # exact percentile WITHOUT the single-state buffer: rank walk is
     # partial+final aggregates + (group, bucket)-partitioned windows
@@ -276,7 +276,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # per-row expressions (no extra exchange, no range partitioning)
     ("zorder_layout",
      ["partial_min", "BroadcastNestedLoopJoin"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # incremental maintenance: base partials come from the
     # materialization boundary (InMemoryTableScan), merged by union +
     # re-agg — never a rescan-and-join of raw base rows
@@ -287,12 +287,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # (chained partial+final), one raw scan, no range partitioning
     ("multi_granularity_rollup",
      ["partial_count", "partial_sum", "Union"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # constraint gate: uniqueness via one aggregate (never a
     # self-join), FK orphans via anti joins
     ("constraint_check_report",
      ["LeftAnti", "partial_count", "Union"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # native gap sessions: the engine's session-merge aggregation on
     # ONE user_id shuffle — no window function, no lag materialization
     ("session_window_native",
@@ -341,17 +341,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["CartesianProduct", "SortMergeJoin"]),
     ("pq_ann_search",
      ["TakeOrderedAndProject", "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # BM25: corpus stats and per-token df arrive by broadcast, the
     # final cut is a TakeOrdered, aggregation is partial+final
     ("bm25_search",
      ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # market basket: co-located equi self-join + TakeOrdered, never a
     # cross product or a global sort
     ("copurchase_pairs",
      ["TakeOrderedAndProject", "partial_count"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # sliding windows: ONE exchange (Expand generates the 2 window
     # copies map-side, partial agg combines before the shuffle)
     ("sliding_window_counts", ["Expand", "partial_count"], ["CartesianProduct"]),
@@ -371,7 +371,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # is a TakeOrdered over key counts
     ("skew_profile",
      ["TakeOrderedAndProject", "partial_count"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     ("table_profile", ["Expand", "partial_"], ["CartesianProduct"]),
     # uniform rate limiter: one source-partitioned window with the
     # rank-limit pushdown
@@ -381,7 +381,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # tokenizer ops: generate + partial agg + TakeOrdered
     ("bpe_pair_merges",
      ["Generate", "TakeOrderedAndProject", "partial_count"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     ("vocab_coverage",
      ["TakeOrderedAndProject", "partial_count"],
      ["CartesianProduct"]),
@@ -411,22 +411,22 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # bigram LM: JVM-side bigram explode, partial-agg counts
     ("lm_perplexity_scores",
      ["Generate", "partial_count"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # boilerplate grams: ONE corpus explode + partial counts; document
     # frequency is a window count over the pre-aggregated doc-gram
     # table — no self-join, so no second Generate pass
     ("boilerplate_ngram_report",
      ["Generate", "partial_count", "partial_sum", "Window"],
-     ["CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
+     ["CartesianProduct", "rangepartitioning(", "SortMergeJoin"]),
     # CMS: union of D projections, partial bucket sums, min-merge
     ("heavy_hitters_cms",
      ["Union", "partial_sum", "partial_min"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # time-weighted avg: one window pass on the user partition, then
     # partial+final aggregation — no second shuffle beyond user_id
     ("time_weighted_avg",
      ["Window", "hashpartitioning(user_id", "partial_sum"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # embedding outliers: posexplode + partial centroid avg + one
     # label-partitioned window for the decile cut
     ("embedding_outlier_report",
@@ -436,7 +436,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # the additive checksum must combine map-side
     ("table_checksum_report",
      ["partial_sum", "partial_count", "HashAggregate"],
-     ["CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin", "Window"]),
+     ["CartesianProduct", "rangepartitioning(", "SortMergeJoin", "Window"]),
     # --- behavioral-analytics pack (behavior.py) ---
     # gaps-and-islands: map-side distinct (partial agg) feeds ONE
     # user-partitioned window; island detection is a subtraction,
@@ -463,12 +463,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # no arm-vs-arm join, no window
     ("ab_test_welch",
      ["HashAggregate", "partial_count"],
-     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "Window", "rangepartitioning("]),
     # collocations: ONE JVM bigram explode (Generate), partial counts;
     # the only cross join is the one-row totals broadcast
     ("collocation_pmi",
      ["Generate", "partial_count"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # LATERAL + LIMIT decorrelates to a window filter, never a
     # per-group rescan loop or a cartesian
     ("sql_lateral_topk",
@@ -489,7 +489,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # global sort; the merge pair rides a one-row broadcast
     ("bpe_apply_first_merge",
      ["Generate", "partial_count", "TakeOrderedAndProject"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # minhash eval: three O(1)-row aggregates composed by one-row
     # broadcast crosses; both member pipelines keep their equi-key
     # joins (no quadratic path enters through the composition)
@@ -514,7 +514,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # hashed feature space makes the broadcast safe by construction
     ("dsir_importance_report",
      ["Generate", "partial_count", "BroadcastHashJoin"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # pipe syntax parses to the same physical plan as the nested form:
     # filter reaches the scan, aggregation is partial+final
     ("sql_pipe_syntax",
@@ -543,23 +543,23 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # partial/final agg; the CC label table is memoized, not recomputed
     ("leakage_safe_split",
      ["partial_count", "HashAggregate"],
-     ["CartesianProduct", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "rangepartitioning("]),
     # weighted reservoir: per-partition top-k heaps, single merge —
     # no global sort, no shuffle of the full corpus
     ("weighted_reservoir_sample",
      ["TakeOrderedAndProject"],
-     ["Exchange rangepartitioning", "CartesianProduct", "Window"]),
+     ["rangepartitioning(", "CartesianProduct", "Window"]),
     # PCA: the visible plan is the post-checkpoint eigensolve (the
     # covariance explode runs once behind localCheckpoint); partial
     # aggregation on the matvec, no Python kernels, no global sort
     ("pca_power_iteration",
      ["partial_sum"],
-     ["Exchange rangepartitioning", "MapInPandas", "CartesianProduct"]),
+     ["MapInPandas", "CartesianProduct"]),
     # NB classifier: token explode + partial-agg counts; one window
     # argmax per doc — never a sort-based aggregation
     ("nb_lang_classifier",
      ["partial_count", "Window", "Generate"],
-     ["CartesianProduct", "Exchange rangepartitioning", "SortAggregate"]),
+     ["CartesianProduct", "SortAggregate"]),
     # OLS: ONE partial+final moment aggregation and a scalar project —
     # no join, no window, no second pass over the fact table
     ("ols_price_model",
@@ -571,25 +571,25 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # Python kernels, no sort/window anywhere in the training walk
     ("logreg_irls_doc_model",
      ["partial_sum", "HashAggregate"],
-     ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+     ["Window", "SortMergeJoin", "MapInPandas", "rangepartitioning("]),
     # OOF target encoding: one partial+final (source, fold) pass; the
     # encoding applies over the tiny broadcast table — no corpus join,
     # no window, no Python
     ("target_encoding_oof",
      ["partial_count", "BroadcastHashJoin"],
-     ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+     ["Window", "SortMergeJoin", "MapInPandas", "rangepartitioning("]),
     # chi2 selection: doc-distinct explode -> vocabulary-sized shuffle
     # agg (never broadcast), one-row margins, TakeOrdered top-K — no
     # global sort, no corpus-side join
     ("chi2_token_selection",
      ["partial_sum", "TakeOrderedAndProject", "Generate"],
-     ["SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+     ["SortMergeJoin", "MapInPandas", "rangepartitioning("]),
     # VARIANT extraction: parse+typed-get are codegen expressions over
     # the scan; one partial+final agg, nothing else
     ("variant_typed_extract",
      ["partial_count", "HashAggregate"],
      ["Window", "SortMergeJoin", "MapInPandas", "BroadcastHashJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # SQL UDFs inline into codegen: the plan must be a plain
     # partial+final hash aggregate with ZERO Python/Arrow evaluation
     # nodes — the point of the declarative extensibility surface
@@ -601,24 +601,24 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # no sort, no Python
     ("seasonal_anomaly_report",
      ["partial_count", "BroadcastHashJoin", "HashAggregate"],
-     ["Window", "SortMergeJoin", "MapInPandas", "Exchange rangepartitioning"]),
+     ["Window", "SortMergeJoin", "MapInPandas", "rangepartitioning("]),
     # perceptual-hash image dedup: decode + hash kernels (MapInPandas),
     # then the SimHash pigeonhole plan — band-keyed equi join only,
     # never a quadratic pair path
     ("image_phash_pairs",
      ["MapInPandas", "Generate"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # incremental dedup: band-keyed equi joins only; the verify join is
     # hash-keyed on the 8-byte shingle hash — no quadratic fallback
     ("incremental_minhash_delta",
      ["HashAggregate"],
-     ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "rangepartitioning("]),
     # CMS join-cardinality: the sketch side collapses map-side into
     # D×W groups (partial agg); no window, no sort, no Python
     ("join_cardinality_cms",
      ["partial_count", "HashAggregate"],
-     ["Window", "Exchange rangepartitioning", "MapInPandas", "SortMergeJoin"]),
+     ["Window", "rangepartitioning(", "MapInPandas", "SortMergeJoin"]),
     # Poisson bootstrap: ONE narrow explode (Generate) collapsed into B
     # replicate groups by partial aggregation — no key shuffle, no join
     # on the fact side, no Python kernel
@@ -666,23 +666,23 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # window at all, no global sort
     ("psi_value_drift",
      ["partial_sum"],
-     ["CartesianProduct", "Window", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "Window", "MapInPandas", "rangepartitioning("]),
     # Mann-Whitney: same bucketed rank walk as KS — cumulative windows
     # run per range bucket, never over one global partition
     ("mannwhitney_priority_revenue",
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # Spearman: both rank tables come from bucketed walks; the small
     # quantity rank table broadcasts back onto the fact rows
     ("spearman_qty_price",
      ["partial_count", "BroadcastHashJoin", "hashpartitioning(bucket"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas", "rangepartitioning("]),
     # MAD: two lower-median rank walks; medians broadcast back as
     # one-row tables (BroadcastNestedLoopJoin is the bounded crossJoin)
     ("mad_outlier_orders",
      ["partial_count", "hashpartitioning(bucket"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas", "rangepartitioning("]),
     # corpus entropy/JS/vocab: pure partial+final agg chains keyed by
     # (group, token) — no windows, no joins, no Python workers
     ("token_entropy_by_lang",
@@ -698,21 +698,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # totals broadcast back; never an all-pairs document product
     ("source_shingle_containment",
      ["partial_count", "BroadcastHashJoin"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas"]),
     # Gini/Zipf: group-wise bucketed rank walks — windows partitioned by
     # (source, bucket), bounds/offsets broadcast, no global sort
     ("token_gini_by_source",
      ["partial_count", "hashpartitioning(source"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas"]),
     ("zipf_slope_by_source",
      ["partial_count", "hashpartitioning(source"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas"]),
     # stump: histogram-candidate search — one partial+final agg into
     # ≤48 groups, broadcast triangular candidate join, TakeOrdered(1)
     ("decision_stump_lang",
      ["partial_count", "TakeOrderedAndProject", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # partition pruning: the lang predicate must land in the scan's
     # PartitionFilters (directory-level skip), never a post-scan Filter
     ("partitioned_scan_prune",
@@ -723,34 +723,34 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("benford_first_digit",
      ["partial_count"],
      ["Window", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      ]),
     # ACF: stream collapses to the bounded hourly table; lag joins are
     # hash joins on the hour key; no per-row window, no global sort
     ("hourly_autocorrelation",
      ["partial_sum"],
      ["Window", "MapInPandas", "CartesianProduct",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # CV OLS: one moment pass (partial+final) + the 5-row beta table
     # broadcast back onto the fact rows; bounded one-row BNLJ crossJoins
     ("ols_cv_rmse",
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "SortMergeJoin", "Window", "MapInPandas",
-      "Exchange rangepartitioning"]),
+      ]),
     # trend pair: the all-pairs comparison rides a broadcast
     # nested-loop over the BOUNDED hours table — never a cartesian of
     # data-sized inputs, no global sort
     ("mann_kendall_hourly",
      ["partial_sum", "BroadcastNestedLoopJoin"],
      ["CartesianProduct", "MapInPandas", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     ("theil_sen_hourly",
      ["partial_count", "BroadcastNestedLoopJoin"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas", "rangepartitioning("]),
     # GROUP BY ALL: inference must still plan as a plain partial+final
     ("sql_group_by_all",
      ["partial_count"],
      ["CartesianProduct", "Window", "MapInPandas",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # MI: cell counts join the token marginal on the token key; the
     # lang marginal and the total broadcast; no windows, no Python
     ("token_lang_mi",
@@ -766,7 +766,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("kruskal_wallis_priority",
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # CUSUM: cumulative sums ride the bucketed walk over the bounded
     # hours table (the window MUST be bucket-partitioned, never
     # global); max/argmax and moments are partial+final aggs with
@@ -774,33 +774,33 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("cusum_changepoint_hourly",
      ["partial_sum", "windowspecdefinition(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # seq3 mining: both leads share ONE user_id window shuffle, the
     # trigram count collapses partial+final, top-K is TakeOrdered —
     # never a global sort
     ("event_seq3_support",
      ["TakeOrderedAndProject", "hashpartitioning(user_id"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas", "rangepartitioning("]),
     # RFM: quintile cuts ride the bucketed rank walk (bucket-partitioned
     # windows only); the three one-row cut tables broadcast back onto
     # the per-customer table; segment rollup is partial+final
     ("rfm_quintile_segments",
      ["partial_count", "windowspecdefinition(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # Cochran-Armitage: ONE partial+final moment aggregation over the
     # scan — no joins, no windows, no exchanges beyond the final gather
     ("cochran_armitage_trend",
      ["partial_count", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "Window", "SortMergeJoin",
-      "BroadcastHashJoin", "Exchange rangepartitioning"]),
+      "BroadcastHashJoin", "rangepartitioning("]),
     # dynamic partition pruning: the runtime-derived shard dim MUST
     # land in the fact scan's PartitionFilters as a dynamicpruning
     # subquery (directory skip decided at run time), dim broadcast
     ("dpp_join_prune",
      ["dynamicpruningexpression", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Window", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # per-group MAD: both order statistics ride the GROUP-WISE rank
     # walk — every window is (lang, bucket)-partitioned, the ≤|langs|
     # median/MAD tables broadcast back; no global or per-group
@@ -808,81 +808,81 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("grouped_mad_doclen",
      ["partial_count", "windowspecdefinition(lang"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # Wilcoxon: AM/PM pairing is a hash join on (day, slot) over the
     # bounded hour grid; |d| ranks ride the bucketed walk
     ("wilcoxon_ampm_hourly",
      ["partial_sum", "windowspecdefinition(bucket"],
-     ["CartesianProduct", "MapInPandas", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "MapInPandas", "rangepartitioning("]),
     # burstiness: bounded (type, hour) grid from broadcast bounds×types;
     # exact integer moments partial+final — no windows, no Python
     ("burstiness_by_type",
      ["partial_count", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # median CI: ONE bucketed walk serves median and both CI order
     # statistics (broadcast one-row index bounds)
     ("median_ci_orders",
      ["partial_count", "windowspecdefinition(bucket"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # bitext mining: non-EN side broadcast (BNLJ cross is the bounded
     # knn_exact shape), both argmaxes are partial+final max(struct)
     # aggs — no corpus-wide window, no sort
     ("bitext_mining_pairs",
      ["BroadcastNestedLoopJoin", "partial_max"],
      ["CartesianProduct", "MapInPandas", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # matryoshka eval: probes broadcast, slice() scored JVM-side, the
     # per-probe windows run on probe-keyed survivor tables only
     ("matryoshka_recall_report",
      ["BroadcastNestedLoopJoin", "hashpartitioning(probe_id"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # MK panel: the per-group all-pairs comparison is a HASH join on
     # the group key over the bounded day grid (da<db residual), never
     # a cartesian of data-sized inputs; S and ties are partial+final
     ("mann_kendall_daily_by_priority",
      ["partial_sum", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # quality funnel: one scan, pure per-row codegen into a partial+final
     # (source, stage) agg — no join, no per-doc window, nothing Python
     ("quality_funnel_report",
      ["partial_count", "HashAggregate"],
      ["CartesianProduct", "MapInPandas", "SortMergeJoin", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # MERGE apply: ONE full outer join on the merge key, partial+final
     # audit agg — no cartesian, no python, no sort
     ("merge_upsert_cdc",
      ["FullOuter", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # corr matrix: every pairwise r from ONE moment aggregation —
     # partial+final DECIMAL sums, zero joins over data, zero python
     ("feature_corr_matrix",
      ["partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "SortMergeJoin", "Exchange rangepartitioning"]),
+      "SortMergeJoin", "rangepartitioning("]),
     # trigram backoff: model tables join the held-out occurrences on
     # token keys (strategy is AQE's size call — not pinned); the (V,T)
     # scalars ride a one-row broadcast; no python, no range shuffle
     ("trigram_backoff_scores",
      ["partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # DAU/WAU: contribution explode + partial+final distinct counts —
     # never a per-frame distinct window, no python, no range shuffle
     ("rolling_active_users",
      ["partial_count", "Generate"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning", "Window"]),
+      "rangepartitioning(", "Window"]),
     # Holt: per-hour pre-agg is the only data-sized pass; the fold runs
     # on the one collected-array row; no python anywhere
     ("holt_forecast_hourly",
      ["partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # quantile normalization: per-source window + integer-j equi-join
     # against the interval-exploded mapping — NEVER a range/theta join
     # (the only BNLJ is the one-row N-total broadcast)
@@ -894,37 +894,37 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("association_rules",
      ["TakeOrderedAndProject", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # Mahalanobis: one moment pass broadcast as one row, per-row
     # quadratic form in codegen, per-flag partial+final report
     ("mahalanobis_outlier_report",
      ["partial_sum", "BroadcastNestedLoopJoin"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "SortMergeJoin", "Window", "Exchange rangepartitioning"]),
+      "SortMergeJoin", "Window", "rangepartitioning("]),
     # CDC chunking: vocabulary-sized Arrow hash pass, doc-partitioned
     # chunk-assignment window, two fingerprint aggs — no range shuffle
     ("cdc_chunk_dedup",
      ["ArrowEvalPython", "Window", "partial_count"],
      ["CartesianProduct", "MapInPandas",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # hourly percentile bands: group-wise rank walk — windows keyed by
     # (hod, bucket), never a single global sort
     ("hourly_value_percentiles",
      ["Window", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # forecast backtest: per-hour pre-agg only; fold + errors on the
     # one collected bounded row, zero python
     ("holt_backtest_mase",
      ["partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # recommender eval: item-keyed joins + per-basket bounded window;
     # the only BNLJs are the one-row report crossJoins
     ("rules_hitrate_eval",
      ["Window", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # INTERSECT ALL: planned as counted aggregation + generate — no
     # distinct collapse, no python
     ("setop_intersect_all",
@@ -943,7 +943,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("ivf_nprobe_sweep",
      ["BroadcastHashJoin", "Window"],
      ["CartesianProduct", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # percolator: stored-query postings broadcast onto the doc stream;
     # matching is joins + counted gates, never per-(doc × query) loops
     ("percolate_alerts",
@@ -953,51 +953,51 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("l_diversity_report",
      ["partial_count", "HashAggregate"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "SortMergeJoin", "Exchange rangepartitioning"]),
+      "SortMergeJoin", "rangepartitioning("]),
     # weighted SP: per-round frontier join + vertex-keyed min — node-
     # sized state, never path-sized; no cartesian, no range shuffle
     ("weighted_shortest_paths",
      ["partial_min"],
      ["CartesianProduct", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # LTTB: bounded anchor tables broadcast, per-bucket max-struct
     # partial+final — no window over the series, no python
     ("lttb_downsample_hourly",
      ["partial_max", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # LTV triangle: events collapse to the bounded weeks² grid before
     # the cohort-partitioned cumulative window
     ("cohort_ltv_triangle",
      ["Window", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # --- round 6 additions ---------------------------------------------
     # SPRT: one partial+final hourly count pass; the LLR walk windows
     # only the bounded hour grid (a lone bounded-window op; no python)
     ("sprt_conversion_hourly",
      ["partial_count", "HashAggregate"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # seasonal decomposition: contribution explode over a 25-row
     # broadcast offset table, partial+final per-target-hour sums; no
     # window over the series at all
     ("seasonal_decompose_hourly",
      ["partial_sum", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # JSD: vocabulary-sized partial+final count pass, one-row totals
     # broadcast back, integer nano-bit sum — no window, no python
     ("jsd_lang_drift",
      ["partial_sum", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # MI ranking: same χ² contingency shape — vocabulary-sized counts,
     # TakeOrdered top-K, never a global sort
     ("mutual_info_tokens",
      ["partial_sum", "TakeOrderedAndProject"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # walk-forward CV: ONE partial+final per-year collapse; folds come
     # from a broadcast join over the bounded year table (the broadcast
     # theta-join over ≤#years×#folds rows is the intended form)
@@ -1010,13 +1010,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("roc_auc_doc_model",
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "hashpartitioning(1,", "Exchange rangepartitioning"]),
+      "hashpartitioning(1,", "rangepartitioning("]),
     # Brier: two bounded aggregation passes (distinct-(p6,y) and ≤10
     # bins); decomposition terms live on broadcast one-row joins
     ("brier_decomposition",
      ["partial_sum", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # isotonic PAV: the whole fit is ≤10-row broadcast triangular
     # joins — no window, no loop, no python
     ("isotonic_calibration_pav",
@@ -1029,14 +1029,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("fs_linkage_scores",
      ["partial_count", "BroadcastHashJoin"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      ]),
     # JL projection: fully codegen'd signed sums (no python), probes
     # broadcast into the scoring joins, top-k via per-probe windows on
     # the probe-keyed table
     ("jl_projection_recall",
      ["hashpartitioning(probe_id", "Window"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # weighted Jaccard: candidate-bound intersection join on the 8-byte
     # hash key; per-doc totals join back under the capped-broadcast-or-
     # shuffle policy (BROADCAST_VOCAB_MAX — the corpus-sized tot table
@@ -1044,13 +1044,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # BroadcastHashJoin here) — no all-pairs path, no window
     ("weighted_jaccard_pairs",
      ["partial_sum", "BroadcastHashJoin"],
-     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "Window", "rangepartitioning("]),
     # conformal interval: β from one moment pass, q̂ via the bucketed
     # rank walk — never the lit(1) single-task window
     ("conformal_interval_orders",
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "hashpartitioning(1,",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # semantic decon: benchmark side broadcasts into the scoring join
     # (≤N_BENCH rows — nested-loop is the intended physical form at
     # test scale; the 100 TB path swaps in the IVF candidate join);
@@ -1058,14 +1058,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("semantic_decontamination",
      ["partial_max", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      ]),
     # U-shaped attribution: segment marking + per-(user, seg) ranks are
     # user-keyed windows; touch→purchase is an equi-join, never a
     # purchases×events point-in-time product
     ("attribution_position_based",
      ["hashpartitioning(user_id", "Window", "partial_sum"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      ]),
     # BPE apply: the trained merges are literals in ONE stateless
     # replace-chain projection; everything downstream is |vocab|-sized
     # partial+final aggregation — no python, no window
@@ -1077,31 +1077,31 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("t_closeness_report",
      ["partial_count"],
      ["CartesianProduct", "Window", "MapInPandas",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # Misra-Gries: per-partition Arrow summaries (MapInPandas), the
     # bounded candidate set broadcasts back for the exact recount —
     # the corpus never joins itself and never sorts
     ("misra_gries_heavy_hitters",
      ["MapInPandas", "BroadcastHashJoin", "partial_count"],
-     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "Window"]),
     # skyline: strict reverse prefix-max rides the bucketed walk at
     # scale (audit pins the forced-big shape) — never the O(n²)
     # dominance self-join, never a lit(1) window
     ("skyline_customers",
      ["partial_max", "windowspecdefinition(bucket"],
      ["CartesianProduct", "hashpartitioning(1,",
-      "Exchange rangepartitioning"]),
+      ]),
     # HITS: per-round keyed join + partial/final sums over the
     # checkpointed edge table; normalization totals broadcast
     ("hits_hubs_authorities",
      ["partial_sum", "TakeOrderedAndProject"],
-     ["CartesianProduct", "Window", "Exchange rangepartitioning"]),
+     ["CartesianProduct", "Window", "rangepartitioning("]),
     # retrieval eval: probes broadcast onto the scan, partial_topk
     # keeps the per-probe window off the corpus (survivors only), the
     # label table is a broadcast count — no corpus shuffle anywhere
     ("retrieval_eval_report",
      ["BroadcastHashJoin", "MapInPandas", "Window"],
-     ["CartesianProduct", "Exchange rangepartitioning",
+     ["CartesianProduct",
       "hashpartitioning(1,"]),
     # audio silence runs: chained MapInPandas in ONE stage — payload
     # bytes never shuffle; no row-at-a-time python, no join at all
@@ -1114,7 +1114,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("embedding_drift_monitor",
      ["partial_sum", "TakeOrderedAndProject"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
     # DBSCAN: the neighbor search is the within-cluster EQUI-join (the
     # SemDeDup candidate policy — never an unblocked pair product);
     # label rounds are equi-joins over the materialized core edge set
@@ -1126,7 +1126,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("page_hinkley_hourly",
      ["partial_sum", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "Exchange rangepartitioning"]),
+      "rangepartitioning("]),
 ]
 
 

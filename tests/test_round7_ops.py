@@ -133,16 +133,20 @@ def test_bpe_distributed_path_equals_driver_path(spark, sf_dir):
     pin it to the default driver-side path's result."""
     from spec_search_spark.operators.text_analysis import bpe_train_merges
 
+    from spec_search_spark.operators.text_analysis import _BPE_MEMO
+
     default = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
     prev = os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX")
     try:
         os.environ["SPARK_GRAFT_BPE_DRIVER_MAX"] = "0"
+        _BPE_MEMO.clear()  # else the memoized driver-path result returns
         forced = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
     finally:
         if prev is None:
             os.environ.pop("SPARK_GRAFT_BPE_DRIVER_MAX", None)
         else:
             os.environ["SPARK_GRAFT_BPE_DRIVER_MAX"] = prev
+        _BPE_MEMO.clear()  # drop the distributed-path memo too
     assert forced == default
     assert len(default) > 0
 
@@ -557,9 +561,9 @@ def test_anisotropy_matches_python(spark, sf_dir):
             n += 1
             st += c6
     got = embedding_anisotropy_report(spark, sf_dir).collect()
-    assert [r.bin for r in got] == sorted(hist)
+    assert [r.bin for r in got] == list(range(ANISO_BINS))  # full spine
     for r in got:
-        np_, _s = hist[r.bin]
+        np_, _s = hist.get(r.bin, (0, 0))
         assert r.n_pairs == np_
         assert r.share_6 == round(np_ / n * 1e6) / 1e6
         assert r.mean_cos_micro == round(st / n)
