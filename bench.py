@@ -234,6 +234,10 @@ HEADLINE = [
     "dedup_bcubed_eval",
     "rbo_ann_vs_exact",
     "embedding_anisotropy_report",
+    # round-8: IVFADC composition (coarse-assign → residual-PQ → ADC
+    # scan of probed clusters → exact re-rank) + its recall curve
+    "ivfpq_search",
+    "ivfpq_recall_report",
 ]
 
 
@@ -271,6 +275,31 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) - min(samples), 3)
 
+    # Full-sweep coverage (VERDICT r7 item 1): every registered query
+    # gets a tracked wall-clock record. The sweep is registry-driven —
+    # whatever queries() registers and HEADLINE doesn't curate runs
+    # here at min-of-2 (half the headline budget: the sweep exists to
+    # catch plan-SHAPE regressions, which survive run-count noise; the
+    # headline keeps min-of-5 for the fine-grained throughput ledger).
+    # Documented exclusions: stream_* twins are drain-time benched in
+    # BENCH_STREAM_r{N}.json (bench_stream.py) — a batch re-run here
+    # would double-count them under a meaningless batch harness.
+    sweep_exclusions = {
+        "stream_*": "drain-time benched in BENCH_STREAM (bench_stream.py)"
+    }
+    sweep_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_RUNS", "2"))
+    sweep_names = sorted(
+        n for n in qs
+        if n not in timings and not n.startswith("stream_")
+    )
+    sweep_timings: dict[str, float] = {}
+    sweep_spreads: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
+        for name in sweep_names:
+            samples = [run(name) for _ in range(sweep_runs)]
+            sweep_timings[name] = round(min(samples), 3)
+            sweep_spreads[name] = round(max(samples) - min(samples), 3)
+
     # Machine calibration: a fixed shuffle-agg microbench (1M rows,
     # groupBy 1000 keys) so per-round numbers can be normalized across
     # host VMs of different speed. Recorded, never added to `value`.
@@ -298,6 +327,12 @@ def main() -> None:
         "run_policy": f"min_of_{n_runs}_exclusive_machine",
         "spread_max_minus_min": spreads,
     }
+    if sweep_timings:
+        full["sweep_queries"] = sweep_timings
+        full["sweep_value"] = round(sum(sweep_timings.values()), 3)
+        full["sweep_spread_max_minus_min"] = sweep_spreads
+        full["sweep_run_policy"] = f"min_of_{sweep_runs}_exclusive_machine"
+        full["sweep_exclusions"] = sweep_exclusions
     prev_name, prev, this_round = _previous_round()
     regressions: dict[str, float] = {}
     if prev is not None and prev.get("sf") == sf_val:
@@ -336,6 +371,21 @@ def main() -> None:
                 if a > 1.3 and raw[n] > 1.3
             }
             full["regressions_raw_and_adjusted_gt_1_3"] = regressions
+            # sweep slots diff against the previous sweep record (first
+            # round with a sweep has no baseline; min-of-2 noise means
+            # the same both-axes gate applies)
+            prev_sweep = prev.get("sweep_queries", {})
+            if sweep_timings and prev_sweep:
+                sraw = {
+                    n: round(t / prev_sweep[n], 3)
+                    for n, t in sweep_timings.items()
+                    if n in prev_sweep and prev_sweep[n] > 0
+                }
+                full["sweep_regressions_raw_and_adjusted_gt_1_3"] = {
+                    n: round(r / machine, 3)
+                    for n, r in sorted(sraw.items(), key=lambda kv: -kv[1])
+                    if r > 1.3 and r / machine > 1.3
+                }
 
     # Full record to a file (the driver's stdout capture keeps only the
     # last 2000 chars — r3's line overflowed it); stdout stays compact.
@@ -370,19 +420,37 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             old = None
         if old and old.get("queries"):
+            # union of old and current slots (ADVICE r7: a slot present
+            # only in the old exclusive record — e.g. the current run
+            # skipped it — must carry through, not silently drop)
+            def _min_merge(cur_t, cur_s, old_t, old_s):
+                merged, mspread = {}, {}
+                for n in set(old_t) | set(cur_t):
+                    if n not in cur_t or (n in old_t and old_t[n] <= cur_t[n]):
+                        merged[n] = old_t[n]
+                        mspread[n] = old_s.get(n, cur_s.get(n, 0.0))
+                    else:
+                        merged[n] = cur_t[n]
+                        mspread[n] = cur_s[n]
+                return merged, mspread
+
             old_q = old["queries"]
-            old_s = old.get("spread_max_minus_min", {})
-            merged, mspread = {}, {}
-            for n, t in timings.items():
-                if n in old_q and old_q[n] <= t:
-                    merged[n] = old_q[n]
-                    mspread[n] = old_s.get(n, spreads[n])
-                else:
-                    merged[n] = t
-                    mspread[n] = spreads[n]
+            merged, mspread = _min_merge(
+                timings, spreads, old_q, old.get("spread_max_minus_min", {})
+            )
             excl["queries"] = merged
             excl["spread_max_minus_min"] = mspread
             excl["value"] = round(sum(merged.values()), 3)
+            if sweep_timings or old.get("sweep_queries"):
+                smerged, sspread = _min_merge(
+                    sweep_timings,
+                    sweep_spreads,
+                    old.get("sweep_queries", {}),
+                    old.get("sweep_spread_max_minus_min", {}),
+                )
+                excl["sweep_queries"] = smerged
+                excl["sweep_value"] = round(sum(smerged.values()), 3)
+                excl["sweep_spread_max_minus_min"] = sspread
             excl["calibration_shuffle_agg_1m_sec"] = min(
                 calib, old.get("calibration_shuffle_agg_1m_sec", calib)
             )
@@ -393,10 +461,17 @@ def main() -> None:
             ) + [calib]
             if "notes" in old:
                 excl["notes"] = old["notes"]
-            # recompute the ledger ratios from the merged minima so the
-            # flags reflect the record actually committed
+            # recompute the ledger ratios AND absolute deltas from the
+            # merged minima so the committed record is internally
+            # consistent (ADVICE r7: the copied current-run 'deltas'
+            # disagreed with the merged minima)
             if prev is not None and prev.get("sf") == sf_val:
                 prev_q = prev.get("queries", {})
+                excl["deltas"] = {
+                    n: round(t - prev_q[n], 3)
+                    for n, t in merged.items()
+                    if n in prev_q
+                }
                 prev_calib = prev.get("calibration_shuffle_agg_1m_sec")
                 if prev_calib:
                     machine = (
@@ -420,6 +495,20 @@ def main() -> None:
                         )
                         if a > 1.3 and raw[n] > 1.3
                     }
+                    prev_sweep = prev.get("sweep_queries", {})
+                    if excl.get("sweep_queries") and prev_sweep:
+                        sraw = {
+                            n: round(t / prev_sweep[n], 3)
+                            for n, t in excl["sweep_queries"].items()
+                            if n in prev_sweep and prev_sweep[n] > 0
+                        }
+                        excl["sweep_regressions_raw_and_adjusted_gt_1_3"] = {
+                            n: round(r / machine, 3)
+                            for n, r in sorted(
+                                sraw.items(), key=lambda kv: -kv[1]
+                            )
+                            if r > 1.3 and r / machine > 1.3
+                        }
         with open(excl_path, "w") as fh:
             json.dump(excl, fh, indent=1)
 
@@ -433,6 +522,9 @@ def main() -> None:
         "run_policy": full["run_policy"],
         "full_record": full_name,
     }
+    if sweep_timings:
+        out["sweep_value"] = full["sweep_value"]
+        out["sweep_n"] = len(sweep_timings)
     if regressions:
         out["regressions_raw_and_adjusted_gt_1_3"] = dict(list(regressions.items())[:5])
     line = json.dumps(out, separators=(",", ":"))

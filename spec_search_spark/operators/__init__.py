@@ -19,6 +19,7 @@ def all_queries():
         fuzzy,
         graph,
         ivf,
+        ivfpq,
         kmeans,
         layout,
         lm_quality,
@@ -68,6 +69,7 @@ def all_queries():
         multimodal,
         scalar_sql,
         ivf,
+        ivfpq,
         kmeans,
         layout,
         maintenance,

@@ -205,7 +205,7 @@ WITH xi AS (
 ), dim_sums AS (
   SELECT dim, sum(x) AS s, count(*) AS n FROM dimx GROUP BY dim
 ), means AS (
-  SELECT dim, CAST(round(s * 1.0 / n) AS BIGINT) AS m FROM dim_sums
+  SELECT dim, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m FROM dim_sums
 ), nn AS (
   SELECT max(n) AS n FROM dim_sums
 ), cent AS (
@@ -216,7 +216,7 @@ WITH xi AS (
   -- covariance join 2^ITERS times (the same lineage blowup the Spark
   -- side pins with localCheckpoint)
   SELECT a.dim AS i, b.dim AS j,
-         CAST(round(sum(a.c * b.c) * 1.0 / (SELECT n FROM nn)) AS BIGINT) AS g
+         CAST(round(CAST(sum(a.c * b.c) AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT) AS g
   FROM cent a JOIN cent b USING (rid) GROUP BY a.dim, b.dim
 ), v0 AS (
   SELECT i AS j, CAST({PCA_VSCALE} AS BIGINT) AS v

@@ -70,15 +70,37 @@ def _rank_small_max() -> int:
     return int(os.environ.get("SPARK_GRAFT_RANK_SMALL_MAX", str(RANK_SMALL_MAX)))
 
 
+#: Live transient persists, FIFO. The consumer plans returned by the
+#: rank walks reference the cached table lazily, so the function can't
+#: unpersist before its caller materializes — but over a long bench
+#: session unbounded MEMORY_ONLY caches accumulate (ADVICE r7; the
+#: exact failure mode dedup._materialize's docstring warns about).
+#: Bounding to the most recent few is always CORRECT (unpersist just
+#: means recompute-on-next-use) and safe for performance: a single
+#: query issues at most 2-3 transient persists, and each query is
+#: fully materialized before the next one runs.
+_TRANSIENT: list[DataFrame] = []
+_TRANSIENT_MAX = 8
+
+
 def _persist_count(df: DataFrame) -> tuple[DataFrame, int]:
     """`dedup._materialize`'s transient contract (MEMORY_ONLY persist,
     force NOW so the expensive upstream runs exactly once) but also
     returning the row count, which here doubles as the plan-shape
-    signal — one job serves both."""
+    signal — one job serves both. Evicts the oldest transient persists
+    beyond _TRANSIENT_MAX so session-lifetime cache pressure is
+    bounded."""
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_ONLY)
-    return df, df.count()
+    n = df.count()
+    _TRANSIENT.append(df)
+    while len(_TRANSIENT) > _TRANSIENT_MAX:
+        try:
+            _TRANSIENT.pop(0).unpersist()
+        except Exception:
+            pass  # session gone / already unpersisted — nothing to free
+    return df, n
 
 
 def _bucketed_cum(per_v: DataFrame, val: str, counts: list[str]) -> DataFrame:

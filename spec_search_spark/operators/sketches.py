@@ -548,8 +548,21 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass must run exactly once
     summ = toks.mapInPandas(mg_summaries, "tok string, np bigint").persist()
     summ.count()
-    cand = summ.filter(F.col("tok").isNotNull()).select("tok").distinct()
-    total = summ.groupBy().agg(F.sum("np").alias("n_total"))
+    # pin the two TINY consumers (≤ k·n_partitions candidates, 1-row
+    # total) so the corpus-sized summary cache can be released before
+    # return — transient MEMORY_ONLY caches otherwise accumulate over a
+    # long bench session (ADVICE r7)
+    cand = (
+        summ.filter(F.col("tok").isNotNull())
+        .select("tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    total = (
+        summ.groupBy().agg(F.sum("np").alias("n_total"))
+        .localCheckpoint(eager=True)
+    )
+    summ.unpersist()
     return (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")

@@ -624,7 +624,13 @@ def _bpe_trained_merges(
     from spec_search_spark.session import prune_memo
 
     tune(spark)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    driver_max = int(
+        os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX", str(BPE_DRIVER_VOCAB_MAX))
+    )
+    # memo key includes the resolved threshold (ADVICE r7): flipping
+    # SPARK_GRAFT_BPE_DRIVER_MAX mid-session must not return the other
+    # path's memoized merge list
+    key = (spark.sparkContext.applicationId, sf_dir, driver_max)
     if key in _BPE_MEMO:
         return _BPE_MEMO[key]
     docs = load_table(spark, sf_dir, "documents").select("text")
@@ -634,9 +640,6 @@ def _bpe_trained_merges(
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("tok").alias("m"), "c")
         .localCheckpoint(eager=True)
-    )
-    driver_max = int(
-        os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX", str(BPE_DRIVER_VOCAB_MAX))
     )
     if wc.count() <= driver_max:
         items = [(r["m"], int(r["c"])) for r in wc.collect()]

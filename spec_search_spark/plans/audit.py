@@ -21,6 +21,56 @@ def plan_of(df: DataFrame) -> str:
     )
 
 
+def window_over_single_partition(plan: str) -> bool:
+    """True if any Window node sits (via an optional Sort) directly
+    above an Exchange whose Arguments are SinglePartition — the
+    single-task window shape the rank walks must never take over
+    data-sized tables.
+
+    This is the r5 `hashpartitioning(1,` forbid made REAL: in Spark
+    4.1 a foldable window partition spec is optimized away entirely,
+    so a lit(1)-partitioned window plans as `Exchange` +
+    `Arguments: SinglePartition` and the old substring never matches
+    (the meta-test in tests/test_plans.py proved the string dead).
+    Structural matching is required because SinglePartition exchanges
+    also appear LEGITIMATELY under one-row global aggregates — only
+    the Window-over-SinglePartition composition is the anti-pattern.
+    """
+    import re
+
+    single_ids: set[str] = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if m and "Arguments: SinglePartition" in block:
+            single_ids.add(m.group(1))
+    if not single_ids:
+        return False
+    # walk every tree section (main plan + AQE/Subquery subtrees):
+    # node lines look like "   +- Sort (4)" / ":  +- Exchange (3)";
+    # depth = prefix length before the operator token
+    node_re = re.compile(
+        r"^([\s:|+\-]*?)([A-Za-z][A-Za-z0-9_]*)[^()]*\((\d+)\)\s*$"
+    )
+    stack: list[tuple[int, str]] = []  # (depth, opname)
+    for line in plan.splitlines():
+        m = node_re.match(line)
+        if not m:
+            continue
+        depth, op, nid = len(m.group(1)), m.group(2), m.group(3)
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if op == "Exchange" and nid in single_ids:
+            anc = [o for _d, o in reversed(stack)]
+            for o in anc:
+                if o == "Sort":
+                    continue
+                if o == "Window":
+                    return True
+                break
+        stack.append((depth, op))
+    return False
+
+
 # (query name, [required plan fragments], [forbidden plan fragments])
 CHECKS: list[tuple[str, list[str], list[str]]] = [
     # q6: every predicate must reach the parquet scan
@@ -41,7 +91,9 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # window top-k: single shuffle on the partition key
     ("window_topk_per_customer", ["Window", "hashpartitioning(o_custkey"], []),
     # knn: probe side broadcast — embedding table never shuffles
-    ("knn_exact", ["BroadcastNestedLoopJoin"], ["Exchange hashpartitioning(vec_id"]),
+    # (formatted explain prints the operator name and its Arguments on
+    # separate lines, so the forbid anchors on the argument text alone)
+    ("knn_exact", ["BroadcastNestedLoopJoin"], ["hashpartitioning(vec_id"]),
     # as-of: union + window composition, never a range/cross join
     ("asof_join_purchase", ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # sessionize: single partitioning chain on user_id
@@ -131,7 +183,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # packing windows per-source — never a single-partition cumsum
     ("token_pack_blocks",
      ["hashpartitioning(source"],
-     ["Exchange SinglePartition", "CartesianProduct"]),
+     ["SinglePartition", "CartesianProduct"]),
     # mixing weights: one-row global via broadcast nested loop (q11 shape)
     ("source_mix_weights",
      ["BroadcastNestedLoopJoin", "partial_sum"],
@@ -174,7 +226,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # write-once shuffle is amortized across every downstream join
     ("bucketed_join_revenue",
      ["SortMergeJoin", "Bucketed: true", "SelectedBucketsCount: 8 out of 8"],
-     ["Exchange hashpartitioning(l_orderkey", "Exchange hashpartitioning(o_orderkey"]),
+     ["hashpartitioning(l_orderkey", "hashpartitioning(o_orderkey"]),
     # fuzzy vocab join: gram-blocked candidates + short-string block,
     # never an unblocked name×name pair join
     ("fuzzy_name_pairs", ["partial_count"], ["CartesianProduct"]),
@@ -231,18 +283,20 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # equi-depth histogram: one 9-element cut broadcast; the scan never
     # shuffles for classification — only the 10-group count exchanges.
     # The rank walk's cumulative window must partition by the range
-    # bucket (rank_stats._bucketed_cum), never the lit(1) single-task
-    # spec (hashpartitioning(1,) — the r5 `weak` mark
+    # bucket (rank_stats._bucketed_cum), never a single-task window —
+    # the r5 `weak` mark, now checked structurally for every name in
+    # NO_SINGLE_TASK_WINDOW (the old hashpartitioning(1, substring is
+    # dead in Spark 4.1: see window_over_single_partition)
     ("equi_depth_histogram",
      ["partial_count", "partial_min", "hashpartitioning(bucket"],
      ["rangepartitioning(", "SortMergeJoin", "partial_percentile(",
-      "hashpartitioning(1,"]),
+     ]),
     # exact percentile WITHOUT the single-state buffer: rank walk is
     # partial+final aggregates + (group, bucket)-partitioned windows
     ("percentiles_distributed",
      ["partial_count", "partial_sum", "hashpartitioning(l_returnflag"],
      ["partial_percentile(", "ObjectHashAggregate", "CartesianProduct",
-      "hashpartitioning(1,"]),
+     ]),
     # approx quantile twins: the sketch aggregates partially (bounded
     # mergeable KLL state, partial+final); the exact percentile's
     # full-column single-state buffer must never appear in these plans
@@ -302,12 +356,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # percentile buffer anywhere
     ("winsorized_stats",
      ["partial_count", "BroadcastHashJoin"],
-     ["partial_percentile(", "CartesianProduct", "hashpartitioning(1,"]),
+     ["partial_percentile(", "CartesianProduct",]),
     # MAD outliers: two chained rank walks, still distinct-value-sized
     # state only
     ("robust_outlier_report",
      ["partial_count", "BroadcastHashJoin"],
-     ["partial_percentile(", "CartesianProduct", "hashpartitioning(1,"]),
+     ["partial_percentile(", "CartesianProduct",]),
     # span dedup: duplicate detection is a partial+final agg on the
     # 8-byte window fingerprint; the merge is a per-doc window — never
     # a quadratic pair path
@@ -1010,7 +1064,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("roc_auc_doc_model",
      ["partial_sum", "hashpartitioning(bucket"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
-      "hashpartitioning(1,", "rangepartitioning("]),
+      "rangepartitioning("]),
     # Brier: two bounded aggregation passes (distinct-(p6,y) and ≤10
     # bins); decomposition terms live on broadcast one-row joins
     ("brier_decomposition",
@@ -1022,7 +1076,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("isotonic_calibration_pav",
      ["partial_count", "HashAggregate"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython", "Window",
-      "hashpartitioning(1,"]),
+     ]),
     # Fellegi-Sunter: all m/u statistics are vocabulary/group-sized
     # partial+final count passes; the only pair work is the blocked
     # candidate join collapsed map-side onto ≤8 patterns
@@ -1049,7 +1103,7 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # rank walk — never the lit(1) single-task window
     ("conformal_interval_orders",
      ["partial_sum", "hashpartitioning(bucket"],
-     ["CartesianProduct", "hashpartitioning(1,",
+     ["CartesianProduct",
       "rangepartitioning("]),
     # semantic decon: benchmark side broadcasts into the scoring join
     # (≤N_BENCH rows — nested-loop is the intended physical form at
@@ -1078,18 +1132,20 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count"],
      ["CartesianProduct", "Window", "MapInPandas",
       "rangepartitioning("]),
-    # Misra-Gries: per-partition Arrow summaries (MapInPandas), the
-    # bounded candidate set broadcasts back for the exact recount —
-    # the corpus never joins itself and never sorts
+    # Misra-Gries: per-partition Arrow summaries (MapInPandas) run
+    # EAGERLY behind a localCheckpoint (so the corpus-sized summary
+    # cache can be released — ADVICE r7); the returned plan shows the
+    # pinned candidate table (Scan ExistingRDD) broadcast back for the
+    # exact recount — the corpus never joins itself and never sorts
     ("misra_gries_heavy_hitters",
-     ["MapInPandas", "BroadcastHashJoin", "partial_count"],
+     ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],
      ["CartesianProduct", "Window"]),
     # skyline: strict reverse prefix-max rides the bucketed walk at
     # scale (audit pins the forced-big shape) — never the O(n²)
     # dominance self-join, never a lit(1) window
     ("skyline_customers",
      ["partial_max", "windowspecdefinition(bucket"],
-     ["CartesianProduct", "hashpartitioning(1,",
+     ["CartesianProduct",
       ]),
     # HITS: per-round keyed join + partial/final sums over the
     # checkpointed edge table; normalization totals broadcast
@@ -1102,12 +1158,12 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("retrieval_eval_report",
      ["BroadcastHashJoin", "MapInPandas", "Window"],
      ["CartesianProduct",
-      "hashpartitioning(1,"]),
+     ]),
     # audio silence runs: chained MapInPandas in ONE stage — payload
     # bytes never shuffle; no row-at-a-time python, no join at all
     ("audio_silence_runs",
      ["MapInPandas"],
-     ["CartesianProduct", "BatchEvalPython", "Exchange hashpartitioning",
+     ["CartesianProduct", "BatchEvalPython", "hashpartitioning(",
       "SortMergeJoin", "Window"]),
     # embedding drift: the dims×rows explode collapses map-side to the
     # (half, dim) table — one 128-row shuffle, no window, no python
@@ -1127,6 +1183,39 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "rangepartitioning("]),
+    # --- round 8 additions ---------------------------------------------
+    # IVFADC: the deployed codes index is a pinned artifact (Scan
+    # ExistingRDD); the ADC scan joins it to the BROADCAST per-probe-
+    # cluster LUTs on the cluster key (only probed clusters survive —
+    # partition pruning at deployment); partial top-k (MapInPandas)
+    # runs BEFORE the probe_id exchange so the candidate table never
+    # shuffles in full; re-rank touches ≤ probes × CAND_K rows
+    ("ivfpq_search",
+     ["Scan ExistingRDD", "BroadcastHashJoin", "MapInPandas",
+      "hashpartitioning(probe_id"],
+     ["CartesianProduct"]),
+    ("ivfpq_recall_report",
+     ["Scan ExistingRDD", "BroadcastHashJoin", "MapInPandas"],
+     ["CartesianProduct"]),
+]
+
+#: Queries whose plan must never run a Window over a SinglePartition
+#: exchange (the single-task rank-walk anti-pattern): the former
+#: `hashpartitioning(1,` forbids, re-expressed structurally because
+#: Spark 4.1 optimizes a foldable window partition spec away and the
+#: substring no longer exists in any real plan. These all carry
+#: legitimate SinglePartition exchanges (one-row global aggregates),
+#: so only the Window-over-SinglePartition COMPOSITION is forbidden.
+NO_SINGLE_TASK_WINDOW = [
+    "equi_depth_histogram",
+    "percentiles_distributed",
+    "winsorized_stats",
+    "robust_outlier_report",
+    "roc_auc_doc_model",
+    "isotonic_calibration_pav",
+    "conformal_interval_orders",
+    "skyline_customers",
+    "retrieval_eval_report",
 ]
 
 
@@ -1146,12 +1235,43 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
     prev = os.environ.get("SPARK_GRAFT_RANK_SMALL_MAX")
     os.environ["SPARK_GRAFT_RANK_SMALL_MAX"] = "0"
     try:
+        plans: dict[str, str] = {}
+
+        def _plan(name: str) -> str:
+            if name not in plans:
+                plans[name] = plan_of(qs[name](spark, sf_dir))
+            return plans[name]
+
         for name, required, forbidden in CHECKS:
-            plan = plan_of(qs[name](spark, sf_dir))
+            plan = _plan(name)
             for frag in required:
                 results.append((name, f"requires `{frag}`", frag in plan))
             for frag in forbidden:
                 results.append((name, f"forbids `{frag}`", frag not in plan))
+        # Anchored range-partitioning coverage (ADVICE r7): queries whose
+        # final output legitimately sorts (one result-ordering range
+        # exchange) can't carry the blanket `rangepartitioning(` forbid —
+        # but an INTERIOR range exchange (a global sort feeding more
+        # work) is still a scale bug. One range exchange puts exactly one
+        # `rangepartitioning(` in the Arguments text, so ≤1 is the
+        # anchored form of the same invariant.
+        blanket = {
+            name
+            for name, _req, forb in CHECKS
+            if any("rangepartitioning(" in f for f in forb)
+        }
+        for name in sorted({n for n, _r, _f in CHECKS} - blanket):
+            results.append((
+                name,
+                "at most one rangepartitioning( (result sort only)",
+                _plan(name).count("rangepartitioning(") <= 1,
+            ))
+        for name in NO_SINGLE_TASK_WINDOW:
+            results.append((
+                name,
+                "forbids Window over SinglePartition exchange (structural)",
+                not window_over_single_partition(_plan(name)),
+            ))
     finally:
         if prev is None:
             os.environ.pop("SPARK_GRAFT_RANK_SMALL_MAX", None)
@@ -1167,9 +1287,13 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
         results.append(
             (name, "small-path forbids `windowspecdefinition(bucket`",
              "windowspecdefinition(bucket" not in plan))
+        # the small path's ONE local window runs over the size-gated
+        # (≤RANK_SMALL_MAX) cached table — by construction, not over
+        # data; the structural check still forbids the composition on
+        # any table that ISN'T behind the materialized small gate
         results.append(
-            (name, "small-path forbids `hashpartitioning(1,`",
-             "hashpartitioning(1," not in plan))
+            (name, "small-path window input is the cached small table",
+             "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan))
     return results
 
 

@@ -85,3 +85,94 @@ def test_neardup_banding(spark, sf_dir):
     }
     assert got <= exact, got - exact          # exact re-check: no false positives
     assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
+
+
+def test_no_vacuous_forbid_fragments(spark, sf_dir):
+    """Every FORBID fragment in the plan audit must be a string that
+    CAN appear in real formatted-explain output (VERDICT r7: 103
+    forbids like 'Exchange rangepartitioning' never matched because
+    formatted mode prints the operator name and its Arguments on
+    separate lines — a dead forbid silently passes forever). Each
+    distinct fragment must appear in at least one positive-control
+    plan built here from constructions known to produce it. REQUIRED
+    fragments prove themselves: a require that can't match fails the
+    audit outright."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf, udtf
+    from pyspark.sql.window import Window as W
+
+    from spec_search_spark.catalog import load_table
+    from spec_search_spark.plans.audit import CHECKS, plan_of
+
+    frags = {f for _n, _r, forb in CHECKS for f in forb}
+    # the small-path spot checks in audit() use this one directly
+    frags.add("windowspecdefinition(bucket")
+
+    a = spark.range(200).selectExpr("id % 7 as k", "id % 5 as bucket", "id")
+    b = spark.range(50).selectExpr("id % 7 as k", "id as bid")
+
+    @pandas_udf("long")
+    def _arrow_inc(s):  # no hints: `from __future__ import annotations`
+        return s + 1     # stringifies them and breaks eval-type inference
+
+    _py_inc = udf(lambda x: x + 1, "long")
+
+    def _mip(batches):
+        yield from batches
+
+    @udtf(returnType="x: bigint")
+    class _Dup:
+        def eval(self, v: int):
+            yield (v,)
+            yield (v + 1,)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    controls = [
+        a.select(_arrow_inc("id")),                    # ArrowEvalPython
+        a.select(_py_inc("id")),                       # BatchEvalPython
+        a.join(F.broadcast(b), "k"),                   # BroadcastHashJoin
+        a.crossJoin(F.broadcast(b.limit(1))),          # BroadcastNestedLoopJoin
+        a.hint("shuffle_replicate_nl").crossJoin(b),   # CartesianProduct
+        a.groupBy("k").count(),                        # Exchange + hashpartitioning(
+        a.groupBy().agg(F.sum("id")),                  # SinglePartition
+        emb.repartition("vec_id"),                     # hashpartitioning(vec_id
+        li.repartition("l_orderkey"),                  # hashpartitioning(l_orderkey
+        od.repartition("o_orderkey"),                  # hashpartitioning(o_orderkey
+        a.mapInPandas(_mip, "k long, bucket long, id long"),  # MapInPandas
+        a.groupBy("k").agg(
+            F.expr("percentile(id, 0.5)")
+        ),                                             # ObjectHashAggregate + partial_percentile(
+        _Dup(F.lit(1)),                                # (BatchEval)PythonUDTF
+        a.join(b.hint("merge"), "k"),                  # SortMergeJoin
+        a.withColumn(
+            "r", F.row_number().over(W.partitionBy("bucket").orderBy("id"))
+        ),                                             # Window + windowspecdefinition(bucket
+        a.orderBy("k"),                                # rangepartitioning(
+    ]
+    pool = "\n".join(plan_of(df) for df in controls)
+    # SortAggregate control planned SEPARATELY: flipping the conf off
+    # for the whole pool would also de-objectify the percentile control
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    try:
+        pool += "\n" + plan_of(a.groupBy("k").agg(F.collect_list("id")))
+    finally:
+        spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
+
+    missing = sorted(f for f in frags if f not in pool)
+    assert not missing, f"dead forbid fragments (no control plan can produce them): {missing}"
+
+    # the STRUCTURAL single-task-window check needs its own positive
+    # control: a window over an unpartitioned (SinglePartition) sort
+    # must trip it, a bucket-partitioned one must not
+    from spec_search_spark.plans.audit import window_over_single_partition
+
+    bad = a.withColumn("r", F.row_number().over(W.orderBy("id")))
+    good = a.withColumn(
+        "r", F.row_number().over(W.partitionBy("bucket").orderBy("id"))
+    )
+    assert window_over_single_partition(plan_of(bad))
+    assert not window_over_single_partition(plan_of(good))
