@@ -235,9 +235,12 @@ HEADLINE = [
     "rbo_ann_vs_exact",
     "embedding_anisotropy_report",
     # round-8: IVFADC composition (coarse-assign → residual-PQ → ADC
-    # scan of probed clusters → exact re-rank) + its recall curve
+    # scan of probed clusters → exact re-rank) + its recall curve +
+    # frozen-quantizer delta upsert; sparse-vector retrieval baseline
     "ivfpq_search",
     "ivfpq_recall_report",
+    "ivfpq_delta_upsert",
+    "sparse_retrieval_topk",
 ]
 
 

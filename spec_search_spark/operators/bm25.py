@@ -311,13 +311,132 @@ LEFT JOIN (SELECT t1, t2, count(*) AS n_docs FROM matched GROUP BY 1, 2) m
 """
 
 
+# --- sparse-vector retrieval (the SPLADE/learned-sparse shape) --------------
+
+Q_TERMS = 8          # sparse-query dimensionality (top-weighted terms)
+SPARSE_QUERY_DOC = 0  # the query document
+SPARSE_TOP_K = 10
+
+
+def sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector top-k retrieval over an inverted index — the
+    scale shape of learned-sparse models (SPLADE, uniCOIL: Formal et
+    al. 2021): documents and queries are sparse term→weight vectors,
+    scored by dot product over matching terms through TERM-KEYED
+    postings, never a dense scan.
+
+    The weights here are log-tf × smooth-idf — the deterministic
+    stand-in at the exact seam where a learned model drops in (the
+    same seam contract as functions/vector.embed_text: swap the
+    weighting, keep the retrieval plan). The query vector is the
+    SPARSE_QUERY_DOC's top {Q_TERMS} terms by (weight, term) — a
+    SPLADE query-side expansion stand-in.
+
+    Scale shape: the corpus side is the postings table keyed by term
+    (at 100 TB: materialized, bucketed by term, impact-ordered so
+    WAND/MaxScore pruning can skip low-upper-bound blocks — this
+    operator is the exhaustive-DAAT baseline those prune toward); the
+    query is a ≤{Q_TERMS}-row broadcast; score accumulation is ONE
+    partial+final aggregation per candidate doc; the cut is
+    TakeOrdered at k.
+
+    Determinism: per-term weights round to 9dp (ln() ulp), per-(doc,
+    term) products round to 9dp, the score folds left-to-right in term
+    order and rounds to 6dp; ties break by doc_id.
+
+    Output: (doc_id, n_terms, score) — top {SPARSE_TOP_K}."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    post = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.lit(1.0) + F.log("tf"))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                9,
+            ).alias("w"),
+        )
+    )
+    query = (
+        post.filter(F.col("doc_id") == SPARSE_QUERY_DOC)
+        .orderBy(F.desc("w"), "tok")
+        .limit(Q_TERMS)
+        .select("tok", F.col("w").alias("qw"))
+    )
+    terms = (
+        post.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        .join(F.broadcast(query), "tok")
+        .select("doc_id", "tok", F.round(F.col("qw") * F.col("w"), 9).alias("p"))
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tok", "p"))),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(SPARSE_TOP_K)
+
+
+SPARSE_RETRIEVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+post AS (
+  SELECT tf.doc_id, tf.tok,
+         round((1.0 + ln(tf.tf)) * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)),
+               9) AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok, nd
+),
+query AS (
+  SELECT tok, w AS qw FROM post WHERE doc_id = {SPARSE_QUERY_DOC}
+  ORDER BY w DESC, tok LIMIT {Q_TERMS}
+),
+terms AS (
+  SELECT p.doc_id, p.tok, round(q.qw * p.w, 9) AS p
+  FROM post p JOIN query q ON p.tok = q.tok
+  WHERE p.doc_id <> {SPARSE_QUERY_DOC}
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_terms,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(p ORDER BY tok)), (acc, x) -> acc + x), 6) AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {SPARSE_TOP_K}
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
     "phrase_search": phrase_search,
     "percolate_alerts": percolate_alerts,
+    "sparse_retrieval_topk": sparse_retrieval_topk,
 }
 ORACLES = {
     "bm25_search": BM25_SQL,
     "phrase_search": _phrase_sql(),
     "percolate_alerts": PERCOLATE_SQL,
+    "sparse_retrieval_topk": SPARSE_RETRIEVAL_SQL,
 }

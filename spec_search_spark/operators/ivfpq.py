@@ -330,6 +330,112 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELTA_MOD = 10      # synthetic nightly batch: clones of vec_id % 10 == 3
+DELTA_RESIDUE = 3
+
+
+def ivfpq_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS `add()` for the COMPOSED index: route a delta batch of
+    vectors through the FROZEN coarse quantizer and the FROZEN residual
+    codebooks — no retraining, cost ∝ delta (the IVFADC completion of
+    `ivf_delta_upsert`; same synthetic nightly batch: clones of
+    vec_id % {DELTA_MOD} == {DELTA_RESIDUE} under negative ids).
+
+    Unlike ivf.py's invariant-checked twin, BOTH frozen artifacts here
+    are SQL-replayable, so the report carries REAL values: per coarse
+    cluster, the deployed-index population of the cloned residue class
+    (n_base), the delta's landing count (n_delta — clones of identical
+    vectors must follow their base twins through a frozen quantizer,
+    so the columns must agree), and an order-independent checksum of
+    the delta's PQ codes (Σ over rows of Σ codes — pins the entire
+    encode path, not just the coarse route).
+
+    Plan: delta-sized crossJoin against the broadcast 16-row centroid
+    table, delta-sized codebook assignment (128-row broadcast),
+    |K|-group partial+final report. The corpus appears ONLY as the
+    pinned codes artifact read for n_base.
+
+    Output: (cluster, n_base, n_delta, code_checksum) on the fixed
+    cluster grid, ordered."""
+    book, enc = _encoded(spark, sf_dir)
+    cent = kmeans._trained_centroids(spark, sf_dir)
+    is_delta = F.pmod(F.col("vec_id"), F.lit(DELTA_MOD)) == DELTA_RESIDUE
+    delta = (
+        kmeans._emb(spark, sf_dir)
+        .filter(is_delta)
+        .select((-F.col("vec_id") - 1).alias("vec_id"), "e")
+    )
+    # frozen coarse assignment (the kmeans._assign shape, delta-sized)
+    d = delta.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "e",
+        "cid",
+        "c",
+        F.round(l2_squared(F.col("e"), F.col("c")), 6).alias("d2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+    )
+    res = assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.zip_with("e", "c", lambda x, y: x - y).alias("r"),
+    )
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("r", s * SUB_DIM + 1, SUB_DIM).alias("sv"),
+            )
+            for s in range(M_SUB)
+        ]
+    )
+    rsv = res.select("vec_id", F.explode(pieces).alias("p")).select(
+        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+    dcodes = (
+        _assign_codes(rsv, book)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"].cast("long"),
+            ).alias("codes")
+        )
+        .join(res.select("vec_id", "cluster"), "vec_id")
+    )
+    delt = dcodes.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.sum(
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+        ).alias("code_checksum"),
+    )
+    base = (
+        enc.filter(is_delta)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    grid = spark.range(kmeans.K_CLUSTERS).select(
+        F.col("id").cast("int").alias("cluster")
+    )
+    return (
+        grid.join(base, "cluster", "left")
+        .join(delt, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
+            F.coalesce("code_checksum", F.lit(0)).cast("bigint").alias(
+                "code_checksum"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles: the identical pipeline, both training loops unrolled.
 # ---------------------------------------------------------------------------
@@ -481,12 +587,77 @@ FROM grid g LEFT JOIN hits h
 ORDER BY 1, 2
 """
 
+_PB_FINAL = f"pb{N_PQ_ITERS}"
+_C_FINAL = f"c{kmeans.N_ITERS}"
+
+IVFPQ_DELTA_SQL = f"""
+{_ivfpq_ctes()},
+dele AS (
+  SELECT -vec_id - 1 AS vec_id, e FROM emb
+  WHERE vec_id % {DELTA_MOD} = {DELTA_RESIDUE}
+),
+dd AS (
+  SELECT d.vec_id, d.e, c.cid, c.c,
+         round({l2_squared_sql('d.e', 'c.c')}, 6) AS d2
+  FROM dele d CROSS JOIN {_C_FINAL} c
+),
+da AS (
+  SELECT vec_id, e, cid, c FROM dd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+dres AS (
+  SELECT vec_id, cid AS cluster,
+         list_transform(range(1, {DIM} + 1), i -> e[i] - c[i]) AS r
+  FROM da
+),
+drsv AS (
+  SELECT vec_id, s AS sub,
+         r[s * {SUB_DIM} + 1 : s * {SUB_DIM} + {SUB_DIM}] AS sv
+  FROM dres, LATERAL unnest(range(0, {M_SUB})) AS t(s)
+),
+dpd AS (
+  SELECT drsv.vec_id, drsv.sub, b.code,
+         round({l2_squared_sql('drsv.sv', 'b.c')}, 6) AS dist2
+  FROM drsv JOIN {_PB_FINAL} b ON drsv.sub = b.sub
+),
+dpa AS (
+  SELECT vec_id, sub, code FROM dpd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist2, code) = 1
+),
+dcodes AS (
+  SELECT d.vec_id, r.cluster, list(d.code ORDER BY d.sub) AS codes
+  FROM dpa d JOIN dres r USING (vec_id)
+  GROUP BY d.vec_id, r.cluster
+),
+delt AS (
+  SELECT cluster, count(*) AS n_delta,
+         CAST(sum(list_reduce(list_prepend(0::BIGINT, codes),
+                              (acc, x) -> acc + x)) AS BIGINT) AS code_checksum
+  FROM dcodes GROUP BY cluster
+),
+base AS (
+  SELECT cluster, count(*) AS n_base FROM enc
+  WHERE vec_id % {DELTA_MOD} = {DELTA_RESIDUE} GROUP BY cluster
+),
+grid AS (SELECT CAST(g AS INT) AS cluster FROM range({kmeans.K_CLUSTERS}) t(g))
+SELECT g.cluster,
+       CAST(COALESCE(b.n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(d.n_delta, 0) AS BIGINT) AS n_delta,
+       CAST(COALESCE(d.code_checksum, 0) AS BIGINT) AS code_checksum
+FROM grid g LEFT JOIN base b ON g.cluster = b.cluster
+            LEFT JOIN delt d ON g.cluster = d.cluster
+ORDER BY 1
+"""
+
 QUERIES = {
     "ivfpq_search": ivfpq_search,
     "ivfpq_recall_report": ivfpq_recall_report,
+    "ivfpq_delta_upsert": ivfpq_delta_upsert,
 }
 
 ORACLES = {
     "ivfpq_search": IVFPQ_SEARCH_SQL,
     "ivfpq_recall_report": IVFPQ_RECALL_SQL,
+    "ivfpq_delta_upsert": IVFPQ_DELTA_SQL,
 }

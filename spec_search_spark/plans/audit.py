@@ -1197,6 +1197,19 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("ivfpq_recall_report",
      ["Scan ExistingRDD", "BroadcastHashJoin", "MapInPandas"],
      ["CartesianProduct"]),
+    # IVFADC delta upsert: delta-sized crossJoin against the broadcast
+    # 16-row centroid table + 128-row codebook assignment; the corpus
+    # appears only as the pinned codes artifact (n_base)
+    ("ivfpq_delta_upsert",
+     ["Scan ExistingRDD", "BroadcastNestedLoopJoin", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython"]),
+    # sparse retrieval: term-keyed postings probe the ≤Q_TERMS-row
+    # broadcast query; ONE partial+final score agg; TakeOrdered cut —
+    # the corpus never sorts and nothing is quadratic
+    ("sparse_retrieval_topk",
+     ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
+     ["CartesianProduct", "MapInPandas", "BatchEvalPython",
+      "rangepartitioning("]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition

@@ -254,6 +254,18 @@ def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purch_value", 2).alias("purch_value"),
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    # No-data micro-batches OFF for THIS query only (restored below):
+    # an INNER stream-stream join emits match-driven during data
+    # batches — the trailing no-data batch exists to evict state and
+    # emit outer-side nulls, neither of which produces rows here, yet
+    # it re-runs the full 2-sided state-store commit cycle (measured:
+    # ~2.5s of the r7 7.3s drain outlier; result set identical with a
+    # single batch). Aggregation twins KEEP the default — append-mode
+    # aggregations need no-data batches to finalize windows.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
@@ -265,6 +277,9 @@ def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return _drained(spark, name, ckpt)
 
 
