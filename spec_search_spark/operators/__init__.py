@@ -9,6 +9,7 @@ from __future__ import annotations
 def all_queries():
     from spec_search_spark.operators import (
         affinity,
+        agent_tools,
         behavior,
         bm25,
         bucketed,
@@ -52,6 +53,7 @@ def all_queries():
     for mod in (
         relational,
         affinity,
+        agent_tools,
         behavior,
         bm25,
         bucketed,
