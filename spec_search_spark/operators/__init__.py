@@ -27,6 +27,7 @@ def all_queries():
         maintenance,
         ml,
         mllib_lsh,
+        mmr,
         multimodal,
         pii,
         pipeline_ops,
@@ -45,6 +46,7 @@ def all_queries():
         tpch_extra,
         vector_quant,
         windows,
+        winnowing,
     )
     from spec_search_spark.sources import formats
 
@@ -76,6 +78,7 @@ def all_queries():
         layout,
         maintenance,
         ml,
+        mmr,
         runtime_filter,
         sketches,
         skew,
@@ -88,6 +91,7 @@ def all_queries():
         pipeline_ops,
         pq,
         vector_quant,
+        winnowing,
         formats,
     ):
         q.update(mod.QUERIES)

@@ -1210,6 +1210,19 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "rangepartitioning("]),
+    # winnowing: k-gram hashing is the Arrow-batched poly fold; the
+    # window-min selection is partitioned BY DOCUMENT (never a global
+    # sort); stats query's final 20-row ORDER BY gets the anchored
+    # ≤1-rangepartitioning check instead of the blanket forbid
+    ("winnowing_fingerprint_stats",
+     ["ArrowEvalPython", "Window", "partial_count"],
+     ["CartesianProduct", "BatchEvalPython"]),
+    # containment pairs: rare-fingerprint postings join (candidate-
+    # bound, the LSH-band discipline) and a TakeOrdered cut — no
+    # global sort anywhere
+    ("winnowing_containment_pairs",
+     ["ArrowEvalPython", "TakeOrderedAndProject", "partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition
@@ -1307,6 +1320,22 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
         results.append(
             (name, "small-path window input is the cached small table",
              "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan))
+    # mmr_diversified_topk returns a driver-assembled SELECT_K-row
+    # transcript (LocalTableScan — nothing to audit there); its
+    # corpus-scale phase is the candidate cut, so audit THAT plan:
+    # broadcast probe, partial top-k before any exchange, no global
+    # sort of the scored corpus.
+    from spec_search_spark.operators.mmr import _candidates
+
+    mmr_plan = plan_of(_candidates(spark, sf_dir))
+    for frag in ("MapInPandas", "BroadcastHashJoin"):
+        results.append(
+            ("mmr_diversified_topk[candidates]", f"requires `{frag}`",
+             frag in mmr_plan))
+    for frag in ("CartesianProduct", "rangepartitioning(", "BatchEvalPython"):
+        results.append(
+            ("mmr_diversified_topk[candidates]", f"forbids `{frag}`",
+             frag not in mmr_plan))
     return results
 
 
