@@ -44,6 +44,7 @@ def all_queries():
         span_dedup,
         text_analysis,
         tpch_extra,
+        unigram_lm,
         vector_quant,
         windows,
         winnowing,
@@ -84,6 +85,7 @@ def all_queries():
         skew,
         mllib_lsh,
         tpch_extra,
+        unigram_lm,
         extensibility,
         fuzzy,
         graph,

@@ -1,0 +1,267 @@
+"""Unigram-LM subword segmentation (Kudo 2018 — the SentencePiece
+``unigram`` model): seed a piece vocabulary from substring counts,
+score pieces by log-probability, and Viterbi-segment every word into
+its maximum-likelihood piece sequence (the E-step whose piece counts
+drive SentencePiece's EM prune loop). Completes the tokenizer-training
+family beside the BPE merge trainer (text_analysis.bpe_train_merges):
+BPE builds the vocab bottom-up by merging, unigram scores a seeded
+vocab top-down by segmentation likelihood.
+
+Not in the reference (its text handling stops at chunk+embed,
+`/root/reference/indexer.py:29-66`); first-class for the
+training-data north star — the tokenizer IS part of the data
+pipeline at 100 TB.
+
+Scale shape (the BPE-trainer discipline: work ∝ VOCABULARY, never
+corpus, after one corpus scan):
+- one distributed scan builds the (word, count) table; everything
+  after is vocabulary-bound;
+- the Viterbi DP is LEVEL-SYNCHRONOUS over character positions
+  j = 1..MAXW: each round joins the ≤MAXP live prefixes against the
+  broadcast piece table and takes one per-word argmax — MAXW bounded
+  rounds of vocab-sized joins, localCheckpointed per round (the HITS
+  per-round materialization) so lineage stays flat;
+- piece scores live in a ≤SEED_V-row broadcast.
+
+Cross-engine determinism: piece scores are INTEGER log-probs
+(round((ln(cnt) − ln(total))·10⁶) as BIGINT — the 6-dp rounding that
+absorbs libm ulp skew, bm25.py's contract), so the DP argmax compares
+exact integers; ties break on the earliest split point (longest last
+piece), replayed identically by the unrolled MATERIALIZED-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.functions.text import RE_TOKEN_SPLIT
+from spec_search_spark.session import tune
+
+MAXP = 4  # max piece length (seed substrings)
+MAXW = 12  # max word length admitted to the DP
+SEED_V = 64  # seed vocabulary size (top substrings by weighted count)
+TOP_OUT = 30  # emitted pieces
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wcnt): distinct corpus words with counts — the ONE
+    corpus-scale pass."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), RE_TOKEN_SPLIT)).alias("w")
+    )
+    return (
+        toks.select(F.lower("w").alias("word"))
+        .filter((F.length("word") > 0) & (F.length("word") <= MAXW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def _vocab(words: DataFrame) -> DataFrame:
+    """(piece, score_e6): seed pieces = top-SEED_V substrings of
+    length ≤ MAXP by weighted count, UNION all single characters
+    (guaranteeing every word segments); integer log-prob scores."""
+    lens = F.sequence(F.lit(1), F.lit(MAXP))
+    subs = words.select(
+        "wcnt",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("word") - 1),
+                    lambda i: F.filter(
+                        F.transform(
+                            lens, lambda l: F.substr(F.col("word"), i + 1, l)
+                        ),
+                        # keep only un-truncated slices: the element at
+                        # index idx was asked for length idx+1 (substr
+                        # silently truncates at word end, which would
+                        # duplicate the tail piece at several lengths)
+                        lambda p, idx: F.length(p) == idx + 1,
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    cnts = subs.groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
+    top = cnts.orderBy(F.desc("cnt"), "piece").limit(SEED_V)
+    chars = cnts.filter(F.length("piece") == 1)
+    vocab0 = (
+        top.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    tot = vocab0.agg(F.sum("cnt").alias("t"))
+    return vocab0.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round((F.log("cnt") - F.log("t")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("score_e6"),
+    )
+
+
+def _viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, wcnt, total, seg): max-likelihood segmentation per word
+    (seg = pieces joined by '·'), level-synchronous DP."""
+    best = {
+        0: words.select(
+            "word",
+            "wcnt",
+            F.lit(0).cast("bigint").alias("total"),
+            F.lit("").alias("seg"),
+        ).localCheckpoint(eager=True)
+    }
+    for j in range(1, MAXW + 1):
+        arms = []
+        for i in range(max(0, j - MAXP), j):
+            arms.append(
+                best[i]
+                .filter(F.length("word") >= j)
+                .select(
+                    "word",
+                    "wcnt",
+                    "total",
+                    "seg",
+                    F.lit(-i).cast("bigint").alias("neg_i"),
+                    F.substring("word", i + 1, j - i).alias("piece"),
+                )
+            )
+        cand = arms[0]
+        for a in arms[1:]:
+            cand = cand.unionByName(a)
+        scored = cand.join(F.broadcast(vocab), "piece").select(
+            "word",
+            "wcnt",
+            (F.col("total") + F.col("score_e6")).alias("total"),
+            "neg_i",
+            F.when(F.col("seg") == "", F.col("piece"))
+            .otherwise(F.concat("seg", F.lit("·"), "piece"))
+            .alias("seg"),
+        )
+        step = scored.groupBy("word", "wcnt").agg(
+            F.max(F.struct("total", "neg_i", "seg")).alias("b")
+        )
+        best[j] = step.select(
+            "word",
+            "wcnt",
+            F.col("b.total").alias("total"),
+            F.col("b.seg").alias("seg"),
+        ).localCheckpoint(eager=True)
+    finals = None
+    for j in range(1, MAXW + 1):
+        arm = best[j].filter(F.length("word") == j)
+        finals = arm if finals is None else finals.unionByName(arm)
+    return finals
+
+
+def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TOP_OUT pieces by Viterbi-segmented corpus frequency — the
+    SentencePiece E-step piece table.
+
+    Output: (piece, n_tokens, prob)."""
+    tune(spark)
+    words = _words(spark, sf_dir)
+    vocab = _vocab(words)
+    finals = _viterbi(words, vocab)
+    segs = finals.select(
+        "wcnt", F.explode(F.split("seg", "·")).alias("piece")
+    )
+    out = segs.groupBy("piece").agg(F.sum("wcnt").alias("n_tokens"))
+    tot = out.agg(F.sum("n_tokens").alias("t"))
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("prob"),
+        )
+        .orderBy(F.desc("n_tokens"), "piece")
+        .limit(TOP_OUT)
+    )
+
+
+def _sql() -> str:
+    head = f"""
+WITH toks AS (
+  SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM toks
+  WHERE length(word) > 0 AND length(word) <= {MAXW}
+  GROUP BY word
+),
+subs AS (
+  SELECT substr(word, i + 1, l) AS piece, sum(wcnt) AS cnt
+  FROM words,
+       unnest(range(0, length(word))) AS u(i),
+       unnest(range(1, {MAXP} + 1)) AS v(l)
+  WHERE i + l <= length(word)
+  GROUP BY 1
+),
+top AS (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT {SEED_V}),
+chars AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+vocab0 AS (
+  SELECT piece, max(cnt) AS cnt
+  FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)
+  GROUP BY piece
+),
+tot AS (SELECT sum(cnt) AS t FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT piece,
+         CAST(round((ln(cnt) - ln(t)) * 1000000, 0) AS BIGINT) AS score_e6
+  FROM vocab0, tot
+),
+best0 AS (SELECT word, wcnt, 0::BIGINT AS total, '' AS seg FROM words)"""
+    steps = []
+    for j in range(1, MAXW + 1):
+        arms = []
+        for i in range(max(0, j - MAXP), j):
+            arms.append(
+                f"""
+      SELECT b.word, b.wcnt, b.total + v.score_e6 AS total, {i} AS i,
+             CASE WHEN b.seg = '' THEN v.piece
+                  ELSE b.seg || '·' || v.piece END AS seg
+      FROM best{i} b JOIN vocab v
+        ON v.piece = substr(b.word, {i} + 1, {j - i})
+      WHERE length(b.word) >= {j}"""
+            )
+        union = "\n      UNION ALL".join(arms)
+        steps.append(
+            f""",
+best{j} AS MATERIALIZED (
+  SELECT word, wcnt, total, seg FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+                                 ORDER BY total DESC, i ASC) AS rn
+    FROM ({union})
+  ) WHERE rn = 1
+)"""
+        )
+    finals = "\n  UNION ALL ".join(
+        f"SELECT wcnt, seg FROM best{j} WHERE length(word) = {j}"
+        for j in range(1, MAXW + 1)
+    )
+    tail = f""",
+finals AS MATERIALIZED (
+  {finals}
+),
+pieces AS (
+  SELECT unnest(string_split(seg, '·')) AS piece, wcnt FROM finals
+),
+out AS (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_tokens
+  FROM pieces GROUP BY piece
+),
+ot AS (SELECT sum(n_tokens) AS t FROM out)
+SELECT piece, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / t, 6) AS prob
+FROM out, ot
+ORDER BY n_tokens DESC, piece
+LIMIT {TOP_OUT}"""
+    return head + "".join(steps) + tail
+
+
+QUERIES = {"unigram_lm_segmentation": unigram_lm_segmentation}
+ORACLES = {"unigram_lm_segmentation": _sql()}

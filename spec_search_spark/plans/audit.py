@@ -1223,6 +1223,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("winnowing_containment_pairs",
      ["ArrowEvalPython", "TakeOrderedAndProject", "partial_count"],
      ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
+    # unigram LM: the DP rounds are checkpointed (Scan ExistingRDD is
+    # the finals table — the HITS materialization pattern); the M-step
+    # is one partial+final sum; the one-row total is a broadcast NLJ;
+    # final cut TakeOrdered — the corpus never sorts
+    ("unigram_lm_segmentation",
+     ["Scan ExistingRDD", "TakeOrderedAndProject", "partial_sum",
+      "BroadcastNestedLoopJoin"],
+     ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition

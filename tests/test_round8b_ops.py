@@ -97,3 +97,45 @@ def test_mmr_greedy_properties(spark, sf_dir):
         ).fetchall()
     }
     assert {r["vec_id"] for r in rows} != top_rel
+
+
+def test_unigram_viterbi_matches_python_dp(spark):
+    """Spark level-synchronous Viterbi == straight python DP on a
+    synthetic vocabulary."""
+    from pyspark.sql import functions as F
+
+    from spec_search_spark.operators.unigram_lm import MAXP, _viterbi
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("abc", 2), ("aaaa", 1)], "word string, wcnt int"
+    ).select("word", F.col("wcnt").cast("bigint").alias("wcnt"))
+    vocab_rows = [("a", -10), ("b", -12), ("c", -20), ("ab", -15), ("aba", -32)]
+    vocab = spark.createDataFrame(
+        vocab_rows, "piece string, score_e6 bigint"
+    )
+    got = {
+        r["word"]: (r["total"], r["seg"])
+        for r in _viterbi(words, vocab).collect()
+    }
+
+    scores = dict(vocab_rows)
+
+    def dp(w):
+        best = {0: (0, "")}
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(max(0, j - MAXP), j):
+                p = w[i:j]
+                if i in best and p in scores:
+                    seg = best[i][1]
+                    cands.append(
+                        (best[i][0] + scores[p], -i, (seg + "·" + p) if seg else p)
+                    )
+            if cands:
+                best[j] = (max(cands)[0], max(cands)[2])
+        return best[len(w)]
+
+    for w in ("abab", "abc", "aaaa"):
+        assert got[w] == dp(w), w
+    # sanity: 'ab'+'ab' (-30) beats 'a b a b' (-44) and 'aba'+'b' (-44)
+    assert got["abab"] == (-30, "ab·ab")
