@@ -34,6 +34,7 @@ def all_queries():
         pq,
         rank_stats,
         relational,
+        rm3,
         runtime_filter,
         scalar_sql,
         sheets_connector,
@@ -80,6 +81,7 @@ def all_queries():
         maintenance,
         ml,
         mmr,
+        rm3,
         runtime_filter,
         sketches,
         skew,

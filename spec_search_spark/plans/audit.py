@@ -1231,6 +1231,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["Scan ExistingRDD", "TakeOrderedAndProject", "partial_sum",
       "BroadcastNestedLoopJoin"],
      ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
+    # RM3: the data-dependent expanded term set joins corpus postings
+    # via BROADCAST (no static IN list possible); feedback-model
+    # estimation is bounded by FB_DOCS; final cut TakeOrdered
+    ("rm3_expanded_search",
+     ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "rangepartitioning(",
+      "MapInPandas"]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition

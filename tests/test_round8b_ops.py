@@ -139,3 +139,24 @@ def test_unigram_viterbi_matches_python_dp(spark):
         assert got[w] == dp(w), w
     # sanity: 'ab'+'ab' (-30) beats 'a b a b' (-44) and 'aba'+'b' (-44)
     assert got["abab"] == (-30, "ab·ab")
+
+
+def test_rm3_expansion_behavior(spark, sf_dir):
+    from spec_search_spark.operators.bm25 import _QTOKS, bm25_search
+    from spec_search_spark.operators.rm3 import (
+        FB_TERMS,
+        rm3_expanded_search,
+        rm3_expansion_terms,
+    )
+
+    terms = rm3_expansion_terms(spark, sf_dir).collect()
+    names = [r["term"] for r in terms]
+    # every original query token is in the expanded query...
+    assert set(_QTOKS) <= set(names)
+    # ...plus exactly FB_TERMS new expansion terms
+    assert len(names) == len(_QTOKS) + FB_TERMS
+    assert all(r["weight"] >= 0 for r in terms)
+    # feedback changes the ranking relative to plain BM25
+    plain = [r["doc_id"] for r in bm25_search(spark, sf_dir).collect()]
+    expanded = [r["doc_id"] for r in rm3_expanded_search(spark, sf_dir).collect()]
+    assert plain != expanded
