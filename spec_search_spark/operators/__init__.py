@@ -19,6 +19,7 @@ def all_queries():
         extensibility,
         fuzzy,
         graph,
+        hard_negatives,
         ivf,
         ivfpq,
         kmeans,
@@ -91,6 +92,7 @@ def all_queries():
         extensibility,
         fuzzy,
         graph,
+        hard_negatives,
         pii,
         pipeline_ops,
         pq,
