@@ -34,6 +34,9 @@ Spark shape, designed for scale:
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -173,6 +176,36 @@ def winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), "doc_a", "doc_b")
         .limit(TOP_PAIRS)
     )
+
+
+def make_winnow_count_udf():
+    """Arrow-batched per-document fingerprint COUNT (row-local
+    winnowing) for the streaming twin: identical selection semantics
+    to :func:`winnow` (full windows, packed rightmost-min keys), one
+    numpy sliding-window pass per doc. The expression-tree form would
+    re-inline the keys array into every window slice — quadratic per
+    row under CollapseProject — so streaming uses this instead."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from spec_search_spark.functions.text import poly_hash_batch
+
+    @F.pandas_udf("long")
+    def winnow_count(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            t = re.sub(r"\s+", " ", (s or "").lower())
+            n = len(t) - K + 1
+            if n < W:
+                out.append(0)
+                continue
+            hs = poly_hash_batch([t[i : i + K] for i in range(n)])
+            keys = hs * POS_CAP + (POS_CAP - 1 - np.arange(n, dtype=np.int64))
+            mins = sliding_window_view(keys, W).min(axis=1)
+            out.append(len(np.unique(mins // POS_CAP)))
+        return pd.Series(out, index=texts.index)
+
+    return winnow_count
 
 
 # ---------------------------------------------------------------- oracles

@@ -1470,6 +1470,70 @@ def _import_seasonal_sql() -> str:
     return SEASONAL_SQL
 
 
+def stream_winnowing_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming winnowing fingerprint inventory (batch sibling:
+    `winnowing.winnowing_fingerprint_stats`, minus the cross-document
+    distinct-hash column — a second chained aggregation streaming
+    can't express in one query): each arriving document's fingerprint
+    COUNT is computed ROW-LOCALLY with pure array expressions (k-gram
+    poly-hash fold → packed (hash, pos) keys → window-min over array
+    slices → distinct), so the only streaming state is the ≤|sources|
+    per-source aggregate — contamination telemetry ON the ingest feed
+    at any stream volume.
+
+    Output: (source, n_docs, total_fps, avg_fps)."""
+    from spec_search_spark.operators.winnowing import make_winnow_count_udf
+
+    tune(spark)
+    docs_static = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(docs_static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    winnow_count = make_winnow_count_udf()
+    per_doc = stream.select(
+        "source", winnow_count(F.col("text")).alias("n_fp")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_fp").alias("total_fps"),
+        F.round(F.avg("n_fp"), 4).alias("avg_fps"),
+    )
+    name = f"winnow_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_winnow_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _drained(spark, name, ckpt).orderBy("source")
+
+
+def _stream_winnowing_sql() -> str:
+    from spec_search_spark.operators.winnowing import _SEL_SQL
+
+    return f"""
+WITH {_SEL_SQL},
+per_doc AS (
+  SELECT source, doc_id, count(*) AS n_fp FROM fps GROUP BY source, doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_fp) AS BIGINT) AS total_fps,
+       round(CAST(avg(n_fp) AS DOUBLE), 4) AS avg_fps
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
@@ -1494,6 +1558,7 @@ QUERIES = {
     "stream_embedding_drift": stream_embedding_drift_query,
     "stream_roc_auc": stream_roc_auc_query,
     "stream_t_closeness": stream_t_closeness_query,
+    "stream_winnowing_stats": stream_winnowing_stats_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -1519,6 +1584,7 @@ ORACLES = {
     "stream_embedding_drift": _stream_emb_drift_sql(),
     "stream_roc_auc": _stream_roc_auc_sql(),
     "stream_t_closeness": _stream_tclose_sql(),
+    "stream_winnowing_stats": _stream_winnowing_sql(),
 }
 
 
