@@ -43,17 +43,14 @@ Scale shape:
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import tempfile
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
-    IntegerType,
     LongType,
     StringType,
     StructField,

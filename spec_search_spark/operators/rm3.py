@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from spec_search_spark.catalog import load_table
 from spec_search_spark.operators.bm25 import (
     B,
-    BM25_QUERY,
     BM25_SQL,
     K1,
     _QTOKS,

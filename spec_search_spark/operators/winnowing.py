@@ -42,8 +42,6 @@ from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import (
-    FP_BASE,
-    FP_MOD,
     fingerprint_sql,
     make_poly_hash_udf,
 )
