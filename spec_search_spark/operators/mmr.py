@@ -92,7 +92,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (rank, vec_id, rel_e4, mmr_e5) — similarities in exact
     integer units (1e-4 for relevance, 1e-5 for the MMR score)."""
     tune(spark)
-    cand = _candidates(spark, sf_dir)
+    # the pool is referenced three times (pair sims twice, rel once) —
+    # pin the CAND rows so the corpus-scale cut runs ONCE
+    cand = _candidates(spark, sf_dir).localCheckpoint(eager=True)
     a = cand.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )

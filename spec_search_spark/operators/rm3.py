@@ -88,8 +88,13 @@ def _expanded_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.col("w_d") * F.col("tf") / F.col("dl"), 9).alias("c"),
     )
-    rm = contrib.groupBy("tok").agg(
-        _ordered_fold(F.struct("doc_id", "c"), "c", 9).alias("p_rm")
+    # rm is referenced twice below (expansion cut + original-token
+    # lookup) and its lineage contains the whole feedback pass — pin
+    # the ≤|fb-doc tokens| rows so bm25_search runs ONCE
+    rm = (
+        contrib.groupBy("tok")
+        .agg(_ordered_fold(F.struct("doc_id", "c"), "c", 9).alias("p_rm"))
+        .localCheckpoint(eager=True)
     )
 
     expansion = (
@@ -125,7 +130,9 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by the RM3 term weights.
     Output: (doc_id, score) top-TOP_K."""
     tune(spark)
-    wq = _expanded_terms(spark, sf_dir)
+    # the ≤|Q|+FB_TERMS weight table feeds two join branches (postings
+    # filter + df counts); pin it so expansion estimation runs ONCE
+    wq = _expanded_terms(spark, sf_dir).localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
 
