@@ -188,16 +188,50 @@ def make_winnow_count_udf():
 
     from spec_search_spark.functions.text import poly_hash_batch
 
+    from spec_search_spark.functions.text import FP_BASE, FP_MOD
+
+    pow_k = [pow(FP_BASE, K - 1 - j, FP_MOD) for j in range(K)]
+
     @F.pandas_udf("long")
     def winnow_count(texts: pd.Series) -> pd.Series:
-        out = []
-        for s in texts:
-            t = re.sub(r"\s+", " ", (s or "").lower())
-            n = len(t) - K + 1
+        # True vectorized rolling hash: all docs concatenate into ONE
+        # code array and the k-gram hashes are K shifted-add passes
+        # over it (Σ c_j·31^(K-1-j) mod p ≡ the shared fold) — no
+        # per-position matrix, no per-doc hash calls. Cross-boundary
+        # grams are computed then discarded by the per-doc slicing.
+        norm = [re.sub(r"\s+", " ", (s or "").lower()) for s in texts]
+        enc = [t.encode("utf-8") for t in norm]
+        if any(len(b) != len(t) for b, t in zip(enc, norm)):
+            # non-ASCII: fall back to the per-doc fold (identical values)
+            out = []
+            for t in norm:
+                n = len(t) - K + 1
+                if n < W:
+                    out.append(0)
+                    continue
+                hs = poly_hash_batch([t[i : i + K] for i in range(n)])
+                keys = hs * POS_CAP + (
+                    POS_CAP - 1 - np.arange(n, dtype=np.int64)
+                )
+                mins = sliding_window_view(keys, W).min(axis=1)
+                out.append(len(np.unique(mins // POS_CAP)))
+            return pd.Series(out, index=texts.index)
+        buf = b"\x00".join(enc)
+        codes = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        m = max(len(codes) - K + 1, 0)
+        acc = np.zeros(m, dtype=np.int64)
+        for j in range(K):
+            acc = (acc + codes[j : j + m] * pow_k[j]) % FP_MOD
+        out, off = [], 0
+        for t in norm:
+            ln = len(t)
+            n = ln - K + 1
             if n < W:
                 out.append(0)
+                off += ln + 1
                 continue
-            hs = poly_hash_batch([t[i : i + K] for i in range(n)])
+            hs = acc[off : off + n]
+            off += ln + 1
             keys = hs * POS_CAP + (POS_CAP - 1 - np.arange(n, dtype=np.int64))
             mins = sliding_window_view(keys, W).min(axis=1)
             out.append(len(np.unique(mins // POS_CAP)))
