@@ -69,18 +69,52 @@ def mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens): distinct 3-token shingles per doc — the
+    discriminative near-dup unit. Bag-of-UNIGRAMS over this corpus's
+    ~50-word vocabulary makes every pair of documents look alike, so
+    MinHash buckets collide corpus-wide and approxSimilarityJoin's
+    candidate set degenerates toward all-pairs (measured: the
+    unigram form of this query was the full sweep's 320 s outlier at
+    sf0.1); shingling restores the sparse, high-cardinality sets
+    near-dup MinHash is designed for — candidates collapse to the
+    genuinely-similar pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.concat_ws(
+                "\x1f", tk[i], tk[i + 1], tk[i + 2]
+            ),
+        )
+    )
+    return (
+        docs.filter(F.size(tk) >= 3)
+        .select("doc_id", sh.alias("tokens"))
+    )
+
+
 def mllib_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH approxSimilarityJoin over binary shingle vectors:
-    doc pairs with estimated Jaccard distance ≤ 0.2."""
+    """MinHashLSH approxSimilarityJoin over binary 3-token-shingle
+    vectors: doc pairs with TRUE Jaccard distance ≤ 0.2 among the
+    LSH candidates."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-    ).filter(F.size("tokens") > 0)
-    cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True, minDF=1.0)
+    toks = _shingle_sets(spark, sf_dir)
+    # vocabSize must hold EVERY shingle: a truncated vocabulary makes
+    # the vector Jaccard diverge from the token-set Jaccard the check
+    # recomputes (CountVectorizer keeps top-by-df with arbitrary tie
+    # order — silent nondeterminism). Shingle vocab is corpus-bounded
+    # like the BPE vocabulary.
+    cv = CountVectorizer(
+        inputCol="tokens",
+        outputCol="features",
+        binary=True,
+        minDF=1.0,
+        vocabSize=1 << 20,
+    )
     model_cv = cv.fit(toks)
     vecs = model_cv.transform(toks).select("doc_id", "features")
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED_MINHASH)
@@ -142,11 +176,7 @@ def mllib_minhash_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair may exceed the 0.2 threshold. One aggregate row, pinned by a
     constant oracle."""
     pairs = mllib_minhash_near_dup(spark, sf_dir)  # doc1, doc2, jaccard_dist
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-    ).filter(F.size("tokens") > 0)
+    toks = _shingle_sets(spark, sf_dir)
     t1 = toks.select(F.col("doc_id").alias("doc1"), F.col("tokens").alias("toks1"))
     t2 = toks.select(F.col("doc_id").alias("doc2"), F.col("tokens").alias("toks2"))
     joined = (

@@ -35,12 +35,21 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # The sketch agg and the exact-distinct agg must be SEPARATE jobs
+    # joined on the 3-row group key: combining them in one agg makes
+    # Catalyst plan Expand with the distinct columns in the partial
+    # grouping key, so the rsd-1% HLL++ buffers (2^14 registers each)
+    # are allocated and merged once per (flag, partkey) group instead
+    # of once per flag — measured 54 s vs 2+2 s at sf0.1.
+    apx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("apx_parts"),
-        F.countDistinct("l_partkey").alias("ex_parts"),
         F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("apx_orders"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ex_parts"),
         F.countDistinct("l_orderkey").alias("ex_orders"),
     )
+    agg = exact.join(F.broadcast(apx), "l_returnflag")
     def ok(apx: str, ex: str) -> F.Column:
         return (
             F.abs(F.col(apx) - F.col(ex)).cast("double")
