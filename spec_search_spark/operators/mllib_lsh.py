@@ -102,7 +102,11 @@ def mllib_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     tune(spark)
-    toks = _shingle_sets(spark, sf_dir)
+    # toks feeds the CV fit, the transform, AND the self-check's two
+    # distance re-joins — pin it once (bounded-transient FIFO)
+    from spec_search_spark.operators.rank_stats import _persist_count
+
+    toks, _ = _persist_count(_shingle_sets(spark, sf_dir))
     # vocabSize must hold EVERY shingle: a truncated vocabulary makes
     # the vector Jaccard diverge from the token-set Jaccard the check
     # recomputes (CountVectorizer keeps top-by-df with arbitrary tie
@@ -116,7 +120,16 @@ def mllib_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocabSize=1 << 20,
     )
     model_cv = cv.fit(toks)
-    vecs = model_cv.transform(toks).select("doc_id", "features")
+    # Pin the vectorized table: approxSimilarityJoin references each
+    # side's full lineage several times (hash transform per side, then
+    # the candidate distance stage), so an unpersisted vecs re-runs
+    # the shingle build + CV apply repeatedly — measured 41.6s vs ~6s
+    # at sf0.1. The vectorized index is exactly the artifact a
+    # production near-dup pipeline materializes (the V1-index shape);
+    # the bounded-transient policy is rank_stats' FIFO.
+    vecs, _n = _persist_count(
+        model_cv.transform(toks).select("doc_id", "features")
+    )
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED_MINHASH)
     model = mh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.2, distCol="jaccard_dist")
