@@ -428,15 +428,122 @@ ORDER BY score DESC, doc_id LIMIT {SPARSE_TOP_K}
 """
 
 
+# --- query likelihood with Dirichlet smoothing -------------------------------
+
+MU = 1000.0  # Dirichlet prior mass (the Zhai & Lafferty default)
+
+
+def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing (Zhai & Lafferty, SIGIR 2001) — the OTHER canonical
+    lexical scorer beside BM25 (Anserini/Indri's `-qld` baseline):
+    score(d) = Σ_{t∈q} ln((tf(t,d) + μ·P(t|C)) / (dl(d) + μ)), with
+    the collection model P(t|C) = cf(t)/|C|. Docs missing a query
+    term still pay the smoothed penalty, so the sum runs over ALL
+    (candidate doc, query term) pairs — candidates are docs matching
+    ≥1 term (any non-candidate scores strictly lower by construction).
+
+    Scale shape (bm25's): postings filtered to query tokens right
+    after the explode; collection stats are a ≤|Q|-row broadcast and
+    a one-row broadcast; the candidate×term grid is candidate-bound
+    (≤ |candidates|·|Q|); TakeOrdered cut.
+
+    Cross-engine: per-term log rounds to 9dp, folds in token order,
+    final 6dp with doc_id tiebreak.
+
+    Output: (doc_id, score) top-TOP_K."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).alias("c_len"))
+    qpost = toks.filter(F.col("tok").isin(_QTOKS))
+    cf = qpost.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    tf = qpost.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    cands = qpost.select("doc_id").distinct()
+    qterms = spark.createDataFrame([(t,) for t in _QTOKS], "tok string")
+    grid = (
+        cands.crossJoin(F.broadcast(qterms))
+        .join(tf, ["doc_id", "tok"], "left")
+        .join(F.broadcast(cf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) + MU * F.col("cf") / F.col("c_len"))
+                    / (F.col("dl") + MU)
+                ),
+                9,
+            ).alias("term"),
+        )
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tok", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)
+
+
+_QTERM_ROWS = " UNION ALL ".join(f"SELECT '{t}' AS tok" for t in _QTOKS)
+
+QL_DIRICHLET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+coll AS (SELECT count(*) AS c_len FROM toks),
+qpost AS (SELECT doc_id, tok FROM toks WHERE tok IN ({_QTOKS_SQL})),
+cf AS (SELECT tok, count(*) AS cf FROM qpost GROUP BY tok),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM qpost GROUP BY doc_id, tok),
+cands AS (SELECT DISTINCT doc_id FROM qpost),
+qterms AS ({_QTERM_ROWS}),
+grid AS (
+  SELECT c.doc_id, q.tok,
+         round(ln((coalesce(tf.tf, 0) + {MU} * cf.cf / coll.c_len)
+                  / (dl.dl + {MU})), 9) AS term
+  FROM cands c CROSS JOIN qterms q
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok
+  JOIN cf ON cf.tok = q.tok
+  JOIN dl ON dl.doc_id = c.doc_id, coll
+),
+scored AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(term ORDER BY tok)), (acc, x) -> acc + x), 6) AS score
+  FROM grid GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
     "phrase_search": phrase_search,
     "percolate_alerts": percolate_alerts,
     "sparse_retrieval_topk": sparse_retrieval_topk,
+    "ql_dirichlet_search": ql_dirichlet_search,
 }
 ORACLES = {
     "bm25_search": BM25_SQL,
     "phrase_search": _phrase_sql(),
     "percolate_alerts": PERCOLATE_SQL,
     "sparse_retrieval_topk": SPARSE_RETRIEVAL_SQL,
+    "ql_dirichlet_search": QL_DIRICHLET_SQL,
 }

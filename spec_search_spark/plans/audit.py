@@ -1238,6 +1238,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
      ["CartesianProduct", "BatchEvalPython", "rangepartitioning(",
       "MapInPandas"]),
+    # QL/Dirichlet: candidate×query-term grid via broadcast NLJ of the
+    # ≤|Q|-row term table (candidate-bound, never corpus×terms);
+    # collection stats one-row broadcast; TakeOrdered cut
+    ("ql_dirichlet_search",
+     ["TakeOrderedAndProject", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "rangepartitioning(",
+      "MapInPandas"]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition
