@@ -60,10 +60,10 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _vocab(words: DataFrame) -> DataFrame:
-    """(piece, score_e6): seed pieces = top-SEED_V substrings of
-    length ≤ MAXP by weighted count, UNION all single characters
-    (guaranteeing every word segments); integer log-prob scores."""
+def _vocab0(words: DataFrame) -> DataFrame:
+    """(piece, cnt): seed pieces = top-SEED_V substrings of length
+    ≤ MAXP by weighted count, UNION all single characters
+    (guaranteeing every word segments)."""
     lens = F.sequence(F.lit(1), F.lit(MAXP))
     subs = words.select(
         "wcnt",
@@ -88,13 +88,17 @@ def _vocab(words: DataFrame) -> DataFrame:
     cnts = subs.groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
     top = cnts.orderBy(F.desc("cnt"), "piece").limit(SEED_V)
     chars = cnts.filter(F.length("piece") == 1)
-    vocab0 = (
+    return (
         top.unionByName(chars)
         .groupBy("piece")
         .agg(F.max("cnt").alias("cnt"))
     )
-    tot = vocab0.agg(F.sum("cnt").alias("t"))
-    return vocab0.crossJoin(F.broadcast(tot)).select(
+
+
+def _score(v0: DataFrame) -> DataFrame:
+    """(piece, cnt) → (piece, score_e6): integer log-probs."""
+    tot = v0.agg(F.sum("cnt").alias("t"))
+    return v0.crossJoin(F.broadcast(tot)).select(
         "piece",
         F.round((F.log("cnt") - F.log("t")) * 1_000_000, 0)
         .cast("bigint")
@@ -143,6 +147,11 @@ def _viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
         step = scored.groupBy("word", "wcnt").agg(
             F.max(F.struct("total", "neg_i", "seg")).alias("b")
         )
+        # checkpoint EVERY level: a lazy level is consumed by up to
+        # MAXP later arms, each re-deriving it from the previous
+        # checkpoint — tried alternating checkpoints to halve the
+        # per-level job overhead and the re-derivation compounded
+        # into a timeout instead; eager-per-level is the floor
         best[j] = step.select(
             "word",
             "wcnt",
@@ -163,7 +172,7 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (piece, n_tokens, prob)."""
     tune(spark)
     words = _words(spark, sf_dir)
-    vocab = _vocab(words)
+    vocab = _score(_vocab0(words))
     finals = _viterbi(words, vocab)
     segs = finals.select(
         "wcnt", F.explode(F.split("seg", "·")).alias("piece")
@@ -182,8 +191,163 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql() -> str:
-    head = f"""
+def unigram_lm_em_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece EM loop actually turning — one row per
+    iteration: the M-step re-scores pieces from the previous Viterbi
+    counts (pieces that won no segmentation are PRUNED; single
+    characters are floored at count 1, SentencePiece's required-char
+    rule) and the corpus re-segments under the new scores. The report
+    exposes what the loop changes: the vocabulary shrinks (seed prior
+    → segmentation winners) and the corpus log-likelihood under each
+    iteration's OWN model is the quantity EM drives. All columns are
+    exact integers (piece counts; LL in 10⁻⁶-nat units as the sum of
+    the integer Viterbi path scores weighted by word counts), so both
+    iterations carry a full value oracle — not just invariants.
+
+    Output: (iteration, vocab_pieces, n_tokens, ll_e6)."""
+    tune(spark)
+    words = _words(spark, sf_dir)
+    v0 = _vocab0(words)
+
+    def em_row(it: int, vocab: DataFrame, finals: DataFrame) -> DataFrame:
+        n_pieces = vocab.agg(F.count(F.lit(1)).alias("vocab_pieces"))
+        stats = finals.agg(
+            F.sum(
+                F.col("wcnt") * F.size(F.split("seg", "·"))
+            ).alias("n_tokens"),
+            F.sum(F.col("wcnt") * F.col("total")).alias("ll_e6"),
+        )
+        return n_pieces.crossJoin(stats).select(
+            F.lit(it).cast("bigint").alias("iteration"),
+            F.col("vocab_pieces").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.col("ll_e6").cast("bigint"),
+        )
+
+    vocab1 = _score(v0)
+    finals1 = _viterbi(words, vocab1)
+    counts1 = (
+        finals1.select("wcnt", F.explode(F.split("seg", "·")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+    keep_chars = (
+        v0.filter(F.length("piece") == 1)
+        .join(counts1.select("piece"), "piece", "left_anti")
+        .select("piece", F.lit(1).cast("bigint").alias("cnt"))
+    )
+    vocab2 = _score(counts1.unionByName(keep_chars))
+    finals2 = _viterbi(words, vocab2)
+    return (
+        em_row(1, vocab1, finals1)
+        .unionByName(em_row(2, vocab2, finals2))
+        .orderBy("iteration")
+    )
+
+
+def _dp_sql(sfx: str, vocab_name: str) -> str:
+    """The unrolled MAXW-level Viterbi chain with suffixed CTE names,
+    ending in finals{sfx} — reused by both EM iterations."""
+    parts = [
+        f""",
+best0{sfx} AS (SELECT word, wcnt, 0::BIGINT AS total, '' AS seg FROM words)"""
+    ]
+    for j in range(1, MAXW + 1):
+        arms = []
+        for i in range(max(0, j - MAXP), j):
+            arms.append(
+                f"""
+      SELECT b.word, b.wcnt, b.total + v.score_e6 AS total, {i} AS i,
+             CASE WHEN b.seg = '' THEN v.piece
+                  ELSE b.seg || '·' || v.piece END AS seg
+      FROM best{i}{sfx} b JOIN {vocab_name} v
+        ON v.piece = substr(b.word, {i} + 1, {j - i})
+      WHERE length(b.word) >= {j}"""
+            )
+        union = "\n      UNION ALL".join(arms)
+        parts.append(
+            f""",
+best{j}{sfx} AS MATERIALIZED (
+  SELECT word, wcnt, total, seg FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+                                 ORDER BY total DESC, i ASC) AS rn
+    FROM ({union})
+  ) WHERE rn = 1
+)"""
+        )
+    finals = "\n  UNION ALL ".join(
+        f"SELECT wcnt, total, seg FROM best{j}{sfx} WHERE length(word) = {j}"
+        for j in range(1, MAXW + 1)
+    )
+    parts.append(
+        f""",
+finals{sfx} AS MATERIALIZED (
+  {finals}
+)"""
+    )
+    return "".join(parts)
+
+
+def _out_sql(finals_name: str) -> str:
+    return f""",
+pieces AS (
+  SELECT unnest(string_split(seg, '·')) AS piece, wcnt FROM {finals_name}
+),
+out AS (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_tokens
+  FROM pieces GROUP BY piece
+),
+ot AS (SELECT sum(n_tokens) AS t FROM out)
+SELECT piece, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / t, 6) AS prob
+FROM out, ot
+ORDER BY n_tokens DESC, piece
+LIMIT {TOP_OUT}"""
+
+
+def _em_report_sql() -> str:
+    mstep = f""",
+counts1 AS MATERIALIZED (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM (SELECT wcnt, unnest(string_split(seg, '·')) AS piece FROM finals)
+  GROUP BY piece
+),
+keep_chars AS (
+  SELECT piece, 1::BIGINT AS cnt FROM vocab0
+  WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM counts1)
+),
+v2 AS (SELECT * FROM counts1 UNION ALL SELECT * FROM keep_chars),
+tot2 AS (SELECT sum(cnt) AS t FROM v2),
+vocab2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round((ln(cnt) - ln(t)) * 1000000, 0) AS BIGINT) AS score_e6
+  FROM v2, tot2
+)"""
+    row = """
+  SELECT CAST({it} AS BIGINT) AS iteration,
+         (SELECT CAST(count(*) AS BIGINT) FROM {vocab}) AS vocab_pieces,
+         (SELECT CAST(sum(wcnt * len(string_split(seg, '·'))) AS BIGINT)
+          FROM {finals}) AS n_tokens,
+         (SELECT CAST(sum(wcnt * total) AS BIGINT)
+          FROM {finals}) AS ll_e6"""
+    tail = (
+        "\n"
+        + row.format(it=1, vocab="vocab", finals="finals")
+        + "\nUNION ALL"
+        + row.format(it=2, vocab="vocab2", finals="finals_2")
+        + "\nORDER BY iteration"
+    )
+    return (
+        _head_sql()
+        + _dp_sql("", "vocab")
+        + mstep
+        + _dp_sql("_2", "vocab2")
+        + tail
+    )
+
+
+def _head_sql() -> str:
+    return f"""
 WITH toks AS (
   SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
   FROM documents WHERE trim(text) <> ''
@@ -213,55 +377,18 @@ vocab AS MATERIALIZED (
   SELECT piece,
          CAST(round((ln(cnt) - ln(t)) * 1000000, 0) AS BIGINT) AS score_e6
   FROM vocab0, tot
-),
-best0 AS (SELECT word, wcnt, 0::BIGINT AS total, '' AS seg FROM words)"""
-    steps = []
-    for j in range(1, MAXW + 1):
-        arms = []
-        for i in range(max(0, j - MAXP), j):
-            arms.append(
-                f"""
-      SELECT b.word, b.wcnt, b.total + v.score_e6 AS total, {i} AS i,
-             CASE WHEN b.seg = '' THEN v.piece
-                  ELSE b.seg || '·' || v.piece END AS seg
-      FROM best{i} b JOIN vocab v
-        ON v.piece = substr(b.word, {i} + 1, {j - i})
-      WHERE length(b.word) >= {j}"""
-            )
-        union = "\n      UNION ALL".join(arms)
-        steps.append(
-            f""",
-best{j} AS MATERIALIZED (
-  SELECT word, wcnt, total, seg FROM (
-    SELECT *, row_number() OVER (PARTITION BY word
-                                 ORDER BY total DESC, i ASC) AS rn
-    FROM ({union})
-  ) WHERE rn = 1
 )"""
-        )
-    finals = "\n  UNION ALL ".join(
-        f"SELECT wcnt, seg FROM best{j} WHERE length(word) = {j}"
-        for j in range(1, MAXW + 1)
-    )
-    tail = f""",
-finals AS MATERIALIZED (
-  {finals}
-),
-pieces AS (
-  SELECT unnest(string_split(seg, '·')) AS piece, wcnt FROM finals
-),
-out AS (
-  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_tokens
-  FROM pieces GROUP BY piece
-),
-ot AS (SELECT sum(n_tokens) AS t FROM out)
-SELECT piece, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / t, 6) AS prob
-FROM out, ot
-ORDER BY n_tokens DESC, piece
-LIMIT {TOP_OUT}"""
-    return head + "".join(steps) + tail
 
 
-QUERIES = {"unigram_lm_segmentation": unigram_lm_segmentation}
-ORACLES = {"unigram_lm_segmentation": _sql()}
+def _sql() -> str:
+    return _head_sql() + _dp_sql("", "vocab") + _out_sql("finals")
+
+
+QUERIES = {
+    "unigram_lm_segmentation": unigram_lm_segmentation,
+    "unigram_lm_em_report": unigram_lm_em_report,
+}
+ORACLES = {
+    "unigram_lm_segmentation": _sql(),
+    "unigram_lm_em_report": _em_report_sql(),
+}

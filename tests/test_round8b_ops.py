@@ -160,3 +160,16 @@ def test_rm3_expansion_behavior(spark, sf_dir):
     plain = [r["doc_id"] for r in bm25_search(spark, sf_dir).collect()]
     expanded = [r["doc_id"] for r in rm3_expanded_search(spark, sf_dir).collect()]
     assert plain != expanded
+
+
+def test_unigram_em_report_guarantees(spark, sf_dir):
+    """EM monotonicity: iteration-2 corpus log-likelihood (under its
+    own model) must not decrease, the vocabulary must shrink or hold
+    (pruning), and token totals stay consistent."""
+    from spec_search_spark.operators.unigram_lm import unigram_lm_em_report
+
+    r1, r2 = unigram_lm_em_report(spark, sf_dir).collect()
+    assert (r1["iteration"], r2["iteration"]) == (1, 2)
+    assert r2["ll_e6"] >= r1["ll_e6"]
+    assert r2["vocab_pieces"] <= r1["vocab_pieces"]
+    assert r1["n_tokens"] > 0 and r2["n_tokens"] > 0
