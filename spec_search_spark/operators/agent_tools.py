@@ -118,13 +118,20 @@ class SheetAgentToolkit:
 
     def _write_grid(self, sheet_name: str, values: list[list[str | None]]) -> None:
         """Replace the named sheet file wholesale (the batch sink's
-        per-file commit): one row per grid row."""
+        per-file commit): one row per grid row.
+
+        Uses mode("append"): the non-overwrite commit path replaces only
+        the named file (``_merge_into_dir`` with overlay=False rewrites
+        each file appearing in the batch from its full grid), which is
+        the intended per-file semantics.  mode("overwrite") would first
+        delete EVERY ``*.sheet.json`` in the store, silently destroying
+        other agent-created sheets."""
         rows = [
             (AGENT_FILE_ID, sheet_name, 100 + AGENT_FILE_ID, AGENT_TAB, i, v)
             for i, v in enumerate(values)
         ]
         df = self.spark.createDataFrame(rows, GRID_SCHEMA)
-        df.write.format("sheets").mode("overwrite").save(self.store_dir)
+        df.write.format("sheets").mode("append").save(self.store_dir)
 
     def _read_all(self, sheet_name: str) -> list[list[str | None]]:
         rows = self._grid(sheet_name).select("row_idx", "cells").collect()
@@ -375,19 +382,43 @@ class RuleBasedPlanner:
 
 MAX_STEPS = 8
 
+# Explicit tool whitelist: the planner seam is documented as swappable
+# for a hosted LLM, and a model-emitted tool name must never reach
+# getattr on the toolkit (which would expose private methods like
+# _write_grid, or `spark` itself).  Unknown names become a "no such
+# tool" observation the planner can react to.
+TOOL_NAMES = (
+    "read_cell",
+    "write_cell",
+    "read_values",
+    "write_values",
+    "create_sheet",
+    "suggest_data_type",
+    "read_table_top",
+    "aggregate_range",
+    "search_cells",
+)
+
 
 def run_react(
     toolkit: SheetAgentToolkit, planner, message: str
 ) -> list[Step]:
     """The ReAct loop (`sheet_creator_tool.py:162-180` graph.stream):
     plan → act → observe, until Final or the step budget."""
+    tools = {name: getattr(toolkit, name) for name in TOOL_NAMES}
     steps: list[Step] = []
     for _ in range(MAX_STEPS):
         action = planner.next_action(message, steps)
         if isinstance(action, Final):
             steps.append(Step("final", "", action.answer))
             return steps
-        obs = getattr(toolkit, action.tool)(**action.args)
+        fn = tools.get(action.tool)
+        if fn is None:
+            steps.append(
+                Step(action.tool, action.target, f"no such tool: {action.tool}")
+            )
+            continue
+        obs = fn(**action.args)
         if not isinstance(obs, str):
             obs = ";".join("|".join(str(c) for c in row) for row in obs)
         steps.append(Step(action.tool, action.target, obs))

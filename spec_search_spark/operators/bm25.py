@@ -441,7 +441,12 @@ def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collection model P(t|C) = cf(t)/|C|. Docs missing a query
     term still pay the smoothed penalty, so the sum runs over ALL
     (candidate doc, query term) pairs — candidates are docs matching
-    ≥1 term (any non-candidate scores strictly lower by construction).
+    ≥1 term. NOTE: restricting scoring to matching docs is the
+    standard Anserini/Indri convention, not a proven lower bound —
+    under Dirichlet smoothing a very short non-matching doc's penalty
+    ln(μ·P(t|C)/(dl+μ)) can exceed a long candidate's score, so the
+    candidates-only top-K may differ from the all-docs QL ranking.
+    Both this engine and the oracle apply the same restriction.
 
     Scale shape (bm25's): postings filtered to query tokens right
     after the explode; collection stats are a ≤|Q|-row broadcast and

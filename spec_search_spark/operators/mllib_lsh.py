@@ -120,6 +120,16 @@ def mllib_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocabSize=1 << 20,
     )
     model_cv = cv.fit(toks)
+    # Enforce the "holds EVERY shingle" claim: if the distinct shingle
+    # count ever exceeds the CountVectorizer cap at a larger scale
+    # factor, fail loudly instead of letting top-by-df truncation
+    # silently reintroduce nondeterministic Jaccard estimates.
+    if len(model_cv.vocabulary) >= (1 << 20):
+        raise ValueError(
+            "mllib_minhash_near_dup: shingle vocabulary hit the "
+            "CountVectorizer vocabSize cap (1<<20); raise the cap or "
+            "widen the shingle width before trusting vector Jaccard"
+        )
     # Pin the vectorized table: approxSimilarityJoin references each
     # side's full lineage several times (hash transform per side, then
     # the candidate distance stage), so an unpersisted vecs re-runs

@@ -1519,10 +1519,20 @@ def stream_winnowing_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_winnowing_sql() -> str:
     from spec_search_spark.operators.winnowing import _SEL_SQL
 
+    # per_doc is built by LEFT JOINing documents to fps so a document
+    # whose normalized text is shorter than K+W-1 chars (zero
+    # fingerprints) still counts in n_docs/avg_fps with n_fp=0 — the
+    # streaming side counts EVERY arriving doc (telemetry semantics),
+    # unlike the batch sibling which inventories only fingerprinted
+    # docs. Deriving per_doc from fps alone would silently diverge the
+    # moment a short document enters the fixture.
     return f"""
 WITH {_SEL_SQL},
 per_doc AS (
-  SELECT source, doc_id, count(*) AS n_fp FROM fps GROUP BY source, doc_id
+  SELECT d.source, d.doc_id, count(f.doc_id) AS n_fp
+  FROM documents d LEFT JOIN fps f
+    ON d.doc_id = f.doc_id AND d.source = f.source
+  GROUP BY d.source, d.doc_id
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
