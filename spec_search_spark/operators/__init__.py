@@ -13,6 +13,7 @@ def all_queries():
         behavior,
         bm25,
         bucketed,
+        corpus_build,
         corpus_info,
         dedup,
         drift,
@@ -71,6 +72,7 @@ def all_queries():
         drift,
         rank_stats,
         corpus_info,
+        corpus_build,
         span_dedup,
         similarity,
         multimodal,

@@ -1192,14 +1192,22 @@ def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_report_from_counts(per)
 
 
-def funnel_staged(docs: DataFrame) -> DataFrame:
-    """(source, stage) per document — the per-row gate cascade, pure
-    codegen; shared verbatim by the streaming twin so batch and stream
-    charge every document to the identical gate."""
+def funnel_staged(
+    docs: DataFrame,
+    keys: tuple[str, ...] = ("source",),
+    extras: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*keys, *extras, stage) per document — the per-row gate cascade,
+    pure codegen; shared verbatim by the streaming twin
+    (keys=('source',)) and the corpus-build flagship
+    (keys=('doc_id','source'), extras=('nt',)) so every consumer
+    charges each document to the identical gate. `extras` exposes the
+    gate's own intermediate measures (nc/nt/sl/nstop/nd) so a caller
+    that also needs the token count pays one scan, not a re-tokenize."""
     toks = tokens(F.col("text"))
     stops = ", ".join(f"'{w}'" for w in FUNNEL_STOPS)
     return docs.select(
-        "source",
+        *keys,
         F.col("n_chars").alias("nc"),
         F.size(toks).cast("bigint").alias("nt"),
         F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("sl"),
@@ -1208,7 +1216,8 @@ def funnel_staged(docs: DataFrame) -> DataFrame:
         ).alias("nstop"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
     ).select(
-        "source",
+        *keys,
+        *extras,
         F.expr(
             f"""CASE
               WHEN nc < {FUNNEL_MIN_CHARS} THEN 'len'

@@ -961,12 +961,33 @@ def semantic_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus.
 
     Scale: stage-2 cost is O(k) per query regardless of corpus size —
-    the expensive model never sees more than RERANK_DEPTH candidates,
-    and stage 1 remains a TakeOrderedAndProject.
+    the expensive model never sees more than RERANK_DEPTH candidates.
+    Stage 1 is the partial_topk shape, NOT an intermediate
+    orderBy+limit: composed under more operators, Spark plans
+    orderBy(...).limit(k) as a full rangepartitioning shuffle of the
+    scored corpus + Sort + limit (the interior-range-exchange audit
+    caught exactly this in r9), so the candidate cut here is the
+    per-input-partition Arrow top-k followed by one bounded window
+    over ≤ RERANK_DEPTH × n_partitions survivor rows — the corpus
+    never exchanges. The final TOP_K reorder is terminal and plans as
+    TakeOrderedAndProject.
     """
     from spec_search_spark.operators.dedup import _poly_hash
 
-    cands = semantic_search(spark, sf_dir, HYBRID_QUERY, RERANK_DEPTH)
+    index = build_index(spark, sf_dir)
+    probe = F.array(*[F.lit(x) for x in embed_text_local(HYBRID_QUERY, DEFAULT_DIM)])
+    scored = (
+        index.withColumn("dist2", F.round(l2_squared(F.col("embedding"), probe), 6))
+        .select("id", "doc_id", "chunk_idx", "chunk", "dist2")
+        .withColumn("q", F.lit(0))
+    )
+    local = partial_topk(scored, "q", ["dist2", "id"], RERANK_DEPTH)
+    w = W.partitionBy("q").orderBy(F.asc("dist2"), F.asc("id"))
+    cands = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RERANK_DEPTH)
+        .drop("rn", "q")
+    )
     score = (
         F.pmod(_poly_hash(F.concat(F.lit(HYBRID_QUERY + "||"), F.col("chunk"))), F.lit(100000))
         .cast("bigint")

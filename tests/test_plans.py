@@ -176,3 +176,19 @@ def test_no_vacuous_forbid_fragments(spark, sf_dir):
     )
     assert window_over_single_partition(plan_of(bad))
     assert not window_over_single_partition(plan_of(good))
+
+    # the STRUCTURAL interior-range-exchange check likewise: a global
+    # sort FEEDING MORE WORK (agg above it) must trip it, a final
+    # result orderBy (with or without a presentation projection) must
+    # not, and a plan with no range exchange at all must not
+    from spec_search_spark.plans.audit import interior_range_partitioning
+
+    # (a plain orderBy below an agg would be eliminated by Catalyst's
+    # EliminateSorts — force the interior range exchange explicitly)
+    interior = a.repartitionByRange("id").groupBy("k").count()
+    result_sorted = a.groupBy("k").count().orderBy("k")
+    projected = a.groupBy("k").count().orderBy("k").select("k")
+    assert interior_range_partitioning(plan_of(interior))
+    assert not interior_range_partitioning(plan_of(result_sorted))
+    assert not interior_range_partitioning(plan_of(projected))
+    assert not interior_range_partitioning(plan_of(a.groupBy("k").count()))
