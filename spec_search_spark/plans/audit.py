@@ -1285,14 +1285,17 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("winnowing_containment_pairs",
      ["ArrowEvalPython", "TakeOrderedAndProject", "partial_count"],
      ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
-    # unigram LM: the DP rounds are checkpointed (Scan ExistingRDD is
-    # the finals table — the HITS materialization pattern); the M-step
-    # is one partial+final sum; the one-row total is a broadcast NLJ;
-    # final cut TakeOrdered — the corpus never sorts
+    # unigram LM (r9 row-local DP): the Viterbi recurrence folds
+    # inside ONE codegen'd aggregate over a bounded score-map literal —
+    # no Python hop of any kind, no checkpoint chain; the pinned word
+    # table reads back as InMemoryTableScan; the M-step is one
+    # partial+final sum; the one-row total is a broadcast NLJ; final
+    # cut TakeOrdered — the corpus never sorts
     ("unigram_lm_segmentation",
-     ["Scan ExistingRDD", "TakeOrderedAndProject", "partial_sum",
+     ["InMemoryTableScan", "TakeOrderedAndProject", "partial_sum",
       "BroadcastNestedLoopJoin"],
-     ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
+     ["CartesianProduct", "BatchEvalPython", "MapInPandas",
+      "ArrowEvalPython", "rangepartitioning("]),
     # RM3: the data-dependent expanded term set joins corpus postings
     # via BROADCAST (no static IN list possible); feedback-model
     # estimation is bounded by FB_DOCS; final cut TakeOrdered
