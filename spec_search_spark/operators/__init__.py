@@ -48,6 +48,7 @@ def all_queries():
         text_analysis,
         tpch_extra,
         unigram_lm,
+        url_ops,
         vector_quant,
         windows,
         winnowing,
@@ -91,6 +92,7 @@ def all_queries():
         mllib_lsh,
         tpch_extra,
         unigram_lm,
+        url_ops,
         extensibility,
         fuzzy,
         graph,

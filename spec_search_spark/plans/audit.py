@@ -335,6 +335,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_sum", "BroadcastHashJoin", "InMemoryTableScan",
       "Scan ExistingRDD"],
      ["CartesianProduct", "BatchEvalPython", "MapInPandas"]),
+    # URL canonicalization: synth + canonicalize are ONE codegen
+    # projection over the scan (no join, no Python); the two distinct
+    # aggs collapse map-side (partial_count)
+    # (the result orderBy is the one legit range exchange — covered by
+    # the structural interior-range loop, not a blanket forbid)
+    ("url_canonicalize_dedup",
+     ["partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+      "MapInPandas", "SortMergeJoin", "Window"]),
+    # domain concentration: per-domain partial+final agg, one-row total
+    # broadcasts back (BNLJ), TakeOrdered cut — never a global sort
+    ("domain_distribution_report",
+     ["partial_count", "BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+      "MapInPandas", "Window", "rangepartitioning("]),
     # stratified gate: skew-proof rank — row_number windows partition
     # by (source, bucket) with broadcast bounds/offset/total joins;
     # never a source-only window (one giant source = one task) and
