@@ -206,7 +206,17 @@ WHERE text IS NOT NULL AND text <> ''
 """
 
 
-STREAM_FILES_PER_WAVE = 2  # feed arrival pacing: forces multi-epoch progress
+STREAM_WAVES_TARGET = 8  # feed arrival pacing: the correctness property
+# under test is that offset planning neither drops nor replays a file
+# across SEVERAL distinct arrival epochs — a property of the epoch
+# machinery, not of the epoch COUNT. r8 paced 2 files/wave, so the wave
+# count grew with the fixture (42 serial micro-batches at sf0.1) and
+# the slot spent 15.5s in pure per-epoch overhead (~0.35s each:
+# Python-DataSource offset planning + partition planning + worker
+# round-trips per batch — the irreducible per-micro-batch floor of a
+# Python streaming source). Pacing a FIXED number of waves keeps the
+# multi-epoch proof at every scale factor with scale-invariant drain
+# time (~3s at sf0.1).
 
 
 def feed_files_in_waves(fixture: str, feed: str, q, per_wave: int) -> int:
@@ -230,8 +240,9 @@ def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom DataSource's streaming READ path (completing the
     surface: batch read + pushdown + batch write + streaming sink +
     now a streaming source): readStream over a feed directory that
-    files ARRIVE in (STREAM_FILES_PER_WAVE copied per wave, stream
-    drained between waves), then folded to per-file grid statistics.
+    files ARRIVE in (STREAM_WAVES_TARGET waves, stream drained
+    between waves — see the pacing note at STREAM_WAVES_TARGET), then
+    folded to per-file grid statistics.
 
     Oracle: the fixture layout is deterministic arithmetic over
     `documents` (same placement as sheets_source_unpivot), so DuckDB
@@ -257,7 +268,11 @@ def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        feed_files_in_waves(fixture, feed, q, STREAM_FILES_PER_WAVE)
+        n_files = len(
+            [f for f in os.listdir(fixture) if f.endswith(SHEET_SUFFIX)]
+        )
+        per_wave = max(2, -(-n_files // STREAM_WAVES_TARGET))
+        feed_files_in_waves(fixture, feed, q, per_wave)
     finally:
         q.stop()
     rows = spark.table(name)
