@@ -113,6 +113,39 @@ def test_write_values_overlay_preserves_header(toolkit):
     assert total == "sum(A2:A3) = 4"
 
 
+def test_write_preserves_other_sheets(toolkit):
+    """ADVICE r8: the sink's overwrite commit deletes EVERY sheet file
+    in the store, so a write to sheet B must not destroy sheet A —
+    _write_grid must take the per-file append path."""
+    toolkit.create_sheet("alpha", ["a"])
+    toolkit.write_cell("alpha", "A2", "keep-me")
+    toolkit.create_sheet("beta", ["b"])
+    toolkit.write_cell("beta", "A2", "other")
+    assert toolkit.read_cell("alpha", "A2") == "keep-me"
+    assert toolkit.read_cell("alpha", "A1") == "a"
+    assert toolkit.read_cell("beta", "A2") == "other"
+
+
+def test_react_rejects_unknown_tool(toolkit):
+    """ADVICE r8: a planner-emitted tool name outside the whitelist
+    (e.g. a private method or 'spark') must surface as a 'no such
+    tool' observation, never reach getattr."""
+
+    class _Evil:
+        def __init__(self):
+            self.calls = 0
+
+        def next_action(self, message, steps):
+            self.calls += 1
+            if self.calls == 1:
+                return ToolCall("_write_grid", {"sheet_name": "x", "values": []}, "")
+            return Final("done")
+
+    steps = run_react(toolkit, _Evil(), "anything")
+    assert steps[0].observation == "no such tool: _write_grid"
+    assert steps[-1].observation == "done"
+
+
 def test_transcript_deterministic_and_complete(spark, sf_dir):
     t1 = agent_tool_transcript(spark, sf_dir).collect()
     t2 = agent_tool_transcript(spark, sf_dir).collect()
