@@ -1,0 +1,75 @@
+"""URL canonicalization unit cases: hand-written messy→canonical
+pairs pin each rule independently of the synthetic generator (which
+the DuckDB oracle already cross-checks end-to-end)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+CASES = [
+    # scheme+host lowercase, default https port, www, trailing slash,
+    # tracking param, fragment — all at once
+    (
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=3#frag",
+        "https://example.com/a/b?id=3",
+    ),
+    # http default port + root path collapses to empty
+    ("http://sub.Example.org:80/", "http://sub.example.org"),
+    # already canonical stays byte-identical
+    ("https://example.co.uk/p", "https://example.co.uk/p"),
+    # tracking-only query drops the '?' entirely
+    ("http://a.com/x?utm_medium=m", "http://a.com/x"),
+    # kept params preserve their order; gclid/fbclid/ref stripped
+    (
+        "http://a.com/x?b=2&gclid=g&a=1&ref=r",
+        "http://a.com/x?b=2&a=1",
+    ),
+    # non-default port survives
+    ("https://a.com:8443/x", "https://a.com:8443/x"),
+    # www stripped even ahead of a deeper subdomain
+    ("https://www.blog.dom3.co.uk/p/", "https://blog.dom3.co.uk/p"),
+]
+
+DOMAIN_CASES = [
+    ("blog.dom3.co.uk", "dom3.co.uk"),
+    ("www.x.example.com", "example.com"),
+    ("example.org", "example.org"),
+    ("cdn.dom0.com", "dom0.com"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from spec_search_spark.operators.url_ops import canonical_url
+
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    got = [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_url_sql_mirror_matches(spark):
+    """The DuckDB-side canonicalizer produces the same strings on the
+    hand-written cases (the oracle only exercises generator output)."""
+    import duckdb
+
+    from spec_search_spark.operators.url_ops import _canon_sql
+
+    con = duckdb.connect()
+    for raw, want in CASES:
+        got = con.execute(
+            f"SELECT {_canon_sql('url')} FROM (SELECT ? AS url)", [raw]
+        ).fetchone()[0]
+        assert got == want, (raw, got, want)
+
+
+def test_registrable_domain_cases(spark):
+    from spec_search_spark.operators.url_ops import registrable_domain
+
+    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], ["h"])
+    got = [
+        r["d"]
+        for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in DOMAIN_CASES]
