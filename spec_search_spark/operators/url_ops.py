@@ -122,14 +122,13 @@ def _synth_url(c: Column, m: Column) -> Column:
     )
 
 
-def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, url): two synthetic messy URLs per document.
-    EVEN doc_ids share the content seed between their two URLs (same
-    canonical resource, different mess — the share-link-with-tracking-
-    junk case dedup exists for); odd doc_ids get two distinct
-    resources."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+def urls_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, url) from any (doc_id, source, ...) frame —
+    two synthetic messy URLs per document; shared verbatim by the
+    batch queries and the streaming twin. EVEN doc_ids share the
+    content seed between their two URLs (same canonical resource,
+    different mess — the share-link-with-tracking-junk case dedup
+    exists for); odd doc_ids get two distinct resources."""
     d = F.col("doc_id")
     c2 = F.when(d % 2 == 0, d).otherwise(d + _K_OFFSET)
     return docs.select(
@@ -138,6 +137,13 @@ def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(_synth_url(d, d), _synth_url(c2, d + 17))
         ).alias("url"),
+    )
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return urls_from_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
 
 

@@ -1544,6 +1544,69 @@ ORDER BY source
 """
 
 
+
+
+def stream_url_canonical_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-level dedup on the ingest feed (batch sibling:
+    `url_ops.url_canonicalize_dedup`): each arriving document's two
+    synthetic URLs are canonicalized ROW-LOCALLY by the shared codegen
+    chain, then streaming dropDuplicates on (source, canonical) feeds
+    a per-source distinct count — the live "how much of the crawl is
+    URL-duplicate" monitor. State is one row per distinct canonical
+    URL; a production deployment bounds it with
+    dropDuplicatesWithinWatermark on the arrival time (URL re-shares
+    cluster in time), which changes the eviction policy, not the plan.
+
+    Output: (source, n_canon_distinct) — the batch report's canonical
+    column, same oracle fragment."""
+    from spec_search_spark.operators.url_ops import canonical_url, urls_from_docs
+
+    tune(spark)
+    name = f"urldedup_stream_{uuid.uuid4().hex[:8]}"
+    static_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    docs = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    canon = urls_from_docs(docs).select(
+        "source", canonical_url(F.col("url")).alias("canon")
+    )
+    agg = (
+        canon.dropDuplicates(["source", "canon"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_canon_distinct"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_urldedup_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _drained(spark, name, ckpt).orderBy("source")
+
+
+def _stream_url_dedup_sql() -> str:
+    from spec_search_spark.operators.url_ops import _URLS_SQL, _canon_sql
+
+    return f"""
+WITH urls AS ({_URLS_SQL})
+SELECT source,
+       CAST(count(DISTINCT {_canon_sql('url')}) AS BIGINT) AS n_canon_distinct
+FROM urls
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts_query,
     "stream_dedup_pairs": stream_dedup_pairs_query,
@@ -1569,6 +1632,7 @@ QUERIES = {
     "stream_roc_auc": stream_roc_auc_query,
     "stream_t_closeness": stream_t_closeness_query,
     "stream_winnowing_stats": stream_winnowing_stats_query,
+    "stream_url_canonical_dedup": stream_url_canonical_dedup_query,
 }
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
@@ -1595,6 +1659,7 @@ ORACLES = {
     "stream_roc_auc": _stream_roc_auc_sql(),
     "stream_t_closeness": _stream_tclose_sql(),
     "stream_winnowing_stats": _stream_winnowing_sql(),
+    "stream_url_canonical_dedup": _stream_url_dedup_sql(),
 }
 
 
