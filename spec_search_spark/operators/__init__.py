@@ -39,6 +39,7 @@ def all_queries():
         rm3,
         runtime_filter,
         scalar_sql,
+        search_pipeline,
         sheets_connector,
         sheets_pipeline,
         similarity,
@@ -85,6 +86,7 @@ def all_queries():
         maintenance,
         ml,
         mmr,
+        search_pipeline,
         rm3,
         runtime_filter,
         sketches,

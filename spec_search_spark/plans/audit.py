@@ -1443,6 +1443,26 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
         results.append(
             ("mmr_diversified_topk[candidates]", f"forbids `{frag}`",
              frag not in mmr_plan))
+    # search_pipeline_e2e's corpus-scale phase is the hybrid pool
+    # (both retrieval arms TakeOrdered at arm depth + the pooled-
+    # embedding join); the greedy runs driver-side over its ≤ TOP_K
+    # rows (LocalTableScan — nothing to audit there). Same pattern as
+    # the MMR candidate audit above.
+    from spec_search_spark.operators.search_pipeline import _pool
+
+    sp_plan = plan_of(_pool(spark, sf_dir))
+    for frag in ("TakeOrderedAndProject", "BroadcastHashJoin"):
+        results.append(
+            ("search_pipeline_e2e[pool]", f"requires `{frag}`",
+             frag in sp_plan))
+    for frag in ("CartesianProduct", "BatchEvalPython"):
+        results.append(
+            ("search_pipeline_e2e[pool]", f"forbids `{frag}`",
+             frag not in sp_plan))
+    results.append(
+        ("search_pipeline_e2e[pool]",
+         "rangepartitioning only as the result sort (structural)",
+         not interior_range_partitioning(sp_plan)))
     return results
 
 
