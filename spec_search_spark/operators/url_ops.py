@@ -425,12 +425,78 @@ LIMIT {TOP_DOMAINS}
 """
 
 
+
+
+def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the URL-level dedup: one survivor row per canonical URL
+    (earliest doc_id, then raw-url tiebreak — deterministic and
+    recomputable from the keys alone), reported per source as
+    kept/dropped counts — the step that actually materializes the
+    FineWeb URL pass before MinHash ever runs.
+
+    Scale: the survivor window partitions by the canonical URL —
+    millions of small groups, never a hot single partition (group size
+    = variant count of one resource, bounded in practice by the mess
+    axes); one shuffle on canon, one partial+final per-source agg.
+
+    Output: (source, n_urls, n_kept, n_dropped, keep_ratio)."""
+    from pyspark.sql.window import Window as _W
+
+    urls = _urls(spark, sf_dir)
+    canon = urls.withColumn("canon", canonical_url(F.col("url")))
+    w = _W.partitionBy("canon").orderBy("doc_id", "url")
+    flagged = canon.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+    snap = F.expr(
+        "cast(round(n_kept / cast(n_urls as double) * 1e6) as bigint) / 1e6"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("int")).cast("bigint").alias("n_dropped"),
+        )
+        .select("source", "n_urls", "n_kept", "n_dropped", snap.alias("keep_ratio"))
+        .orderBy("source")
+    )
+
+
+URL_SURVIVORS_SQL = f"""
+WITH urls AS ({{_URLS_SQL}}),
+canon AS (
+  SELECT doc_id, source, url, {{canon_expr}} AS canon FROM urls
+),
+flagged AS (
+  SELECT source,
+         (row_number() OVER (PARTITION BY canon ORDER BY doc_id, url) = 1)
+           AS kept
+  FROM canon
+),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+  FROM flagged GROUP BY source
+)
+SELECT source, n_urls, n_kept, n_dropped,
+       CAST(round(n_kept / CAST(n_urls AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+         AS keep_ratio
+FROM per
+ORDER BY source
+""".format(_URLS_SQL=_URLS_SQL, canon_expr=_canon_sql('url'))
+
+
 QUERIES = {
     "url_canonicalize_dedup": url_canonicalize_dedup,
+    "url_dedup_survivors": url_dedup_survivors,
     "domain_distribution_report": domain_distribution_report,
 }
 
 ORACLES = {
     "url_canonicalize_dedup": URL_CANON_SQL,
+    "url_dedup_survivors": URL_SURVIVORS_SQL,
     "domain_distribution_report": DOMAIN_DIST_SQL,
 }

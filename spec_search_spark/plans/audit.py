@@ -344,6 +344,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["partial_count"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
       "MapInPandas", "SortMergeJoin", "Window"]),
+    # URL survivor selection: the one window partitions by the
+    # canonical URL (millions of small groups), then a partial+final
+    # per-source agg — no Python, no pair join, no global sort beyond
+    # the result orderBy (structural loop)
+    ("url_dedup_survivors",
+     ["Window", "hashpartitioning(canon", "partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+      "MapInPandas", "SortMergeJoin"]),
     # domain concentration: per-domain partial+final agg, one-row total
     # broadcasts back (BNLJ), TakeOrdered cut — never a global sort
     ("domain_distribution_report",
