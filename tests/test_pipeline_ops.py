@@ -360,3 +360,29 @@ def test_quality_funnel_wordlen_gate_fires_on_fixture(spark, tmp_path):
         (r[0], r[1]): r[2] for r in con.sql(QUALITY_FUNNEL_SQL).fetchall()
     }
     assert oracle == got
+
+
+def test_corpus_build_funnel_invariants(spark, sf_dir):
+    """The composed funnel is monotone (each stage's survivors are a
+    subset of the previous stage's, per source, docs AND tokens) and
+    the shard stage is exactly balanced (|max - min| <= 1 docs) and
+    conserves the mix_sample survivors."""
+    from collections import defaultdict
+
+    from spec_search_spark.operators.corpus_build import corpus_build_pipeline
+
+    rows = corpus_build_pipeline(spark, sf_dir).collect()
+    by_stage = defaultdict(dict)
+    for r in rows:
+        by_stage[r["stage_idx"]][r["grp"]] = (r["docs"], r["tokens"])
+    for i in range(1, 6):
+        for grp, (d, t) in by_stage[i].items():
+            pd, pt = by_stage[i - 1][grp]
+            assert d <= pd and t <= pt, (i, grp, d, pd, t, pt)
+    shard_docs = [d for d, _t in by_stage[6].values()]
+    final_docs = sum(d for d, _t in by_stage[5].values())
+    final_toks = sum(t for _d, t in by_stage[5].values())
+    assert sum(shard_docs) == final_docs
+    assert sum(t for _d, t in by_stage[6].values()) == final_toks
+    if shard_docs:
+        assert max(shard_docs) - min(shard_docs) <= 1, shard_docs

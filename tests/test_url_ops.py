@@ -73,3 +73,39 @@ def test_registrable_domain_cases(spark):
         for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()
     ]
     assert got == [want for _, want in DOMAIN_CASES]
+
+
+def test_canonical_url_idempotent_on_synth_space(spark, sf_dir):
+    """canonical(canonical(u)) == canonical(u) over the full synthetic
+    URL space — canonicalization must be a projection (running the
+    pass twice in a pipeline is a no-op, not a further rewrite)."""
+    from spec_search_spark.operators.url_ops import _urls, canonical_url
+
+    urls = _urls(spark, sf_dir)
+    twice = urls.select(
+        canonical_url(F.col("url")).alias("c1")
+    ).select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    )
+    diff = twice.filter(F.col("c1") != F.col("c2")).count()
+    assert diff == 0
+
+
+def test_url_survivors_partition_counts(spark, sf_dir):
+    """kept + dropped == urls per source, and kept == global distinct
+    canonical count (each canonical elects exactly one survivor)."""
+    from spec_search_spark.operators.url_ops import (
+        _urls,
+        canonical_url,
+        url_dedup_survivors,
+    )
+
+    rows = url_dedup_survivors(spark, sf_dir).collect()
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_urls"] for r in rows)
+    n_canon = (
+        _urls(spark, sf_dir)
+        .select(canonical_url(F.col("url")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in rows) == n_canon
