@@ -67,7 +67,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.operators.dedup import (
@@ -92,6 +91,7 @@ from spec_search_spark.operators.pipeline_ops import (
     _FUNNEL_STOPS,
     _FUNNEL_TOKS,
     funnel_staged,
+    shard_rank,
 )
 from spec_search_spark.operators.span_dedup import _HITS_SQL, span_dup_ratio
 from spec_search_spark.session import tune
@@ -200,7 +200,11 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _poly_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
         F.lit(SAMPLE_MOD),
     )
-    f5t = flags.join(F.broadcast(w), "source", "left").select(
+    # f5t is consumed by BOTH the funnel agg and the shard path —
+    # persist it (its own SQL mirror is MATERIALIZED for the same
+    # multi-consumer reason), or the broadcast-w join and the per-row
+    # sample poly-hash would re-run corpus-wide per consumer.
+    f5t = _materialize(flags.join(F.broadcast(w), "source", "left").select(
         "doc_id",
         "source",
         "nt",
@@ -209,7 +213,7 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f3",
         "f4",
         (F.col("f4") & (samp_h < F.coalesce("thr", F.lit(0)))).alias("f5"),
-    )
+    ))
 
     # Per-source funnel: one partial+final agg, then stack to rows.
     def n(flag: str):
@@ -242,29 +246,12 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
     )
 
-    # Balanced shards over the final survivors: the two-phase global
-    # rank of pipeline_ops.balanced_shards, applied to the SURVIVOR
-    # set (grank = bucket-count prefix offset + in-bucket row_number).
-    h = _poly_hash(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-    sur = f5t.filter("f5").select(
-        "doc_id",
-        "nt",
-        h.alias("h"),
-        F.pmod(h, F.lit(N_SHARD_BUCKETS)).alias("bucket"),
-    )
-    counts = sur.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
-    )
-    w_rn = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    # Balanced shards over the final survivors: the SHARED two-phase
+    # global rank (pipeline_ops.shard_rank — same helper
+    # balanced_shards uses), applied to the survivor set.
     shard_rows = (
-        sur.withColumn("rn", F.row_number().over(w_rn))
-        .join(F.broadcast(offsets.select("bucket", "off")), "bucket")
-        .select(
-            "nt",
-            F.pmod(F.col("off") + F.col("rn") - 1, F.lit(N_SHARDS)).alias("shard"),
-        )
+        shard_rank(f5t.filter("f5").select("doc_id", "nt"), carry=("nt",))
+        .select("nt", "shard")
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("docs"),

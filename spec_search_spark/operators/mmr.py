@@ -86,6 +86,32 @@ def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(emb.select("vec_id", "embedding"), "vec_id")
 
 
+def greedy_mmr(rel: dict, sim: dict, k: int):
+    """The shared driver-side greedy over a BOUNDED candidate pool:
+    at each rank pick argmax of LAM_NUM·rel[v] − PEN_NUM·max_{s∈S}
+    sim[(v, s)], ties to the smallest id (key = (−score, v)) — the
+    exact selection the unrolled MATERIALIZED-CTE oracles replay.
+    Used by mmr_diversified_topk and search_pipeline_e2e; the scoring
+    and tie-break contract must stay byte-identical to BOTH oracles,
+    which is why there is exactly one copy. Yields (rank, id, score)."""
+    selected: list = []
+    remaining = set(rel)
+    for rank in range(1, k + 1):
+        if not remaining:
+            return
+        best = None
+        for v in remaining:
+            pen = max((sim[(v, s)] for s in selected), default=0)
+            score = LAM_NUM * rel[v] - PEN_NUM * pen
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        _, v, score = best
+        selected.append(v)
+        remaining.remove(v)
+        yield rank, v, score
+
+
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-rank of the CAND-row pool down to SELECT_K picks.
 
@@ -111,21 +137,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     sim = {(r["va"], r["vb"]): r["s_e4"] for r in pairs}
 
-    selected: list[int] = []
-    out = []
-    remaining = set(rel)
-    for rank in range(1, SELECT_K + 1):
-        best = None
-        for v in remaining:
-            pen = max((sim[(v, s)] for s in selected), default=0)
-            score = LAM_NUM * rel[v] - PEN_NUM * pen
-            key = (-score, v)
-            if best is None or key < best[0]:
-                best = (key, v, score)
-        _, v, score = best
-        selected.append(v)
-        remaining.remove(v)
-        out.append((rank, v, rel[v], score))
+    out = [
+        (rank, v, rel[v], score)
+        for rank, v, score in greedy_mmr(rel, sim, SELECT_K)
+    ]
     return spark.createDataFrame(out, MMR_SCHEMA)
 
 

@@ -898,6 +898,39 @@ N_SHARD_BUCKETS = 64
 N_SHARDS = 10
 
 
+def shard_rank(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The distributed two-phase global rank over any (doc_id, ...)
+    frame — shared by `balanced_shards` (whole corpus) and the
+    corpus-build flagship (its survivor set): hash into
+    N_SHARD_BUCKETS, 64-row prefix-sum window for per-bucket offsets,
+    per-bucket row_number, shard = global rank mod N_SHARDS. Returns
+    (doc_id, *carry, bucket, grank, shard)."""
+    h = _poly_hash(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    dd = d.select(
+        "doc_id", *carry, h.alias("h"),
+        F.pmod(h, F.lit(N_SHARD_BUCKETS)).alias("bucket"),
+    )
+    counts = dd.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
+    )
+    w_rn = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        dd.withColumn("rn", F.row_number().over(w_rn))
+        .join(F.broadcast(offsets.select("bucket", "off")), "bucket")
+        .select(
+            "doc_id",
+            *carry,
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("grank"),
+            F.pmod(F.col("off") + F.col("rn") - 1, F.lit(N_SHARDS))
+            .cast("int")
+            .alias("shard"),
+        )
+    )
+
+
 def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-balanced training shards (|size_i − size_j| ≤ 1) under a
     deterministic pseudo-random order — round-robin over the global
@@ -917,25 +950,8 @@ def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    h = _poly_hash(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-    d = docs.select(
-        "doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARD_BUCKETS)).alias("bucket")
-    )
-    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
-    w_rn = Window.partitionBy("bucket").orderBy("h", "doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w_rn))
-        .join(F.broadcast(offsets.select("bucket", "off")), "bucket")
-        .select(
-            "doc_id",
-            F.col("bucket").cast("int").alias("bucket"),
-            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("grank"),
-            F.pmod(F.col("off") + F.col("rn") - 1, F.lit(N_SHARDS))
-            .cast("int")
-            .alias("shard"),
-        )
+    return shard_rank(docs.select("doc_id")).select(
+        "doc_id", "bucket", "grank", "shard"
     )
 
 

@@ -40,7 +40,7 @@ LangChain retriever options its stack exposes but never turns on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -51,15 +51,13 @@ from pyspark.sql.types import (
 )
 
 from spec_search_spark.functions.vector import (
-    cosine_similarity,
     cosine_similarity_sql,
     embed_text_local,
 )
-from spec_search_spark.operators.mmr import LAM_NUM, PEN_NUM, _sim_e4
+from spec_search_spark.operators.mmr import LAM_NUM, PEN_NUM, _sim_e4, greedy_mmr
 from spec_search_spark.operators.similarity import (
     DEFAULT_DIM,
     HYBRID_QUERY,
-    TOP_K,
     doc_embeddings_pooled,
     hybrid_search_rrf,
 )
@@ -123,22 +121,9 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     sim = {(r["da"], r["db"]): r["s_e4"] for r in pairs}
 
-    selected: list[int] = []
+    rel = {d: r["rel_e4"] for d, r in rows.items()}
     out = []
-    remaining = set(rows)
-    for rank in range(1, SEARCH_SELECT_K + 1):
-        if not remaining:
-            break
-        best = None
-        for d in remaining:
-            pen = max((sim[(d, s)] for s in selected), default=0)
-            score = LAM_NUM * rows[d]["rel_e4"] - PEN_NUM * pen
-            key = (-score, d)
-            if best is None or key < best[0]:
-                best = (key, d, score)
-        _, d, score = best
-        selected.append(d)
-        remaining.remove(d)
+    for rank, d, score in greedy_mmr(rel, sim, SEARCH_SELECT_K):
         r = rows[d]
         out.append(
             (rank, d, r["vec_rank"], r["kw_rank"], r["rrf"], r["rel_e4"], score)

@@ -216,7 +216,12 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "piece",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("t"), 6).alias("prob"),
+            # snap, not round(x, 6): FIXTURES rule 2 — Spark's scaled
+            # round and DuckDB's can split on rational ratios
+            F.expr(
+                "cast(round(n_tokens / cast(t as double) * 1e6) as bigint)"
+                " / 1e6"
+            ).alias("prob"),
         )
         .orderBy(F.desc("n_tokens"), "piece")
         .limit(TOP_OUT)
@@ -338,7 +343,7 @@ out AS (
 ),
 ot AS (SELECT sum(n_tokens) AS t FROM out)
 SELECT piece, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / t, 6) AS prob
+       CAST(round(n_tokens / CAST(t AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS prob
 FROM out, ot
 ORDER BY n_tokens DESC, piece
 LIMIT {TOP_OUT}"""

@@ -241,9 +241,12 @@ def canonical_url(url: Column) -> Column:
     query = F.regexp_extract(url, _QUERY_RE, 1)
 
     def _keep(p: Column) -> Column:
+        # exact prefix test, NOT LIKE: in a LIKE pattern '_' is a
+        # single-char wildcard, so LIKE 'utm_%' would also strip a
+        # real parameter like 'utmost=1' (mirrored in _canon_sql)
         out = F.lit(True)
         for pfx in TRACKING_PREFIXES:
-            out = out & ~p.like(f"{pfx}%")
+            out = out & ~p.startswith(pfx)
         return out
 
     q2 = F.when(query == "", F.lit("")).otherwise(
@@ -259,8 +262,9 @@ def canonical_url(url: Column) -> Column:
 
 
 def _canon_sql(url: str) -> str:
+    # starts_with, not LIKE 'utm_%' — see _keep in canonical_url
     keep = " AND ".join(
-        f"NOT p LIKE '{pfx}%'" for pfx in TRACKING_PREFIXES
+        f"NOT starts_with(p, '{pfx}')" for pfx in TRACKING_PREFIXES
     )
     scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"
     host = f"lower(regexp_extract({url}, '{_HOST_RE}', 1))"
@@ -463,10 +467,11 @@ def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SURV_CANON = _canon_sql("url")
 URL_SURVIVORS_SQL = f"""
-WITH urls AS ({{_URLS_SQL}}),
+WITH urls AS ({_URLS_SQL}),
 canon AS (
-  SELECT doc_id, source, url, {{canon_expr}} AS canon FROM urls
+  SELECT doc_id, source, url, {_SURV_CANON} AS canon FROM urls
 ),
 flagged AS (
   SELECT source,
@@ -486,7 +491,7 @@ SELECT source, n_urls, n_kept, n_dropped,
          AS keep_ratio
 FROM per
 ORDER BY source
-""".format(_URLS_SQL=_URLS_SQL, canon_expr=_canon_sql('url'))
+"""
 
 
 QUERIES = {

@@ -27,6 +27,9 @@ CASES = [
     ),
     # non-default port survives
     ("https://a.com:8443/x", "https://a.com:8443/x"),
+    # 'utmost' is NOT a tracking param — prefix test must not treat
+    # '_' as a LIKE wildcard (r9 review finding)
+    ("http://a.com/x?utmost=1&utm_source=s", "http://a.com/x?utmost=1"),
     # www stripped even ahead of a deeper subdomain
     ("https://www.blog.dom3.co.uk/p/", "https://blog.dom3.co.uk/p"),
 ]
