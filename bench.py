@@ -257,6 +257,17 @@ def _calib_mean(v):
         return sum(v) / len(v)
     return v
 
+
+def _calib_pair(v):
+    """Normalize a calibration record to the [start, end] pair shape on
+    WRITE, duplicating a legacy scalar into both slots, so every record
+    this script emits has a uniform schema and consumers never need to
+    know about the pre-r9 scalar form (ADVICE r9 item 4). _calib_mean
+    stays scalar-tolerant only for READING pre-r10 committed ledgers."""
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    return [v, v]
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from spec_search_spark.operators import all_queries
@@ -477,17 +488,20 @@ def main() -> None:
                 excl["sweep_value"] = round(sum(smerged.values()), 3)
                 excl["sweep_spread_max_minus_min"] = sspread
             old_calib = old.get("calibration_shuffle_agg_1m_sec", calib_pair)
-            excl["calibration_shuffle_agg_1m_sec"] = min(
-                calib_pair, old_calib, key=_calib_mean
+            excl["calibration_shuffle_agg_1m_sec"] = _calib_pair(
+                min(calib_pair, old_calib, key=_calib_mean)
             )
             excl["calibration_mean_sec"] = round(
                 _calib_mean(excl["calibration_shuffle_agg_1m_sec"]), 3
             )
             excl["run_policy"] = "per_slot_min_merged_exclusive_runs"
-            excl["calibration_series"] = old.get(
-                "calibration_series",
-                [old.get("calibration_shuffle_agg_1m_sec")],
-            ) + [calib_pair]
+            excl["calibration_series"] = [
+                _calib_pair(c)
+                for c in old.get(
+                    "calibration_series",
+                    [old.get("calibration_shuffle_agg_1m_sec")],
+                )
+            ] + [calib_pair]
             if "notes" in old:
                 excl["notes"] = old["notes"]
             # recompute the ledger ratios AND absolute deltas from the

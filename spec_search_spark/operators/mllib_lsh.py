@@ -125,11 +125,21 @@ def mllib_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # factor, fail loudly instead of letting top-by-df truncation
     # silently reintroduce nondeterministic Jaccard estimates.
     if len(model_cv.vocabulary) >= (1 << 20):
-        raise ValueError(
-            "mllib_minhash_near_dup: shingle vocabulary hit the "
-            "CountVectorizer vocabSize cap (1<<20); raise the cap or "
-            "widen the shingle width before trusting vector Jaccard"
+        # The fitted vocabulary can never EXCEED the cap, so hitting it
+        # is ambiguous: 'exactly full, nothing dropped' vs 'truncated'.
+        # Disambiguate with the true distinct-shingle count — only in
+        # this (never-yet-hit) path, so the common case pays no extra
+        # job (ADVICE r9 item 2).
+        n_distinct = (
+            toks.select(F.explode("tokens").alias("t")).distinct().count()
         )
+        if n_distinct > (1 << 20):
+            raise ValueError(
+                "mllib_minhash_near_dup: shingle vocabulary truncated by "
+                f"the CountVectorizer vocabSize cap (1<<20 < {n_distinct} "
+                "distinct shingles); raise the cap or widen the shingle "
+                "width before trusting vector Jaccard"
+            )
     # Pin the vectorized table: approxSimilarityJoin references each
     # side's full lineage several times (hash transform per side, then
     # the candidate distance stage), so an unpersisted vecs re-runs

@@ -94,6 +94,16 @@ def greedy_mmr(rel: dict, sim: dict, k: int):
     Used by mmr_diversified_topk and search_pipeline_e2e; the scoring
     and tie-break contract must stay byte-identical to BOTH oracles,
     which is why there is exactly one copy. Yields (rank, id, score)."""
+    # Fail loudly on a shrunken pool: callers build a CAND-row pool by
+    # construction, so a pool smaller than k means an upstream
+    # regression (e.g. a pooled inner join dropping docs) — and the
+    # unrolled oracle would replay the same truncation, hiding it
+    # (ADVICE r9 item 3).
+    if len(rel) < k:
+        raise ValueError(
+            f"greedy_mmr: candidate pool ({len(rel)}) smaller than k "
+            f"({k}) — upstream pool construction shrank"
+        )
     selected: list = []
     remaining = set(rel)
     for rank in range(1, k + 1):

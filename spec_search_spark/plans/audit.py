@@ -48,8 +48,13 @@ def window_over_single_partition(plan: str) -> bool:
     # walk every tree section (main plan + AQE/Subquery subtrees):
     # node lines look like "   +- Sort (4)" / ":  +- Exchange (3)";
     # depth = prefix length before the operator token
+    # the prefix class includes '*' so whole-stage-codegen markers
+    # ('+- * HashAggregate (5)') still parse as tree nodes: without it
+    # a starred plan (AQE disabled, or executed final plans) drops the
+    # nodes off the ancestor stack and the check passes silently
+    # (ADVICE r9 item 1)
     node_re = re.compile(
-        r"^([\s:|+\-]*?)([A-Za-z][A-Za-z0-9_]*)[^()]*\((\d+)\)\s*$"
+        r"^([\s:|+\-*]*?)([A-Za-z][A-Za-z0-9_]*)[^()]*\((\d+)\)\s*$"
     )
     stack: list[tuple[int, str]] = []  # (depth, opname)
     for line in plan.splitlines():
@@ -100,8 +105,13 @@ def interior_range_partitioning(plan: str) -> bool:
             range_ids.add(m.group(1))
     if not range_ids:
         return False
+    # the prefix class includes '*' so whole-stage-codegen markers
+    # ('+- * HashAggregate (5)') still parse as tree nodes: without it
+    # a starred plan (AQE disabled, or executed final plans) drops the
+    # nodes off the ancestor stack and the check passes silently
+    # (ADVICE r9 item 1)
     node_re = re.compile(
-        r"^([\s:|+\-]*?)([A-Za-z][A-Za-z0-9_]*)[^()]*\((\d+)\)\s*$"
+        r"^([\s:|+\-*]*?)([A-Za-z][A-Za-z0-9_]*)[^()]*\((\d+)\)\s*$"
     )
     stack: list[tuple[int, str]] = []
     for line in plan.splitlines():

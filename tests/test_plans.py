@@ -192,3 +192,34 @@ def test_no_vacuous_forbid_fragments(spark, sf_dir):
     assert not interior_range_partitioning(plan_of(result_sorted))
     assert not interior_range_partitioning(plan_of(projected))
     assert not interior_range_partitioning(plan_of(a.groupBy("k").count()))
+
+    # STARRED-plan fixture (ADVICE r9 item 1): executed/AQE-final
+    # formatted plans mark whole-stage-codegen nodes with a '* ' prefix
+    # ('+- * HashAggregate (5)'). The node regex must still parse those
+    # lines, or the range exchange's real consumers drop off the
+    # ancestor stack and an interior global sort passes silently.
+    starred_interior = "\n".join(
+        [
+            "* HashAggregate (5)",
+            "+- * HashAggregate (4)",
+            "   +- Exchange (3)",
+            "      +- * Sort (2)",
+            "         +- Scan parquet (1)",
+            "",
+            "(3) Exchange",
+            "Arguments: rangepartitioning(id ASC NULLS FIRST, 32)",
+        ]
+    )
+    starred_result_sort = "\n".join(
+        [
+            "* Project (4)",
+            "+- * Sort (3)",
+            "   +- Exchange (2)",
+            "      +- Scan parquet (1)",
+            "",
+            "(2) Exchange",
+            "Arguments: rangepartitioning(id ASC NULLS FIRST, 32)",
+        ]
+    )
+    assert interior_range_partitioning(starred_interior)
+    assert not interior_range_partitioning(starred_result_sort)
