@@ -20,6 +20,7 @@ def all_queries():
         extensibility,
         fuzzy,
         graph,
+        graph_ann,
         hard_negatives,
         ivf,
         ivfpq,
@@ -98,6 +99,7 @@ def all_queries():
         extensibility,
         fuzzy,
         graph,
+        graph_ann,
         hard_negatives,
         pii,
         pipeline_ops,

@@ -1344,6 +1344,13 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
       "BroadcastNestedLoopJoin", "partial_count"],
      ["CartesianProduct", "BatchEvalPython", "rangepartitioning(",
       "MapInPandas"]),
+    # graph-ANN recall report: exact arm = broadcast-probe scan with
+    # the partial-top-k MapInPandas cut; approx arm reads the memoized
+    # checkpointed walk answer (LogicalRDD). The build/walk lineages
+    # get their own un-pinned audit block below (see audit()).
+    ("graph_ann_recall_report",
+     ["MapInPandas", "Scan ExistingRDD"],
+     ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition
@@ -1481,6 +1488,48 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
         ("search_pipeline_e2e[pool]",
          "rangepartitioning only as the result sort (structural)",
          not interior_range_partitioning(sp_plan)))
+    # graph-ANN: the registered queries read the memoized checkpointed
+    # index (bare LogicalRDD — nothing to audit there), so audit the
+    # UN-pinned build and walk lineages directly. Build: cell seeds
+    # broadcast (the only BNLJ), within-cell pairs as a cid equi-join,
+    # per-node top-M windows keyed by src/vec_id, pure JVM, no global
+    # sort. Walk: per-probe windows, bounded frontier joins, range
+    # exchange only as the final result sort.
+    from spec_search_spark.operators.graph_ann import _build_edges, _search_df
+
+    ga_edges, ga_adj = _build_edges(spark, sf_dir, pin=lambda df: df)
+    ga_bplan = plan_of(ga_edges)
+    for frag in ("windowspecdefinition(src", "hashpartitioning(cid",
+                 "BroadcastNestedLoopJoin"):
+        results.append(
+            ("knn_graph_build[lineage]", f"requires `{frag}`",
+             frag in ga_bplan))
+    for frag in ("CartesianProduct", "BatchEvalPython", "MapInPandas",
+                 "rangepartitioning("):
+        results.append(
+            ("knn_graph_build[lineage]", f"forbids `{frag}`",
+             frag not in ga_bplan))
+    results.append(
+        ("knn_graph_build[lineage]",
+         "forbids Window over SinglePartition exchange (structural)",
+         not window_over_single_partition(ga_bplan)))
+    ga_splan = plan_of(_search_df(spark, sf_dir, ga_adj))
+    for frag in ("windowspecdefinition(probe_id",):
+        results.append(
+            ("graph_ann_search[lineage]", f"requires `{frag}`",
+             frag in ga_splan))
+    for frag in ("CartesianProduct", "BatchEvalPython", "MapInPandas"):
+        results.append(
+            ("graph_ann_search[lineage]", f"forbids `{frag}`",
+             frag not in ga_splan))
+    results.append(
+        ("graph_ann_search[lineage]",
+         "rangepartitioning only as the result sort (structural)",
+         not interior_range_partitioning(ga_splan)))
+    results.append(
+        ("graph_ann_search[lineage]",
+         "forbids Window over SinglePartition exchange (structural)",
+         not window_over_single_partition(ga_splan)))
     return results
 
 

@@ -1,0 +1,248 @@
+"""Graph-ANN (k-NN-graph index + beam walk) invariants and quality.
+
+Mirrors tests/test_ivf.py's strategy for the HNSW-class family
+(reference: hnswlib via Chroma, `/root/reference/app.py:39`):
+structure invariants on the built index, recall measured against
+exact kNN (both the registered report probes AND an honest
+seed-disjoint probe set), and the budget-vs-recall comparison with
+the IVF arm the r9 verdict asked for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spec_search_spark.catalog import load_table
+from spec_search_spark.operators.graph_ann import (
+    BEAM,
+    GRAPH_M,
+    HOPS,
+    K_CELLS,
+    N_PROBES,
+    TOP_K,
+    graph_ann_recall_report,
+    graph_ann_search,
+    knn_graph_build,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    return {
+        "edges": knn_graph_build(spark, sf_dir).collect(),
+        "search": graph_ann_search(spark, sf_dir).collect(),
+        "report": graph_ann_recall_report(spark, sf_dir).collect(),
+    }
+
+
+@pytest.fixture(scope="module")
+def emb_mat(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(len(ids)))  # dense ids (test-corpus contract)
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_index_structure(spark, sf_dir, built):
+    n = load_table(spark, sf_dir, "embeddings").count()
+    edges = built["edges"]
+    assert len(edges) == n * GRAPH_M
+    by_src: dict[int, list] = {}
+    for r in edges:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src) == n
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, GRAPH_M + 1))
+        dists = [r["d2_e4"] for r in rs]
+        assert dists == sorted(dists), f"non-monotone neighbor list at {src}"
+        assert len({r["dst"] for r in rs}) == GRAPH_M  # no duplicate edges
+
+
+def test_edges_are_true_distances(built, emb_mat):
+    """Every stored d2_e4 equals the exact integer-rounded L2²."""
+    for r in built["edges"][:500]:
+        d = emb_mat[r["src"]] - emb_mat[r["dst"]]
+        assert r["d2_e4"] == int(np.round((d * d).sum() * 1e4))
+
+
+def test_search_shape_and_order(built):
+    res = built["search"]
+    assert len(res) == N_PROBES * TOP_K
+    by_p: dict[int, list] = {}
+    for r in res:
+        by_p.setdefault(r["probe_id"], []).append(r)
+    assert sorted(by_p) == list(range(N_PROBES))
+    for p, rs in by_p.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r["d2_e4"] for r in rs]
+        assert dists == sorted(dists)
+        assert p not in {r["vec_id"] for r in rs}  # self excluded
+
+
+def test_report_probe_recall(built, emb_mat):
+    """Recall@10 on the registered probes (which share the cell-seed
+    convention with the IVF arm) — measured 1.0 at every sf; the gate
+    is ≥ 0.9 to absorb future testdata regeneration."""
+    truth = _exact_topk(emb_mat, range(N_PROBES))
+    by_p: dict[int, set] = {}
+    for r in built["search"]:
+        by_p.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(truth[p] & by_p[p]) / TOP_K for p in range(N_PROBES)]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # the registered report must agree with this recomputation
+    for row in built["report"]:
+        assert row["n_hits"] == len(truth[row["probe_id"]] & by_p[row["probe_id"]])
+
+
+def test_honest_disjoint_probe_recall(built, emb_mat):
+    """The number the docstring owns up to: beam-walk recall for probes
+    DISJOINT from the cell seeds, over the Spark-built graph. The
+    synthetic embeddings are near-i.i.d. unit vectors (the graph-ANN
+    worst case: neighbor-of-neighbor overlap ≈ 0.035), so the honest
+    floor is 0.5, not 0.9 — on clustered corpus embeddings both
+    numbers rise together."""
+    n = emb_mat.shape[0]
+    adj: dict[int, set] = {}
+    for r in built["edges"]:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    probes = range(K_CELLS + 84, K_CELLS + 104)  # 20 probes, seed-disjoint
+    truth = _exact_topk(emb_mat, probes)
+
+    def d2e4(p: int, w: int) -> int:
+        d = emb_mat[p] - emb_mat[w]
+        return int(np.round((d * d).sum() * 1e4))
+
+    recalls = []
+    budgets = []
+    for p in probes:
+        visited = {w for w in adj.get(p, set()) if w != p}
+        cur = sorted(visited, key=lambda w: (d2e4(p, w), w))[:BEAM]
+        for _ in range(HOPS):
+            exp = set()
+            for v in cur:
+                exp |= adj.get(v, set())
+            exp -= {p}
+            visited |= exp
+            cur = sorted(set(cur) | exp, key=lambda w: (d2e4(p, w), w))[:BEAM]
+        got = set(sorted(visited, key=lambda w: (d2e4(p, w), w))[:TOP_K])
+        recalls.append(len(got & truth[p]) / TOP_K)
+        budgets.append(len(visited))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert max(budgets) < n / 2, budgets  # the walk never degenerates to a scan
+
+
+def _graph_budget(edges, emb_mat, probes) -> list[int]:
+    """Scored-candidate count per probe (the visited-set size of the
+    beam walk) — the graph arm's search cost."""
+    adj: dict[int, set] = {}
+    for r in edges:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+
+    def d2e4(p: int, w: int) -> int:
+        d = emb_mat[p] - emb_mat[w]
+        return int(np.round((d * d).sum() * 1e4))
+
+    budgets = []
+    for p in probes:
+        visited = {w for w in adj.get(p, set()) if w != p}
+        cur = sorted(visited, key=lambda w: (d2e4(p, w), w))[:BEAM]
+        for _ in range(HOPS):
+            exp = set()
+            for v in cur:
+                exp |= adj.get(v, set())
+            exp -= {p}
+            visited |= exp
+            cur = sorted(set(cur) | exp, key=lambda w: (d2e4(p, w), w))[:BEAM]
+        budgets.append(len(visited))
+    return budgets
+
+
+def test_graph_budget_is_constant(built, emb_mat):
+    """The scale claim: the walk's candidate budget is bounded by the
+    CONSTANT ceiling seed_degree + HOPS × BEAM × 2·GRAPH_M, independent
+    of corpus size — while IVF's nprobe budget grows O(N/K). (At
+    sf0.001 IVF's clusters are SMALLER than this constant; the
+    crossover in the graph's favor is asserted at sf0.1 below.)"""
+    budgets = _graph_budget(built["edges"], emb_mat, range(N_PROBES))
+    ceiling = 2 * GRAPH_M + HOPS * BEAM * 2 * GRAPH_M
+    assert max(budgets) <= ceiling, (budgets, ceiling)
+
+
+def test_beats_ivf_at_equal_budget_sf01(spark):
+    """The r9-verdict gate, at sf0.1 (where both arms' budgets are past
+    the tiny-corpus crossover): graph recall@10 must match-or-beat the
+    deployed IVF arm's recall while scoring no more candidates than
+    IVF's nprobe = N_PROBE_CLUSTERS scan."""
+    sf01 = "/root/testdata/sf0.1"
+    from spec_search_spark.operators.ivf import (
+        N_PROBE_CLUSTERS,
+        _probe_assignments,
+        ivf_ann_search,
+        trained_index,
+    )
+
+    rows = (
+        load_table(spark, sf01, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    emb_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = _exact_topk(emb_mat, range(N_PROBES))
+
+    edges = knn_graph_build(spark, sf01).collect()
+    search = graph_ann_search(spark, sf01).collect()
+    graph_hits: dict[int, set] = {p: set() for p in range(N_PROBES)}
+    for r in search:
+        graph_hits[r["probe_id"]].add(r["vec_id"])
+    graph_recall = np.mean(
+        [len(graph_hits[p] & truth[p]) / TOP_K for p in range(N_PROBES)]
+    )
+    graph_budget = _graph_budget(edges, emb_mat, range(N_PROBES))
+
+    ivf_rows = ivf_ann_search(spark, sf01).collect()
+    ivf_hits: dict[int, set] = {p: set() for p in range(N_PROBES)}
+    for r in ivf_rows:
+        ivf_hits[r["probe_id"]].add(r["vec_id"])
+    ivf_recall = np.mean(
+        [len(ivf_hits[p] & truth[p]) / TOP_K for p in range(N_PROBES)]
+    )
+    # IVF's actual per-probe budget: vectors in its probed clusters
+    centroids, index = trained_index(spark, sf01)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in index.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probed = _probe_assignments(spark, sf01, centroids).collect()
+    ivf_budget: dict[int, int] = {}
+    for r in probed:
+        ivf_budget[r["probe_id"]] = ivf_budget.get(r["probe_id"], 0) + sizes[r["cluster"]]
+    assert len(ivf_budget) == N_PROBES and N_PROBE_CLUSTERS >= 2
+
+    assert graph_recall >= ivf_recall, (graph_recall, ivf_recall)
+    assert max(graph_budget) <= min(ivf_budget.values()), (graph_budget, ivf_budget)
+
+
+def _exact_topk(emb_mat: np.ndarray, probes) -> dict[int, set]:
+    truth = {}
+    for p in probes:
+        d2 = ((emb_mat - emb_mat[p]) ** 2).sum(axis=1)
+        d2e4 = np.round(d2 * 1e4).astype(np.int64)
+        order = sorted(
+            (i for i in range(len(emb_mat)) if i != p),
+            key=lambda i: (d2e4[i], i),
+        )
+        truth[p] = set(order[:TOP_K])
+    return truth
