@@ -35,6 +35,7 @@ def all_queries():
         pii,
         pipeline_ops,
         pq,
+        psl,
         rank_stats,
         relational,
         rm3,
@@ -104,6 +105,7 @@ def all_queries():
         pii,
         pipeline_ops,
         pq,
+        psl,
         vector_quant,
         winnowing,
         formats,

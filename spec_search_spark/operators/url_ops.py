@@ -20,13 +20,16 @@ zero Python, zero joins. The only shuffles are the final partial+final
 aggregates (per-source counts; per-domain counts cut by TakeOrdered).
 Regexes stay in the Java/RE2 common subset.
 
-Registrable-domain note: production extraction consults the Public
-Suffix List; the PSL is connector DATA (a ~15k-row broadcast lookup
-joined on the host's candidate suffixes), not engine surface. The
-engine-testable part implemented here is the suffix-aware extraction
-itself, with the multi-part-suffix set pinned to the one the synthetic
-hosts use ({'co.uk'}) — swapping in the full PSL changes the lookup
-table, not the plan.
+Registrable-domain note: extraction consults the Public Suffix List
+as a broadcast rule TABLE via `psl.with_psl_domain` (candidate-suffix
+explode + best-match join, wildcard/exception semantics — r9 verdict
+task 3); swapping in the full ~15k-row publicsuffix.org list changes
+the table contents, never the plan. The report extracts over the
+DISTINCT-host table and joins the host→domain map back — hosts are
+orders of magnitude fewer than URLs. The DuckDB oracle keeps its
+independent regexp derivation (correct for the synthetic hosts'
+suffix population), so the rule engine is verified against a
+different formulation, not replayed.
 
 Reference parity: not in the reference (its pipeline starts at sheet
 cells, `/root/reference/indexer.py:29-66`); north-star training-data
@@ -286,26 +289,16 @@ def _canon_sql(url: str) -> str:
     )
 
 
-#: multi-part public suffixes present in the synthetic hosts (the PSL
-#: seam — see module docstring)
-MULTIPART_SUFFIXES = ("co.uk",)
-
-
-def registrable_domain(host: Column) -> Column:
-    """eTLD+1 under the pinned suffix set: last THREE labels when the
-    host ends in a known multi-part suffix, else last two."""
-    out = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    for sfx in MULTIPART_SUFFIXES:
-        pat = r"([^.]+\." + sfx.replace(".", r"\.") + ")$"
-        out = F.when(
-            host.endswith("." + sfx), F.regexp_extract(host, pat, 1)
-        ).otherwise(out)
-    return out
+#: multi-part public suffixes present in the SYNTHETIC hosts — used
+#: only by the DuckDB oracle's independent regexp derivation (the
+#: Spark side consults the psl.py rule table; on hosts whose suffixes
+#: come from this population both derivations agree by construction)
+_ORACLE_MULTIPART_SUFFIXES = ("co.uk",)
 
 
 def _domain_sql(host: str) -> str:
     out = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
-    for sfx in MULTIPART_SUFFIXES:
+    for sfx in _ORACLE_MULTIPART_SUFFIXES:
         pat = "([^.]+\\." + sfx.replace(".", "\\.") + ")$"
         out = (
             f"CASE WHEN ({host}) LIKE '%.{sfx}' "
@@ -378,18 +371,25 @@ def domain_distribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crawl-skew report read before setting per-domain caps
     (per_source_cap's domain-level sibling).
 
-    Plan: canonical-host → eTLD+1 in the same codegen projection; one
-    partial+final (domain) aggregate; the one-row total broadcasts
-    back; TakeOrdered cut.
+    Plan: canonical-host codegen projection; eTLD+1 via the PSL rule
+    engine over the DISTINCT-host table (`psl.with_psl_domain`:
+    candidate explode + broadcast rule join — the rule table is never
+    shuffled); the host→domain map joins back onto the URL rows (AQE
+    broadcasts it at fixture scale); one partial+final (domain)
+    aggregate; the one-row total broadcasts back; TakeOrdered cut.
 
     Output: (domain, n_docs, n_urls, url_share) top-TOP_DOMAINS."""
+    from spec_search_spark.operators.psl import with_psl_domain
+
     urls = _urls(spark, sf_dir)
     host = F.regexp_replace(
         F.lower(F.regexp_extract("url", _HOST_RE, 1)), r":\d+$", ""
     )
-    doms = urls.select(
-        "doc_id", registrable_domain(host).alias("domain")
+    wh = urls.select("doc_id", host.alias("host"))
+    host_map = with_psl_domain(wh.select("host").distinct(), spark).select(
+        "host", "domain"
     )
+    doms = wh.join(host_map, "host").select("doc_id", "domain")
     per = doms.groupBy("domain").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_urls"),

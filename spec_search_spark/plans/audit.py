@@ -362,12 +362,26 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["Window", "hashpartitioning(canon", "partial_count"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
       "MapInPandas", "SortMergeJoin"]),
-    # domain concentration: per-domain partial+final agg, one-row total
-    # broadcasts back (BNLJ), TakeOrdered cut — never a global sort
+    # domain concentration: eTLD+1 via the PSL rule-table engine over
+    # DISTINCT hosts (rule table BROADCAST — never shuffled: no
+    # hashpartitioning(rule); the candidate prevail collapses
+    # map-side as partial_max), host→domain map joins back, per-domain
+    # partial+final agg, one-row total broadcasts back (BNLJ),
+    # TakeOrdered cut — never a global sort
     ("domain_distribution_report",
-     ["partial_count", "BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+     ["partial_count", "partial_max", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
-      "MapInPandas", "Window", "rangepartitioning("]),
+      "MapInPandas", "Window", "rangepartitioning(",
+      "hashpartitioning(rule", "SortMergeJoin"]),
+    # PSL rule engine: candidate explode is a narrow projection; the
+    # rule table is the broadcast side of the one join; prevailing-rule
+    # max collapses map-side; result orderBy is the only range exchange
+    # (structural loop)
+    ("psl_domain_extract",
+     ["BroadcastHashJoin", "partial_max"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+      "MapInPandas", "SortMergeJoin", "hashpartitioning(rule"]),
     # stratified gate: skew-proof rank — row_number windows partition
     # by (source, bucket) with broadcast bounds/offset/total joins;
     # never a source-only window (one giant source = one task) and

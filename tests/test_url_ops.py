@@ -35,10 +35,24 @@ CASES = [
 ]
 
 DOMAIN_CASES = [
-    ("blog.dom3.co.uk", "dom3.co.uk"),
-    ("www.x.example.com", "example.com"),
-    ("example.org", "example.org"),
-    ("cdn.dom0.com", "dom0.com"),
+    # (host, expected public suffix, expected registrable domain)
+    ("blog.dom3.co.uk", "co.uk", "dom3.co.uk"),
+    ("www.x.example.com", "com", "example.com"),
+    ("example.org", "org", "example.org"),
+    ("cdn.dom0.com", "com", "dom0.com"),
+    # PSL wildcard / exception semantics (publicsuffix.org test vectors)
+    ("a.b.kobe.jp", "b.kobe.jp", "a.b.kobe.jp"),
+    ("b.kobe.jp", "b.kobe.jp", None),  # host IS a (wildcard) suffix
+    ("x.city.kobe.jp", "kobe.jp", "city.kobe.jp"),  # exception wins
+    ("city.kobe.jp", "kobe.jp", "city.kobe.jp"),
+    ("kobe.jp", "jp", "kobe.jp"),  # '*' matches exactly one label
+    ("foo.bar.ck", "bar.ck", "foo.bar.ck"),
+    ("www.ck", "ck", "www.ck"),  # exception !www.ck
+    ("deep.www.ck", "ck", "www.ck"),
+    ("host.k12.ma.us", "k12.ma.us", "host.k12.ma.us"),  # 3-label exact
+    ("weird.unlisted", "unlisted", "weird.unlisted"),  # implicit '*'
+    ("unlisted", "unlisted", None),  # bare unknown label
+    ("co.uk", "co.uk", None),  # host IS a listed suffix
 ]
 
 
@@ -68,14 +82,18 @@ def test_canonical_url_sql_mirror_matches(spark):
 
 
 def test_registrable_domain_cases(spark):
-    from spec_search_spark.operators.url_ops import registrable_domain
+    """The PSL rule engine against hand-derived publicsuffix.org
+    semantics: exact/multi-label rules, wildcard `*.`, exception `!`,
+    the implicit `*` default, and hosts that ARE public suffixes."""
+    from spec_search_spark.operators.psl import with_psl_domain
 
-    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], ["h"])
-    got = [
-        r["d"]
-        for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()
-    ]
-    assert got == [want for _, want in DOMAIN_CASES]
+    df = spark.createDataFrame([(h,) for h, _, _ in DOMAIN_CASES], ["host"])
+    rows = {
+        r["host"]: (r["public_suffix"], r["domain"])
+        for r in with_psl_domain(df, spark).collect()
+    }
+    for host, want_ps, want_dom in DOMAIN_CASES:
+        assert rows[host] == (want_ps, want_dom), (host, rows[host])
 
 
 def test_canonical_url_idempotent_on_synth_space(spark, sf_dir):
