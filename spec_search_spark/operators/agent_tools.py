@@ -152,7 +152,25 @@ class SheetAgentToolkit:
 
     def read_values(self, sheet_name: str, range_str: str) -> list[list[str]]:
         """`sheet_creator_tool.py:70-80` — the S4 ranged scan; the
-        observation is bounded by the requested range."""
+        observation is bounded by the requested range.
+
+        STRICT grid bounds (the Sheets-API 'exceeds grid limits' error
+        class): a range reaching past the sheet's last row raises
+        instead of silently returning a short result — the error leg
+        the recovery scenario exercises, isolated per tool call exactly
+        like the reference isolates per-file indexing errors
+        (`/root/reference/indexer.py:113-121`: failures become error
+        records, the loop continues)."""
+        _r_lo, r_hi, _c_lo, _c_hi = _parse_range(range_str)
+        n_rows = (
+            self._grid(sheet_name)
+            .agg((F.coalesce(F.max("row_idx"), F.lit(-1)) + 1).alias("n"))
+            .collect()[0]["n"]
+        )
+        if r_hi >= n_rows:
+            raise ValueError(
+                f"range {range_str} exceeds grid limits ({n_rows} rows)"
+            )
         rows = (
             self._grid(sheet_name, range_str)
             .select("row_idx", "cells")
@@ -338,14 +356,29 @@ class RuleBasedPlanner:
         m = RE_TOTAL.fullmatch(message)
         if m:
             rng, sheet, col = m.groups()
-            lo, hi = rng.split(":")
-            col_rng = f"{col}{lo[1:]}:{col}{hi[1:]}"
-            if "read_values" not in done:
+            reads = [s for s in steps if s.action == "read_values"]
+            ok_read = reads and not reads[-1].observation.startswith("error:")
+            if not ok_read:
+                if reads:
+                    # RE-PLAN from the error observation (the ReAct
+                    # recovery leg): 'exceeds grid limits (N rows)' →
+                    # clamp the requested range to the grid edge and
+                    # retry — the agent analog of the reference's
+                    # per-item error isolation (indexer.py:113-121)
+                    gm = re.search(r"\((\d+) rows\)", reads[-1].observation)
+                    if gm:
+                        lo, hi = rng.split(":")
+                        rng = f"{lo}:{hi[0]}{int(gm.group(1))}"
                 return ToolCall(
                     "read_values",
                     {"sheet_name": sheet, "range_str": rng},
                     f"{sheet}!{rng}",
                 )
+            # total the column over the range that actually READ (the
+            # clamped one after a recovery, the requested one otherwise)
+            got = reads[-1].target.split("!")[1]
+            lo, hi = got.split(":")
+            col_rng = f"{col}{lo[1:]}:{col}{hi[1:]}"
             if "aggregate_range" not in done:
                 return ToolCall(
                     "aggregate_range",
@@ -418,7 +451,16 @@ def run_react(
                 Step(action.tool, action.target, f"no such tool: {action.tool}")
             )
             continue
-        obs = fn(**action.args)
+        # Error isolation (reference parity, indexer.py:113-121): a
+        # failing tool call becomes an `error:` observation the planner
+        # can react to — never a crashed loop. ValueError only: the
+        # tools raise it for contract violations (bad A1 spec, grid
+        # bounds); engine faults should still surface loudly.
+        try:
+            obs = fn(**action.args)
+        except ValueError as e:
+            steps.append(Step(action.tool, action.target, f"error: {e}"))
+            continue
         if not isinstance(obs, str):
             obs = ";".join("|".join(str(c) for c in row) for row in obs)
         steps.append(Step(action.tool, action.target, obs))
@@ -455,6 +497,41 @@ TRANSCRIPT_SCHEMA = StructType(
 def agent_store_dir(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(tempfile.gettempdir(), f"spark_graft_agent_{base}")
+
+
+MSG_R = (
+    "read values A2:C12 from sheet products and report the total of"
+    " column B"
+)
+
+
+def agent_tool_transcript_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 error-isolation scenario (r9 verdict task 8): the agent asks
+    for A2:C12 from a 6-row sheet — the ranged read raises the
+    grid-limits error, the loop records it as an `error:` observation
+    (the reference's per-item isolation, indexer.py:113-121), and the
+    planner RE-PLANS: clamps the range to the reported grid edge,
+    re-reads, and totals the column. Every observation string,
+    including the error, is byte-stable and value-oracled.
+
+    Output: (step_id, scenario, action, target, observation)."""
+    tune(spark)
+    corpus = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
+    store = agent_store_dir(sf_dir) + "_rec"  # own scratch store
+    os.makedirs(store, exist_ok=True)
+    for f in os.listdir(store):
+        if f.endswith(SHEET_SUFFIX):
+            os.remove(os.path.join(store, f))
+    toolkit = SheetAgentToolkit(spark, store, corpus, sf_dir)
+    planner = RuleBasedPlanner()
+
+    rows = []
+    step_id = 0
+    for msg in (MSG_A, MSG_R):  # scenario A builds the 6-row sheet
+        for s in run_react(toolkit, planner, msg):
+            step_id += 1
+            rows.append((step_id, msg, s.action, s.target, s.observation))
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
 
 
 def agent_tool_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,5 +625,43 @@ FROM (
 """
 
 
-QUERIES = {"agent_tool_transcript": agent_tool_transcript}
-ORACLES = {"agent_tool_transcript": AGENT_SQL}
+AGENT_RECOVERY_SQL = f"""
+WITH top5 AS ({_TOP5}),
+vals AS (
+  SELECT
+    string_agg(p_name || '|' || CAST(p_size AS VARCHAR) || '|'
+               || printf('%.2f', p_retailprice),
+               ';' ORDER BY p_retailprice DESC, p_partkey) AS rows_s,
+    CAST(sum(p_size) AS BIGINT) AS total
+  FROM top5
+)
+SELECT CAST(step_id AS BIGINT) AS step_id, scenario, action, target, observation
+FROM (
+  SELECT 1 AS step_id, '{MSG_A}' AS scenario, 'create_sheet' AS action,
+         'products!A1:C1' AS target,
+         'created sheet ''products'' with header name|size|price' AS observation
+  UNION ALL SELECT 2, '{MSG_A}', 'read_table_top', 'part',
+         (SELECT rows_s FROM vals)
+  UNION ALL SELECT 3, '{MSG_A}', 'write_values', 'products!A2:C6',
+         'wrote 5 rows to products!A2:C6'
+  UNION ALL SELECT 4, '{MSG_A}', 'final', '', 'populated products with 5 rows'
+  UNION ALL SELECT 5, '{MSG_R}', 'read_values', 'products!A2:C12',
+         'error: range A2:C12 exceeds grid limits (6 rows)'
+  UNION ALL SELECT 6, '{MSG_R}', 'read_values', 'products!A2:C6',
+         (SELECT rows_s FROM vals)
+  UNION ALL SELECT 7, '{MSG_R}', 'aggregate_range', 'products!B2:B6',
+         'sum(B2:B6) = ' || (SELECT total FROM vals)
+  UNION ALL SELECT 8, '{MSG_R}', 'final', '',
+         'total of column B is ' || (SELECT total FROM vals)
+)
+"""
+
+
+QUERIES = {
+    "agent_tool_transcript": agent_tool_transcript,
+    "agent_tool_transcript_recovery": agent_tool_transcript_recovery,
+}
+ORACLES = {
+    "agent_tool_transcript": AGENT_SQL,
+    "agent_tool_transcript_recovery": AGENT_RECOVERY_SQL,
+}
