@@ -643,7 +643,7 @@ def chunked_docs_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def build_index_df(docs: DataFrame) -> DataFrame:
+def build_index_df(docs: DataFrame, embed_udf=None) -> DataFrame:
     """V1 core on any documents-shaped DataFrame (used by both the
     batch entry point and the streaming foreachBatch upsert).
 
@@ -653,10 +653,15 @@ def build_index_df(docs: DataFrame) -> DataFrame:
     the chunk stage's full parallelism (after the tiny dedup exchange
     AQE coalesces to a handful of partitions — embedding there would
     serialize the Python work at test scale), and map-side combines
-    the dedup like any partial agg."""
+    the dedup like any partial agg.
+
+    `embed_udf` is the F6 model-swap seam made explicit: pass a
+    `make_model_embed_udf(...)` wrapper to run the SAME V1 lineage
+    under a real encoder — the swap changes vector data only, never
+    the plan (pinned by tests/test_model_swap.py's shape compare)."""
     return (
         chunked_docs_df(docs)
-        .withColumn("embedding", _EMBED_UDF(F.col("chunk")))
+        .withColumn("embedding", (embed_udf or _EMBED_UDF)(F.col("chunk")))
         .dropDuplicates(["id"])
     )
 
@@ -726,18 +731,26 @@ FROM __chunks c JOIN __sigs s ON s.id = c.id
 """
 
 
-def semantic_search(
-    spark: SparkSession, sf_dir: str, query: str = "fast merge join order", k: int = TOP_K
-) -> DataFrame:
-    """V2 end-to-end: embed the query text driver-side, broadcast it,
-    exact top-k over the V1 index (reference E1, `app.py:48-61`)."""
-    index = build_index(spark, sf_dir)
-    probe = F.array(*[F.lit(x) for x in embed_text_local(query, DEFAULT_DIM)])
+def search_index(index: DataFrame, probe_vec: list[float], k: int = TOP_K) -> DataFrame:
+    """V2 core over ANY V1-shaped index (id, …, embedding) and any
+    probe vector — the other half of the model-swap seam: a real
+    encoder's query vector drives the identical top-k plan."""
+    probe = F.array(*[F.lit(float(x)) for x in probe_vec])
     return (
         index.withColumn("dist2", F.round(l2_squared(F.col("embedding"), probe), 6))
         .orderBy(F.asc("dist2"), F.asc("id"))
         .select("id", "doc_id", "source", "chunk_idx", "chunk", "dist2")
         .limit(k)
+    )
+
+
+def semantic_search(
+    spark: SparkSession, sf_dir: str, query: str = "fast merge join order", k: int = TOP_K
+) -> DataFrame:
+    """V2 end-to-end: embed the query text driver-side, broadcast it,
+    exact top-k over the V1 index (reference E1, `app.py:48-61`)."""
+    return search_index(
+        build_index(spark, sf_dir), embed_text_local(query, DEFAULT_DIM), k
     )
 
 
