@@ -268,12 +268,28 @@ def _calib_pair(v):
         return list(v)
     return [v, v]
 
+def _silence_bounded_window_warnings(spark) -> None:
+    """Mute the per-execution `WindowExec: No Partition Defined`
+    warning in bench logs (r9 verdict task 4): every such site in the
+    registry is a provably bounded table, pinned by
+    `plans/audit.BOUNDED_SINGLE_PARTITION_WINDOWS` and enforced by
+    tools/plan_report.py each round — a NEW unpartitioned window fails
+    the PLANS.md regeneration instead of drowning real warnings in a
+    190-slot ledger tail."""
+    jvm = spark._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from spec_search_spark.operators import all_queries
 
     qs, _ = all_queries()
     spark = get_spark("bench")
+    _silence_bounded_window_warnings(spark)
 
     # warmup: exercise each engine path once (parquet scan + shuffle
     # agg; python-worker pool + Arrow; vector-distance expression

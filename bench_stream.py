@@ -44,6 +44,9 @@ def main() -> None:
     qs, _ = all_queries()
     stream_names = sorted(n for n in qs if n.startswith("stream_"))
     spark = get_spark("bench_stream")
+    from bench import _silence_bounded_window_warnings
+
+    _silence_bounded_window_warnings(spark)
 
     # warmup: one batch scan (parquet/codegen init) + one full drain
     # (streaming engine + checkpoint + memory-sink init).
@@ -60,9 +63,11 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in stream_names:
-        samples = [run(name) for _ in range(n_runs)]
-        timings[name] = round(min(samples), 3)
+        samples = [round(run(name), 3) for _ in range(n_runs)]
+        all_samples[name] = samples
+        timings[name] = min(samples)
         spreads[name] = round(max(samples) - min(samples), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -78,6 +83,11 @@ def main() -> None:
         "sf": sf_val,
         "run_policy": f"min_of_{n_runs}_exclusive_machine",
         "spread_max_minus_min": spreads,
+        # every raw drain time, per slot per run (r9 verdict task 2:
+        # the 39.4→48.7s r8→r9 drain delta was unfalsifiable because
+        # only min+spread survived) — repeat runs append, so the
+        # committed ledger carries the full measurement series
+        "samples": all_samples,
     }
     # file-backed beside BENCH_FULL (same round inference as bench.py):
     # the ledger the next round diffs for twin state-size regressions
@@ -102,6 +112,7 @@ def main() -> None:
         old = None
     if old and old.get("queries"):
         old_q, old_s = old["queries"], old.get("spread_max_minus_min", {})
+        old_samples = old.get("samples", {})
         merged, mspread = {}, {}
         for n in set(old_q) | set(timings):
             if n not in timings or (n in old_q and old_q[n] <= timings[n]):
@@ -110,10 +121,34 @@ def main() -> None:
             else:
                 merged[n] = timings[n]
                 mspread[n] = spreads[n]
+            # the sample series CONCATENATES across runs (full history)
+            record["samples"][n] = old_samples.get(n, []) + all_samples.get(n, [])
         record["queries"] = merged
         record["spread_max_minus_min"] = mspread
         record["value"] = round(sum(merged.values()), 3)
         record["run_policy"] = "per_slot_min_merged_exclusive_runs"
+        if "notes" in old:
+            record["notes"] = old["notes"]
+    # Slot-by-slot falsification vs the r8 merged-min ledger (r9
+    # verdict task 2): ratios for every shared slot + the flagged
+    # (≥1.3×) list; the committed record then carries a one-line
+    # verdict per flagged slot in `notes`.
+    r8_path = os.path.join(here, "BENCH_STREAM_r08.json")
+    try:
+        with open(r8_path) as fh:
+            r8 = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        r8 = None
+    if r8 and r8.get("sf") == sf_val and r8.get("queries"):
+        ratios = {
+            n: round(record["queries"][n] / r8["queries"][n], 3)
+            for n in record["queries"]
+            if n in r8["queries"] and r8["queries"][n] > 0
+        }
+        record["vs_r08_ratios"] = ratios
+        record["vs_r08_flagged"] = sorted(
+            n for n, r in ratios.items() if r >= 1.3
+        )
     with open(path, "w") as fh:
         json.dump(record, fh, indent=1)
     print(json.dumps(record, separators=(",", ":")))
