@@ -12,18 +12,23 @@ artifact (a bounded-degree k-NN graph, node-sized state like
 PageRank's scores) but builds it with set-at-a-time operators:
 
 1. **Coarse cells** (the IVF seam): every vector is assigned to its
-   CELL_ASSIGN nearest of K_CELLS fixed seed vectors (seeds = the
-   first K_CELLS corpus vectors by vec_id — the same deterministic
-   seeding convention as `ivf.train_centroids`, and unlike trained
-   centroids it is SQL-expressible, so the WHOLE build gets a DuckDB
-   value oracle, not a rows-only check). Multi-assignment (2 cells)
-   puts cell-boundary neighbors into the same block.
+   CELL_ASSIGN nearest of k_cells = max(K_CELLS_MIN, N/TARGET_CELL)
+   fixed seed vectors (seeds = the first k_cells corpus vectors by
+   vec_id — the same deterministic seeding convention as
+   `ivf.train_centroids`, and unlike trained centroids it is
+   SQL-expressible, so the WHOLE build gets a DuckDB value oracle,
+   not a rows-only check). Multi-assignment (2 cells) puts
+   cell-boundary neighbors into the same block.
 2. **Seed edges**: within-cell candidate pairs → per-node top-M by
-   (d2_e4, id). Quadratic only within a cell: at production scale
-   K_CELLS grows ∝ corpus/target_cell_size, so Σ cell² stays linear —
-   the banded-LSH argument `dedup.minhash_lsh_candidates` already
-   relies on. Here K_CELLS is a fixture constant (16) sized to the
-   test corpus (~250/cell at sf0.1).
+   (d2_e4, id). Quadratic only within a cell, and the cell COUNT
+   scales with the corpus (k_cells ∝ N/TARGET_CELL), so expected cell
+   size stays ~TARGET_CELL·CELL_ASSIGN and Σ cell² stays LINEAR in N —
+   the banded-LSH argument `dedup.minhash_lsh_candidates` relies on.
+   Measured (SCALE.md r10 curves): the r10-initial fixed-16-cell
+   build scaled α≈2.1 cold (13s → 1364s at sf0.1→1.0); the dynamic
+   cell count is the fix, not a docstring promise. At every
+   driver-checked sf (N ≤ 2000 = 16·TARGET_CELL) k_cells still
+   resolves to 16, so oracle values are unchanged there.
 3. **NN-descent refinement** (NND_ROUNDS unrolled rounds, like
    PageRank's fixed PR_ITERS): general neighbors = out ∪ in edges;
    propose every neighbor-of-neighbor pair; keep per-node top-M.
@@ -74,7 +79,23 @@ def _pin(df: DataFrame) -> DataFrame:
     read). A LogicalRDD makes downstream plans tiny."""
     return df.localCheckpoint(eager=True)
 
-K_CELLS = 16  # coarse Voronoi cells (seeds = vec_id < K_CELLS)
+K_CELLS_MIN = 16  # floor of the coarse Voronoi cell count
+TARGET_CELL = 125  # target vectors per cell (×CELL_ASSIGN memberships)
+
+
+def _k_cells(n: int) -> int:
+    """Cell count for an N-vector corpus: N/TARGET_CELL keeps cell
+    size (and therefore the within-cell quadratic seed cost per cell)
+    constant as the corpus grows — total seed-pair cost linear in N."""
+    return max(K_CELLS_MIN, n // TARGET_CELL)
+
+
+#: SQL mirror of the dynamic cell count (scalar subquery — DuckDB
+#: computes the same max(floor) the Spark side gets from its driver
+#: count)
+K_CELLS_SQL = (
+    f"(SELECT GREATEST({K_CELLS_MIN}, count(*) // {TARGET_CELL}) FROM embeddings)"
+)
 CELL_ASSIGN = 2  # each vector joins its 2 nearest cells
 GRAPH_M = 12  # graph out-degree (per-node neighbor-list size)
 NND_ROUNDS = 1  # NN-descent refinement rounds (unrolled)
@@ -96,6 +117,26 @@ def _d2e4_sql(a: str, b: str) -> str:
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _cell_memb(vectors: DataFrame, emb: DataFrame, k_cells: int) -> DataFrame:
+    """(vec_id, cid): each vector's CELL_ASSIGN nearest of the k_cells
+    fixed seed vectors (seeds always come from the CORPUS table `emb`;
+    `vectors` may be the corpus itself or a delta batch). The seed
+    table is k_cells rows — always the broadcast side."""
+    seeds = emb.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.asc("cd2"), F.asc("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(seeds))  # bounded: k_cells rows
+        .select(
+            "vec_id", "cid", _d2e4(F.col("embedding"), F.col("cvec")).alias("cd2")
+        )
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= CELL_ASSIGN)
+        .select("vec_id", "cid")
+    )
 
 
 def _topm(pairs_with_dist: DataFrame, m: int = GRAPH_M) -> DataFrame:
@@ -123,11 +164,12 @@ def _with_dist(pairs: DataFrame, emb: DataFrame) -> DataFrame:
 
 
 #: (applicationId, sf_dir) → (materialized refined graph (src, dst,
-#: d2_e4, rank), materialized symmetric adjacency (src, dst)).
-#: Deployment semantics: a graph index is built once and persisted
-#: (hnswlib serializes its graph the same way); repeated searches in
-#: one session hit the built artifact.
-_GRAPH: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+#: d2_e4, rank), materialized symmetric adjacency (src, dst),
+#: materialized cell membership (vec_id, cid)). Deployment semantics:
+#: a graph index is built once and persisted (hnswlib serializes its
+#: graph the same way); repeated searches/inserts in one session hit
+#: the built artifacts.
+_GRAPH: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,17 +177,21 @@ def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _built(spark, sf_dir)[0]
 
 
-def _built(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _built(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH:
         return _GRAPH[key]
-    edges, adj = _build_edges(spark, sf_dir, pin=_pin)
+    edges, adj, memb = _build_edges(spark, sf_dir, pin=_pin)
     prune_memo(_GRAPH, key[0])
-    _GRAPH[key] = (edges, adj)
+    _GRAPH[key] = (edges, adj, memb)
     return _GRAPH[key]
 
 
-def _build_edges(spark: SparkSession, sf_dir: str, pin) -> tuple[DataFrame, DataFrame]:
+def _build_edges(
+    spark: SparkSession, sf_dir: str, pin
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The build lineage, parameterized on the materialization policy:
     production passes `_pin` (eager localCheckpoint per stage);
     `plans/audit.py` passes identity to inspect the FULL un-truncated
@@ -153,20 +199,12 @@ def _build_edges(spark: SparkSession, sf_dir: str, pin) -> tuple[DataFrame, Data
     blind the audit to the build's joins and windows)."""
     emb = _emb(spark, sf_dir)
 
-    # 1. coarse cells: nearest CELL_ASSIGN of K_CELLS fixed seeds
-    seeds = emb.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    wc = W.partitionBy("vec_id").orderBy(F.asc("cd2"), F.asc("cid"))
-    memb = (
-        emb.crossJoin(F.broadcast(seeds))  # bounded: K_CELLS rows broadcast
-        .select(
-            "vec_id", "cid", _d2e4(F.col("embedding"), F.col("cvec")).alias("cd2")
-        )
-        .withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") <= CELL_ASSIGN)
-        .select("vec_id", "cid")
-    )
+    # 1. coarse cells: nearest CELL_ASSIGN of the corpus-proportional
+    # k_cells fixed seeds — pinned with the graph (delta inserts route
+    # through it). The count is the one driver-side scalar (the
+    # PageRank n_nodes pattern).
+    k_cells = _k_cells(emb.count())
+    memb = pin(_cell_memb(emb, emb, k_cells))
 
     # 2. seed edges: within-cell pairs (equi-join on the cell id — the
     # quadratic stays inside bounded cells), per-node top-M
@@ -207,7 +245,7 @@ def _build_edges(spark: SparkSession, sf_dir: str, pin) -> tuple[DataFrame, Data
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    return edges, adj
+    return edges, adj, memb
 
 
 def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,26 +300,23 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SEARCH:
         return _SEARCH[key]
-    _edges, adj = _built(spark, sf_dir)
+    _edges, adj, _memb = _built(spark, sf_dir)
     res = _pin(_search_df(spark, sf_dir, adj))  # ≤ N_PROBES × TOP_K rows
     prune_memo(_SEARCH, key[0])
     _SEARCH[key] = res
     return res
 
 
-def _search_df(spark: SparkSession, sf_dir: str, adj: DataFrame) -> DataFrame:
-    """The walk lineage over a given adjacency (separated so
-    `plans/audit.py` can inspect it without the memo/checkpoint)."""
-    emb = _emb(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
-
+def _beam_walk(
+    emb: DataFrame, adj: DataFrame, probes: DataFrame, vis0: DataFrame
+) -> DataFrame:
+    """The shared walk kernel: from seed candidates `vis0` (probe_id,
+    vec_id), HOPS rounds of expand-over-`adj` → score → keep per-probe
+    top-BEAM; returns ALL visited candidates scored (probe_id, vec_id,
+    d2_e4), deduplicated once at the end. Used by the query search
+    (seeds = the probe's own graph neighbors) and the delta insert
+    (seeds = the new vector's Voronoi-cell members)."""
     wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
-    vis0 = (
-        probes.join(adj, adj.src == F.col("probe_id"))
-        .filter(F.col("dst") != F.col("probe_id"))
-        .select("probe_id", F.col("dst").alias("vec_id"))
-        .distinct()
-    )
     scored0 = _scored(vis0, emb, probes)
     frontiers = [scored0]
     cur = (
@@ -307,8 +342,23 @@ def _search_df(spark: SparkSession, sf_dir: str, adj: DataFrame) -> DataFrame:
     vis_scored = frontiers[0]
     for df in frontiers[1:]:
         vis_scored = vis_scored.unionByName(df)
+    return vis_scored.distinct()
+
+
+def _search_df(spark: SparkSession, sf_dir: str, adj: DataFrame) -> DataFrame:
+    """The walk lineage over a given adjacency (separated so
+    `plans/audit.py` can inspect it without the memo/checkpoint)."""
+    emb = _emb(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    vis0 = (
+        probes.join(adj, adj.src == F.col("probe_id"))
+        .filter(F.col("dst") != F.col("probe_id"))
+        .select("probe_id", F.col("dst").alias("vec_id"))
+        .distinct()
+    )
+    wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
     return (
-        vis_scored.distinct()
+        _beam_walk(emb, adj, probes, vis0)
         .withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", F.col("rn").cast("int").alias("rn"), "vec_id", "d2_e4")
@@ -374,7 +424,7 @@ def _build_ctes() -> str:
     d_ab = _d2e4_sql("ea.embedding", "eb.embedding")
     ctes = [
         f"""__seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-            WHERE vec_id < {K_CELLS})""",
+            WHERE vec_id < {K_CELLS_SQL})""",
         f"""__cellrank AS (
   SELECT e.vec_id, s.cid,
          row_number() OVER (PARTITION BY e.vec_id
@@ -519,14 +569,178 @@ ORDER BY g.probe_id
 """
 
 
+# --- delta insert: hnswlib add() as set-at-a-time joins ----------------------
+
+DELTA_MOD = 10  # synthetic nightly batch: clones of vec_id % 10 == 3
+DELTA_RESIDUE = 3  # (the ivf_delta_upsert convention: disjoint negative ids)
+
+
+def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — hnswlib's `add()` path
+    re-expressed over the FROZEN graph, cost ∝ delta (the graph twin
+    of `ivf.ivf_delta_upsert`): each new vector (clones of the
+    DELTA_RESIDUE class under negative ids) (1) routes through the
+    frozen Voronoi cells, (2) beam-walks the base graph from its cell
+    members to find its GRAPH_M nearest, (3) adds its out-edges, and
+    (4) appends reverse edges to the touched base nodes, which then
+    re-prune back to GRAPH_M (the hnswlib shrink step).
+
+    Output: the post-insert adjacency restricted to delta-incident
+    rows — every delta node's out-list (rank 1..GRAPH_M) plus every
+    base→delta edge that SURVIVES the shrink. Full DuckDB value
+    oracle. Built-in invariant the oracle verifies by value: a clone's
+    rank-1 neighbor is its base twin at d2_e4 = 0 (identical vector →
+    identical cells → the twin is always a seed candidate)."""
+    emb = _emb(spark, sf_dir)
+    edges, adj, memb = _built(spark, sf_dir)
+    is_delta = F.pmod(F.col("vec_id"), F.lit(DELTA_MOD)) == DELTA_RESIDUE
+    dprobes = emb.filter(is_delta).select(
+        (-F.col("vec_id") - 1).alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    dcells = _cell_memb(
+        emb.filter(is_delta).select(
+            (-F.col("vec_id") - 1).alias("vec_id"), "embedding"
+        ),
+        emb,
+        _k_cells(emb.count()),
+    ).select(F.col("vec_id").alias("probe_id"), "cid")
+    vis0 = (
+        dcells.join(memb, "cid")
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
+    dout = (
+        _beam_walk(emb, adj, dprobes, vis0)
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= GRAPH_M)
+        .select(
+            F.col("probe_id").alias("src"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("dst"),
+            "d2_e4",
+        )
+    )
+    # n_delta × GRAPH_M rows, consumed three times (output, reverse
+    # edges, shrink) — pin once or the whole walk re-executes per
+    # consumer (measured 24 s → ~10 s at sf0.1)
+    dout = _pin(dout)
+    rev = dout.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "d2_e4"
+    )
+    affected = rev.select("src").distinct()
+    ws = W.partitionBy("src").orderBy(F.asc("d2_e4"), F.asc("dst"))
+    base_new = (
+        edges.join(affected, "src")
+        .select("src", "dst", "d2_e4")
+        .unionByName(rev)
+        .withColumn("rank", F.row_number().over(ws))
+        .filter((F.col("rank") <= GRAPH_M) & (F.col("dst") < 0))
+        .select("src", F.col("rank").cast("int").alias("rank"), "dst", "d2_e4")
+    )
+    return dout.unionByName(base_new).orderBy("src", "rank")
+
+
+def _insert_ctes() -> str:
+    """Delta-insert CTEs over the __e{NND_ROUNDS} build chain
+    (d-prefixed twins of the _search_ctes walk)."""
+    d_pe = _d2e4_sql("e.embedding", "p.probe_vec")
+    score_rank = f"""
+  FROM (SELECT u.probe_id, u.vec_id,
+               row_number() OVER (PARTITION BY u.probe_id
+                                  ORDER BY {d_pe} ASC, u.vec_id ASC) AS brk
+        FROM {{pool}} u
+        JOIN embeddings e ON e.vec_id = u.vec_id
+        JOIN __dprobes p ON p.probe_id = u.probe_id) t
+  WHERE brk <= {BEAM}"""
+    ctes = [
+        f"""__iadj AS MATERIALIZED (
+  SELECT src, dst FROM __e{NND_ROUNDS}
+  UNION
+  SELECT dst AS src, src AS dst FROM __e{NND_ROUNDS})""",
+        f"""__dprobes AS MATERIALIZED (
+  SELECT -vec_id - 1 AS probe_id, embedding AS probe_vec
+  FROM embeddings WHERE vec_id % {DELTA_MOD} = {DELTA_RESIDUE})""",
+        f"""__dcell AS (
+  SELECT probe_id, cid
+  FROM (SELECT d.probe_id, s.cid,
+               row_number() OVER (PARTITION BY d.probe_id
+                                  ORDER BY {_d2e4_sql('d.probe_vec', 's.cvec')} ASC,
+                                           s.cid ASC) AS crk
+        FROM __dprobes d, __seeds s) t
+  WHERE crk <= {CELL_ASSIGN})""",
+        """__dvis0 AS MATERIALIZED (
+  SELECT DISTINCT c.probe_id, m.vec_id
+  FROM __dcell c JOIN __memb m ON m.cid = c.cid)""",
+        f"""__dcur0 AS MATERIALIZED (
+  SELECT probe_id, vec_id{score_rank.format(pool='__dvis0')})""",
+    ]
+    for h in range(HOPS):
+        pool = (
+            f"(SELECT probe_id, vec_id FROM __dcur{h}\n"
+            f"              UNION\n"
+            f"              SELECT probe_id, vec_id FROM __dexp{h})"
+        )
+        ctes += [
+            f"""__dexp{h} AS (
+  SELECT DISTINCT c.probe_id, a.dst AS vec_id
+  FROM __dcur{h} c JOIN __iadj a ON a.src = c.vec_id
+  WHERE a.dst <> c.probe_id)""",
+            f"""__dvis{h + 1} AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM __dvis{h}
+  UNION
+  SELECT probe_id, vec_id FROM __dexp{h})""",
+            f"""__dcur{h + 1} AS MATERIALIZED (
+  SELECT probe_id, vec_id{score_rank.format(pool=pool)})""",
+        ]
+    ctes += [
+        f"""__dout AS MATERIALIZED (
+  SELECT probe_id AS src, CAST(rank AS INT) AS rank, vec_id AS dst, d2_e4
+  FROM (SELECT v.probe_id, v.vec_id, {d_pe} AS d2_e4,
+               row_number() OVER (PARTITION BY v.probe_id
+                                  ORDER BY {d_pe} ASC, v.vec_id ASC) AS rank
+        FROM __dvis{HOPS} v
+        JOIN embeddings e ON e.vec_id = v.vec_id
+        JOIN __dprobes p ON p.probe_id = v.probe_id) t
+  WHERE rank <= {GRAPH_M})""",
+        """__drev AS MATERIALIZED (
+  SELECT dst AS src, src AS dst, d2_e4 FROM __dout)""",
+        f"""__dbase AS (
+  SELECT src, CAST(rank AS INT) AS rank, dst, d2_e4
+  FROM (SELECT m.src, m.dst, m.d2_e4,
+               row_number() OVER (PARTITION BY m.src
+                                  ORDER BY m.d2_e4 ASC, m.dst ASC) AS rank
+        FROM (SELECT e.src, e.dst, e.d2_e4
+              FROM __e{NND_ROUNDS} e
+              JOIN (SELECT DISTINCT src FROM __drev) a ON a.src = e.src
+              UNION ALL
+              SELECT src, dst, d2_e4 FROM __drev) m) t
+  WHERE rank <= {GRAPH_M} AND dst < 0)""",
+    ]
+    return ",\n".join(ctes)
+
+
+GRAPH_DELTA_SQL = f"""
+WITH {_build_ctes()},
+{_insert_ctes()}
+SELECT src, rank, dst, d2_e4 FROM __dout
+UNION ALL
+SELECT src, rank, dst, d2_e4 FROM __dbase
+ORDER BY src, rank
+"""
+
+
 QUERIES = {
     "knn_graph_build": knn_graph_build,
     "graph_ann_search": graph_ann_search,
     "graph_ann_recall_report": graph_ann_recall_report,
+    "knn_graph_delta_insert": knn_graph_delta_insert,
 }
 
 ORACLES = {
     "knn_graph_build": KNN_GRAPH_SQL,
     "graph_ann_search": GRAPH_SEARCH_SQL,
     "graph_ann_recall_report": GRAPH_RECALL_SQL,
+    "knn_graph_delta_insert": GRAPH_DELTA_SQL,
 }

@@ -1365,6 +1365,15 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("graph_ann_recall_report",
      ["MapInPandas", "Scan ExistingRDD"],
      ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"]),
+    # graph-ANN delta insert: reads the pinned index artifacts (bare
+    # LogicalRDDs), walks (audited un-pinned via graph_ann_search
+    # [lineage]), pins the bounded delta out-list, then the shrink
+    # re-ranks per touched base node (windowspecdefinition(src) —
+    # never a global window; result orderBy is the one range exchange
+    # (structural loop)
+    ("knn_graph_delta_insert",
+     ["windowspecdefinition(src", "Scan ExistingRDD"],
+     ["CartesianProduct", "BatchEvalPython", "MapInPandas"]),
 ]
 
 #: Queries whose plan must never run a Window over a SinglePartition
@@ -1544,7 +1553,7 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
     # exchange only as the final result sort.
     from spec_search_spark.operators.graph_ann import _build_edges, _search_df
 
-    ga_edges, ga_adj = _build_edges(spark, sf_dir, pin=lambda df: df)
+    ga_edges, ga_adj, _ga_memb = _build_edges(spark, sf_dir, pin=lambda df: df)
     ga_bplan = plan_of(ga_edges)
     for frag in ("windowspecdefinition(src", "hashpartitioning(cid",
                  "BroadcastNestedLoopJoin"):

@@ -19,7 +19,6 @@ from spec_search_spark.operators.graph_ann import (
     BEAM,
     GRAPH_M,
     HOPS,
-    K_CELLS,
     N_PROBES,
     TOP_K,
     graph_ann_recall_report,
@@ -116,7 +115,10 @@ def test_honest_disjoint_probe_recall(built, emb_mat):
     for r in built["edges"]:
         adj.setdefault(r["src"], set()).add(r["dst"])
         adj.setdefault(r["dst"], set()).add(r["src"])
-    probes = range(K_CELLS + 84, K_CELLS + 104)  # 20 probes, seed-disjoint
+    from spec_search_spark.operators.graph_ann import _k_cells
+
+    k = _k_cells(n)
+    probes = range(k + 84, k + 104)  # 20 probes, seed-disjoint
     truth = _exact_topk(emb_mat, probes)
 
     def d2e4(p: int, w: int) -> int:
@@ -233,6 +235,50 @@ def test_beats_ivf_at_equal_budget_sf01(spark):
 
     assert graph_recall >= ivf_recall, (graph_recall, ivf_recall)
     assert max(graph_budget) <= min(ivf_budget.values()), (graph_budget, ivf_budget)
+
+
+def test_delta_insert_invariants(spark, sf_dir, emb_mat):
+    """hnswlib add() parity: every delta node (clone of the
+    vec_id % 10 == 3 residue class under negative ids) gets a full
+    GRAPH_M out-list whose rank-1 neighbor is its base twin at
+    d2_e4 = 0; surviving reverse edges all point at delta nodes within
+    rank bounds."""
+    from spec_search_spark.operators.graph_ann import (
+        DELTA_MOD,
+        DELTA_RESIDUE,
+        knn_graph_delta_insert,
+    )
+
+    rows = knn_graph_delta_insert(spark, sf_dir).collect()
+    n = emb_mat.shape[0]
+    expected_deltas = {-(v) - 1 for v in range(n) if v % DELTA_MOD == DELTA_RESIDUE}
+    out = {}
+    rev_rows = []
+    for r in rows:
+        if r["src"] < 0:
+            out.setdefault(r["src"], []).append(r)
+        else:
+            rev_rows.append(r)
+    assert set(out) == expected_deltas
+    for src, rs in out.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, GRAPH_M + 1))
+        dists = [r["d2_e4"] for r in rs]
+        assert dists == sorted(dists)
+        twin = -(src) - 1
+        assert rs[0]["dst"] == twin and rs[0]["d2_e4"] == 0, (src, rs[0])
+        # stored distances are true distances vs the twin's vector
+        for r in rs[:3]:
+            d = emb_mat[twin] - emb_mat[r["dst"]]
+            assert r["d2_e4"] == int(np.round((d * d).sum() * 1e4))
+    for r in rev_rows:
+        assert r["dst"] < 0 and 1 <= r["rank"] <= GRAPH_M
+        # the reverse edge's distance equals the forward one
+        twin = -(r["dst"]) - 1
+        d = emb_mat[r["src"]] - emb_mat[twin]
+        assert r["d2_e4"] == int(np.round((d * d).sum() * 1e4))
+    # at least the twins' reverse edges survive (d2=0 outranks all)
+    assert len(rev_rows) >= len(expected_deltas)
 
 
 def _exact_topk(emb_mat: np.ndarray, probes) -> dict[int, set]:
