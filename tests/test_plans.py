@@ -152,6 +152,10 @@ def test_no_vacuous_forbid_fragments(spark, sf_dir):
             "r", F.row_number().over(W.partitionBy("bucket").orderBy("id"))
         ),                                             # Window + windowspecdefinition(bucket
         a.orderBy("k"),                                # rangepartitioning(
+        # hashpartitioning(rule — the PSL audit forbid: a shuffle keyed
+        # on a column literally named `rule` (the rule table must stay
+        # broadcast, never shuffled)
+        a.selectExpr("k as rule").groupBy("rule").agg(F.collect_set("rule")),
     ]
     pool = "\n".join(plan_of(df) for df in controls)
     # SortAggregate control planned SEPARATELY: flipping the conf off
