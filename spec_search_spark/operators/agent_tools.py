@@ -160,23 +160,29 @@ class SheetAgentToolkit:
         the recovery scenario exercises, isolated per tool call exactly
         like the reference isolates per-file indexing errors
         (`/root/reference/indexer.py:113-121`: failures become error
-        records, the loop continues)."""
-        _r_lo, r_hi, _c_lo, _c_hi = _parse_range(range_str)
-        n_rows = (
-            self._grid(sheet_name)
-            .agg((F.coalesce(F.max("row_idx"), F.lit(-1)) + 1).alias("n"))
-            .collect()[0]["n"]
-        )
-        if r_hi >= n_rows:
-            raise ValueError(
-                f"range {range_str} exceeds grid limits ({n_rows} rows)"
-            )
+        records, the loop continues).
+
+        One scan on the success path: sheet grids are row-dense by
+        construction (`_write_grid` writes contiguous rows), so a
+        ranged read returning fewer rows than the range height proves
+        the range crossed the grid edge — only THAT rare path pays the
+        second (row-count) job that the error message reports."""
+        r_lo, r_hi, _c_lo, _c_hi = _parse_range(range_str)
         rows = (
             self._grid(sheet_name, range_str)
             .select("row_idx", "cells")
             .orderBy("row_idx")
             .collect()
         )
+        if len(rows) < r_hi - r_lo + 1:
+            n_rows = (
+                self._grid(sheet_name)
+                .agg((F.coalesce(F.max("row_idx"), F.lit(-1)) + 1).alias("n"))
+                .collect()[0]["n"]
+            )
+            raise ValueError(
+                f"range {range_str} exceeds grid limits ({n_rows} rows)"
+            )
         return [list(r["cells"]) for r in rows]
 
     def write_values(
@@ -505,6 +511,33 @@ MSG_R = (
 )
 
 
+def _run_scenarios(
+    spark: SparkSession, sf_dir: str, store_suffix: str, messages
+) -> DataFrame:
+    """Shared transcript harness for the registered agent scenarios:
+    fresh per-store scratch wipe, toolkit + planner, ReAct loop per
+    message, rows assembled under TRANSCRIPT_SCHEMA (one copy — the
+    two slots' byte-stable oracles must never diverge on harness
+    mechanics)."""
+    tune(spark)
+    corpus = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
+    store = agent_store_dir(sf_dir) + store_suffix
+    os.makedirs(store, exist_ok=True)
+    for f in os.listdir(store):
+        if f.endswith(SHEET_SUFFIX):
+            os.remove(os.path.join(store, f))
+    toolkit = SheetAgentToolkit(spark, store, corpus, sf_dir)
+    planner = RuleBasedPlanner()
+
+    rows = []
+    step_id = 0
+    for msg in messages:
+        for s in run_react(toolkit, planner, msg):
+            step_id += 1
+            rows.append((step_id, msg, s.action, s.target, s.observation))
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
 def agent_tool_transcript_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 error-isolation scenario (r9 verdict task 8): the agent asks
     for A2:C12 from a 6-row sheet — the ranged read raises the
@@ -515,23 +548,8 @@ def agent_tool_transcript_recovery(spark: SparkSession, sf_dir: str) -> DataFram
     including the error, is byte-stable and value-oracled.
 
     Output: (step_id, scenario, action, target, observation)."""
-    tune(spark)
-    corpus = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
-    store = agent_store_dir(sf_dir) + "_rec"  # own scratch store
-    os.makedirs(store, exist_ok=True)
-    for f in os.listdir(store):
-        if f.endswith(SHEET_SUFFIX):
-            os.remove(os.path.join(store, f))
-    toolkit = SheetAgentToolkit(spark, store, corpus, sf_dir)
-    planner = RuleBasedPlanner()
-
-    rows = []
-    step_id = 0
-    for msg in (MSG_A, MSG_R):  # scenario A builds the 6-row sheet
-        for s in run_react(toolkit, planner, msg):
-            step_id += 1
-            rows.append((step_id, msg, s.action, s.target, s.observation))
-    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    # scenario A first builds the 6-row sheet the error leg reads
+    return _run_scenarios(spark, sf_dir, "_rec", (MSG_A, MSG_R))
 
 
 def agent_tool_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,24 +561,7 @@ def agent_tool_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     observations.
 
     Output: (step_id, scenario, action, target, observation)."""
-    tune(spark)
-    corpus = build_sheets_fixture(sf_dir, fixture_dir_for(sf_dir))
-    store = agent_store_dir(sf_dir)
-    # fresh scratch store per run (idempotent: writes below recreate it)
-    os.makedirs(store, exist_ok=True)
-    for f in os.listdir(store):
-        if f.endswith(SHEET_SUFFIX):
-            os.remove(os.path.join(store, f))
-    toolkit = SheetAgentToolkit(spark, store, corpus, sf_dir)
-    planner = RuleBasedPlanner()
-
-    rows = []
-    step_id = 0
-    for msg in SCRIPT:
-        for s in run_react(toolkit, planner, msg):
-            step_id += 1
-            rows.append((step_id, msg, s.action, s.target, s.observation))
-    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    return _run_scenarios(spark, sf_dir, "", SCRIPT)
 
 
 # ---------------------------------------------------------------- oracle

@@ -165,11 +165,13 @@ def _with_dist(pairs: DataFrame, emb: DataFrame) -> DataFrame:
 
 #: (applicationId, sf_dir) → (materialized refined graph (src, dst,
 #: d2_e4, rank), materialized symmetric adjacency (src, dst),
-#: materialized cell membership (vec_id, cid)). Deployment semantics:
-#: a graph index is built once and persisted (hnswlib serializes its
-#: graph the same way); repeated searches/inserts in one session hit
-#: the built artifacts.
-_GRAPH: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+#: materialized cell membership (vec_id, cid), k_cells). Deployment
+#: semantics: a graph index is built once and persisted (hnswlib
+#: serializes its graph the same way); repeated searches/inserts in
+#: one session hit the built artifacts — including the cell count, so
+#: a delta insert never re-counts the corpus (and can never route
+#: through cells inconsistent with the frozen membership).
+_GRAPH: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame, int]] = {}
 
 
 def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,19 +181,19 @@ def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _built(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH:
         return _GRAPH[key]
-    edges, adj, memb = _build_edges(spark, sf_dir, pin=_pin)
+    edges, adj, memb, k_cells = _build_edges(spark, sf_dir, pin=_pin)
     prune_memo(_GRAPH, key[0])
-    _GRAPH[key] = (edges, adj, memb)
+    _GRAPH[key] = (edges, adj, memb, k_cells)
     return _GRAPH[key]
 
 
 def _build_edges(
     spark: SparkSession, sf_dir: str, pin
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """The build lineage, parameterized on the materialization policy:
     production passes `_pin` (eager localCheckpoint per stage);
     `plans/audit.py` passes identity to inspect the FULL un-truncated
@@ -245,7 +247,7 @@ def _build_edges(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    return edges, adj, memb
+    return edges, adj, memb, k_cells
 
 
 def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,12 +265,22 @@ def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scored(cand: DataFrame, emb: DataFrame, probes: DataFrame) -> DataFrame:
-    """(probe_id, vec_id) → + d2_e4 to the probe vector."""
+def _scored(
+    cand: DataFrame, emb: DataFrame, probes: DataFrame, bcast: bool = True
+) -> DataFrame:
+    """(probe_id, vec_id) → + d2_e4 to the probe vector.
+
+    `bcast` forces the probe side broadcast ONLY when it is bounded by
+    construction (the N_PROBES query set). The delta-insert path passes
+    False: its probe table is corpus-proportional (the delta batch),
+    so the hint would grow the broadcast with N — AQE still broadcasts
+    it at small scale and falls back to a shuffle join when the batch
+    is genuinely large (self-review r10 finding 1)."""
     ev = emb.select("vec_id", "embedding")
+    pr = F.broadcast(probes) if bcast else probes
     return (
         cand.join(ev, "vec_id")
-        .join(F.broadcast(probes), "probe_id")
+        .join(pr, "probe_id")
         .select(
             "probe_id",
             "vec_id",
@@ -300,7 +312,7 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SEARCH:
         return _SEARCH[key]
-    _edges, adj, _memb = _built(spark, sf_dir)
+    _edges, adj, _memb, _k = _built(spark, sf_dir)
     res = _pin(_search_df(spark, sf_dir, adj))  # ≤ N_PROBES × TOP_K rows
     prune_memo(_SEARCH, key[0])
     _SEARCH[key] = res
@@ -308,7 +320,11 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _beam_walk(
-    emb: DataFrame, adj: DataFrame, probes: DataFrame, vis0: DataFrame
+    emb: DataFrame,
+    adj: DataFrame,
+    probes: DataFrame,
+    vis0: DataFrame,
+    bcast_probes: bool = True,
 ) -> DataFrame:
     """The shared walk kernel: from seed candidates `vis0` (probe_id,
     vec_id), HOPS rounds of expand-over-`adj` → score → keep per-probe
@@ -317,7 +333,7 @@ def _beam_walk(
     (seeds = the probe's own graph neighbors) and the delta insert
     (seeds = the new vector's Voronoi-cell members)."""
     wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
-    scored0 = _scored(vis0, emb, probes)
+    scored0 = _scored(vis0, emb, probes, bcast_probes)
     frontiers = [scored0]
     cur = (
         scored0.withColumn("brk", F.row_number().over(wb))
@@ -331,7 +347,7 @@ def _beam_walk(
             .select("probe_id", F.col("dst").alias("vec_id"))
             .distinct()
         )
-        sexp = _scored(exp, emb, probes)
+        sexp = _scored(exp, emb, probes, bcast_probes)
         frontiers.append(sexp)
         pool = cur.unionByName(sexp).distinct()
         cur = (
@@ -592,7 +608,7 @@ def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-1 neighbor is its base twin at d2_e4 = 0 (identical vector →
     identical cells → the twin is always a seed candidate)."""
     emb = _emb(spark, sf_dir)
-    edges, adj, memb = _built(spark, sf_dir)
+    edges, adj, memb, k_cells = _built(spark, sf_dir)
     is_delta = F.pmod(F.col("vec_id"), F.lit(DELTA_MOD)) == DELTA_RESIDUE
     dprobes = emb.filter(is_delta).select(
         (-F.col("vec_id") - 1).alias("probe_id"),
@@ -603,7 +619,7 @@ def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("vec_id") - 1).alias("vec_id"), "embedding"
         ),
         emb,
-        _k_cells(emb.count()),
+        k_cells,  # the frozen build-time cell count (memoized)
     ).select(F.col("vec_id").alias("probe_id"), "cid")
     vis0 = (
         dcells.join(memb, "cid")
@@ -612,7 +628,7 @@ def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
     dout = (
-        _beam_walk(emb, adj, dprobes, vis0)
+        _beam_walk(emb, adj, dprobes, vis0, bcast_probes=False)
         .withColumn("rank", F.row_number().over(wb))
         .filter(F.col("rank") <= GRAPH_M)
         .select(

@@ -1376,13 +1376,6 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["CartesianProduct", "BatchEvalPython", "MapInPandas"]),
 ]
 
-#: Queries whose plan must never run a Window over a SinglePartition
-#: exchange (the single-task rank-walk anti-pattern): the former
-#: `hashpartitioning(1,` forbids, re-expressed structurally because
-#: Spark 4.1 optimizes a foldable window partition spec away and the
-#: substring no longer exists in any real plan. These all carry
-#: legitimate SinglePartition exchanges (one-row global aggregates),
-#: so only the Window-over-SinglePartition COMPOSITION is forbidden.
 #: Queries whose fixture-scale plan LEGITIMATELY contains a Window
 #: over a SinglePartition exchange — every site is a provably bounded
 #: table (K_CLUSTERS centroids, ≤10k distinct 4dp scores, VOCAB_TOP
@@ -1393,7 +1386,10 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
 #: a NEW unpartitioned window fails the report instead of drowning in
 #: the bench tail, which is why bench.py may silence the WindowExec
 #: log noise. Keep sorted; additions need a bounded-table argument in
-#: the owning operator's docstring.
+#: the owning operator's docstring. (The DISJOINT list below,
+#: NO_SINGLE_TASK_WINDOW, asserts the opposite at the PINNED 100-TB
+#: threshold — both can hold for one query: the small path windows
+#: locally at fixture scale, the big path must not.)
 BOUNDED_SINGLE_PARTITION_WINDOWS = frozenset({
     "balanced_shards",
     "conformal_interval_orders",
@@ -1416,6 +1412,15 @@ BOUNDED_SINGLE_PARTITION_WINDOWS = frozenset({
     "stream_sprt_decision",
 })
 
+#: Queries whose plan must never run a Window over a SinglePartition
+#: exchange (the single-task rank-walk anti-pattern) — checked by
+#: audit() under SPARK_GRAFT_RANK_SMALL_MAX=0, the 100-TB plan shape:
+#: the former `hashpartitioning(1,` forbids, re-expressed structurally
+#: because Spark 4.1 optimizes a foldable window partition spec away
+#: and the substring no longer exists in any real plan. These all
+#: carry legitimate SinglePartition exchanges (one-row global
+#: aggregates), so only the Window-over-SinglePartition COMPOSITION
+#: is forbidden.
 NO_SINGLE_TASK_WINDOW = [
     "equi_depth_histogram",
     "percentiles_distributed",
@@ -1553,7 +1558,9 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
     # exchange only as the final result sort.
     from spec_search_spark.operators.graph_ann import _build_edges, _search_df
 
-    ga_edges, ga_adj, _ga_memb = _build_edges(spark, sf_dir, pin=lambda df: df)
+    ga_edges, ga_adj, _ga_memb, _ga_k = _build_edges(
+        spark, sf_dir, pin=lambda df: df
+    )
     ga_bplan = plan_of(ga_edges)
     for frag in ("windowspecdefinition(src", "hashpartitioning(cid",
                  "BroadcastNestedLoopJoin"):
