@@ -375,6 +375,17 @@ class RuleBasedPlanner:
                     if gm:
                         lo, hi = rng.split(":")
                         rng = f"{lo}:{hi[0]}{int(gm.group(1))}"
+                    else:
+                        # an error observation the re-planner does NOT
+                        # recognize (e.g. a bad-A1 ValueError) — a bare
+                        # retry would re-issue the identical failing
+                        # read until MAX_STEPS and leave the transcript
+                        # without a Final step (ADVICE r10): terminate
+                        # deterministically instead
+                        return Final(
+                            "error: read_values failed and the error is"
+                            f" not recoverable ({reads[-1].observation})"
+                        )
                 return ToolCall(
                     "read_values",
                     {"sheet_name": sheet, "range_str": rng},

@@ -79,9 +79,17 @@ def with_psl_domain(
     """df(+host_col) → df + (ps_labels, public_suffix, domain).
 
     `df`'s rows must be unique (the explode is re-grouped on ALL input
-    columns); every added column derives from host_col alone."""
+    columns); every added column derives from host_col alone.
+
+    Hostnames are case-insensitive and PSL rules are written lowercase,
+    so the match key is ALWAYS F.lower(host_col) — a raw-cased caller
+    (synthetic hosts are uppercased ~1/7 of the time before
+    canonicalization) must not silently fall through every rule to the
+    implicit 1-label default (ADVICE r10). The derived public_suffix /
+    domain columns are therefore lowercase too."""
     keys = df.columns
-    labels = F.split(F.col(host_col), r"\.")
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, r"\.")
     n = F.size(labels)
     cands = []
     for k in range(1, MAX_RULE_LABELS + 1):
@@ -115,7 +123,7 @@ def with_psl_domain(
         .otherwise(F.col("__best.n_rule"))
     )
     out = best.withColumn("ps_labels", ps_labels)
-    lab = F.split(F.col(host_col), r"\.")
+    lab = F.split(F.lower(F.col(host_col)), r"\.")
     out = out.withColumn(
         "public_suffix",
         F.array_join(

@@ -15,7 +15,8 @@ preserving reindexing (pure timing data — no oracle ever runs here):
 - events: K copies with event_id offset; ts/user_id kept (per-hour and
   per-user densities scale with sf, as a real stream would).
 - documents: K copies with doc_id offset; copy k>0 ROTATES each text's
-  word sequence by 7·k words — identical unigram statistics and
+  word sequence by 1+(7·k mod (n_words−1)) words (always a true
+  rotation, even for short docs) — identical unigram statistics and
   length, different shingles, so exact-dup and near-dup rates stay
   realistic instead of every doc gaining K-1 perfect clones (which
   would turn the dedup slots' timing into a different workload).
@@ -57,20 +58,20 @@ def main() -> int:
     for t in DIMS:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
+    # SELECT * REPLACE keeps the FULL source schema (ADVICE r10: a
+    # hand-listed projection silently narrows the copies, and any
+    # scale_curve query touching a dropped column would fail or
+    # mis-time at sf0.3/1.0 only)
     okeys = con.sql(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
     copies = " UNION ALL ".join(
-        f"SELECT o_orderkey + {k * okeys} AS o_orderkey, o_custkey, o_orderstatus,"
-        f" o_totalprice, o_orderdate, o_orderpriority FROM '{SRC}/orders.parquet'"
+        f"SELECT * REPLACE (o_orderkey + {k * okeys} AS o_orderkey)"
+        f" FROM '{SRC}/orders.parquet'"
         for k in range(k_copies)
     )
     con.sql(f"COPY ({copies}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
 
-    li_cols = (
-        "l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
-        " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
-    )
     copies = " UNION ALL ".join(
-        f"SELECT l_orderkey + {k * okeys} AS l_orderkey, {li_cols}"
+        f"SELECT * REPLACE (l_orderkey + {k * okeys} AS l_orderkey)"
         f" FROM '{SRC}/lineitem.parquet'"
         for k in range(k_copies)
     )
@@ -78,8 +79,8 @@ def main() -> int:
 
     ekeys = con.sql(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
     copies = " UNION ALL ".join(
-        f"SELECT event_id + {k * ekeys} AS event_id, ts, user_id, event_type,"
-        f" value, props FROM '{SRC}/events.parquet'"
+        f"SELECT * REPLACE (event_id + {k * ekeys} AS event_id)"
+        f" FROM '{SRC}/events.parquet'"
         for k in range(k_copies)
     )
     con.sql(f"COPY ({copies}) TO '{out}/events.parquet' (FORMAT PARQUET)")
@@ -88,14 +89,20 @@ def main() -> int:
     parts = []
     for k in range(k_copies):
         if k == 0:
-            parts.append(f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet'")
+            parts.append(f"SELECT * FROM '{SRC}/documents.parquet'")
         else:
-            rot = 7 * k
-            # rotate the word list by 7k positions (same words, new order)
+            # rotate each word list by 7k mod its length — clamped to
+            # [1, len-1] so a SHORT doc (1% of sf0.1 docs have ≤ 70
+            # words; min 10) still rotates instead of cloning exactly
+            # (ADVICE r10: rot ≥ len was a no-op slice → exact clone)
+            rot = (
+                f"(1 + ({7 * k} % greatest(len(words) - 1, 1)))"
+            )
             parts.append(
-                f"SELECT doc_id + {k * dkeys} AS doc_id,"
-                f" array_to_string(list_concat(words[{rot + 1}:], words[:{rot}]), ' ') AS text,"
-                f" lang, source, n_chars"
+                f"SELECT * EXCLUDE (words) REPLACE"
+                f" (doc_id + {k * dkeys} AS doc_id,"
+                f" array_to_string(list_concat(words[{rot} + 1:],"
+                f" words[:{rot}]), ' ') AS text)"
                 f" FROM (SELECT *, string_split(text, ' ') AS words"
                 f"       FROM '{SRC}/documents.parquet')"
             )
