@@ -268,6 +268,21 @@ def _calib_pair(v):
         return list(v)
     return [v, v]
 
+def _norm_verdict(cur: float, prev: float, ratio: float, slots: dict) -> str:
+    """One-line machine-independent headline verdict (VERDICT r10
+    task 2): totals in calibration-probe units, plus whether any slot
+    regressed >15% AFTER normalization (those need a named cause)."""
+    head = f"normalized headline {cur} vs {prev} calibration-probe units ({ratio}x): "
+    if ratio <= 1.05 and not slots:
+        return head + "parity — any raw delta is machine speed"
+    if not slots:
+        return head + "total drifted but no single slot >1.15x normalized"
+    return (
+        head + f"{len(slots)} slot(s) >1.15x normalized — each needs a"
+        " named cause in notes"
+    )
+
+
 def _silence_bounded_window_warnings(spark) -> None:
     """Mute the per-execution `WindowExec: No Partition Defined`
     warning in bench logs (r9 verdict task 4): every such site in the
@@ -379,6 +394,18 @@ def main() -> None:
         "run_policy": f"min_of_{n_runs}_exclusive_machine",
         "spread_max_minus_min": spreads,
     }
+    # Calibration-NORMALIZED series (VERDICT r10 task 2): per-slot
+    # time ÷ the run's mean calibration-probe time (unit: "calibration
+    # probes", dimensionless across machines). The r10 driver headline
+    # rose +29% on a probe that was itself 1.8× slower — two rounds of
+    # narrating "it was the machine" becomes mechanical here: the
+    # normalized total is the machine-independent headline, and a slot
+    # whose NORMALIZED ratio vs the previous round exceeds 1.15 must
+    # get a named cause in the ledger notes.
+    full["queries_normalized"] = {
+        n: round(t / calib, 2) for n, t in timings.items()
+    }
+    full["value_normalized_probes"] = round(full["value"] / calib, 1)
     if sweep_timings:
         full["sweep_queries"] = sweep_timings
         full["sweep_value"] = round(sum(sweep_timings.values()), 3)
@@ -423,6 +450,29 @@ def main() -> None:
                 if a > 1.3 and raw[n] > 1.3
             }
             full["regressions_raw_and_adjusted_gt_1_3"] = regressions
+            # normalized-vs-previous one-line verdict + the >15%
+            # normalized-slot list (VERDICT r10 task 2). The adjusted
+            # ratio IS the normalized per-slot ratio:
+            # (t/calib) / (t_prev/calib_prev) = raw / machine_ratio.
+            prev_norm = round(prev.get("value", 0) / _calib_mean(prev_calib), 1)
+            norm_ratio = round(full["value_normalized_probes"] / prev_norm, 3)
+            full["normalized_regressions_gt_1_15"] = {
+                n: a
+                for n, a in sorted(adj.items(), key=lambda kv: -kv[1])
+                if a > 1.15
+            }
+            full["normalized_vs_prev"] = {
+                "prev": prev_name,
+                "prev_value_normalized_probes": prev_norm,
+                "value_normalized_probes": full["value_normalized_probes"],
+                "ratio": norm_ratio,
+                "verdict": _norm_verdict(
+                    full["value_normalized_probes"],
+                    prev_norm,
+                    norm_ratio,
+                    full["normalized_regressions_gt_1_15"],
+                ),
+            }
             # sweep slots diff against the previous sweep record (first
             # round with a sweep has no baseline; min-of-2 noise means
             # the same both-axes gate applies)
@@ -548,6 +598,40 @@ def main() -> None:
                     }
                     excl["deltas_raw_ratio"] = raw
                     excl["deltas_adjusted_ratio"] = adj
+                    excl_calib = _calib_mean(
+                        excl["calibration_shuffle_agg_1m_sec"]
+                    )
+                    excl["queries_normalized"] = {
+                        n: round(t / excl_calib, 2) for n, t in merged.items()
+                    }
+                    excl["value_normalized_probes"] = round(
+                        excl["value"] / excl_calib, 1
+                    )
+                    prev_norm = round(
+                        prev.get("value", 0) / _calib_mean(prev_calib), 1
+                    )
+                    norm_ratio = round(
+                        excl["value_normalized_probes"] / prev_norm, 3
+                    )
+                    excl["normalized_regressions_gt_1_15"] = {
+                        n: a
+                        for n, a in sorted(adj.items(), key=lambda kv: -kv[1])
+                        if a > 1.15
+                    }
+                    excl["normalized_vs_prev"] = {
+                        "prev": prev_name,
+                        "prev_value_normalized_probes": prev_norm,
+                        "value_normalized_probes": excl[
+                            "value_normalized_probes"
+                        ],
+                        "ratio": norm_ratio,
+                        "verdict": _norm_verdict(
+                            excl["value_normalized_probes"],
+                            prev_norm,
+                            norm_ratio,
+                            excl["normalized_regressions_gt_1_15"],
+                        ),
+                    }
                     excl["regressions_raw_and_adjusted_gt_1_3"] = {
                         n: max(raw[n], a)
                         for n, a in sorted(
@@ -579,9 +663,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration_shuffle_agg_1m_sec": calib_pair,
+        "value_normalized_probes": full["value_normalized_probes"],
         "run_policy": full["run_policy"],
         "full_record": full_name,
     }
+    if "normalized_vs_prev" in full:
+        out["norm_vs_prev_ratio"] = full["normalized_vs_prev"]["ratio"]
     if sweep_timings:
         out["sweep_value"] = full["sweep_value"]
         out["sweep_n"] = len(sweep_timings)

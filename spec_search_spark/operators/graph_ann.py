@@ -11,34 +11,50 @@ distributed engine. The Spark-native equivalent keeps the SAME
 artifact (a bounded-degree k-NN graph, node-sized state like
 PageRank's scores) but builds it with set-at-a-time operators:
 
-1. **Coarse cells** (the IVF seam): every vector is assigned to its
-   CELL_ASSIGN nearest of k_cells = max(K_CELLS_MIN, N/TARGET_CELL)
-   fixed seed vectors (seeds = the first k_cells corpus vectors by
-   vec_id — the same deterministic seeding convention as
-   `ivf.train_centroids`, and unlike trained centroids it is
-   SQL-expressible, so the WHOLE build gets a DuckDB value oracle,
-   not a rows-only check). Multi-assignment (2 cells) puts
-   cell-boundary neighbors into the same block.
+1. **Coarse cells, assigned HIERARCHICALLY** (r10 verdict task 1):
+   k_cells = max(K_CELLS_MIN, N/TARGET_CELL) fixed seed vectors
+   (seeds = the first k_cells corpus vectors by vec_id — the same
+   deterministic seeding convention as `ivf.train_centroids`, and
+   unlike trained centroids it is SQL-expressible, so the WHOLE build
+   gets a DuckDB value oracle, not a rows-only check). The r10 flat
+   assignment was `vectors.crossJoin(broadcast(all k_cells seeds))` —
+   N × (N/125) distance evals with a linearly growing broadcast, the
+   r10 verdict's one `weak` finding. Now the seeds themselves are
+   grouped under n_super = ceil(sqrt(k_cells)) SUPER-seeds (the first
+   n_super corpus vectors), and a vector (a) scores the n_super
+   broadcast super-seeds, keeps its SUPER_ASSIGN nearest groups, then
+   (b) scores only the seeds of those groups (a gid equi-join — AQE
+   broadcasts the seed side at small scale and shuffles on gid at
+   large). Cost: N × (√k + SUPER_ASSIGN·√k) = N·O(√k) distance evals;
+   the only broadcast is the n_super ≈ √k super-seed table. At 10⁹
+   vectors / k = 8M cells that is ~2.8k super-seeds (≈1 MB broadcast)
+   and ~8.5k evals/vector vs the old 8M. Multi-assignment
+   (CELL_ASSIGN = 2 cells) still puts cell-boundary neighbors into the
+   same block.
 2. **Seed edges**: within-cell candidate pairs → per-node top-M by
    (d2_e4, id). Quadratic only within a cell, and the cell COUNT
    scales with the corpus (k_cells ∝ N/TARGET_CELL), so expected cell
    size stays ~TARGET_CELL·CELL_ASSIGN and Σ cell² stays LINEAR in N —
    the banded-LSH argument `dedup.minhash_lsh_candidates` relies on.
-   Measured (SCALE.md r10 curves): the r10-initial fixed-16-cell
-   build scaled α≈2.1 cold (13s → 1364s at sf0.1→1.0); the dynamic
-   cell count is the fix, not a docstring promise. At every
-   driver-checked sf (N ≤ 2000 = 16·TARGET_CELL) k_cells still
-   resolves to 16, so oracle values are unchanged there.
 3. **NN-descent refinement** (NND_ROUNDS unrolled rounds, like
    PageRank's fixed PR_ITERS): general neighbors = out ∪ in edges;
    propose every neighbor-of-neighbor pair; keep per-node top-M.
    Per-round state is ≤ N×M edges, per-node candidate fan-out ≤
    (2M)² — never all-pairs, every join an equi-join on a node id.
-4. **Beam search**: seed the beam with the probe's graph neighbors,
-   then HOPS rounds of expand-neighbors → score → keep per-probe
-   top-BEAM; answer = top-K over everything visited. Fixed hop count
-   keeps the oracle expressible as unrolled CTEs (no convergence
-   test), exactly like `graph.graph_pagerank`.
+4. **Beam search**: seed the beam, then `hops` rounds of
+   expand-neighbors → score → keep per-probe top-`beam`; answer =
+   top-K over everything visited. Fixed hop count keeps the oracle
+   expressible as unrolled CTEs (no convergence test), exactly like
+   `graph.graph_pagerank`.
+5. **Layered descent** (`graph_ann_layered_recall`, r10 verdict task
+   5 — hnswlib's upper layers): a second, COARSE graph over the
+   k_cells seeds themselves (within-super-group pairs → top-M1, Σ
+   group² = k^1.5 ≪ N²), walked FIRST from the nearest super-seed's
+   group; its exit seeds choose the cells whose members seed the
+   base-layer beam. A probe then pays n_super + O(walk) entry evals
+   instead of scanning all k_cells seeds — the flat-vs-layered
+   comparison is measured side by side on SEED-DISJOINT probes in the
+   same oracle-checked report.
 
 Determinism across engines: every distance is collapsed to bigint
 units d2_e4 = CAST(round(l2² × 1e4) AS BIGINT) immediately after the
@@ -50,16 +66,18 @@ graph, beam, and result (the fixed-point-PageRank philosophy).
 Honest quality note (measured at sf0.1, see tests/test_graph_ann.py
 and SCALE.md): the synthetic embeddings are near-i.i.d. unit vectors
 (top-10 neighbor label agreement 0.096, neighbor-of-neighbor overlap
-0.035) — the known worst case for graph ANN. Recall@10 on the
-registered probes (vec_id < N_PROBES, which are also cell seeds, the
-same convention the IVF arm uses) is 1.0 at ~256 distance evals per
-probe — above the IVF arm (0.98) at nprobe=1's budget (~250) and half
-nprobe=2's (~500). On probes disjoint from the seeds, recall is ~0.7:
-the random-vector ceiling, not a plan defect; on corpus text
-embeddings (clustered) both numbers rise together.
+0.035) — the known worst case for graph ANN. Recall@10 on the seed
+probes (vec_id < N_PROBES, the IVF-arm convention) stays 1.0 under
+the hierarchical assignment at ~256 distance evals per probe; probes
+DISJOINT from the seeds sit near the random-vector ceiling (~0.7) —
+both cohorts are now rows of the registered
+`graph_ann_recall_report` (r10 verdict task 8), so the driver sees
+the honest number, not just the docstring.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,6 +97,7 @@ def _pin(df: DataFrame) -> DataFrame:
     read). A LogicalRDD makes downstream plans tiny."""
     return df.localCheckpoint(eager=True)
 
+
 K_CELLS_MIN = 16  # floor of the coarse Voronoi cell count
 TARGET_CELL = 125  # target vectors per cell (×CELL_ASSIGN memberships)
 
@@ -90,12 +109,27 @@ def _k_cells(n: int) -> int:
     return max(K_CELLS_MIN, n // TARGET_CELL)
 
 
+def _n_super(k_cells: int) -> int:
+    """Super-seed count: ceil(sqrt(k_cells)) bounds BOTH the broadcast
+    (level-1 table) and the per-vector candidate count (≈ SUPER_ASSIGN
+    × k/√k = O(√k)) — the two sides of the r10 quadratic. IEEE sqrt is
+    exactly rounded, so DuckDB's ceil(sqrt(x)) lands on the same
+    integer (N_SUPER_SQL mirrors this expression)."""
+    return int(math.ceil(math.sqrt(k_cells)))
+
+
 #: SQL mirror of the dynamic cell count (scalar subquery — DuckDB
 #: computes the same max(floor) the Spark side gets from its driver
 #: count)
 K_CELLS_SQL = (
     f"(SELECT GREATEST({K_CELLS_MIN}, count(*) // {TARGET_CELL}) FROM embeddings)"
 )
+#: SQL mirror of _n_super (same double-precision sqrt + ceil)
+N_SUPER_SQL = (
+    f"(SELECT CAST(ceil(sqrt(GREATEST({K_CELLS_MIN},"
+    f" count(*) // {TARGET_CELL}))) AS BIGINT) FROM embeddings)"
+)
+SUPER_ASSIGN = 2  # super-groups a vector's cell candidates come from
 CELL_ASSIGN = 2  # each vector joins its 2 nearest cells
 GRAPH_M = 12  # graph out-degree (per-node neighbor-list size)
 NND_ROUNDS = 1  # NN-descent refinement rounds (unrolled)
@@ -103,6 +137,10 @@ BEAM = 20  # beam width of the query walk
 HOPS = 2  # beam-expansion rounds (unrolled)
 TOP_K = 10
 N_PROBES = 5  # probes = vec_id < 5 (repo-wide convention)
+M1 = 6  # seed-graph (layer-1) out-degree
+BEAM_L1 = 4  # layer-1 beam width
+HOPS_L1 = 2  # layer-1 expansion rounds (unrolled)
+L_CELLS = CELL_ASSIGN  # cells the layered descent exits into
 
 
 def _d2e4(a: Column, b: Column) -> Column:
@@ -119,17 +157,73 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-def _cell_memb(vectors: DataFrame, emb: DataFrame, k_cells: int) -> DataFrame:
-    """(vec_id, cid): each vector's CELL_ASSIGN nearest of the k_cells
-    fixed seed vectors (seeds always come from the CORPUS table `emb`;
-    `vectors` may be the corpus itself or a delta batch). The seed
-    table is k_cells rows — always the broadcast side."""
-    seeds = emb.filter(F.col("vec_id") < k_cells).select(
+def _supers(emb: DataFrame, k_cells: int) -> DataFrame:
+    """(gid, gvec): the n_super = ceil(√k_cells) super-seeds — always
+    the broadcast side (√k rows: ~2.8k at 10⁹ vectors)."""
+    return emb.filter(F.col("vec_id") < _n_super(k_cells)).select(
+        F.col("vec_id").alias("gid"), F.col("embedding").alias("gvec")
+    )
+
+
+def _seeds(emb: DataFrame, k_cells: int) -> DataFrame:
+    """(cid, cvec): the k_cells cell seeds."""
+    return emb.filter(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def _seed_groups(emb: DataFrame, k_cells: int) -> DataFrame:
+    """(gid, cid, cvec): each seed under its single nearest super-seed
+    — the level-1 routing table. k_cells × √k distance evals, done
+    once per build; every super-seed is its own group's d2=0 member,
+    so no group is empty."""
+    wg = W.partitionBy("cid").orderBy(F.asc("gd2"), F.asc("gid"))
+    return (
+        _seeds(emb, k_cells)
+        .crossJoin(F.broadcast(_supers(emb, k_cells)))
+        .select(
+            "cid", "cvec", "gid", _d2e4(F.col("cvec"), F.col("gvec")).alias("gd2")
+        )
+        .withColumn("grk", F.row_number().over(wg))
+        .filter(F.col("grk") == 1)
+        .select("gid", "cid", "cvec")
+    )
+
+
+def _cell_memb(vectors: DataFrame, emb: DataFrame, k_cells: int) -> DataFrame:
+    """(vec_id, cid): each vector's CELL_ASSIGN nearest cells, found
+    HIERARCHICALLY (r10 verdict task 1 — the flat crossJoin against
+    all k_cells seeds was N²/125 distance evals with a linearly
+    growing broadcast):
+
+    1. score the n_super = ⌈√k⌉ BROADCAST super-seeds, keep the
+       SUPER_ASSIGN nearest groups (N × √k evals);
+    2. score only the seeds OF those groups — a gid equi-join against
+       the (gid, cid, cvec) routing table (N × SUPER_ASSIGN·k/√k =
+       N·O(√k) evals; AQE broadcasts the k-row seed side while it is
+       small and falls back to a gid-keyed shuffle when it is not —
+       gid cardinality is √k, which grows with the corpus, so the
+       shuffle never degenerates to a handful of keys).
+
+    Seeds always come from the CORPUS table `emb`; `vectors` may be
+    the corpus itself or a delta batch (cost ∝ batch)."""
+    sup = _supers(emb, k_cells)
+    wv = W.partitionBy("vec_id").orderBy(F.asc("gd2"), F.asc("gid"))
+    vgroups = (
+        vectors.crossJoin(F.broadcast(sup))  # bounded: √k rows
+        .select(
+            "vec_id",
+            "embedding",
+            "gid",
+            _d2e4(F.col("embedding"), F.col("gvec")).alias("gd2"),
+        )
+        .withColumn("grk", F.row_number().over(wv))
+        .filter(F.col("grk") <= SUPER_ASSIGN)
+        .select("vec_id", "embedding", "gid")
     )
     wc = W.partitionBy("vec_id").orderBy(F.asc("cd2"), F.asc("cid"))
     return (
-        vectors.crossJoin(F.broadcast(seeds))  # bounded: k_cells rows
+        vgroups.join(_seed_groups(emb, k_cells), "gid")
         .select(
             "vec_id", "cid", _d2e4(F.col("embedding"), F.col("cvec")).alias("cd2")
         )
@@ -201,10 +295,10 @@ def _build_edges(
     blind the audit to the build's joins and windows)."""
     emb = _emb(spark, sf_dir)
 
-    # 1. coarse cells: nearest CELL_ASSIGN of the corpus-proportional
-    # k_cells fixed seeds — pinned with the graph (delta inserts route
-    # through it). The count is the one driver-side scalar (the
-    # PageRank n_nodes pattern).
+    # 1. coarse cells: hierarchical two-level assignment against the
+    # corpus-proportional k_cells fixed seeds — pinned with the graph
+    # (delta inserts route through it). The count is the one
+    # driver-side scalar (the PageRank n_nodes pattern).
     k_cells = _k_cells(emb.count())
     memb = pin(_cell_memb(emb, emb, k_cells))
 
@@ -259,8 +353,28 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "rank")
 
 
-def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb(spark, sf_dir).filter(F.col("vec_id") < N_PROBES).select(
+# --- query walks (cohort-parameterized) --------------------------------------
+
+#: cohort → (display name, probe predicate builder). `seed` probes are
+#: the first N_PROBES vectors (which are also cell seeds AND
+#: super-seeds — the IVF-arm convention, recall ≈ 1.0); `offseed`
+#: probes are the first N_PROBES vectors ABOVE the seed range
+#: (vec_id ∈ [k_cells, k_cells+N_PROBES) — disjoint from every seed,
+#: the honest cohort the r10 verdict asked to surface as data).
+COHORTS = ("seed", "offseed")
+
+
+def _cohort_probes(
+    spark: SparkSession, sf_dir: str, cohort: str, k_cells: int
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    if cohort == "seed":
+        pred = F.col("vec_id") < N_PROBES
+    else:
+        pred = (F.col("vec_id") >= k_cells) & (
+            F.col("vec_id") < k_cells + N_PROBES
+        )
+    return emb.filter(pred).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
 
@@ -289,18 +403,23 @@ def _scored(
     )
 
 
-#: (applicationId, sf_dir) → cached beam-walk answer (≤ N_PROBES ×
-#: TOP_K rows) — the bounded-artifact memo the recall report reads so
-#: the walk executes once per session (the `ivf._EXACT_TOPK` pattern).
-_SEARCH: dict[tuple[str, str], DataFrame] = {}
-
-
-def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam-search walk over the built graph: top-TOP_K per probe as
-    (probe_id, rn, vec_id, d2_e4). Every round is a bounded equi-join
-    (≤ N_PROBES × BEAM frontier rows against the node-keyed adjacency);
-    the scored tables never exceed N_PROBES × BEAM × 2·GRAPH_M rows, so
-    the per-probe windows are bounded by construction.
+def _beam_walk(
+    emb: DataFrame,
+    adj: DataFrame,
+    probes: DataFrame,
+    vis0: DataFrame,
+    bcast_probes: bool = True,
+    beam: int = BEAM,
+    hops: int = HOPS,
+) -> DataFrame:
+    """The shared walk kernel: from seed candidates `vis0` (probe_id,
+    vec_id), `hops` rounds of expand-over-`adj` → score → keep
+    per-probe top-`beam`; returns ALL visited candidates scored
+    (probe_id, vec_id, d2_e4), deduplicated once at the end. Used by
+    the query search (seeds = the probe's own graph neighbors), the
+    delta insert (seeds = the new vector's Voronoi-cell members), and
+    both layers of the layered descent (layer 1 walks the seed graph
+    with beam=BEAM_L1/hops=HOPS_L1).
 
     Plan economy: every candidate is scored ONCE (d2_e4 rides along
     through the hops — distances are deterministic per (probe, vec),
@@ -309,38 +428,15 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct or checkpoint on the accumulator (each eager materialize
     costs ~0.8 s of fixed scheduling floor; measured 13.1 s → 6.5 s at
     sf0.1 when dropped)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _SEARCH:
-        return _SEARCH[key]
-    _edges, adj, _memb, _k = _built(spark, sf_dir)
-    res = _pin(_search_df(spark, sf_dir, adj))  # ≤ N_PROBES × TOP_K rows
-    prune_memo(_SEARCH, key[0])
-    _SEARCH[key] = res
-    return res
-
-
-def _beam_walk(
-    emb: DataFrame,
-    adj: DataFrame,
-    probes: DataFrame,
-    vis0: DataFrame,
-    bcast_probes: bool = True,
-) -> DataFrame:
-    """The shared walk kernel: from seed candidates `vis0` (probe_id,
-    vec_id), HOPS rounds of expand-over-`adj` → score → keep per-probe
-    top-BEAM; returns ALL visited candidates scored (probe_id, vec_id,
-    d2_e4), deduplicated once at the end. Used by the query search
-    (seeds = the probe's own graph neighbors) and the delta insert
-    (seeds = the new vector's Voronoi-cell members)."""
     wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
     scored0 = _scored(vis0, emb, probes, bcast_probes)
     frontiers = [scored0]
     cur = (
         scored0.withColumn("brk", F.row_number().over(wb))
-        .filter(F.col("brk") <= BEAM)
+        .filter(F.col("brk") <= beam)
         .select("probe_id", "vec_id", "d2_e4")
     )
-    for _ in range(HOPS):
+    for _ in range(hops):
         exp = (
             cur.join(adj, adj.src == cur.vec_id)
             .filter(F.col("dst") != F.col("probe_id"))
@@ -352,7 +448,7 @@ def _beam_walk(
         pool = cur.unionByName(sexp).distinct()
         cur = (
             pool.withColumn("brk", F.row_number().over(wb))
-            .filter(F.col("brk") <= BEAM)
+            .filter(F.col("brk") <= beam)
             .select("probe_id", "vec_id", "d2_e4")
         )
     vis_scored = frontiers[0]
@@ -361,38 +457,87 @@ def _beam_walk(
     return vis_scored.distinct()
 
 
-def _search_df(spark: SparkSession, sf_dir: str, adj: DataFrame) -> DataFrame:
-    """The walk lineage over a given adjacency (separated so
-    `plans/audit.py` can inspect it without the memo/checkpoint)."""
+#: (applicationId, sf_dir, cohort) → pinned full visited-scored table
+#: (probe_id, vec_id, d2_e4) of the cohort's beam walk — bounded by
+#: N_PROBES × (2·GRAPH_M + HOPS·BEAM·2·GRAPH_M) rows. Both the top-k
+#: answer and the per-probe eval count (n_evals = rows per probe) are
+#: cheap derivations, so one walk serves search AND recall report.
+_WALK: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _walk_visited(spark: SparkSession, sf_dir: str, cohort: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, cohort)
+    if key in _WALK:
+        return _WALK[key]
+    _edges, adj, _memb, k_cells = _built(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
+    probes = _cohort_probes(spark, sf_dir, cohort, k_cells)
     vis0 = (
         probes.join(adj, adj.src == F.col("probe_id"))
         .filter(F.col("dst") != F.col("probe_id"))
         .select("probe_id", F.col("dst").alias("vec_id"))
         .distinct()
     )
+    res = _pin(_beam_walk(emb, adj, probes, vis0))
+    prune_memo(_WALK, key[0])
+    _WALK[key] = res
+    return res
+
+
+def _topk_of(visited: DataFrame) -> DataFrame:
     wb = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
     return (
-        _beam_walk(emb, adj, probes, vis0)
-        .withColumn("rn", F.row_number().over(wb))
+        visited.withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", F.col("rn").cast("int").alias("rn"), "vec_id", "d2_e4")
         .orderBy("probe_id", "rn")
     )
 
 
-def graph_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the graph walk vs exact kNN under the same
-    metric/rounding/tie order — `ann_recall_report`'s twin for the
-    graph index, with a FULL value oracle (both arms SQL-expressible).
-    Scale: the exact arm is the partial-top-k scan; the approx arm
-    reads the memoized graph; the hit-join runs on ≤ N_PROBES × TOP_K
-    rows."""
+#: (applicationId, sf_dir) → cached beam-walk answer (≤ N_PROBES ×
+#: TOP_K rows) — the bounded-artifact memo (the `ivf._EXACT_TOPK`
+#: pattern), so repeated reads skip even the small window+sort.
+_SEARCH: dict[tuple[str, str], DataFrame] = {}
+
+
+def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search walk over the built graph: top-TOP_K per seed-cohort
+    probe as (probe_id, rn, vec_id, d2_e4). Every round is a bounded
+    equi-join (≤ N_PROBES × BEAM frontier rows against the node-keyed
+    adjacency); the scored tables never exceed N_PROBES × BEAM ×
+    2·GRAPH_M rows, so the per-probe windows are bounded by
+    construction."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEARCH:
+        return _SEARCH[key]
+    res = _pin(_topk_of(_walk_visited(spark, sf_dir, "seed")))
+    prune_memo(_SEARCH, key[0])
+    _SEARCH[key] = res
+    return res
+
+
+def _search_df(spark: SparkSession, sf_dir: str, adj: DataFrame) -> DataFrame:
+    """The full seed-cohort walk lineage over a given adjacency
+    (separated so `plans/audit.py` can inspect it without the
+    memo/checkpoint)."""
+    emb = _emb(spark, sf_dir)
+    probes = _emb(spark, sf_dir).filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    vis0 = (
+        probes.join(adj, adj.src == F.col("probe_id"))
+        .filter(F.col("dst") != F.col("probe_id"))
+        .select("probe_id", F.col("dst").alias("vec_id"))
+        .distinct()
+    )
+    return _topk_of(_beam_walk(emb, adj, probes, vis0))
+
+
+def _exact_arm(emb: DataFrame, probes: DataFrame) -> DataFrame:
+    """Exact kNN per probe under the same metric/rounding/tie order —
+    the partial-top-k scan (map-side cut, no full sort)."""
     from spec_search_spark.operators.similarity import partial_topk
 
-    emb = _emb(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
     scored = emb.join(
         F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
     ).select(
@@ -402,32 +547,264 @@ def graph_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = partial_topk(scored, "probe_id", ["d2_e4", "vec_id"], TOP_K)
     w = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
-    exact = (
+    return (
         local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "vec_id")
     )
-    approx = graph_ann_search(spark, sf_dir).select(
-        "probe_id", "vec_id", F.lit(1).alias("hit")
-    )
-    n_approx = approx.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        exact.join(F.broadcast(approx), ["probe_id", "vec_id"], "left")
-        .groupBy("probe_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias("n_hits"),
+
+
+def graph_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the graph walk vs exact kNN under the same
+    metric/rounding/tie order — `ann_recall_report`'s twin for the
+    graph index, with a FULL value oracle (both arms SQL-expressible).
+
+    BOTH probe cohorts are rows (r10 verdict task 8): cohort='seed'
+    (probes that are also cell seeds — the flattering convention the
+    IVF arm shares, recall ≈ 1.0) and cohort='offseed' (vec_id ∈
+    [k_cells, k_cells+N_PROBES), disjoint from every seed — the
+    honest number, ~0.7 on these i.i.d. vectors). n_evals is the
+    walk's distinct scored-candidate count per probe, so the
+    recall-per-budget tradeoff is in the data, not the docstring.
+
+    Scale: the exact arm is the partial-top-k scan; the approx arm
+    reads the memoized pinned walk; the hit-join runs on ≤ N_PROBES ×
+    TOP_K rows per cohort."""
+    emb = _emb(spark, sf_dir)
+    _edges, _adj, _memb, k_cells = _built(spark, sf_dir)
+    parts = []
+    for cohort in COHORTS:
+        probes = _cohort_probes(spark, sf_dir, cohort, k_cells)
+        visited = _walk_visited(spark, sf_dir, cohort)
+        exact = _exact_arm(emb, probes)
+        approx = _topk_of(visited).select(
+            "probe_id", "vec_id", F.lit(1).alias("hit")
         )
-        .join(F.broadcast(n_approx), "probe_id", "left")
+        n_approx = approx.groupBy("probe_id").agg(
+            F.count(F.lit(1)).alias("n_approx")
+        )
+        n_evals = visited.groupBy("probe_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_evals")
+        )
+        parts.append(
+            exact.join(F.broadcast(approx), ["probe_id", "vec_id"], "left")
+            .groupBy("probe_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias(
+                    "n_hits"
+                ),
+            )
+            .join(F.broadcast(n_approx), "probe_id", "left")
+            .join(F.broadcast(n_evals), "probe_id", "left")
+            .select(
+                F.lit(cohort).alias("cohort"),
+                "probe_id",
+                "n_exact",
+                F.coalesce(F.col("n_approx"), F.lit(0).cast("bigint")).alias(
+                    "n_approx"
+                ),
+                "n_hits",
+                F.coalesce(F.col("n_evals"), F.lit(0).cast("bigint")).alias(
+                    "n_evals"
+                ),
+                F.round(F.col("n_hits") / float(TOP_K), 4).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("cohort", "probe_id")
+
+
+# --- layered descent (hnswlib's upper layer as a seed graph) -----------------
+
+#: (applicationId, sf_dir) → pinned (seed-graph edges, seed-graph
+#: symmetric adjacency). The layer-1 artifact: a k-NN graph over the
+#: k_cells SEEDS only, built from within-super-group pairs (each seed
+#: pairs inside its SUPER_ASSIGN nearest groups, so boundary edges
+#: exist and the graph is navigable across groups) — Σ group-pair
+#: cost ≈ SUPER_ASSIGN²·k²/√k = O(k^1.5) ≪ N², node state k×M1.
+_L1: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _seed_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _L1:
+        return _L1[key]
+    e1, adj1 = _seed_graph_edges(spark, sf_dir, pin=_pin)
+    prune_memo(_L1, key[0])
+    _L1[key] = (e1, adj1)
+    return _L1[key]
+
+
+def _seed_graph_edges(
+    spark: SparkSession, sf_dir: str, pin
+) -> tuple[DataFrame, DataFrame]:
+    """Layer-1 build lineage (pin-parameterized for the plan audit,
+    the `_build_edges` pattern)."""
+    emb = _emb(spark, sf_dir)
+    _edges, _adj, _memb, k_cells = _built(spark, sf_dir)
+    sup = _supers(emb, k_cells)
+    seeds = _seeds(emb, k_cells).select(
+        F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.asc("gd2"), F.asc("gid"))
+    smemb2 = (
+        seeds.crossJoin(F.broadcast(sup))
         .select(
-            "probe_id",
-            "n_exact",
-            F.coalesce(F.col("n_approx"), F.lit(0).cast("bigint")).alias("n_approx"),
-            "n_hits",
-            F.round(F.col("n_hits") / float(TOP_K), 4).alias("recall_at_k"),
+            "vec_id", "gid", _d2e4(F.col("embedding"), F.col("gvec")).alias("gd2")
         )
-        .orderBy("probe_id")
+        .withColumn("grk", F.row_number().over(wv))
+        .filter(F.col("grk") <= SUPER_ASSIGN)
+        .select("gid", "vec_id")
     )
+    a = smemb2.select("gid", F.col("vec_id").alias("src"))
+    b = smemb2.select("gid", F.col("vec_id").alias("dst"))
+    pairs = (
+        a.join(b, "gid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    e1 = pin(_topm(_with_dist(pairs, emb), m=M1))
+    adj1 = pin(
+        e1.select("src", "dst").union(
+            e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    return e1, adj1
+
+
+#: (applicationId, sf_dir) → pinned layered-recall report rows
+_LAYERED: dict[tuple[str, str], DataFrame] = {}
+
+
+def graph_ann_layered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat vs LAYERED descent, measured side by side on SEED-DISJOINT
+    probes under OUT-OF-CORPUS entry semantics (a real query vector
+    has no graph node, so neither arm may enter through the probe's
+    own adjacency — both enter the way hnswlib's add()/search() do,
+    through the coarse structure):
+
+    - arm='flat': score ALL k_cells seeds (k evals), take the
+      CELL_ASSIGN nearest cells, beam-walk the base graph from their
+      members. Entry cost grows with k = N/125.
+    - arm='layered': score the n_super = ⌈√k⌉ super-seeds, walk the
+      SEED GRAPH (layer 1: beam BEAM_L1 × HOPS_L1 hops over the
+      within-super-group k-NN graph) from the nearest super-seed's
+      group, exit into the L_CELLS best seeds visited, beam-walk the
+      base graph from THEIR members. Entry cost O(√k + BEAM_L1·M1·
+      HOPS_L1) — hnswlib's logarithmic descent, two layers.
+
+    Output (arm, probe_id, n_evals, n_hits, recall_at_k): n_evals is
+    the arm's TOTAL distinct scored candidates (entry + both walks —
+    seeds and super-seeds are corpus vectors, so every entry score is
+    a real candidate eval and counts); the answer each arm is graded
+    on is top-TOP_K over that same scored set. At driver sfs k = 16
+    so the arms are nearly equal-budget; the separation the layered
+    arm exists for is measured at sf1.0 (k = 160: flat pays 160 entry
+    evals, layered ~30 — see SCALE.md). Full DuckDB value oracle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LAYERED:
+        return _LAYERED[key]
+    res = _pin(_layered_df(spark, sf_dir))
+    prune_memo(_LAYERED, key[0])
+    _LAYERED[key] = res
+    return res
+
+
+def _layered_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    _edges, adj, memb, k_cells = _built(spark, sf_dir)
+    _e1, adj1 = _seed_graph(spark, sf_dir)
+    probes = _cohort_probes(spark, sf_dir, "offseed", k_cells)
+    seeds_cand = _seeds(emb, k_cells).select(F.col("cid").alias("vec_id"))
+    sup_cand = _supers(emb, k_cells).select(F.col("gid").alias("vec_id"))
+    wc = W.partitionBy("probe_id").orderBy(F.asc("d2_e4"), F.asc("vec_id"))
+
+    def members_vis0(cells: DataFrame) -> DataFrame:
+        return (
+            cells.join(memb, "cid")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", "vec_id")
+            .distinct()
+        )
+
+    # flat arm: probe × ALL seeds → top cells → base walk. The seed
+    # table is broadcast-hinted: scanning all k_cells seeds IS the
+    # flat arm's defining entry cost (the layered arm exists to avoid
+    # exactly this k = N/125 growth).
+    sseed = _scored(
+        probes.select("probe_id").crossJoin(F.broadcast(seeds_cand)),
+        emb,
+        probes,
+    )
+    cells_f = (
+        sseed.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= CELL_ASSIGN)
+        .select("probe_id", F.col("vec_id").alias("cid"))
+    )
+    walk_f = _beam_walk(emb, adj, probes, members_vis0(cells_f))
+    scored_f = walk_f.unionByName(sseed).distinct()
+
+    # layered arm: probe × super-seeds → nearest group's seeds → L1
+    # walk over the seed graph → exit cells → base walk
+    ssup = _scored(
+        probes.select("probe_id").crossJoin(F.broadcast(sup_cand)), emb, probes
+    )
+    g1 = (
+        ssup.withColumn("grk", F.row_number().over(wc))
+        .filter(F.col("grk") <= 1)
+        .select("probe_id", F.col("vec_id").alias("gid"))
+    )
+    vis0_l1 = (
+        g1.join(_seed_groups(emb, k_cells), "gid")
+        .select("probe_id", F.col("cid").alias("vec_id"))
+        .distinct()
+    )
+    walk_l1 = _beam_walk(
+        emb, adj1, probes, vis0_l1, beam=BEAM_L1, hops=HOPS_L1
+    )
+    cells_l = (
+        walk_l1.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= L_CELLS)
+        .select("probe_id", F.col("vec_id").alias("cid"))
+    )
+    walk_b = _beam_walk(emb, adj, probes, members_vis0(cells_l))
+    scored_l = walk_b.unionByName(walk_l1).unionByName(ssup).distinct()
+
+    exact = _exact_arm(emb, probes)
+    parts = []
+    for arm, scored_all in (("flat", scored_f), ("layered", scored_l)):
+        approx = _topk_of(scored_all).select(
+            "probe_id", "vec_id", F.lit(1).alias("hit")
+        )
+        n_evals = scored_all.groupBy("probe_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_evals")
+        )
+        parts.append(
+            exact.join(F.broadcast(approx), ["probe_id", "vec_id"], "left")
+            .groupBy("probe_id")
+            .agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias(
+                    "n_hits"
+                ),
+            )
+            .join(F.broadcast(n_evals), "probe_id", "left")
+            .select(
+                F.lit(arm).alias("arm"),
+                "probe_id",
+                F.coalesce(F.col("n_evals"), F.lit(0).cast("bigint")).alias(
+                    "n_evals"
+                ),
+                "n_hits",
+                F.round(F.col("n_hits") / float(TOP_K), 4).alias("recall_at_k"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("arm", "probe_id")
 
 
 # --- DuckDB oracles (the identical chain, unrolled CTEs) ---------------------
@@ -436,17 +813,36 @@ def _build_ctes() -> str:
     """CTE chain ending in the refined graph __e{NND_ROUNDS}(src, dst,
     d2_e4, rank). MATERIALIZED where a CTE is referenced more than once
     (the dedup lesson: inlined re-evaluation is exponential in unrolled
-    iterative chains)."""
+    iterative chains). The hierarchical assignment (__sup/__seedgrp/
+    __vgrp) mirrors `_cell_memb` exactly."""
     d_ab = _d2e4_sql("ea.embedding", "eb.embedding")
     ctes = [
+        f"""__sup AS (SELECT vec_id AS gid, embedding AS gvec FROM embeddings
+            WHERE vec_id < {N_SUPER_SQL})""",
         f"""__seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
             WHERE vec_id < {K_CELLS_SQL})""",
+        f"""__seedgrp AS MATERIALIZED (
+  SELECT gid, cid, cvec FROM (
+    SELECT g.gid, s.cid, s.cvec,
+           row_number() OVER (PARTITION BY s.cid
+                              ORDER BY {_d2e4_sql('s.cvec', 'g.gvec')} ASC,
+                                       g.gid ASC) AS grk
+    FROM __seeds s, __sup g) t
+  WHERE grk = 1)""",
+        f"""__vgrp AS MATERIALIZED (
+  SELECT vec_id, embedding, gid FROM (
+    SELECT e.vec_id, e.embedding, g.gid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_d2e4_sql('e.embedding', 'g.gvec')} ASC,
+                                       g.gid ASC) AS grk
+    FROM embeddings e, __sup g) t
+  WHERE grk <= {SUPER_ASSIGN})""",
         f"""__cellrank AS (
-  SELECT e.vec_id, s.cid,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY {_d2e4_sql('e.embedding', 's.cvec')} ASC,
+  SELECT v.vec_id, s.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_d2e4_sql('v.embedding', 's.cvec')} ASC,
                                      s.cid ASC) AS crk
-  FROM embeddings e, __seeds s)""",
+  FROM __vgrp v JOIN __seedgrp s ON s.gid = v.gid)""",
         f"""__memb AS MATERIALIZED (
   SELECT vec_id, cid FROM __cellrank WHERE crk <= {CELL_ASSIGN})""",
         """__seedpairs AS (
@@ -492,96 +888,273 @@ ORDER BY src, rank
 """
 
 
-def _search_ctes() -> str:
-    """Beam-walk CTEs over __e{NND_ROUNDS}; ends in __res."""
-    d_pe = _d2e4_sql("e.embedding", "p.probe_vec")
-    score_rank = f"""
-  FROM (SELECT u.probe_id, u.vec_id,
-               row_number() OVER (PARTITION BY u.probe_id
-                                  ORDER BY {d_pe} ASC, u.vec_id ASC) AS brk
-        FROM {{pool}} u
-        JOIN embeddings e ON e.vec_id = u.vec_id
-        JOIN __probes p ON p.probe_id = u.probe_id) t
-  WHERE brk <= {BEAM}"""
-    ctes = [
-        f"""__adjq AS MATERIALIZED (
+def _adjq_cte() -> str:
+    return f"""__adjq AS MATERIALIZED (
   SELECT src, dst FROM __e{NND_ROUNDS}
   UNION
-  SELECT dst AS src, src AS dst FROM __e{NND_ROUNDS})""",
-        f"""__probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec
-             FROM embeddings WHERE vec_id < {N_PROBES})""",
-        """__vis0 AS MATERIALIZED (
-  SELECT DISTINCT p.probe_id, a.dst AS vec_id
-  FROM __probes p JOIN __adjq a ON a.src = p.probe_id
-  WHERE a.dst <> p.probe_id)""",
-        f"""__cur0 AS MATERIALIZED (
-  SELECT probe_id, vec_id{score_rank.format(pool='__vis0')})""",
+  SELECT dst AS src, src AS dst FROM __e{NND_ROUNDS})"""
+
+
+def _probes_cte(tag: str) -> str:
+    if tag == "":
+        pred = f"vec_id < {N_PROBES}"
+    else:
+        pred = (
+            f"vec_id >= {K_CELLS_SQL} AND vec_id < {K_CELLS_SQL} + {N_PROBES}"
+        )
+    return (
+        f"__{tag}probes AS MATERIALIZED (SELECT vec_id AS probe_id,"
+        f" embedding AS probe_vec\n             FROM embeddings WHERE {pred})"
+    )
+
+
+def _score_rank(pool: str, probes: str, limit: int, rank: str) -> str:
+    """Shared score-and-rank fragment: the pool's (probe_id, vec_id)
+    pairs joined back to embeddings + probes, ranked per probe by
+    (d2_e4, vec_id)."""
+    d_pe = _d2e4_sql("e.embedding", "p.probe_vec")
+    return f"""
+  FROM (SELECT u.probe_id, u.vec_id,
+               row_number() OVER (PARTITION BY u.probe_id
+                                  ORDER BY {d_pe} ASC, u.vec_id ASC) AS {rank}
+        FROM {pool} u
+        JOIN embeddings e ON e.vec_id = u.vec_id
+        JOIN {probes} p ON p.probe_id = u.probe_id) t
+  WHERE {rank} <= {limit}"""
+
+
+def _walk_ctes(tag: str, probes: str, adj: str, beam: int, hops: int) -> list[str]:
+    """Beam-walk CTEs __{tag}cur0..__{tag}vis{hops}; the entry
+    candidates __{tag}vis0 must be defined by the caller."""
+    ctes = [
+        f"""__{tag}cur0 AS MATERIALIZED (
+  SELECT probe_id, vec_id{_score_rank(f'__{tag}vis0', probes, beam, 'brk')})"""
     ]
-    for h in range(HOPS):
+    for h in range(hops):
         pool = (
-            f"(SELECT probe_id, vec_id FROM __cur{h}\n"
+            f"(SELECT probe_id, vec_id FROM __{tag}cur{h}\n"
             f"              UNION\n"
-            f"              SELECT probe_id, vec_id FROM __exp{h})"
+            f"              SELECT probe_id, vec_id FROM __{tag}exp{h})"
         )
         ctes += [
-            f"""__exp{h} AS (
+            f"""__{tag}exp{h} AS (
   SELECT DISTINCT c.probe_id, a.dst AS vec_id
-  FROM __cur{h} c JOIN __adjq a ON a.src = c.vec_id
+  FROM __{tag}cur{h} c JOIN {adj} a ON a.src = c.vec_id
   WHERE a.dst <> c.probe_id)""",
-            f"""__vis{h + 1} AS MATERIALIZED (
-  SELECT probe_id, vec_id FROM __vis{h}
+            f"""__{tag}vis{h + 1} AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM __{tag}vis{h}
   UNION
-  SELECT probe_id, vec_id FROM __exp{h})""",
-            f"""__cur{h + 1} AS MATERIALIZED (
-  SELECT probe_id, vec_id{score_rank.format(pool=pool)})""",
+  SELECT probe_id, vec_id FROM __{tag}exp{h})""",
+            f"""__{tag}cur{h + 1} AS MATERIALIZED (
+  SELECT probe_id, vec_id{_score_rank(pool, probes, beam, 'brk')})""",
         ]
-    ctes.append(
-        f"""__res AS (
+    return ctes
+
+
+def _adj_vis0_cte(tag: str, probes: str) -> str:
+    """In-corpus entry: the probe's own graph neighbors."""
+    return f"""__{tag}vis0 AS MATERIALIZED (
+  SELECT DISTINCT p.probe_id, a.dst AS vec_id
+  FROM {probes} p JOIN __adjq a ON a.src = p.probe_id
+  WHERE a.dst <> p.probe_id)"""
+
+
+def _res_cte(name: str, pool: str, probes: str, k: int) -> str:
+    d_pe = _d2e4_sql("e.embedding", "p.probe_vec")
+    return f"""{name} AS MATERIALIZED (
   SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, d2_e4
   FROM (SELECT v.probe_id, v.vec_id, {d_pe} AS d2_e4,
                row_number() OVER (PARTITION BY v.probe_id
                                   ORDER BY {d_pe} ASC, v.vec_id ASC) AS rn
-        FROM __vis{HOPS} v
+        FROM {pool} v
         JOIN embeddings e ON e.vec_id = v.vec_id
-        JOIN __probes p ON p.probe_id = v.probe_id) t
-  WHERE rn <= {TOP_K})"""
+        JOIN {probes} p ON p.probe_id = v.probe_id) t
+  WHERE rn <= {k})"""
+
+
+def _search_ctes(tag: str) -> str:
+    """One cohort's full walk: probes + adjacency entry + unrolled
+    beam + top-k result __{tag}res."""
+    ctes = (
+        [_probes_cte(tag), _adj_vis0_cte(tag, f"__{tag}probes")]
+        + _walk_ctes(tag, f"__{tag}probes", "__adjq", BEAM, HOPS)
+        + [_res_cte(f"__{tag}res", f"__{tag}vis{HOPS}", f"__{tag}probes", TOP_K)]
     )
     return ",\n".join(ctes)
 
 
 GRAPH_SEARCH_SQL = f"""
 WITH {_build_ctes()},
-{_search_ctes()}
+{_adjq_cte()},
+{_search_ctes("")}
 SELECT probe_id, rn, vec_id, d2_e4 FROM __res ORDER BY probe_id, rn
 """
 
 
-GRAPH_RECALL_SQL = f"""
-WITH {_build_ctes()},
-{_search_ctes()},
-__exscored AS (
+def _recall_cohort_ctes(tag: str, cohort: str) -> str:
+    """Exact arm + eval counts + report rows __{tag}rep for a cohort
+    whose walk (__{tag}res / __{tag}vis{HOPS}) is already defined."""
+    probes = f"__{tag}probes"
+    return f""",
+__{tag}exscored AS (
   SELECT p.probe_id, e.vec_id,
          {_d2e4_sql('e.embedding', 'p.probe_vec')} AS d2_e4
-  FROM embeddings e JOIN __probes p ON e.vec_id <> p.probe_id),
-__exact AS (
+  FROM embeddings e JOIN {probes} p ON e.vec_id <> p.probe_id),
+__{tag}exact AS (
   SELECT probe_id, vec_id
   FROM (SELECT probe_id, vec_id,
                row_number() OVER (PARTITION BY probe_id
                                   ORDER BY d2_e4 ASC, vec_id ASC) AS rn
-        FROM __exscored) t
+        FROM __{tag}exscored) t
   WHERE rn <= {TOP_K}),
-__napp AS (SELECT probe_id, COUNT(*) AS n_approx FROM __res GROUP BY probe_id)
-SELECT g.probe_id, g.n_exact,
-       COALESCE(__napp.n_approx, 0) AS n_approx, g.n_hits,
-       round(g.n_hits / {float(TOP_K)}, 4) AS recall_at_k
-FROM (SELECT x.probe_id, COUNT(*) AS n_exact,
-             CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_hits
-      FROM __exact x LEFT JOIN __res r
-        ON r.probe_id = x.probe_id AND r.vec_id = x.vec_id
-      GROUP BY x.probe_id) g
-LEFT JOIN __napp ON __napp.probe_id = g.probe_id
-ORDER BY g.probe_id
+__{tag}napp AS (SELECT probe_id, COUNT(*) AS n_approx
+                FROM __{tag}res GROUP BY probe_id),
+__{tag}nev AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_evals
+               FROM __{tag}vis{HOPS} GROUP BY probe_id),
+__{tag}rep AS (
+  SELECT '{cohort}' AS cohort, g.probe_id, g.n_exact,
+         COALESCE(n.n_approx, 0) AS n_approx, g.n_hits,
+         COALESCE(v.n_evals, 0) AS n_evals,
+         round(g.n_hits / {float(TOP_K)}, 4) AS recall_at_k
+  FROM (SELECT x.probe_id, COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM __{tag}exact x LEFT JOIN __{tag}res r
+          ON r.probe_id = x.probe_id AND r.vec_id = x.vec_id
+        GROUP BY x.probe_id) g
+  LEFT JOIN __{tag}napp n ON n.probe_id = g.probe_id
+  LEFT JOIN __{tag}nev v ON v.probe_id = g.probe_id)"""
+
+
+GRAPH_RECALL_SQL = f"""
+WITH {_build_ctes()},
+{_adjq_cte()},
+{_search_ctes("")},
+{_search_ctes("o")}{_recall_cohort_ctes("", "seed")}{_recall_cohort_ctes("o", "offseed")}
+SELECT cohort, probe_id, n_exact, n_approx, n_hits, n_evals, recall_at_k
+FROM __rep
+UNION ALL
+SELECT cohort, probe_id, n_exact, n_approx, n_hits, n_evals, recall_at_k
+FROM __orep
+ORDER BY cohort, probe_id
+"""
+
+
+def _layered_ctes() -> str:
+    """Flat vs layered arm CTEs over the build chain + __adjq +
+    __oprobes: seed graph (__l1e/__l1adj), both arms' entries, walks,
+    scored-set unions, and the per-arm report rows."""
+    d_ab = _d2e4_sql("ea.embedding", "eb.embedding")
+    ctes = [
+        _probes_cte("o"),
+        # flat arm entry: ALL seeds scored
+        """__fseedsc AS MATERIALIZED (
+  SELECT p.probe_id, s.cid AS vec_id FROM __oprobes p, __seeds s)""",
+        f"""__fcells AS (
+  SELECT probe_id, vec_id AS cid{_score_rank('__fseedsc', '__oprobes', CELL_ASSIGN, 'crk')})""",
+        """__fvis0 AS MATERIALIZED (
+  SELECT DISTINCT c.probe_id, m.vec_id
+  FROM __fcells c JOIN __memb m ON m.cid = c.cid
+  WHERE m.vec_id <> c.probe_id)""",
+    ]
+    ctes += _walk_ctes("f", "__oprobes", "__adjq", BEAM, HOPS)
+    ctes += [
+        f"""__fall AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM __fvis{HOPS}
+  UNION
+  SELECT probe_id, vec_id FROM __fseedsc)""",
+        _res_cte("__fres", "__fall", "__oprobes", TOP_K),
+        # seed graph: within-super-group pairs (multi-assign 2) → top-M1
+        f"""__smemb2 AS MATERIALIZED (
+  SELECT gid, cid AS vec_id FROM (
+    SELECT g.gid, s.cid,
+           row_number() OVER (PARTITION BY s.cid
+                              ORDER BY {_d2e4_sql('s.cvec', 'g.gvec')} ASC,
+                                       g.gid ASC) AS grk
+    FROM __seeds s, __sup g) t
+  WHERE grk <= {SUPER_ASSIGN})""",
+        """__l1pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM __smemb2 a JOIN __smemb2 b
+    ON a.gid = b.gid AND a.vec_id <> b.vec_id)""",
+        f"""__l1e AS MATERIALIZED (
+  SELECT src, dst, d2_e4,
+         row_number() OVER (PARTITION BY src ORDER BY d2_e4 ASC, dst ASC) AS rank
+  FROM (SELECT p.src, p.dst, {d_ab} AS d2_e4
+        FROM __l1pairs p
+        JOIN embeddings ea ON ea.vec_id = p.src
+        JOIN embeddings eb ON eb.vec_id = p.dst) t
+  QUALIFY rank <= {M1})""",
+        """__l1adj AS MATERIALIZED (
+  SELECT src, dst FROM __l1e
+  UNION
+  SELECT dst AS src, src AS dst FROM __l1e)""",
+        # layered arm entry: super-seeds scored → nearest group's seeds
+        """__lsupsc AS MATERIALIZED (
+  SELECT p.probe_id, g.gid AS vec_id FROM __oprobes p, __sup g)""",
+        f"""__lg1 AS (
+  SELECT probe_id, vec_id AS gid{_score_rank('__lsupsc', '__oprobes', 1, 'grk')})""",
+        """__lvis0 AS MATERIALIZED (
+  SELECT DISTINCT g.probe_id, s.cid AS vec_id
+  FROM __lg1 g JOIN __seedgrp s ON s.gid = g.gid)""",
+    ]
+    ctes += _walk_ctes("l", "__oprobes", "__l1adj", BEAM_L1, HOPS_L1)
+    ctes += [
+        f"""__lcells AS (
+  SELECT probe_id, vec_id AS cid{_score_rank(f'__lvis{HOPS_L1}', '__oprobes', L_CELLS, 'crk')})""",
+        """__bvis0 AS MATERIALIZED (
+  SELECT DISTINCT c.probe_id, m.vec_id
+  FROM __lcells c JOIN __memb m ON m.cid = c.cid
+  WHERE m.vec_id <> c.probe_id)""",
+    ]
+    ctes += _walk_ctes("b", "__oprobes", "__adjq", BEAM, HOPS)
+    ctes += [
+        f"""__lall AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM __bvis{HOPS}
+  UNION
+  SELECT probe_id, vec_id FROM __lvis{HOPS_L1}
+  UNION
+  SELECT probe_id, vec_id FROM __lsupsc)""",
+        _res_cte("__lres", "__lall", "__oprobes", TOP_K),
+        # exact arm (offseed probes) + per-arm reports
+        f"""__lyexscored AS (
+  SELECT p.probe_id, e.vec_id,
+         {_d2e4_sql('e.embedding', 'p.probe_vec')} AS d2_e4
+  FROM embeddings e JOIN __oprobes p ON e.vec_id <> p.probe_id)""",
+        f"""__lyexact AS MATERIALIZED (
+  SELECT probe_id, vec_id
+  FROM (SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY d2_e4 ASC, vec_id ASC) AS rn
+        FROM __lyexscored) t
+  WHERE rn <= {TOP_K})""",
+    ]
+    for arm, res, allp in (("flat", "__fres", "__fall"),
+                           ("layered", "__lres", "__lall")):
+        ctes.append(f"""__{arm}rep AS (
+  SELECT '{arm}' AS arm, g.probe_id,
+         COALESCE(v.n_evals, 0) AS n_evals, g.n_hits,
+         round(g.n_hits / {float(TOP_K)}, 4) AS recall_at_k
+  FROM (SELECT x.probe_id,
+               CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM __lyexact x LEFT JOIN {res} r
+          ON r.probe_id = x.probe_id AND r.vec_id = x.vec_id
+        GROUP BY x.probe_id) g
+  LEFT JOIN (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_evals
+             FROM {allp} GROUP BY probe_id) v
+    ON v.probe_id = g.probe_id)""")
+    return ",\n".join(ctes)
+
+
+GRAPH_LAYERED_SQL = f"""
+WITH {_build_ctes()},
+{_adjq_cte()},
+{_layered_ctes()}
+SELECT arm, probe_id, n_evals, n_hits, recall_at_k FROM __flatrep
+UNION ALL
+SELECT arm, probe_id, n_evals, n_hits, recall_at_k FROM __layeredrep
+ORDER BY arm, probe_id
 """
 
 
@@ -590,16 +1163,24 @@ ORDER BY g.probe_id
 DELTA_MOD = 10  # synthetic nightly batch: clones of vec_id % 10 == 3
 DELTA_RESIDUE = 3  # (the ivf_delta_upsert convention: disjoint negative ids)
 
+#: (applicationId, sf_dir) → pinned delta-insert answer. ADVICE r10:
+#: without this memo, every invocation (bench runs each slot 3×)
+#: re-paid the full beam walk AND created a fresh unreleased
+#: localCheckpoint of dout — the `_SEARCH` pattern applies: an
+#: incremental-maintenance batch runs once per delta in deployment.
+_DELTA: dict[tuple[str, str], DataFrame] = {}
+
 
 def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance — hnswlib's `add()` path
     re-expressed over the FROZEN graph, cost ∝ delta (the graph twin
     of `ivf.ivf_delta_upsert`): each new vector (clones of the
     DELTA_RESIDUE class under negative ids) (1) routes through the
-    frozen Voronoi cells, (2) beam-walks the base graph from its cell
-    members to find its GRAPH_M nearest, (3) adds its out-edges, and
-    (4) appends reverse edges to the touched base nodes, which then
-    re-prune back to GRAPH_M (the hnswlib shrink step).
+    frozen Voronoi cells (hierarchically, like the build), (2)
+    beam-walks the base graph from its cell members to find its
+    GRAPH_M nearest, (3) adds its out-edges, and (4) appends reverse
+    edges to the touched base nodes, which then re-prune back to
+    GRAPH_M (the hnswlib shrink step).
 
     Output: the post-insert adjacency restricted to delta-incident
     rows — every delta node's out-list (rank 1..GRAPH_M) plus every
@@ -607,6 +1188,19 @@ def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Built-in invariant the oracle verifies by value: a clone's
     rank-1 neighbor is its base twin at d2_e4 = 0 (identical vector →
     identical cells → the twin is always a seed candidate)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DELTA:
+        return _DELTA[key]
+    res = _pin(_delta_df(spark, sf_dir, pin=_pin))
+    prune_memo(_DELTA, key[0])
+    _DELTA[key] = res
+    return res
+
+
+def _delta_df(spark: SparkSession, sf_dir: str, pin) -> DataFrame:
+    """The delta-insert lineage, pin-parameterized (the `_build_edges`
+    pattern): production pins the thrice-consumed dout; the plan audit
+    passes identity to inspect the full walk."""
     emb = _emb(spark, sf_dir)
     edges, adj, memb, k_cells = _built(spark, sf_dir)
     is_delta = F.pmod(F.col("vec_id"), F.lit(DELTA_MOD)) == DELTA_RESIDUE
@@ -641,7 +1235,7 @@ def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_delta × GRAPH_M rows, consumed three times (output, reverse
     # edges, shrink) — pin once or the whole walk re-executes per
     # consumer (measured 24 s → ~10 s at sf0.1)
-    dout = _pin(dout)
+    dout = pin(dout)
     rev = dout.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "d2_e4"
     )
@@ -660,7 +1254,8 @@ def knn_graph_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _insert_ctes() -> str:
     """Delta-insert CTEs over the __e{NND_ROUNDS} build chain
-    (d-prefixed twins of the _search_ctes walk)."""
+    (d-prefixed twins of the walk; the cell routing mirrors the
+    hierarchical `_cell_memb`)."""
     d_pe = _d2e4_sql("e.embedding", "p.probe_vec")
     score_rank = f"""
   FROM (SELECT u.probe_id, u.vec_id,
@@ -678,13 +1273,21 @@ def _insert_ctes() -> str:
         f"""__dprobes AS MATERIALIZED (
   SELECT -vec_id - 1 AS probe_id, embedding AS probe_vec
   FROM embeddings WHERE vec_id % {DELTA_MOD} = {DELTA_RESIDUE})""",
+        f"""__dgrp AS (
+  SELECT probe_id, probe_vec, gid
+  FROM (SELECT d.probe_id, d.probe_vec, g.gid,
+               row_number() OVER (PARTITION BY d.probe_id
+                                  ORDER BY {_d2e4_sql('d.probe_vec', 'g.gvec')} ASC,
+                                           g.gid ASC) AS grk
+        FROM __dprobes d, __sup g) t
+  WHERE grk <= {SUPER_ASSIGN})""",
         f"""__dcell AS (
   SELECT probe_id, cid
-  FROM (SELECT d.probe_id, s.cid,
-               row_number() OVER (PARTITION BY d.probe_id
-                                  ORDER BY {_d2e4_sql('d.probe_vec', 's.cvec')} ASC,
+  FROM (SELECT v.probe_id, s.cid,
+               row_number() OVER (PARTITION BY v.probe_id
+                                  ORDER BY {_d2e4_sql('v.probe_vec', 's.cvec')} ASC,
                                            s.cid ASC) AS crk
-        FROM __dprobes d, __seeds s) t
+        FROM __dgrp v JOIN __seedgrp s ON s.gid = v.gid) t
   WHERE crk <= {CELL_ASSIGN})""",
         """__dvis0 AS MATERIALIZED (
   SELECT DISTINCT c.probe_id, m.vec_id
@@ -751,6 +1354,7 @@ QUERIES = {
     "knn_graph_build": knn_graph_build,
     "graph_ann_search": graph_ann_search,
     "graph_ann_recall_report": graph_ann_recall_report,
+    "graph_ann_layered_recall": graph_ann_layered_recall,
     "knn_graph_delta_insert": knn_graph_delta_insert,
 }
 
@@ -758,5 +1362,6 @@ ORACLES = {
     "knn_graph_build": KNN_GRAPH_SQL,
     "graph_ann_search": GRAPH_SEARCH_SQL,
     "graph_ann_recall_report": GRAPH_RECALL_SQL,
+    "graph_ann_layered_recall": GRAPH_LAYERED_SQL,
     "knn_graph_delta_insert": GRAPH_DELTA_SQL,
 }

@@ -7,10 +7,11 @@ list changes the table contents, never the plan.
 Algorithm (publicsuffix.org/list/ semantics, in relational form):
 
 1. Explode each host into its candidate suffix keys: the last k labels
-   for k = 1..MAX_RULE_LABELS, plus the wildcard forms `*.` + last k
-   labels (a `*.foo` rule matches any host with exactly one extra
-   label before `foo`). ≤ 2·MAX_RULE_LABELS candidates per host — a
-   narrow map-side explode.
+   for k = 1..max-rule-label-count (computed driver-side from the
+   static rule set), plus the wildcard forms `*.` + last k labels (a
+   `*.foo` rule matches any host with exactly one extra label before
+   `foo`). ≤ 2·max_labels candidates per host — a narrow map-side
+   explode.
 2. Equi-join the candidates against the BROADCAST rule table (key =
    rule labels, exception rules keyed without their `!`).
 3. Prevailing rule per host = max(struct(is_exception, rule_labels)):
@@ -29,10 +30,17 @@ smaller than the URL corpus) and join the host→domain map back — the
 memoized-artifact shape FineWeb's URL pass uses. The rule table is
 always the broadcast side; it is never shuffled.
 
-The ~23-row rule fixture is representative of every PSL rule shape:
-plain single/multi-label rules, the canonical wildcard+exception
-pairs from the real list (`*.kobe.jp` / `!city.kobe.jp`,
-`*.ck` / `!www.ck`), and a 3-label exact rule (`k12.ma.us`).
+Rule tables (r10 verdict task 4): the default ~23-row fixture is
+representative of every PSL rule shape (plain single/multi-label
+rules, the canonical wildcard+exception pairs `*.kobe.jp` /
+`!city.kobe.jp` and `*.ck` / `!www.ck`, a 3-label exact rule
+`k12.ma.us`); `data/public_suffix_list.dat` is a vendored ~1k-rule
+REAL-CONTENT snapshot of publicsuffix.org (MPL-2.0; reconstructed —
+the sandbox has no network) in the upstream file format, loaded by
+`parse_psl_file`/`full_psl_rules` and swappable for the full ~15k-row
+download unchanged. The claim "a bigger list changes the table
+contents, never the plan" is pinned by tests/test_psl_full.py:
+identical operator sequence, green oracles, broadcast ≪ 10 MB.
 
 Reference parity: not in the reference (its pipeline starts at sheet
 cells); north-star training-data operator family. The oracle derives
@@ -43,6 +51,10 @@ hash-mismatches instead of being replayed.
 """
 
 from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,22 +71,67 @@ PSL_RULES = (
     "us", "k12.ma.us",
     "*.ck", "!www.ck",
 )
-MAX_RULE_LABELS = 4  # fixture max is 3; headroom for one more
+
+#: Vendored real-content snapshot (r10 verdict task 4) in the native
+#: publicsuffix.org file format — swap it for the full upstream
+#: download and NOTHING but the rule-table contents changes
+#: (tests/test_psl_full.py pins the plan-shape identity).
+PSL_SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
 
 
-def psl_rules_df(spark: SparkSession) -> DataFrame:
+def parse_psl_file(path: str = PSL_SNAPSHOT_PATH) -> tuple[str, ...]:
+    """Parse a publicsuffix.org-format file (`//` comments and blank
+    lines skipped, rules kept verbatim incl. `*.`/`!` markers) — the
+    loader a full upstream snapshot drops straight into."""
+    rules = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line)
+    return tuple(rules)
+
+
+@lru_cache(maxsize=4)
+def full_psl_rules() -> tuple[str, ...]:
+    return parse_psl_file()
+
+
+def psl_rules_df(
+    spark: SparkSession, rules: Sequence[str] = PSL_RULES
+) -> DataFrame:
     """(rule, is_exc, n_rule): the broadcast lookup. Exception rules
-    are keyed WITHOUT the `!` (it marks semantics, not labels)."""
+    are keyed WITHOUT the `!` (it marks semantics, not labels). ~1k
+    vendored rules serialize to well under 100 KB — the broadcast
+    stays trivially bounded even at the upstream list's ~15k rows
+    (measured: the full fixture table is < 1 MB serialized)."""
     rows = []
-    for r in PSL_RULES:
+    for r in rules:
         exc = r.startswith("!")
         key = r[1:] if exc else r
         rows.append((key, 1 if exc else 0, len(key.split("."))))
     return spark.createDataFrame(rows, "rule string, is_exc int, n_rule int")
 
 
+def _max_rule_labels(rules: Sequence[str]) -> int:
+    """Explode width = the rule set's max label count (a candidate
+    longer than every rule can never match). Computed driver-side from
+    the static rule sequence — the plan SHAPE (operator sequence) is
+    identical for any rule set; only the candidate-array literal and
+    the broadcast contents change."""
+    return max(len((r[1:] if r.startswith("!") else r).split(".")) for r in rules)
+
+
 def with_psl_domain(
-    df: DataFrame, spark: SparkSession, host_col: str = "host"
+    df: DataFrame,
+    spark: SparkSession,
+    host_col: str = "host",
+    rules: Sequence[str] = PSL_RULES,
 ) -> DataFrame:
     """df(+host_col) → df + (ps_labels, public_suffix, domain).
 
@@ -92,7 +149,7 @@ def with_psl_domain(
     labels = F.split(host, r"\.")
     n = F.size(labels)
     cands = []
-    for k in range(1, MAX_RULE_LABELS + 1):
+    for k in range(1, _max_rule_labels(rules) + 1):
         sfx = F.array_join(F.slice(labels, -k, k), ".")
         cands.append(F.when(n >= k, sfx))
         # the wildcard form: '*' + the last k labels needs one MORE
@@ -106,7 +163,7 @@ def with_psl_domain(
         ).alias("__cand"),
     )
     joined = exploded.join(
-        F.broadcast(psl_rules_df(spark)),
+        F.broadcast(psl_rules_df(spark, rules)),
         exploded["__cand"] == F.col("rule"),
         "left",
     )
@@ -191,7 +248,17 @@ def psl_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d % N_HOST_TYPES).cast("int").alias("htype"),
         _synth_host(d).alias("host"),
     )
-    ext = with_psl_domain(hosts, spark)
+    # SPARK_GRAFT_PSL_FULL=1 swaps in the vendored ~1k-rule real-list
+    # snapshot — the oracle derives EXPECTED values independently of
+    # the rule table, so it must stay green under either table
+    # (tests/test_psl_full.py runs this path; the default stays the
+    # fixture for bench comparability across rounds)
+    rules = (
+        full_psl_rules()
+        if os.environ.get("SPARK_GRAFT_PSL_FULL") == "1"
+        else PSL_RULES
+    )
+    ext = with_psl_domain(hosts, spark, rules=rules)
     return (
         ext.groupBy("htype")
         .agg(

@@ -1365,15 +1365,20 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("graph_ann_recall_report",
      ["MapInPandas", "Scan ExistingRDD"],
      ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"]),
-    # graph-ANN delta insert: reads the pinned index artifacts (bare
-    # LogicalRDDs), walks (audited un-pinned via graph_ann_search
-    # [lineage]), pins the bounded delta out-list, then the shrink
-    # re-ranks per touched base node (windowspecdefinition(src) —
-    # never a global window; result orderBy is the one range exchange
-    # (structural loop)
+    # graph-ANN delta insert: memoized pinned answer (ADVICE r10 — a
+    # maintenance batch runs once per delta in deployment), so the
+    # registered plan is a bare LogicalRDD; the full walk+shrink
+    # lineage gets its own un-pinned audit block below (see audit(),
+    # knn_graph_delta_insert[lineage]).
     ("knn_graph_delta_insert",
-     ["windowspecdefinition(src", "Scan ExistingRDD"],
+     ["Scan ExistingRDD"],
      ["CartesianProduct", "BatchEvalPython", "MapInPandas"]),
+    # layered descent report: memoized pinned rows; the flat/layered
+    # walk lineage is audited un-pinned below
+    # (graph_ann_layered_recall[lineage]).
+    ("graph_ann_layered_recall",
+     ["Scan ExistingRDD"],
+     ["CartesianProduct", "BatchEvalPython"]),
 ]
 
 #: Queries whose fixture-scale plan LEGITIMATELY contains a Window
@@ -1593,6 +1598,74 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
         ("graph_ann_search[lineage]",
          "forbids Window over SinglePartition exchange (structural)",
          not window_over_single_partition(ga_splan)))
+    # delta insert: hierarchical cell routing + beam walk + per-node
+    # shrink (windowspecdefinition(src), never global), reading the
+    # pinned graph artifacts; range exchange only as the result sort
+    from spec_search_spark.operators.graph_ann import (
+        _delta_df,
+        _layered_df,
+        _seed_graph_edges,
+    )
+
+    ga_dplan = plan_of(_delta_df(spark, sf_dir, pin=lambda df: df))
+    for frag in ("windowspecdefinition(src", "windowspecdefinition(probe_id",
+                 "BroadcastNestedLoopJoin"):
+        results.append(
+            ("knn_graph_delta_insert[lineage]", f"requires `{frag}`",
+             frag in ga_dplan))
+    for frag in ("CartesianProduct", "BatchEvalPython", "MapInPandas"):
+        results.append(
+            ("knn_graph_delta_insert[lineage]", f"forbids `{frag}`",
+             frag not in ga_dplan))
+    results.append(
+        ("knn_graph_delta_insert[lineage]",
+         "rangepartitioning only as the result sort (structural)",
+         not interior_range_partitioning(ga_dplan)))
+    results.append(
+        ("knn_graph_delta_insert[lineage]",
+         "forbids Window over SinglePartition exchange (structural)",
+         not window_over_single_partition(ga_dplan)))
+    # layer-1 seed graph: within-super-group pairs (gid equi-join),
+    # per-seed top-M1 windows, broadcast super-seeds — same shape
+    # contract as the base build
+    ga_l1plan = plan_of(
+        _seed_graph_edges(spark, sf_dir, pin=lambda df: df)[0]
+    )
+    for frag in ("windowspecdefinition(src", "hashpartitioning(gid",
+                 "BroadcastNestedLoopJoin"):
+        results.append(
+            ("seed_graph[lineage]", f"requires `{frag}`",
+             frag in ga_l1plan))
+    for frag in ("CartesianProduct", "BatchEvalPython", "MapInPandas",
+                 "rangepartitioning("):
+        results.append(
+            ("seed_graph[lineage]", f"forbids `{frag}`",
+             frag not in ga_l1plan))
+    results.append(
+        ("seed_graph[lineage]",
+         "forbids Window over SinglePartition exchange (structural)",
+         not window_over_single_partition(ga_l1plan)))
+    # layered recall: per-probe windows throughout, exact arm's
+    # partial-top-k MapInPandas, no cartesian anywhere; range exchange
+    # only as the result sort
+    ga_lyplan = plan_of(_layered_df(spark, sf_dir))
+    for frag in ("windowspecdefinition(probe_id", "MapInPandas",
+                 "BroadcastNestedLoopJoin"):
+        results.append(
+            ("graph_ann_layered_recall[lineage]", f"requires `{frag}`",
+             frag in ga_lyplan))
+    for frag in ("CartesianProduct", "BatchEvalPython"):
+        results.append(
+            ("graph_ann_layered_recall[lineage]", f"forbids `{frag}`",
+             frag not in ga_lyplan))
+    results.append(
+        ("graph_ann_layered_recall[lineage]",
+         "rangepartitioning only as the result sort (structural)",
+         not interior_range_partitioning(ga_lyplan)))
+    results.append(
+        ("graph_ann_layered_recall[lineage]",
+         "forbids Window over SinglePartition exchange (structural)",
+         not window_over_single_partition(ga_lyplan)))
     return results
 
 

@@ -43,6 +43,15 @@ QUERIES = [
     # the r10 flagship family
     "knn_graph_build",
     "graph_ann_search",
+    # r10 verdict task 3: the uncurved expensive sweep slots
+    "knn_graph_delta_insert",
+    "agent_tool_transcript",
+    "agent_tool_transcript_recovery",
+    "psl_domain_extract",
+    "hits_hubs_authorities",
+    "ngram_jaccard_pairs",
+    # r11: the layered-descent report (flat-vs-layered eval budgets)
+    "graph_ann_layered_recall",
 ]
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -78,15 +87,29 @@ def main() -> int:
                 warm.append(time.time() - t0)
             per_sf[str(sf)] = round(min(warm), 3)
             print(f"{name} sf{sf}: cold {cold[str(sf)]}s warm {per_sf[str(sf)]}s", flush=True)
-        # log-log LSQ slope over the warm times
-        xs = [math.log(sf) for sf, _ in SFS]
-        ys = [math.log(max(per_sf[str(sf)], 1e-3)) for sf, _ in SFS]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
+        # log-log LSQ slope over warm AND cold times (memoized queries
+        # — graph/ANN index builds, agent transcripts — do the real
+        # work on the COLD run; their warm slope is a memo-read
+        # flatline, so alpha_cold is the honest scaling signal there)
+        def lsq(series: dict[str, float]) -> float:
+            xs = [math.log(sf) for sf, _ in SFS]
+            ys = [math.log(max(series[str(sf)], 1e-3)) for sf, _ in SFS]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            return sum(
+                (x - mx) * (y - my) for x, y in zip(xs, ys)
+            ) / sum((x - mx) ** 2 for x in xs)
+
+        results[name] = {
+            "warm_sec": per_sf,
+            "cold_sec": cold,
+            "alpha": round(lsq(per_sf), 2),
+            "alpha_cold": round(lsq(cold), 2),
+        }
+        print(
+            f"{name}: alpha={results[name]['alpha']}"
+            f" alpha_cold={results[name]['alpha_cold']}",
+            flush=True,
         )
-        results[name] = {"warm_sec": per_sf, "cold_sec": cold, "alpha": round(alpha, 2)}
-        print(f"{name}: alpha={results[name]['alpha']}", flush=True)
 
     out = os.path.join(HERE, "SCALE_CURVES.json")
     with open(out, "w") as fh:
