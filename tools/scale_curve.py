@@ -76,17 +76,29 @@ def main() -> int:
     for name in QUERIES:
         per_sf: dict[str, float] = {}
         cold: dict[str, float] = {}
+        failed = False
         for sf, sf_dir in SFS:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            cold[str(sf)] = round(time.time() - t0, 3)
-            warm = []
-            for _ in range(2):
+            try:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                warm.append(time.time() - t0)
-            per_sf[str(sf)] = round(min(warm), 3)
+                cold[str(sf)] = round(time.time() - t0, 3)
+                warm = []
+                for _ in range(2):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    warm.append(time.time() - t0)
+                per_sf[str(sf)] = round(min(warm), 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep probing
+                # a single (query, sf) failure (e.g. driver-heap OOM at
+                # sf1.0) must not void the other 20 queries' curves —
+                # record it loudly; the round ledger names the cause
+                results[name] = {"error": f"sf{sf}: {exc}"[:400]}
+                print(f"{name} sf{sf}: FAILED {exc}", flush=True)
+                failed = True
+                break
             print(f"{name} sf{sf}: cold {cold[str(sf)]}s warm {per_sf[str(sf)]}s", flush=True)
+        if failed:
+            continue
         # log-log LSQ slope over warm AND cold times (memoized queries
         # — graph/ANN index builds, agent transcripts — do the real
         # work on the COLD run; their warm slope is a memo-read
