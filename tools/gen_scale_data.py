@@ -14,12 +14,16 @@ preserving reindexing (pure timing data — no oracle ever runs here):
   distributions are preserved exactly.
 - events: K copies with event_id offset; ts/user_id kept (per-hour and
   per-user densities scale with sf, as a real stream would).
-- documents: K copies with doc_id offset; copy k>0 ROTATES each text's
-  word sequence by 1+(7·k mod (n_words−1)) words (always a true
-  rotation, even for short docs) — identical unigram statistics and
-  length, different shingles, so exact-dup and near-dup rates stay
-  realistic instead of every doc gaining K-1 perfect clones (which
-  would turn the dedup slots' timing into a different workload).
+- documents: K copies with doc_id offset; copy k>0 PERMUTES each
+  text's word sequence with a copy-seeded deterministic shuffle —
+  identical unigram statistics and length, disjoint shingle sets.
+  (r11 fix: the r10 ROTATION preserved the n-gram multiset except at
+  the cut point, so every copy was a ~Jaccard-1 near-duplicate of its
+  source and pair-generating slots went quadratic in K — measured
+  ngram_jaccard_pairs α=1.38 and a 732 s corpus_build cold at sf1.0,
+  pure fixture artifact. A permutation keeps the dup RATE constant
+  with sf — organic within-copy dups ×K — which is the property the
+  timing fixture needs.)
 - embeddings: K copies with vec_id offset; copy k>0 draws fresh
   seeded unit vectors (the sf0.1 table is i.i.d. unit vectors; new
   draws preserve that geometry, clones would not).
@@ -91,18 +95,20 @@ def main() -> int:
         if k == 0:
             parts.append(f"SELECT * FROM '{SRC}/documents.parquet'")
         else:
-            # rotate each word list by 7k mod its length — clamped to
-            # [1, len-1] so a SHORT doc (1% of sf0.1 docs have ≤ 70
-            # words; min 10) still rotates instead of cloning exactly
-            # (ADVICE r10: rot ≥ len was a no-op slice → exact clone)
-            rot = (
-                f"(1 + ({7 * k} % greatest(len(words) - 1, 1)))"
+            # copy-seeded deterministic word permutation: order the
+            # positions by hash(position, k) — same words, same
+            # length, no shared shingles with any other copy (and no
+            # exact clone at ANY length, closing ADVICE r10's
+            # short-doc hole along the way)
+            perm = (
+                f"list_select(words, list_grade_up(list_transform("
+                f"generate_series(1, len(words)),"
+                f" i -> hash(i * 1000003 + {k}))))"
             )
             parts.append(
                 f"SELECT * EXCLUDE (words) REPLACE"
                 f" (doc_id + {k * dkeys} AS doc_id,"
-                f" array_to_string(list_concat(words[{rot} + 1:],"
-                f" words[:{rot}]), ' ') AS text)"
+                f" array_to_string({perm}, ' ') AS text)"
                 f" FROM (SELECT *, string_split(text, ' ') AS words"
                 f"       FROM '{SRC}/documents.parquet')"
             )
