@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import tokens
 from spec_search_spark.operators.dedup import _POLY_SQL, _poly_hash
-from spec_search_spark.session import prune_memo, tune
+from spec_search_spark.session import prune_memo, spread, tune
 
 # --------------------------------------------------------------------------
 # PCA via power iteration on an exact-integer covariance matrix
@@ -559,7 +559,18 @@ def ols_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent. Folds are the salted poly-hash of the row key
     (leakage-free, engine-identical)."""
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread BEFORE the fold-hash projection: the salted poly hash (an
+    # Arrow-batched kernel) runs once in the moment pass and once in
+    # the residual pass, and the local single-row-group scan would run
+    # both on ONE core (spread is a guarded no-op at scale — see
+    # session.spread).
+    raw = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_extendedprice",
+        )
+    )
+    li = raw.select(
         F.pmod(
             _poly_hash(
                 F.concat(
@@ -575,6 +586,11 @@ def ols_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(l_discount * 100) as bigint)").alias("d100"),
         F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
     )
+    # pin the hashed cents table: the moment pass AND the residual pass
+    # both read it, and lazily each would re-run the fold-hash kernel
+    # over the corpus (2× the slot's dominant cost). 4 narrow int64
+    # columns — node-sized at any sf; blocks are reaped on GC.
+    li = li.localCheckpoint(eager=True)
     li.createOrReplaceTempView("_ols_cv_cents")
     return spark.sql(_OLS_CV_BODY.format(src="_ols_cv_cents"))
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import tune
+from spec_search_spark.session import spread, tune
 
 HLL_RSD = 0.01        # relative standard deviation passed to HLL++
 HLL_TOL = 5 * HLL_RSD  # 5σ acceptance band — pass probability ~1-1e-6
@@ -430,47 +430,90 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer cents, so each `boot_mean` is one double division
     of exact integers.
 
-    Plan shape: one narrow explode ×B collapsed map-side into B groups
-    (partial+final agg) — the bootstrap costs one scan regardless of n,
-    which is why this is THE resampling scheme at 100 TB. Output: B
-    replicate means + the point estimate; SE/CI are trivial downstream
-    order statistics of 32 rows.
+    Plan shape: ONE scan, ZERO shuffles of fact rows — all B replicate
+    accumulators (Σw·p, Σw) are COLUMNS of a single partial+final
+    global aggregate, not groups of an exploded ×B row blowup. The
+    previous explode form materialized n·B rows and hash-grouped them
+    into B groups (partial agg still touched every exploded row —
+    measured 3× the whole slot at sf0.1; guide §2.3 "aggregate before
+    you shuffle", taken to its limit: aggregate INSTEAD of exploding).
+    Identical arithmetic per (row, replicate) — the same u-draw and
+    CASE inversion, summed in the same exact integer cents — so the
+    replicate means are bit-identical to the exploded form and the
+    DuckDB oracle keeps its explode shape as the independent engine.
+    The bootstrap costs one scan regardless of n, which is why this is
+    THE resampling scheme at 100 TB. Output: B replicate means + the
+    point estimate; SE/CI are trivial downstream order statistics of
+    32 rows.
     """
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
+    # the B CASE inversions per row are the slot's entire cost; the
+    # local single-row-group scan would run them on ONE core (spread is
+    # a guarded no-op at scale, where the scan already has thousands of
+    # splits — see session.spread)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
+        )
     )
     # the replicate index must enter MULTIPLICATIVELY: an additive
     # b-offset shifts the draw by a constant, leaving all B replicates
-    # near-perfectly correlated (one effective resample, biased CI)
-    u = (
-        "pmod(pmod(l_orderkey * 2654435761 + l_linenumber * 40503 + 13, "
-        f"{_SJS_P}) * (b * 40503 + 1000003), {_SJS_P}) % 1000000"
-    )
-    w = _boot_weight_sql(f"({u})")
-    rep = li.select(
-        "l_orderkey",
-        "l_linenumber",
+    # near-perfectly correlated (one effective resample, biased CI).
+    # The row-key hash is projected ONCE (column hbase); each
+    # replicate's uniform draw and Poisson weight are then expressions
+    # over that column, evaluated once per (row, replicate) exactly as
+    # the exploded form did.
+    drawn = li.select(
         "p100",
-        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
-    ).select("p100", "b", F.expr(w).alias("w"))
-    point = li.groupBy().agg(
+        F.expr(
+            f"pmod(l_orderkey * 2654435761 + l_linenumber * 40503 + 13, {_SJS_P})"
+        ).alias("hbase"),
+    ).select(
+        "p100",
+        *[
+            F.expr(
+                f"pmod(hbase * {b * 40503 + 1000003}, {_SJS_P}) % 1000000"
+            ).alias(f"u{b}")
+            for b in range(BOOT_B)
+        ],
+    ).select(
+        "p100",
+        *[
+            F.expr(_boot_weight_sql(f"u{b}")).alias(f"w{b}")
+            for b in range(BOOT_B)
+        ],
+    )
+    aggd = drawn.groupBy().agg(
         F.expr("round(sum(cast(p100 as decimal(38,0))) / count(*) / 1e2, 6)").alias(
             "point_mean"
-        )
+        ),
+        *[
+            F.expr(
+                f"sum(cast(w{b} as bigint) * cast(p100 as decimal(38,0)))"
+            ).alias(f"swp{b}")
+            for b in range(BOOT_B)
+        ],
+        *[F.expr(f"sum(w{b})").alias(f"sw{b}") for b in range(BOOT_B)],
+    )
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("b"),
+                F.col(f"swp{b}").alias("swp"),
+                F.col(f"sw{b}").alias("sw"),
+            )
+            for b in range(BOOT_B)
+        ]
     )
     return (
-        rep.groupBy("b")
-        .agg(
-            F.expr("sum(cast(w as bigint) * cast(p100 as decimal(38,0)))").alias("swp"),
-            F.sum("w").alias("sw"),
-        )
-        .crossJoin(F.broadcast(point))
+        aggd.select("point_mean", F.explode(reps).alias("r"))
         .select(
-            F.col("b").alias("replicate"),
-            F.expr("round(cast(swp as double) / sw / 1e2, 6)").alias("boot_mean"),
+            F.col("r.b").alias("replicate"),
+            F.expr("round(cast(r.swp as double) / r.sw / 1e2, 6)").alias(
+                "boot_mean"
+            ),
             "point_mean",
         )
         .orderBy("replicate")

@@ -781,16 +781,29 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, and the demonstration that `cogroup().applyInPandas`
     (Spark's two-sided UDF shape) composes into the operator set.
 
-    Scale: both sides shuffle once on user_id (the cogroup key); the
-    kernel sees one user's rows at a time. The window composition
-    (asof_join_purchase) is the plan to prefer — no Python in the hot
-    path — but cogroup is the escape hatch for match logic SQL cannot
-    express; this query proves the seam with logic SQL CAN check."""
+    Scale: both sides shuffle once on the cogroup key; the kernel sees
+    one BUCKET of users per call (pmod(user_id, n_buckets)) and runs
+    ONE grouped `merge_asof(..., by="user_id")` over the whole batch —
+    per-user semantics, batch-sized Python overhead. Cogrouping on the
+    raw user_id called the kernel once per user (1,500 calls at sf0.1;
+    at corpus scale, millions) and per-call overhead dominated the
+    slot 10:1 (guide §4: amortize the Python boundary over whole
+    batches). The window composition (asof_join_purchase) is the plan
+    to prefer — no Python in the hot path — but cogroup is the escape
+    hatch for match logic SQL cannot express; this query proves the
+    seam with logic SQL CAN check."""
     import pandas as pd  # noqa: F811
 
     ev = _t(spark, sf_dir, "events")
+    # bucket count scales with the session's parallelism; the OUTPUT is
+    # bucket-count-independent (matching is per-user inside the kernel),
+    # pinned by the shuffle-partitions determinism sweep.
+    n_buckets = max(128, spark.sparkContext.defaultParallelism * 4)
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.pmod("user_id", F.lit(n_buckets)).alias("bucket"),
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -799,6 +812,7 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("purchase_id"),
             F.round(F.max("value"), 2).alias("purchase_value"),
         )
+        .withColumn("bucket", F.pmod("user_id", F.lit(n_buckets)))
     )
 
     fmt = "%Y-%m-%d %H:%M:%S.%f"
@@ -811,14 +825,22 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "purchase_id", "purchase_ts", "purchase_value",
                 ]
             )
-        left = left.sort_values("ts")
+        # merge_asof(by=) requires the ON key globally sorted on both
+        # sides; matching is still per-user, identical to the per-user
+        # cogroup it replaces (right is unique per (user_id, ts)).
+        left = left.sort_values("ts", kind="mergesort")
         right = (
-            right.sort_values("ts")
+            right.sort_values("ts", kind="mergesort")
             .rename(columns={"ts": "p_ts"})
-            .drop(columns=["user_id"])
+            .drop(columns=["bucket"])
         )
         m = pd.merge_asof(
-            left, right, left_on="ts", right_on="p_ts", direction="backward"
+            left,
+            right,
+            left_on="ts",
+            right_on="p_ts",
+            by="user_id",
+            direction="backward",
         )
         m["click_ts"] = m["ts"].dt.strftime(fmt)
         m["purchase_ts"] = m["p_ts"].dt.strftime(fmt)
@@ -829,8 +851,8 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(
             merge,
             "click_id bigint, user_id bigint, click_ts string, "

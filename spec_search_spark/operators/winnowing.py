@@ -16,14 +16,15 @@ Not in the reference (its dedup story is Chroma upsert-by-id,
 training-data north star.
 
 Spark shape, designed for scale:
-- k-gram hashing is the shared polynomial fold
-  (functions.text.FP_BASE/MOD) via the Arrow-batched pandas UDF —
-  one batch pass, identical values to the DuckDB oracle's
-  list_reduce fold;
-- window-minimum selection packs (hash, position) into ONE BIGINT
-  (h · 2²⁰ + (2²⁰−1−pos), docs < 1 Mchar) so a single min() window
-  function — partitioned BY DOCUMENT, never global — implements the
-  rightmost-min tie-break; selected set = distinct window minima;
+- k-gram hashing AND window-minimum selection are ONE Arrow batch
+  pass of the normalized text through a vectorized rolling-hash
+  kernel (the shared polynomial fold, functions.text.FP_BASE/MOD;
+  numpy sliding-window min) returning each document's distinct
+  selected fingerprints — row-local work, no corpus-sized explode,
+  no per-document window shuffle; identical values to the DuckDB
+  oracle's list_reduce fold + window-min CTE;
+- the rightmost-min tie-break packs (hash, position) into ONE int64
+  (h · 2²⁰ + (2²⁰−1−pos), docs < 1 Mchar) exactly as the oracle does;
 - the MOSS noise guard drops fingerprints appearing in more than
   MAX_DF documents (boilerplate k-grams) BEFORE the pair join, so
   candidate pairs are bounded by rare-fingerprint postings — the same
@@ -37,14 +38,12 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.functions.text import (
-    fingerprint_sql,
-    make_poly_hash_udf,
-)
+from spec_search_spark.functions.text import fingerprint_sql
 from spec_search_spark.session import tune
 
 K = 8  # character k-gram length
@@ -53,9 +52,6 @@ POS_CAP = 1 << 20  # packing base; documents are < 1M chars
 MAX_DF = 40  # MOSS noise guard: ignore fingerprints in > MAX_DF docs
 TOP_PAIRS = 20
 A_SOURCE = "src0"  # the "benchmark" side of the containment report
-
-_POLY = make_poly_hash_udf()
-
 
 def _norm(text):
     return F.regexp_replace(F.lower(text), r"\s+", " ")
@@ -70,42 +66,88 @@ def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow(docs)
 
 
+def make_winnow_fps_udf():
+    """Arrow-batched per-document fingerprint SET (distinct selected
+    hashes as array<long>) over PRE-NORMALIZED text — the row-local
+    winnowing kernel of :func:`make_winnow_count_udf`, returning the
+    selected values instead of their count. Selection semantics are
+    identical to the paper/oracle: full windows only, packed
+    rightmost-min keys (h·POS_CAP + (POS_CAP−1−pos)), distinct h."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from spec_search_spark.functions.text import FP_BASE, FP_MOD, poly_hash_batch
+
+    pow_k = [pow(FP_BASE, K - 1 - j, FP_MOD) for j in range(K)]
+
+    def _fps_from_hashes(hs: "np.ndarray", n: int) -> "np.ndarray":
+        keys = hs * POS_CAP + (POS_CAP - 1 - np.arange(n, dtype=np.int64))
+        mins = sliding_window_view(keys, W).min(axis=1)
+        return np.unique(mins // POS_CAP)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow_fps(texts: pd.Series) -> pd.Series:
+        empty = np.empty(0, dtype=np.int64)
+        vals = [t if isinstance(t, str) else "" for t in texts.tolist()]
+        enc = [t.encode("utf-8") for t in vals]
+        if any(len(b) != len(t) for b, t in zip(enc, vals)):
+            # non-ASCII batch: per-doc fold over code points
+            # (identical values to the vectorized byte path)
+            out = []
+            for t in vals:
+                n = len(t) - K + 1
+                if n < W:
+                    out.append(empty)
+                    continue
+                hs = poly_hash_batch([t[i : i + K] for i in range(n)])
+                out.append(_fps_from_hashes(hs, n))
+            return pd.Series(out, index=texts.index)
+        # vectorized rolling hash: all docs concatenate into ONE code
+        # array; K shifted-add passes produce every k-gram hash.
+        # Cross-boundary grams are discarded by the per-doc slicing.
+        buf = b"\x00".join(enc)
+        codes = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        m = max(len(codes) - K + 1, 0)
+        acc = np.zeros(m, dtype=np.int64)
+        for j in range(K):
+            acc = (acc + codes[j : j + m] * pow_k[j]) % FP_MOD
+        out, off = [], 0
+        for t in vals:
+            ln = len(t)
+            n = ln - K + 1
+            if n < W:
+                out.append(empty)
+                off += ln + 1
+                continue
+            out.append(_fps_from_hashes(acc[off : off + n], n))
+            off += ln + 1
+        return pd.Series(out, index=texts.index)
+
+    return winnow_fps
+
+
+_WINNOW_FPS = make_winnow_fps_udf()
+
+
 def winnow(docs: DataFrame) -> DataFrame:
-    """Winnowing core over (doc_id, source, t): k-gram poly hashes →
-    packed window-min selection → distinct fingerprints."""
-    kgs = F.when(
-        F.length("t") >= K,
-        F.transform(
-            F.sequence(F.lit(0), F.length("t") - K),
-            lambda i: F.substr(F.col("t"), i + 1, F.lit(K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
-        "doc_id", "source", F.posexplode(kgs).alias("pos", "g")
-    )
-    hashed = grams.select(
+    """Winnowing core over (doc_id, source, t): ONE Arrow batch pass of
+    the normalized text through the vectorized rolling-hash kernel,
+    returning each document's distinct selected fingerprints.
+
+    Plan shape (guide §4.2): the previous form posexploded every
+    k-gram POSITION (one row per character of the corpus — ~19M rows
+    at sf0.1) through the per-gram hash UDF, then ran a per-document
+    window-min over the exploded rows (a corpus-sized shuffle). The
+    kernel moves the text across the Python boundary ONCE (compact
+    per-doc arrays come back), the window-min becomes a numpy sliding
+    view, and the only remaining exchange is whatever the consumer
+    aggregates — identical selected values (kernel shared with the
+    streaming twin; pinned by test_winnow_matches_paper_reference)."""
+    return docs.select(
         "doc_id",
         "source",
-        "pos",
-        (
-            _POLY("g") * F.lit(POS_CAP)
-            + (F.lit(POS_CAP - 1) - F.col("pos"))
-        ).alias("key"),
+        F.explode(_WINNOW_FPS(F.col("t"))).alias("h"),
     )
-    win = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(W - 1), 0)
-    )
-    sel = (
-        hashed.withColumn("mkey", F.min("key").over(win))
-        .filter(F.col("pos") >= W - 1)  # full windows only (MOSS)
-        .select("doc_id", "source", "mkey")
-        .distinct()
-    )
-    return sel.select(
-        "doc_id",
-        "source",
-        F.floor(F.col("mkey") / POS_CAP).cast("bigint").alias("h"),
-    ).distinct()
 
 
 def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -782,9 +782,11 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("join_cardinality_cms",
      ["partial_count", "HashAggregate"],
      ["Window", "rangepartitioning(", "MapInPandas", "SortMergeJoin"]),
-    # Poisson bootstrap: ONE narrow explode (Generate) collapsed into B
-    # replicate groups by partial aggregation — no key shuffle, no join
-    # on the fact side, no Python kernel
+    # Poisson bootstrap: all B replicate accumulators are COLUMNS of
+    # one partial+final global aggregate over a single scan (no ×B row
+    # explode of the fact table); the only Generate left is the 1-row
+    # unpack of the B accumulator structs — no key shuffle, no join on
+    # the fact side, no Python kernel
     ("bootstrap_ci_revenue",
      ["Generate", "partial_sum"],
      ["Window", "SortMergeJoin", "MapInPandas", "CartesianProduct"]),
@@ -1319,19 +1321,21 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
      ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
      ["CartesianProduct", "MapInPandas", "BatchEvalPython",
       "rangepartitioning("]),
-    # winnowing: k-gram hashing is the Arrow-batched poly fold; the
-    # window-min selection is partitioned BY DOCUMENT (never a global
-    # sort); stats query's final 20-row ORDER BY gets the anchored
+    # winnowing: hashing + window-min selection run INSIDE the Arrow
+    # kernel (one batch pass of the text, per-doc fingerprint arrays
+    # back) — no corpus-sized Generate, no per-document Window shuffle;
+    # stats query's final 20-row ORDER BY gets the anchored
     # ≤1-rangepartitioning check instead of the blanket forbid
     ("winnowing_fingerprint_stats",
-     ["ArrowEvalPython", "Window", "partial_count"],
-     ["CartesianProduct", "BatchEvalPython"]),
+     ["ArrowEvalPython", "partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "Window"]),
     # containment pairs: rare-fingerprint postings join (candidate-
     # bound, the LSH-band discipline) and a TakeOrdered cut — no
     # global sort anywhere
     ("winnowing_containment_pairs",
      ["ArrowEvalPython", "TakeOrderedAndProject", "partial_count"],
-     ["CartesianProduct", "BatchEvalPython", "rangepartitioning("]),
+     ["CartesianProduct", "BatchEvalPython", "rangepartitioning(",
+      "Window"]),
     # unigram LM (r9 row-local DP): the Viterbi recurrence folds
     # inside ONE codegen'd aggregate over a bounded score-map literal —
     # no Python hop of any kind, no checkpoint chain; the pinned word
