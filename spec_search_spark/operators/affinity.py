@@ -37,9 +37,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    # pin: both sides of the pair self-join read the size-filtered
+    # table; lazily each re-runs the distinct + size-filter shuffles.
     items = items.join(
         sized.filter(F.col("k") <= MAX_BASKET).select("l_orderkey"), "l_orderkey"
-    )
+    ).localCheckpoint(eager=True)
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -98,10 +100,14 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    # pin the size-filtered basket table: the margin pass, the basket
+    # count and BOTH sides of the pair self-join read it, and lazily
+    # each consumer re-runs the distinct + size-filter shuffles. Two
+    # int columns, item-occurrence-sized.
     items = items.join(
         sized.filter(F.col("k") <= MAX_BASKET).select("l_orderkey"),
         "l_orderkey",
-    )
+    ).localCheckpoint(eager=True)
     no = items.agg(F.countDistinct("l_orderkey").alias("n"))
     margin = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a, b = items.alias("a"), items.alias("b")
@@ -211,10 +217,12 @@ def rules_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    # pin as in association_rules: train/test splits, margins, the pair
+    # self-join and the seed/candidate joins all read this table.
     items = items.join(
         sized.filter(F.col("k") <= MAX_BASKET).select("l_orderkey"),
         "l_orderkey",
-    )
+    ).localCheckpoint(eager=True)
     is_test = F.expr(f"l_orderkey % {REC_TEST_MOD} = 0")
     train, test = items.filter(~is_test), items.filter(is_test)
     margin = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n1"))

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import prune_memo
+from spec_search_spark.session import prune_memo, spread
 from spec_search_spark.functions.vector import (
     dot,
     dot_sql,
@@ -127,7 +127,14 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _assign(_emb(spark, sf_dir), _trained_centroids(spark, sf_dir))
+    # spread the vector table before the K-way distance projection:
+    # the broadcast-centroid assignment is pure per-row compute, and
+    # the local single-row-group scan would run all of it on ONE core
+    # (guarded no-op at scale — see session.spread).
+    return _assign(
+        spread(_emb(spark, sf_dir), "vec_id"),
+        _trained_centroids(spark, sf_dir),
+    )
 
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -430,14 +430,28 @@ def dsir_importance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums ride the lm_perplexity 6dp-rounding precedent.
 
     Output: (source, n_docs, n_selected, avg_logw)."""
-    docs = _docs(spark, sf_dir).select(
+    # spread + pin: the hashed-occurrence table feeds FOUR consumers
+    # (raw buckets, target buckets, totals, per-doc sums), each of
+    # which would otherwise re-tokenize and re-hash the corpus on the
+    # single-row-group local scan's one core (spread precedes the
+    # tokenize so the heavy work lands on every core; guarded no-op at
+    # scale). Three int columns — token-count-sized, the same rows the
+    # explode already produced.
+    from spec_search_spark.session import spread
+
+    docs = spread(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", "source", tokens(F.col("text")).alias("toks")
     )
-    occ = docs.select(
-        "doc_id",
-        "source",
-        F.explode("toks").alias("tok"),
-    ).withColumn("bucket", F.pmod(_poly_hash(F.col("tok")), F.lit(DSIR_BUCKETS)))
+    occ = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode("toks").alias("tok"),
+        )
+        .withColumn("bucket", F.pmod(_poly_hash(F.col("tok")), F.lit(DSIR_BUCKETS)))
+        .select("doc_id", "source", "bucket")
+        .localCheckpoint(eager=True)
+    )
     raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
     tgt = (
         occ.filter(F.col("source") == DSIR_TARGET)

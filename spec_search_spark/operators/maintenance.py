@@ -247,7 +247,13 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (column, n_rows, n_null, ndv, min_v, max_v, avg_v)."""
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread before the count-distinct Expand: the profile agg expands
+    # every row once per profiled column, and the local single-row-
+    # group scan would push that entire blowup through ONE core
+    # (guarded no-op at scale — see session.spread).
+    from spec_search_spark.session import spread
+
+    li = spread(load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS))
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
@@ -372,7 +378,17 @@ def table_checksum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spec_search_spark.functions.text import fingerprint
 
     tune(spark)
-    o = load_table(spark, sf_dir, "orders")
+    # spread before the per-row canonical-string fold: the hash is the
+    # slot's entire cost and would otherwise run on the single-row-
+    # group local scan's one core.
+    from spec_search_spark.session import spread
+
+    o = spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate",
+        )
+    )
     row_str = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),

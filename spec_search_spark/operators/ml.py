@@ -1327,7 +1327,16 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spec_search_spark.operators.rank_stats import _bucketed_cum
 
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread + pin, the ols_cv_rmse recipe: the salted fold hash feeds
+    # THREE consumers (train moments, calibration residuals, the
+    # fold-count pass) and the local single-row-group scan would run
+    # each on ONE core; the checkpoint makes the hash run once.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_extendedprice",
+        )
+    ).select(
         F.pmod(
             _poly_hash(
                 F.concat(
@@ -1342,7 +1351,7 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(l_quantity * 100) as bigint)").alias("q100"),
         F.expr("cast(round(l_discount * 100) as bigint)").alias("d100"),
         F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p100"),
-    )
+    ).localCheckpoint(eager=True)
     li.createOrReplaceTempView("_conf_cents")
     beta = spark.sql(_CONF_BETA_BODY.format(src="_conf_cents"))
     resid = (

@@ -551,9 +551,20 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc1, doc2, hamming) over even-doc images, doc1 < doc2."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 0
-    ).select("doc_id")
+    # spread the BARE id table before the synth→phash kernel chain:
+    # payloads are generated INSIDE the kernels from doc_id, so pixel
+    # bytes still never cross an exchange — only 8-byte ids shuffle,
+    # and the per-image Python decode (the slot's dominant cost) fans
+    # out from the single-row-group local scan's one core (spread is a
+    # guarded no-op at scale).
+    from spec_search_spark.session import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id"),
+        "doc_id",
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -349,10 +349,20 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: n, Spearman rho (6dp snap) between l_quantity and
     l_extendedprice — Pearson over exact integer double-ranks."""
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread + pin: the integer-grid projection feeds BOTH rank-table
+    # aggregations and the final moment join; lazily each consumer
+    # re-scans on the single-row-group local scan's one core. Two int
+    # columns, corpus-row-sized.
+    from spec_search_spark.session import spread
+
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice"
+        )
+    ).select(
         F.expr("cast(round(l_quantity) as bigint)").alias("q"),
         F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("p"),
-    )
+    ).localCheckpoint(eager=True)
     q_ranks = _double_ranks(
         li.groupBy(F.col("q").alias("v")).agg(F.count("*").alias("c")), "v"
     ).withColumnRenamed("dr", "rx")

@@ -77,7 +77,16 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rank-band self-check; this exact version is its test-scale
     ground truth."""
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: the exact percentile agg buffers and sorts every value in
+    # its partial state; the local single-row-group scan would build
+    # the whole buffer on ONE core (guarded no-op at scale).
+    from spec_search_spark.session import spread
+
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),

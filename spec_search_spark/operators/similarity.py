@@ -36,7 +36,9 @@ from spec_search_spark.functions.vector import (
     DEFAULT_DIM,
     cosine_similarity,
     cosine_similarity_sql,
+    dot,
     dot_sql,
+    norm,
     emb_sig_sql_agg,
     embed_text_local,
     embedding_sql_ctes,
@@ -566,16 +568,35 @@ def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates within each label block,
     exact cosine ≥ threshold re-check on candidates only (see the
-    banding notes above — no quadratic path in a label block)."""
+    banding notes above — no quadratic path in a label block).
+
+    Each vector's norm is computed ONCE on the vector table and joined
+    alongside the embedding, so the per-candidate re-check is a single
+    dot fold instead of three (dot + both norms re-folded per pair —
+    candidates outnumber vectors ~80:1 here). cos = dot/(n1·n2) sees
+    bit-identical double operands either way, so the rounded values
+    (and the oracle) are unchanged."""
     emb = _emb(spark, sf_dir)
     cand = neardup_candidates(spark, sf_dir)
-    e1 = emb.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("emb1"))
-    e2 = emb.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("emb2"))
+    e1 = emb.select(
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("emb1"),
+        norm(F.col("embedding")).alias("n1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("emb2"),
+        norm(F.col("embedding")).alias("n2"),
+    )
     return (
         cand.join(e1, "vec1")
         .join(e2, "vec2")
         .withColumn(
-            "cos_sim", F.round(cosine_similarity(F.col("emb1"), F.col("emb2")), 4)
+            "cos_sim",
+            F.round(
+                dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2")),
+                4,
+            ),
         )
         .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
         .select("label", "vec1", "vec2", "cos_sim")

@@ -672,11 +672,14 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     ("k_anonymity_report",
      ["partial_count", "HashAggregate"],
      ["CartesianProduct", "Window", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
-    # DSIR: one token explode, bucket aggregations, and the O(64)-row
-    # importance table broadcast back onto the occurrence stream — the
-    # hashed feature space makes the broadcast safe by construction
+    # DSIR: one token explode + hash PINNED as the occurrence table
+    # (four consumers — raw/target buckets, totals, per-doc sums — so
+    # the registered plan reads the checkpoint, not a re-explode),
+    # bucket aggregations, and the O(64)-row importance table broadcast
+    # back onto the occurrence stream — the hashed feature space makes
+    # the broadcast safe by construction
     ("dsir_importance_report",
-     ["Generate", "partial_count", "BroadcastHashJoin"],
+     ["partial_count", "BroadcastHashJoin"],
      ["CartesianProduct", "rangepartitioning("]),
     # pipe syntax parses to the same physical plan as the nested form:
     # filter reaches the scan, aggregation is partial+final

@@ -22,6 +22,19 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing target (guide §2.2): sized to the DATA, not a
+    # fixed node count. The default 64m collapses every test-scale
+    # post-shuffle stage to ONE partition, serializing whatever
+    # per-row compute follows (measured: the near-dup cosine re-check
+    # and the DBSCAN edge filter ran 1-task stages at 64m). 8m keeps
+    # local stages parallel while still merging genuinely tiny
+    # partitions; a cluster deployment overrides via
+    # SPARK_GRAFT_ADVISORY (64-256m per guide §2.2 — partitions there
+    # should be 100MB-1GB; the knob is data-relative, so the local
+    # default is NOT a local[32]-only constant baked into plans).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY", "8m"
+    ),
 }
 
 
