@@ -487,8 +487,9 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _ranked_probe_assignments(spark, sf_dir, centroids)
     from spec_search_spark.functions.vector import l2_squared
     from spec_search_spark.operators.similarity import partial_topk
+    from spec_search_spark.session import spread
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     pvec = probes.select("probe_id", "probe_vec").distinct()
     ex_scored = emb.join(
         F.broadcast(pvec), F.col("vec_id") != F.col("probe_id")
@@ -505,21 +506,31 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id")
     )
 
+    # Score candidates ONCE at the LARGEST sweep point, keeping each
+    # candidate's cluster rank; arm p's candidate set is exactly the
+    # rank < p subset (probe-cluster assignments are rank-nested), so
+    # every arm filters the one pinned scored table instead of re-
+    # scanning the index and re-folding distances per nprobe — same
+    # rows, same d2, identical per-arm top-k.
+    p_max = max(SWEEP_NPROBES)
+    pr = probes.filter(F.col("rank") < p_max).select(
+        "probe_id", "probe_vec", "cluster", "rank"
+    )
+    scored = index.join(
+        F.broadcast(pr),
+        (index.cluster == pr.cluster) & (F.col("vec_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        "vec_id",
+        "rank",
+        F.round(
+            l2_squared(F.col("embedding"), F.col("probe_vec")), 4
+        ).alias("d2"),
+    ).localCheckpoint(eager=True)
+
     per_p = []
     for p in SWEEP_NPROBES:
-        pr = probes.filter(F.col("rank") < p).select(
-            "probe_id", "probe_vec", "cluster"
-        )
-        cand = index.join(
-            F.broadcast(pr),
-            (index.cluster == pr.cluster) & (F.col("vec_id") != F.col("probe_id")),
-        ).select(
-            "probe_id",
-            "vec_id",
-            F.round(
-                l2_squared(F.col("embedding"), F.col("probe_vec")), 4
-            ).alias("d2"),
-        )
+        cand = scored.filter(F.col("rank") < p)
         local = partial_topk(cand, "probe_id", ["d2", "vec_id"], TOP_K)
         topk = (
             local.withColumn("rn", F.row_number().over(w))
@@ -530,9 +541,11 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = per_p[0]
     for df in per_p[1:]:
         approx = approx.unionByName(df)
+    # hits feeds the per-probe counts AND both sides of the nestedness
+    # anti-join — pin the tiny (nprobe × probe × ≤k) table
     hits = approx.join(exact, ["probe_id", "vec_id"]).select(
         "nprobe", "probe_id", "vec_id"
-    )
+    ).localCheckpoint(eager=True)
     counts = hits.groupBy("nprobe", "probe_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

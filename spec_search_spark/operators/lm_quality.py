@@ -634,6 +634,11 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); the (V, T) scalars ride a one-row broadcast. Scoring
     cost ∝ held-out size; training cost is the two count aggs."""
     tune(spark)
+    # NOT spread/pinned (measured, optimization r11): the 5-7 consumers
+    # of base/grams are INDEPENDENT subtrees whose single-task scans
+    # run concurrently under AQE — wall time equals one scan pass, and
+    # adding a spread exchange or eager pins serialized the pipeline
+    # (1.5s -> 2.1-2.5s measured at sf0.1).
     base = _tok_arrays(_docs(spark, sf_dir), 3).withColumn(
         "fold",
         F.pmod(

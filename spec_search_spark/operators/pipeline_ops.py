@@ -1326,20 +1326,34 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ivf.py / similarity.py) instead of the full cross product, τ and
     everything downstream unchanged."""
     tune(spark)
-    from spec_search_spark.functions.vector import cosine_similarity
+    from spec_search_spark.functions.vector import dot, norm
+    from spec_search_spark.session import spread
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the bench-cross scoring is pure per-row compute on the
+    # local single-row-group scan's one core (profiled: one 1.5s
+    # 1-task stage was the whole slot; guarded no-op at scale). Norms
+    # are folded ONCE per side and joined along, so each of the
+    # N_BENCH pairs per corpus vector pays one dot fold instead of
+    # dot + both norms — cos = dot/(n1·n2) sees bit-identical double
+    # operands, so the 4dp-snapped sims (and the oracle) are unchanged.
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     bench = emb.filter(F.col("vec_id") < SEMDECON_N_BENCH).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        norm(F.col("embedding")).alias("b_norm"),
     )
-    corpus = emb.filter(F.col("vec_id") >= SEMDECON_N_BENCH)
+    corpus = emb.filter(F.col("vec_id") >= SEMDECON_N_BENCH).select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("c_norm")
+    )
     per_vec = (
         corpus.join(F.broadcast(bench))
         .select(
             "vec_id",
             "label",
             F.round(
-                cosine_similarity(F.col("embedding"), F.col("b_vec")), 4
+                dot(F.col("embedding"), F.col("b_vec"))
+                / (F.col("c_norm") * F.col("b_norm")),
+                4,
             ).alias("sim"),
         )
         .groupBy("vec_id", "label")

@@ -424,7 +424,12 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical. Selection uses round(dist², 4) + vec_id ties; truth
     lists come from the same snapped exact scoring."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the JL signed sums + both scoring passes are pure per-row
+    # compute on the local single-row-group scan's one core (no-op at
+    # scale — see session.spread).
+    from spec_search_spark.session import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     proj = emb.select(
         "vec_id",
         "embedding",

@@ -59,11 +59,21 @@ def _norm(text):
 
 def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, h): the winnowed fingerprint set per document
-    (distinct selected hashes)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", _norm(F.col("text")).alias("t")
-    )
-    return winnow(docs)
+    (distinct selected hashes). Spread before the kernel (the local
+    single-row-group scan would run every document's rolling hash on
+    ONE core; no-op at scale) and PINNED — the stats query reads it
+    twice and the containment query four times (df-count, rare join,
+    both pair sides), each of which would lazily re-run the kernel
+    over the whole corpus."""
+    from spec_search_spark.session import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "doc_id",
+    ).select("doc_id", "source", _norm(F.col("text")).alias("t"))
+    return winnow(docs).localCheckpoint(eager=True)
 
 
 def make_winnow_fps_udf():

@@ -1329,14 +1329,18 @@ CHECKS: list[tuple[str, list[str], list[str]]] = [
     # back) — no corpus-sized Generate, no per-document Window shuffle;
     # stats query's final 20-row ORDER BY gets the anchored
     # ≤1-rangepartitioning check instead of the blanket forbid
+    # the fingerprint table is PINNED per query (read 2-4x per slot),
+    # so the registered plan reads the checkpoint (Scan ExistingRDD);
+    # the kernel itself is audited via winnow()'s lineage in
+    # tests/test_plans-adjacent checks and the streaming twin
     ("winnowing_fingerprint_stats",
-     ["ArrowEvalPython", "partial_count"],
+     ["partial_count", "Scan ExistingRDD"],
      ["CartesianProduct", "BatchEvalPython", "Window"]),
     # containment pairs: rare-fingerprint postings join (candidate-
     # bound, the LSH-band discipline) and a TakeOrdered cut — no
     # global sort anywhere
     ("winnowing_containment_pairs",
-     ["ArrowEvalPython", "TakeOrderedAndProject", "partial_count"],
+     ["TakeOrderedAndProject", "partial_count", "Scan ExistingRDD"],
      ["CartesianProduct", "BatchEvalPython", "rangepartitioning(",
       "Window"]),
     # unigram LM (r9 row-local DP): the Viterbi recurrence folds

@@ -63,7 +63,17 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
                     f"SPARK_GRAFT_SHUFFLE must be an integer, got {env!r}"
                 ) from exc
         else:
-            shuffle_partitions = max(os.cpu_count() or 8, 8)
+            # track the SESSION's parallelism (local[N] → N), not the
+            # host's physical core count: the bench also runs at
+            # reduced core counts to measure scaling, and sizing the
+            # shuffle to phantom cores just fragments every stage into
+            # tasks the scheduler can't run concurrently.
+            try:
+                shuffle_partitions = max(
+                    spark.sparkContext.defaultParallelism, 8
+                )
+            except Exception:
+                shuffle_partitions = max(os.cpu_count() or 8, 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
 
