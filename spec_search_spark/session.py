@@ -117,6 +117,25 @@ def spread(df, *keys: str):
     return df.repartition(par, *keys)
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Build a DataFrame from a SMALL driver-side row list as a true
+    LocalRelation (pandas/Arrow path) instead of a parallelized Python
+    RDD. ``createDataFrame(list)`` goes through ``sc.parallelize`` with
+    defaultParallelism slices, so even a one-row frame schedules a
+    32-task pickled-RDD job every time it is consumed (measured ~0.5 s
+    per action); the pandas path plans as a LocalTableScan the driver
+    evaluates with no job at all (measured ~0.03 s). Bounded inputs
+    only — the rows live in driver memory either way."""
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame.from_records(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
 def prune_memo(memo: dict, app_id: str, cap: int = 8) -> None:
     """Evict module-level memo entries from other (stopped) sessions and
     cap per-memo size. Memo keys are (applicationId, ...) tuples; a local

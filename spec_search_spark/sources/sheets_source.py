@@ -17,9 +17,18 @@ Read (grid mode, default) — one output row per grid row::
     file_id bigint, file_name string, sheet_id bigint, tab_name string,
     row_idx int, cells array<string>
 
-- one InputPartition per FILE: sheets scan cluster-parallel, the same
-  unit the reference iterates sequentially. partitions() only LISTS
-  the directory — no file is opened until read() runs on an executor.
+- one InputPartition per FILE by default: sheets scan
+  cluster-parallel, the same unit the reference iterates sequentially.
+  partitions() only LISTS the directory — no file is opened until
+  read() runs on an executor. ``option("bundle", N)`` packs files into
+  ~N partitions (greedy, listing order, capped at
+  ``_BUNDLE_BYTES_CAP`` bytes per partition so a huge corpus still
+  splits by data size, guide §6 maxPartitionBytes-style): at test
+  scale thousands of tiny files stop paying one scheduler/worker
+  round-trip each, at 100 TB the byte cap keeps partitions bounded.
+- read() yields Arrow RecordBatches (guide §4.2): whole decoded files
+  cross the Python→JVM boundary as columnar batches instead of
+  per-row pickled tuples.
 - ``option("range", "B2:D5")``: A1 ranged scan (S4) — only the
   requested row window is emitted and cells are sliced to the column
   window, like the reference's ``get_range`` (raw values, no
@@ -89,6 +98,17 @@ GRID_SCHEMA = StructType(
 )
 
 _RANGE_RE = re.compile(r"^([A-Z]+)(\d+):([A-Z]+)(\d+)$")
+
+#: byte cap per bundled scan partition: with option("bundle", N) files
+#: are packed into ~N partitions ONLY while a partition stays under
+#: this many bytes — a corpus far bigger than N × cap therefore splits
+#: by size (≈ total_bytes / cap partitions), the maxPartitionBytes
+#: behavior of a native scan, not N giant serial reads.
+_BUNDLE_BYTES_CAP = 128 * 1024 * 1024
+
+#: rows per emitted Arrow batch (bounds executor memory for bundles of
+#: many files; one tiny file still emits one small batch).
+_ARROW_BATCH_ROWS = 10_000
 
 
 def _col_to_idx(letters: str) -> int:
@@ -182,6 +202,28 @@ class SheetsStreamReader(DataSourceStreamReader):
         pass
 
 
+def _bundle(files: list[str], target: int) -> list[list[str]]:
+    """Pack files into ~``target`` partitions in listing order, capping
+    each partition at _BUNDLE_BYTES_CAP bytes: deterministic greedy
+    packing, so the same listing always yields the same partitions."""
+    if target <= 0 or len(files) <= target:
+        return [[f] for f in files]
+    per = -(-len(files) // target)
+    out: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if cur and (len(cur) >= per or cur_bytes + sz > _BUNDLE_BYTES_CAP):
+            out.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz
+    if cur:
+        out.append(cur)
+    return out
+
+
 class SheetsReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:
         self.path = options.get("path")
@@ -192,6 +234,7 @@ class SheetsReader(DataSourceReader):
         self.header: list[str] | None = None
         if self.mode == "records":
             self.header = [f.name for f in schema.fields]
+        self.bundle = int(options.get("bundle", "0") or "0")
         self.file_name_filters: list[str] = []
 
     def pushFilters(self, filters):
@@ -208,42 +251,93 @@ class SheetsReader(DataSourceReader):
         if self.file_name_filters:
             keep = {f"{name}{SHEET_SUFFIX}" for name in self.file_name_filters}
             files = [p for p in files if os.path.basename(p) in keep]
-        return [InputPartition(p) for p in files]
+        return [InputPartition(chunk) for chunk in _bundle(files, self.bundle)]
+
+    def _arrow_schema(self):
+        import pyarrow as pa
+
+        if self.mode == "records":
+            return pa.schema(
+                [pa.field(name, pa.string()) for name in (self.header or [])]
+            )
+        return pa.schema(
+            [
+                pa.field("file_id", pa.int64()),
+                pa.field("file_name", pa.string()),
+                pa.field("sheet_id", pa.int64()),
+                pa.field("tab_name", pa.string()),
+                pa.field("row_idx", pa.int32()),
+                pa.field("cells", pa.list_(pa.string())),
+            ]
+        )
 
     def read(self, partition: InputPartition):
-        with open(partition.value) as fh:
-            doc = json.load(fh)
-        for tab in doc["tabs"]:
-            values = tab["values"]
-            if self.mode == "records":
-                yield from self._read_records(values)
-                continue
-            rows = enumerate(values)
-            if self.range is not None:
-                r_lo, r_hi, c_lo, c_hi = self.range
-                rows = (
-                    (i, row[c_lo : c_hi + 1])
-                    for i, row in enumerate(values)
-                    if r_lo <= i <= r_hi
-                )
-            for row_idx, cells in rows:
-                yield (
-                    int(doc["file_id"]),
-                    doc["file_name"],
-                    int(tab["sheet_id"]),
-                    tab["tab_name"],
-                    int(row_idx),
-                    [None if c is None else str(c) for c in cells],
-                )
+        """Decode the partition's files and yield Arrow RecordBatches
+        (guide §4.2: the decoded grid crosses the Python→JVM boundary
+        as columnar batches, not per-row pickled tuples), flushing
+        every _ARROW_BATCH_ROWS rows to bound batch memory."""
+        import pyarrow as pa
 
-    def _read_records(self, values):
+        schema = self._arrow_schema()
+        names = [f.name for f in schema]
+        cols: list[list] = [[] for _ in names]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                schema=schema,
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
+        paths = (
+            partition.value
+            if isinstance(partition.value, (list, tuple))
+            else [partition.value]
+        )
+        for path in paths:
+            with open(path) as fh:
+                doc = json.load(fh)
+            for tab in doc["tabs"]:
+                values = tab["values"]
+                if self.mode == "records":
+                    self._append_records(cols, values)
+                else:
+                    self._append_grid(cols, doc, tab, values)
+                if len(cols[0]) >= _ARROW_BATCH_ROWS:
+                    yield flush()
+        if cols[0]:
+            yield flush()
+
+    def _append_grid(self, cols, doc, tab, values) -> None:
+        rows = enumerate(values)
+        if self.range is not None:
+            r_lo, r_hi, c_lo, c_hi = self.range
+            rows = (
+                (i, row[c_lo : c_hi + 1])
+                for i, row in enumerate(values)
+                if r_lo <= i <= r_hi
+            )
+        fid, fname = int(doc["file_id"]), doc["file_name"]
+        sid, tname = int(tab["sheet_id"]), tab["tab_name"]
+        for row_idx, cells in rows:
+            cols[0].append(fid)
+            cols[1].append(fname)
+            cols[2].append(sid)
+            cols[3].append(tname)
+            cols[4].append(int(row_idx))
+            cols[5].append([None if c is None else str(c) for c in cells])
+
+    def _append_records(self, cols, values) -> None:
         if not values:
             return
         width = len(self.header or values[0])
         for row in values[1:]:  # first row is the header
             padded = [str(c) if c is not None else "" for c in row[:width]]
             padded += [""] * (width - len(padded))
-            yield tuple(padded)
+            for j in range(width):
+                cols[j].append(padded[j])
 
 
 @dataclass
