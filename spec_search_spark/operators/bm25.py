@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import RE_TOKEN_SPLIT
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 K1 = 1.2
 B = 0.75
@@ -468,7 +468,7 @@ def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = qpost.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
 
     cands = qpost.select("doc_id").distinct()
-    qterms = spark.createDataFrame([(t,) for t in _QTOKS], "tok string")
+    qterms = local_df(spark, [(t,) for t in _QTOKS], "tok string")
     grid = (
         cands.crossJoin(F.broadcast(qterms))
         .join(tf, ["doc_id", "tok"], "left")

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import prune_memo, tune
+from spec_search_spark.session import local_df, prune_memo, tune
 
 K_CLUSTERS = 8
 N_ITER = 2
@@ -169,8 +169,8 @@ def _probe_assignments(
         for c in nearest:
             probe_rows.append((pid, [float(x) for x in vec], int(c)))
     prune_memo(_PROBE_DF, key[0])
-    _PROBE_DF[key] = spark.createDataFrame(
-        probe_rows, "probe_id int, probe_vec array<double>, cluster int"
+    _PROBE_DF[key] = local_df(
+        spark, probe_rows, "probe_id int, probe_vec array<double>, cluster int"
     )
     return _PROBE_DF[key]
 
@@ -226,7 +226,8 @@ def ivf_index_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, index = trained_index(spark, sf_dir)
     from spec_search_spark.functions.vector import l2_squared
 
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid int, cvec array<double>",
     )
@@ -385,7 +386,8 @@ def ivf_delta_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta_counts = delta_idx.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_delta"))
 
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid int, cvec array<double>",
     )
@@ -457,8 +459,8 @@ def _ranked_probe_assignments(
         for rank, c in enumerate(nearest):
             rows.append((pid, [float(x) for x in vec], int(c), rank))
     prune_memo(_RANKED_PROBES, key[0])
-    _RANKED_PROBES[key] = spark.createDataFrame(
-        rows, "probe_id int, probe_vec array<double>, cluster int, rank int"
+    _RANKED_PROBES[key] = local_df(
+        spark, rows, "probe_id int, probe_vec array<double>, cluster int, rank int"
     )
     return _RANKED_PROBES[key]
 
@@ -554,8 +556,8 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .crossJoin(
             F.broadcast(
-                spark.createDataFrame(
-                    [(p,) for p in SWEEP_NPROBES], "nprobe int"
+                local_df(
+                    spark, [(p,) for p in SWEEP_NPROBES], "nprobe int"
                 )
             )
         )
@@ -569,8 +571,8 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     mono = counted.withColumn("prev_hits", F.lag("n_hits").over(wp))
     # nested: a hit at the PREVIOUS sweep point missing at this one
     prev_map = {p: q for q, p in zip(SWEEP_NPROBES, SWEEP_NPROBES[1:])}
-    pairs = spark.createDataFrame(
-        [(p, q) for p, q in prev_map.items()], "nprobe int, prev_nprobe int"
+    pairs = local_df(
+        spark, [(p, q) for p, q in prev_map.items()], "nprobe int, prev_nprobe int"
     )
     missing = (
         hits.withColumnRenamed("nprobe", "prev_nprobe")

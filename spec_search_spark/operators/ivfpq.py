@@ -60,7 +60,7 @@ from spec_search_spark.operators.pq import (
     _init_codebook,
     _update_codebook,
 )
-from spec_search_spark.session import prune_memo, tune
+from spec_search_spark.session import local_df, prune_memo, tune
 
 DIM = M_SUB * SUB_DIM       # 64-dim embeddings
 N_PROBES = 5                # probe queries: vec_id < N_PROBES
@@ -313,7 +313,7 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_hits"))
     grid = _probes(spark, sf_dir).select("probe_id").crossJoin(
         F.broadcast(
-            spark.createDataFrame([(p,) for p in SWEEP_NPROBES], "nprobe int")
+            local_df(spark, [(p,) for p in SWEEP_NPROBES], "nprobe int")
         )
     )
     return (

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 # orders before the cutover are the "materialized base"; the rest is
 # the incoming delta batch
@@ -336,7 +336,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(glob.glob(os.path.join(d, "part-*.parquet")))
 
     compacted_rows = spark.read.parquet(comp_dir).count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             ("fragmented", n_files(frag_dir), n_rows),
             ("compacted", n_files(comp_dir), compacted_rows),
@@ -459,7 +460,8 @@ def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m["n_rows"], m["revenue"], m["n_high_qty"])],
         "n_rows bigint, revenue double, n_high_qty bigint",
     )

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from spec_search_spark.catalog import load_table
 from spec_search_spark.functions.text import tokens
 from spec_search_spark.operators.dedup import _POLY_SQL, _poly_hash
-from spec_search_spark.session import prune_memo, spread, tune
+from spec_search_spark.session import local_df, prune_memo, spread, tune
 
 # --------------------------------------------------------------------------
 # PCA via power iteration on an exact-integer covariance matrix
@@ -531,9 +531,15 @@ WITH pf AS (
          CAST(round({_OLS_B2} / {_OLS_DET} * 1e6) AS BIGINT) AS b2m
   FROM tm
 ), ev AS (
+  -- BROADCAST(b): beta is K rows, {{src}} is the corpus. Without the
+  -- hint Catalyst (blind to the checkpointed RDD's true size) builds
+  -- the hash on the CORPUS side and probes with the K beta rows, so
+  -- the whole residual pass runs in the probe's single partition —
+  -- measured 2 x 0.95 s single-task stages, the slot's dominant cost.
+  -- DuckDB reads the hint as a plain comment.
   SELECT s.fold, count(*) AS n_test,
          sum(CAST(r8 AS DECIMAL(38,0)) * r8) AS ss
-  FROM (SELECT c.fold,
+  FROM (SELECT /*+ BROADCAST(b) */ c.fold,
                c.p100 * 1000000 - b.b0m * 100
                - b.b1m * c.q100 - b.b2m * c.d100 AS r8
         FROM {{src}} c JOIN beta b ON b.fold = c.fold) s
@@ -1483,8 +1489,8 @@ def walk_forward_cv_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_y = o.groupBy("y").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")
     )
-    folds = spark.createDataFrame(
-        [(i + 1, y) for i, y in enumerate(WF_TEST_YEARS)], "fold int, ty int"
+    folds = local_df(
+        spark, [(i + 1, y) for i, y in enumerate(WF_TEST_YEARS)], "fold int, ty int"
     )
     j = folds.join(F.broadcast(per_y), F.col("y") <= F.col("ty"))
     agg = j.groupBy("fold", "ty").agg(

@@ -34,7 +34,7 @@ from spec_search_spark.functions.vector import (
     cosine_similarity_sql,
 )
 from spec_search_spark.operators.similarity import _emb, _probes, partial_topk
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 CAND = 24  # candidate pool (the corpus-scale cut)
 SELECT_K = 8  # diversified picks
@@ -151,7 +151,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rank, v, rel[v], score)
         for rank, v, score in greedy_mmr(rel, sim, SELECT_K)
     ]
-    return spark.createDataFrame(out, MMR_SCHEMA)
+    return local_df(spark, out, MMR_SCHEMA)
 
 
 def _mmr_sql() -> str:

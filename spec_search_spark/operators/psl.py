@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spec_search_spark.catalog import load_table
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 #: Representative PSL fixture — `!` marks exception rules, `*` wildcard
 #: labels, exactly as the real list writes them.
@@ -115,7 +115,7 @@ def psl_rules_df(
         exc = r.startswith("!")
         key = r[1:] if exc else r
         rows.append((key, 1 if exc else 0, len(key.split("."))))
-    return spark.createDataFrame(rows, "rule string, is_exc int, n_rule int")
+    return local_df(spark, rows, "rule string, is_exc int, n_rule int")
 
 
 def _max_rule_labels(rules: Sequence[str]) -> int:

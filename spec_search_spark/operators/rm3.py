@@ -42,7 +42,7 @@ from spec_search_spark.operators.bm25 import (
     _tokens,
     bm25_search,
 )
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 FB_DOCS = 10  # feedback depth (= bm25 TOP_K)
 FB_TERMS = 8  # expansion terms added to the query
@@ -102,8 +102,8 @@ def _expanded_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_rm"), "tok")
         .limit(FB_TERMS)
     )
-    orig = spark.createDataFrame(
-        [(t, 1.0 / len(_QTOKS)) for t in _QTOKS], "tok string, p_orig double"
+    orig = local_df(
+        spark, [(t, 1.0 / len(_QTOKS)) for t in _QTOKS], "tok string, p_orig double"
     )
     full = orig.join(rm, "tok", "left").select(
         "tok", "p_orig", F.coalesce("p_rm", F.lit(0.0)).alias("p_rm")

@@ -61,7 +61,7 @@ from spec_search_spark.operators.similarity import (
     doc_embeddings_pooled,
     hybrid_search_rrf,
 )
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 SEARCH_SELECT_K = 5  # diversified picks out of the TOP_K fused pool
 
@@ -128,7 +128,7 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             (rank, d, r["vec_rank"], r["kw_rank"], r["rrf"], r["rel_e4"], score)
         )
-    return spark.createDataFrame(out, SEARCH_SCHEMA)
+    return local_df(spark, out, SEARCH_SCHEMA)
 
 
 def _search_pipeline_sql() -> str:

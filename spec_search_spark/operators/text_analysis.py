@@ -35,7 +35,7 @@ from spec_search_spark.functions.text import (
     tokens,
 )
 from spec_search_spark.functions.text import STOPWORDS
-from spec_search_spark.session import spread, tune
+from spec_search_spark.session import local_df, spread, tune
 
 CHUNK_SIZE = 120  # scaled-down from the reference's 1000 so the ~300-char
 CHUNK_OVERLAP = 30  # test docs actually produce multi-chunk output
@@ -602,7 +602,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (merge_idx, pair, n) for merges 1..{BPE_TRAIN_MERGES}."""
     merges = _bpe_trained_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, rend, n) for i, _raw, rend, n in merges],
         "merge_idx int, pair string, n bigint",
     )

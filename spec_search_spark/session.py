@@ -127,7 +127,10 @@ def local_df(spark: SparkSession, rows, schema):
     evaluates with no job at all (measured ~0.03 s). Bounded inputs
     only — the rows live in driver memory either way."""
     import pandas as pd
+    from pyspark.sql.types import StructType
 
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)

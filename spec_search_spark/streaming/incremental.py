@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spec_search_spark.session import tune
+from spec_search_spark.session import local_df, tune
 
 
 def _drained(spark: SparkSession, name: str, ckpt: str) -> DataFrame:
@@ -1410,7 +1410,7 @@ def stream_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
     )
     qrows = queries.collect()  # ≤ C(top,2) rows — the stored alert set
-    qdf = spark.createDataFrame(qrows, "t1 string, t2 string")
+    qdf = local_df(spark, [tuple(r) for r in qrows], "t1 string, t2 string")
 
     name = f"percolate_stream_{uuid.uuid4().hex[:8]}"
     stream = (
