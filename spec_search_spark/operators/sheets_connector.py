@@ -269,7 +269,13 @@ def sheets_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     name = f"sheets_stream_{_uuid.uuid4().hex[:8]}"
     feed = _tf.mkdtemp(prefix="sheets_feed_")
-    stream = spark.readStream.format("sheets").load(feed)
+    # bundle: pack each micro-batch's new files into ≤cores partitions
+    # (same per-task round-trip economics as the batch reader)
+    stream = (
+        spark.readStream.format("sheets")
+        .option("bundle", str(spark.sparkContext.defaultParallelism))
+        .load(feed)
+    )
     ckpt = _tf.mkdtemp(prefix="ckpt_sheets_src_")
     q = (
         stream.writeStream.outputMode("append")

@@ -251,7 +251,11 @@ def unigram_lm_em_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FIFO). finals1 likewise feeds both the M-step counts and the
     # iteration-1 report row.
     words = _materialize(_words(spark, sf_dir))
-    v0 = _vocab0(words)
+    # v0 is the vocabulary-sized seed artifact with FOUR lazy readers
+    # (viterbi-1's score collect, the iteration-1 vocab count, the
+    # required-char anti-join, and vocab2's score via keep_chars) —
+    # pin it so the substring-explode aggregation over words runs once
+    v0 = _materialize(_vocab0(words))
 
     def em_row(it: int, vocab: DataFrame, finals: DataFrame) -> DataFrame:
         n_pieces = vocab.agg(F.count(F.lit(1)).alias("vocab_pieces"))
@@ -280,7 +284,9 @@ def unigram_lm_em_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts1.select("piece"), "piece", "left_anti")
         .select("piece", F.lit(1).cast("bigint").alias("cnt"))
     )
-    vocab2 = _score(counts1.unionByName(keep_chars))
+    # vocab2 likewise feeds viterbi-2's collect AND the iteration-2
+    # vocab count; pinning it stops the counts1 re-aggregation
+    vocab2 = _materialize(_score(counts1.unionByName(keep_chars)))
     finals2 = _viterbi(words, vocab2)
     return (
         em_row(1, vocab1, finals1)

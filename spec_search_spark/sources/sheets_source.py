@@ -135,21 +135,80 @@ def _list_sheet_files(path: str) -> list[str]:
     )
 
 
-def _grid_rows(path: str):
-    """Grid-mode row emission for one sheet file (shared by the batch
-    and streaming readers — one contract, two planners)."""
-    with open(path) as fh:
-        doc = json.load(fh)
-    for tab in doc["tabs"]:
-        for row_idx, cells in enumerate(tab["values"]):
-            yield (
-                int(doc["file_id"]),
-                doc["file_name"],
-                int(tab["sheet_id"]),
-                tab["tab_name"],
-                int(row_idx),
-                [None if c is None else str(c) for c in cells],
-            )
+
+
+_ARROW_GRID_FIELDS = (
+    ("file_id", "int64"),
+    ("file_name", "string"),
+    ("sheet_id", "int64"),
+    ("tab_name", "string"),
+    ("row_idx", "int32"),
+    ("cells", "list<string>"),
+)
+
+
+def _arrow_grid_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("file_id", pa.int64()),
+            pa.field("file_name", pa.string()),
+            pa.field("sheet_id", pa.int64()),
+            pa.field("tab_name", pa.string()),
+            pa.field("row_idx", pa.int32()),
+            pa.field("cells", pa.list_(pa.string())),
+        ]
+    )
+
+
+def _grid_arrow_batches(paths, range_=None):
+    """Grid-mode rows for a list of sheet files as Arrow RecordBatches
+    (guide §4.2: columnar batches across the Python→JVM boundary, not
+    per-row pickled tuples), flushed every _ARROW_BATCH_ROWS rows.
+    Shared by the batch and streaming readers."""
+    import pyarrow as pa
+
+    schema = _arrow_grid_schema()
+    cols: list[list] = [[] for _ in schema]
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+        for c in cols:
+            c.clear()
+        return batch
+
+    for path in paths:
+        with open(path) as fh:
+            doc = json.load(fh)
+        fid, fname = int(doc["file_id"]), doc["file_name"]
+        for tab in doc["tabs"]:
+            sid, tname = int(tab["sheet_id"]), tab["tab_name"]
+            values = tab["values"]
+            rows = enumerate(values)
+            if range_ is not None:
+                r_lo, r_hi, c_lo, c_hi = range_
+                rows = (
+                    (i, row[c_lo : c_hi + 1])
+                    for i, row in enumerate(values)
+                    if r_lo <= i <= r_hi
+                )
+            for row_idx, cells in rows:
+                cols[0].append(fid)
+                cols[1].append(fname)
+                cols[2].append(sid)
+                cols[3].append(tname)
+                cols[4].append(int(row_idx))
+                cols[5].append(
+                    [None if c is None else str(c) for c in cells]
+                )
+        if len(cols[0]) >= _ARROW_BATCH_ROWS:
+            yield flush()
+    if cols[0]:
+        yield flush()
 
 
 class SheetsStreamReader(DataSourceStreamReader):
@@ -179,6 +238,7 @@ class SheetsStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sheets source requires a path")
+        self.bundle = int(options.get("bundle", "0") or "0")
 
     def _feed(self) -> list[str]:
         # a feed dir that does not exist YET is an empty feed, not an
@@ -192,11 +252,16 @@ class SheetsStreamReader(DataSourceStreamReader):
         return {"index": len(self._feed())}
 
     def partitions(self, start: dict, end: dict):
-        files = self._feed()
-        return [InputPartition(p) for p in files[start["index"] : end["index"]]]
+        files = self._feed()[start["index"] : end["index"]]
+        return [InputPartition(chunk) for chunk in _bundle(files, self.bundle)]
 
     def read(self, partition: InputPartition):
-        yield from _grid_rows(partition.value)
+        paths = (
+            partition.value
+            if isinstance(partition.value, (list, tuple))
+            else [partition.value]
+        )
+        yield from _grid_arrow_batches(paths)
 
     def commit(self, end: dict) -> None:
         pass
@@ -253,91 +318,55 @@ class SheetsReader(DataSourceReader):
             files = [p for p in files if os.path.basename(p) in keep]
         return [InputPartition(chunk) for chunk in _bundle(files, self.bundle)]
 
-    def _arrow_schema(self):
-        import pyarrow as pa
-
-        if self.mode == "records":
-            return pa.schema(
-                [pa.field(name, pa.string()) for name in (self.header or [])]
-            )
-        return pa.schema(
-            [
-                pa.field("file_id", pa.int64()),
-                pa.field("file_name", pa.string()),
-                pa.field("sheet_id", pa.int64()),
-                pa.field("tab_name", pa.string()),
-                pa.field("row_idx", pa.int32()),
-                pa.field("cells", pa.list_(pa.string())),
-            ]
-        )
-
     def read(self, partition: InputPartition):
         """Decode the partition's files and yield Arrow RecordBatches
         (guide §4.2: the decoded grid crosses the Python→JVM boundary
         as columnar batches, not per-row pickled tuples), flushing
         every _ARROW_BATCH_ROWS rows to bound batch memory."""
-        import pyarrow as pa
-
-        schema = self._arrow_schema()
-        names = [f.name for f in schema]
-        cols: list[list] = [[] for _ in names]
-
-        def flush():
-            batch = pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
-                schema=schema,
-            )
-            for c in cols:
-                c.clear()
-            return batch
-
         paths = (
             partition.value
             if isinstance(partition.value, (list, tuple))
             else [partition.value]
         )
+        if self.mode == "records":
+            yield from self._records_arrow_batches(paths)
+        else:
+            yield from _grid_arrow_batches(paths, self.range)
+
+    def _records_arrow_batches(self, paths):
+        import pyarrow as pa
+
+        header = self.header or []
+        schema = pa.schema([pa.field(name, pa.string()) for name in header])
+        width = len(header)
+        cols: list[list] = [[] for _ in header]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(c, type=pa.string()) for c in cols], schema=schema
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
         for path in paths:
             with open(path) as fh:
                 doc = json.load(fh)
             for tab in doc["tabs"]:
                 values = tab["values"]
-                if self.mode == "records":
-                    self._append_records(cols, values)
-                else:
-                    self._append_grid(cols, doc, tab, values)
-                if len(cols[0]) >= _ARROW_BATCH_ROWS:
-                    yield flush()
-        if cols[0]:
+                if not values:
+                    continue
+                for row in values[1:]:  # first row is the header
+                    padded = [
+                        str(c) if c is not None else "" for c in row[:width]
+                    ]
+                    padded += [""] * (width - len(padded))
+                    for j in range(width):
+                        cols[j].append(padded[j])
+            if cols and len(cols[0]) >= _ARROW_BATCH_ROWS:
+                yield flush()
+        if cols and cols[0]:
             yield flush()
-
-    def _append_grid(self, cols, doc, tab, values) -> None:
-        rows = enumerate(values)
-        if self.range is not None:
-            r_lo, r_hi, c_lo, c_hi = self.range
-            rows = (
-                (i, row[c_lo : c_hi + 1])
-                for i, row in enumerate(values)
-                if r_lo <= i <= r_hi
-            )
-        fid, fname = int(doc["file_id"]), doc["file_name"]
-        sid, tname = int(tab["sheet_id"]), tab["tab_name"]
-        for row_idx, cells in rows:
-            cols[0].append(fid)
-            cols[1].append(fname)
-            cols[2].append(sid)
-            cols[3].append(tname)
-            cols[4].append(int(row_idx))
-            cols[5].append([None if c is None else str(c) for c in cells])
-
-    def _append_records(self, cols, values) -> None:
-        if not values:
-            return
-        width = len(self.header or values[0])
-        for row in values[1:]:  # first row is the header
-            padded = [str(c) if c is not None else "" for c in row[:width]]
-            padded += [""] * (width - len(padded))
-            for j in range(width):
-                cols[j].append(padded[j])
 
 
 @dataclass
