@@ -951,7 +951,13 @@ def mann_kendall_daily_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("g", "d", F.coalesce(F.col("c"), F.lit(0)).alias("x"))
     )
-    a = filled.select(
+    # the streamed side of the all-pairs broadcast join inherits the
+    # 1-partition exploded calendar grid, so the O(#days²) per-group
+    # sign comparisons ran as ONE 1.2 s task; explicit-N repartition
+    # (AQE-coalescing-exempt) fans the bounded grid out — trivial bytes
+    # (#days × #priorities rows) at any scale
+    dp = spark.sparkContext.defaultParallelism
+    a = filled.repartition(dp, "d").select(
         F.col("g").alias("ga"), F.col("d").alias("da"), F.col("x").alias("xa")
     )
     b = filled.select(

@@ -577,7 +577,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical double operands either way, so the rounded values
     (and the oracle) are unchanged."""
     emb = _emb(spark, sf_dir)
-    cand = neardup_candidates(spark, sf_dir)
+    # Explicit-N repartition of the id-only candidate rows: AQE sizes
+    # the distinct's output by BYTES (~5 MB → one 8m-advisory
+    # partition), but the downstream per-pair dot fold is compute-heavy
+    # — the whole re-check ran as ONE 1.4 s task. An explicit partition
+    # count is exempt from AQE coalescing; the exchange moves 3 ints
+    # per candidate, and at cluster scale the join on vec1 re-keys the
+    # candidates anyway (shuffle.partitions tracks defaultParallelism
+    # in tune(), so the layouts coincide).
+    dp = spark.sparkContext.defaultParallelism
+    cand = neardup_candidates(spark, sf_dir).repartition(dp, "vec1")
     e1 = emb.select(
         F.col("vec_id").alias("vec1"),
         F.col("embedding").alias("emb1"),
