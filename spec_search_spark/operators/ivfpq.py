@@ -195,17 +195,19 @@ def _probe_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luts
 
 
-def _search_at(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """(probe_id, vec_id, approx_d2, d2, rn): IVFADC top-k at `nprobe`
-    probed clusters — ADC fold over probed codes, CAND_K survivors,
-    exact re-rank."""
-    from spec_search_spark.operators.similarity import partial_topk
-
+def _adc_scored(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """(probe_id, vec_id, rank, approx_d2): ADC fold over the codes of
+    every candidate in clusters of rank < `nprobe`. rank is kept so a
+    sweep can score ONCE at its largest arm and carve the smaller arms
+    out as rank-nested subsets (probe-cluster assignments are
+    rank-nested, and a vector lives in exactly one cluster, so
+    filter(rank < p) is exactly arm p's candidate set with identical
+    per-candidate folds)."""
     _, enc = _encoded(spark, sf_dir)
     pl = (
         _probe_luts(spark, sf_dir)
         .filter(F.col("rank") < nprobe)
-        .select("probe_id", "cid", "lut")
+        .select("probe_id", "cid", "lut", "rank")
     )
     cand = enc.join(
         F.broadcast(pl),
@@ -213,9 +215,10 @@ def _search_at(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
     # ADC: left-to-right fold over the 8 codes — bit-identical to the
     # oracle's list_reduce (same shape as pq.pq_ann_search)
-    approx = cand.select(
+    return cand.select(
         "probe_id",
         "vec_id",
+        "rank",
         F.round(
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(M_SUB - 1)),
@@ -228,6 +231,20 @@ def _search_at(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             6,
         ).alias("approx_d2"),
     )
+
+
+def _search_at(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """(probe_id, vec_id, approx_d2, d2, rn): IVFADC top-k at `nprobe`
+    probed clusters — ADC fold over probed codes, CAND_K survivors,
+    exact re-rank."""
+    approx = _adc_scored(spark, sf_dir, nprobe).drop("rank")
+    return _arm_topk(spark, sf_dir, approx)
+
+
+def _arm_topk(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """CAND_K ADC survivors → exact re-rank → per-probe TOP_K."""
+    from spec_search_spark.operators.similarity import partial_topk
+
     local = partial_topk(approx, "probe_id", ["approx_d2", "vec_id"], CAND_K)
     wc = Window.partitionBy("probe_id").orderBy("approx_d2", "vec_id")
     candk = (
@@ -298,12 +315,21 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (nprobe, probe_id, n_hits, recall) ordered."""
     exact = _exact_topk(spark, sf_dir)
+    # score candidates ONCE at the largest sweep point with cluster
+    # rank kept; each arm filters the pinned scored table instead of
+    # re-running the ADC fold per nprobe (same recipe as
+    # ivf.ivf_nprobe_sweep — the fold over every probed code was the
+    # dominant stage, paid once instead of |SWEEP_NPROBES| times)
+    scored = _adc_scored(spark, sf_dir, max(SWEEP_NPROBES)).localCheckpoint(
+        eager=True
+    )
     per_p = []
     for p in SWEEP_NPROBES:
+        arm = _arm_topk(
+            spark, sf_dir, scored.filter(F.col("rank") < p).drop("rank")
+        )
         per_p.append(
-            _search_at(spark, sf_dir, p).select(
-                F.lit(p).alias("nprobe"), "probe_id", "vec_id"
-            )
+            arm.select(F.lit(p).alias("nprobe"), "probe_id", "vec_id")
         )
     allt = per_p[0]
     for df in per_p[1:]:

@@ -405,6 +405,28 @@ DSIR_BUCKETS = 64  # hashed unigram feature space (DSIR's hashed n-grams)
 DSIR_TARGET = "src0"  # stand-in target domain (the 'wiki' of this corpus)
 
 
+def _dsir_occ_unpinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-pin hashed-occurrence builder — tokenize → explode →
+    Arrow poly-hash bucket. Named seam for plans/audit.py (ADVICE r11):
+    the pinned table reads back as `Scan ExistingRDD`, so shape checks
+    on the working subtree (ArrowEval hash required, Window forbidden)
+    must run on THIS plan."""
+    from spec_search_spark.session import spread
+
+    docs = spread(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode("toks").alias("tok"),
+        )
+        .withColumn("bucket", F.pmod(_poly_hash(F.col("tok")), F.lit(DSIR_BUCKETS)))
+        .select("doc_id", "source", "bucket")
+    )
+
+
 def dsir_importance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document
@@ -437,21 +459,7 @@ def dsir_importance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize so the heavy work lands on every core; guarded no-op at
     # scale). Three int columns — token-count-sized, the same rows the
     # explode already produced.
-    from spec_search_spark.session import spread
-
-    docs = spread(_docs(spark, sf_dir), "doc_id").select(
-        "doc_id", "source", tokens(F.col("text")).alias("toks")
-    )
-    occ = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode("toks").alias("tok"),
-        )
-        .withColumn("bucket", F.pmod(_poly_hash(F.col("tok")), F.lit(DSIR_BUCKETS)))
-        .select("doc_id", "source", "bucket")
-        .localCheckpoint(eager=True)
-    )
+    occ = _dsir_occ_unpinned(spark, sf_dir).localCheckpoint(eager=True)
     raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
     tgt = (
         occ.filter(F.col("source") == DSIR_TARGET)
@@ -483,7 +491,8 @@ def dsir_importance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("lw").alias("logw"))
     )
     scored = (
-        docs.select("doc_id", "source")
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
         .join(doc_w, "doc_id", "left")
         .na.fill({"logw": 0.0})
     )

@@ -595,7 +595,11 @@ def ols_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the hashed cents table: the moment pass AND the residual pass
     # both read it, and lazily each would re-run the fold-hash kernel
     # over the corpus (2× the slot's dominant cost). 4 narrow int64
-    # columns — node-sized at any sf; blocks are reaped on GC.
+    # columns over lineitem — CORPUS-proportional (≈32 B/row), not
+    # node-sized: acceptable as distributed checkpoint blocks (reaped
+    # on driver GC), and the pin is an executor-memory/disk trade a
+    # fault-tolerant deployment would make with persist() instead
+    # (localCheckpoint forfeits lineage recompute on executor loss).
     li = li.localCheckpoint(eager=True)
     li.createOrReplaceTempView("_ols_cv_cents")
     return spark.sql(_OLS_CV_BODY.format(src="_ols_cv_cents"))

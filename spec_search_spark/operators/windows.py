@@ -829,6 +829,23 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sides; matching is still per-user, identical to the per-user
         # cogroup it replaces (right is unique per (user_id, ts)).
         left = left.sort_values("ts", kind="mergesort")
+        if not len(right):
+            # explicit empty-right guard (ADVICE r11): a bucket with
+            # clicks but zero purchases emits the clicks with null
+            # purchase columns, mirroring the empty-left guard, rather
+            # than relying on merge_asof(by=) accepting an empty right
+            # frame on whatever pandas version is pinned
+            m = left.copy()
+            m["click_ts"] = m["ts"].dt.strftime(fmt)
+            m["purchase_id"] = pd.Series(pd.NA, index=m.index, dtype="Int64")
+            m["purchase_ts"] = pd.Series(None, index=m.index, dtype="object")
+            m["purchase_value"] = pd.Series(
+                float("nan"), index=m.index, dtype="float64"
+            )
+            return m[
+                ["click_id", "user_id", "click_ts",
+                 "purchase_id", "purchase_ts", "purchase_value"]
+            ]
         right = (
             right.sort_values("ts", kind="mergesort")
             .rename(columns={"ts": "p_ts"})

@@ -57,14 +57,14 @@ def _norm(text):
     return F.regexp_replace(F.lower(text), r"\s+", " ")
 
 
-def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, h): the winnowed fingerprint set per document
-    (distinct selected hashes). Spread before the kernel (the local
-    single-row-group scan would run every document's rolling hash on
-    ONE core; no-op at scale) and PINNED — the stats query reads it
-    twice and the containment query four times (df-count, rare join,
-    both pair sides), each of which would lazily re-run the kernel
-    over the whole corpus."""
+def _selected_unpinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-pin fingerprint builder — the subtree that actually does
+    the winnowing work. Kept as a named seam so plans/audit.py can run
+    the kernel-shape checks (ArrowEval pass required; Window /
+    BatchEvalPython / per-position Generate forbidden) on THIS plan:
+    the pinned form below reads back as `Scan ExistingRDD`, which would
+    let a kernel-shape regression pass the registered-plan audit
+    silently (ADVICE r11)."""
     from spec_search_spark.session import spread
 
     docs = spread(
@@ -73,7 +73,18 @@ def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     ).select("doc_id", "source", _norm(F.col("text")).alias("t"))
-    return winnow(docs).localCheckpoint(eager=True)
+    return winnow(docs)
+
+
+def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h): the winnowed fingerprint set per document
+    (distinct selected hashes). Spread before the kernel (the local
+    single-row-group scan would run every document's rolling hash on
+    ONE core; no-op at scale) and PINNED — the stats query reads it
+    twice and the containment query four times (df-count, rare join,
+    both pair sides), each of which would lazily re-run the kernel
+    over the whole corpus."""
+    return _selected_unpinned(spark, sf_dir).localCheckpoint(eager=True)
 
 
 def make_winnow_fps_udf():

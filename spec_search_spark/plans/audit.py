@@ -1565,6 +1565,35 @@ def audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
         ("search_pipeline_e2e[pool]",
          "rangepartitioning only as the result sort (structural)",
          not interior_range_partitioning(sp_plan)))
+    # winnowing / DSIR (ADVICE r11): the registered plans read the
+    # PINNED fingerprint/occurrence tables (Scan ExistingRDD), so the
+    # kernel-shape checks must run on the un-pinned builders — a
+    # regression back to the posexplode+Window form (or a row-at-a-time
+    # BatchEvalPython hash) would be invisible in the registered plans.
+    from spec_search_spark.operators.lm_quality import _dsir_occ_unpinned
+    from spec_search_spark.operators.winnowing import _selected_unpinned
+
+    wn_plan = plan_of(_selected_unpinned(spark, sf_dir))
+    for frag in ("ArrowEvalPython", "Generate"):
+        # Generate = the per-DOC fingerprint-array explode (bounded by
+        # selected fingerprints, not k-gram positions)
+        results.append(
+            ("winnowing[_selected lineage]", f"requires `{frag}`",
+             frag in wn_plan))
+    for frag in ("Window", "BatchEvalPython", "posexplode",
+                 "CartesianProduct"):
+        results.append(
+            ("winnowing[_selected lineage]", f"forbids `{frag}`",
+             frag not in wn_plan))
+    dsir_plan = plan_of(_dsir_occ_unpinned(spark, sf_dir))
+    for frag in ("ArrowEvalPython", "Generate"):
+        results.append(
+            ("dsir_importance_report[occ lineage]", f"requires `{frag}`",
+             frag in dsir_plan))
+    for frag in ("Window", "BatchEvalPython", "CartesianProduct"):
+        results.append(
+            ("dsir_importance_report[occ lineage]", f"forbids `{frag}`",
+             frag not in dsir_plan))
     # graph-ANN: the registered queries read the memoized checkpointed
     # index (bare LogicalRDD — nothing to audit there), so audit the
     # UN-pinned build and walk lineages directly. Build: cell seeds

@@ -535,3 +535,49 @@ def test_bitext_mining_matches_direct_reference(spark, sf_dir):
     assert len({b for _, b in got}) == len(got)
     for r in rows:
         assert r["b_lang"] != "en" and r["b_lang"] == docs[r["b_id"]]
+
+
+def test_asof_cogroup_bucket_with_no_purchases(spark, tmp_path):
+    """A cogroup bucket holding clicks but ZERO purchases must emit the
+    clicks with null purchase columns (the explicit empty-right guard —
+    ADVICE r11: merge_asof(by=) with an empty right frame is an
+    untested pandas-version edge)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spec_search_spark.operators.windows import asof_join_cogroup
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    # user 1: clicks only -> its bucket has an EMPTY purchases side;
+    # user 2: click after purchase -> a matched row in another bucket
+    rows = [
+        (1, us(0), 1, "click", 0.0, "{}"),
+        (2, us(5), 1, "click", 0.0, "{}"),
+        (3, us(1), 2, "purchase", 9.5, "{}"),
+        (4, us(2), 2, "click", 0.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = {
+        r["click_id"]: r
+        for r in asof_join_cogroup(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    for cid in (1, 2):  # the purchase-free bucket
+        assert out[cid]["purchase_id"] is None
+        assert out[cid]["purchase_ts"] is None
+        assert out[cid]["purchase_value"] is None
+    assert out[4]["purchase_id"] == 3
+    assert out[4]["purchase_value"] == 9.5
