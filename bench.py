@@ -343,10 +343,29 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # Cold/warm dual pricing (VERDICT r11 item 6): min-of-N prices
+    # memoized slots at their warm steady state (the per-session
+    # index/training memos are deliberate deployment pricing), but a
+    # ledger row of 0.01 s for a slot whose FIRST run pays seconds of
+    # memo build misprices it. Record {cold: first_run, warm: min} for
+    # every slot whose first sample is an outlier vs its min, so both
+    # regimes stay visible. Additions-only: timed region, query set,
+    # min-of-N policy and the one-line JSON are unchanged.
+    cold_warm: dict[str, dict] = {}
+
+    def _note_cold(name: str, samples: list) -> None:
+        warm = min(samples)
+        if samples[0] > 2 * warm and samples[0] - warm > 0.5:
+            cold_warm[name] = {
+                "cold": round(samples[0], 3),
+                "warm": round(warm, 3),
+            }
+
     for name in HEADLINE:
         samples = [run(name) for _ in range(n_runs)]
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) - min(samples), 3)
+        _note_cold(name, samples)
 
     # Full-sweep coverage (VERDICT r7 item 1): every registered query
     # gets a tracked wall-clock record. The sweep is registry-driven —
@@ -372,6 +391,7 @@ def main() -> None:
             samples = [run(name) for _ in range(sweep_runs)]
             sweep_timings[name] = round(min(samples), 3)
             sweep_spreads[name] = round(max(samples) - min(samples), 3)
+            _note_cold(name, samples)
 
     # End-of-run calibration probe (pair with calib_start above).
     calib_end = round(min(_calib() for _ in range(3)), 3)
@@ -412,6 +432,11 @@ def main() -> None:
         full["sweep_spread_max_minus_min"] = sweep_spreads
         full["sweep_run_policy"] = f"min_of_{sweep_runs}_exclusive_machine"
         full["sweep_exclusions"] = sweep_exclusions
+    if cold_warm:
+        # slots whose first run is >2x and >0.5s above their min —
+        # session-memoized builds (index/training memos) and first-use
+        # engine-path initialization, priced in BOTH regimes
+        full["cold_vs_warm_outliers"] = cold_warm
     prev_name, prev, this_round = _previous_round()
     regressions: dict[str, float] = {}
     if prev is not None and prev.get("sf") == sf_val:

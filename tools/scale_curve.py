@@ -66,6 +66,12 @@ def main() -> int:
     from spec_search_spark.operators import all_queries
     from spec_search_spark.session import get_spark
 
+    # optional argv: refresh only the NAMED slots, merging into the
+    # existing SCALE_CURVES.json (r11 verdict item 9: rewritten slots
+    # need refreshed curves without re-running the whole battery)
+    only = sys.argv[1:]
+    queries = only or QUERIES
+
     qs, _ = all_queries()
     spark = get_spark("scale_curve")
     # engine-path warmup (the bench.py trio)
@@ -73,7 +79,7 @@ def main() -> int:
         qs[w](spark, SFS[0][1]).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         per_sf: dict[str, float] = {}
         cold: dict[str, float] = {}
         failed = False
@@ -124,6 +130,11 @@ def main() -> int:
         )
 
     out = os.path.join(HERE, "SCALE_CURVES.json")
+    if only and os.path.exists(out):
+        with open(out) as fh:
+            merged = json.load(fh)
+        merged.update(results)
+        results = merged
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps({n: r["alpha"] for n, r in results.items()}))
